@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 (reference file:line cited in each docstring); ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL. Column names and rounding are aligned
+on both sides so the driver's order-insensitive value-hash matches.
+
+Queries marked "rows-only" (no oracle entry) are the genuinely
+non-SQL-expressible ones: sign-LSH ANN (engine-specific hyperplane PRNG)
+and SimHash banding (engine-specific 64-bit hash family).
 """
 
 from __future__ import annotations
@@ -12,27 +15,800 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.drift import canonical_status, safe_divide
+from commercepulse_data_pipeline_spark.functions.temporal import calendar_columns, days_between
+from commercepulse_data_pipeline_spark.operators import dedup as dd
+from commercepulse_data_pipeline_spark.operators import similarity as sim
+from commercepulse_data_pipeline_spark.operators import text as tx
+from commercepulse_data_pipeline_spark.operators import windows as win
+from commercepulse_data_pipeline_spark.operators.joins import anti_join, semi_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (legacy conf, runtime-settable) and
+    convert to a microsecond timestamp (truncation — matches DuckDB's
+    ns→us view of the same file)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may not exist on other versions
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _iso_date(col) -> F.Column:
+    """Render a date as 'yyyy-MM-dd' string: temporal columns cross the
+    Spark↔DuckDB comparison as strings so arrow/pandas type mapping can
+    never skew the driver's value hash."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def _dsum(col, scale: int = 2) -> F.Column:
+    """Order-independent rounded float sum: accumulate in DECIMAL (exact,
+    commutative) and round in decimal space, so the result never depends
+    on partition/merge order — double sums can land on either side of a
+    rounding boundary depending on add order, which is nondeterministic on
+    a cluster AND differs between engines."""
+    return F.round(F.sum(col.cast("decimal(30,8)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 4) -> F.Column:
+    """Order-independent rounded mean: exact decimal sum → one double
+    division → round."""
+    return F.round(F.sum(col.cast("decimal(30,8)")).cast("double") / F.count(col), scale)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference §2.3-§2.8 on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-agg groupBy (reference A1/A4/A5/F8 analog:
+    src/transformer.py:130-165 rollup semantics). Map-side partial agg →
+    2-key shuffle; whole-stage codegen end-to-end."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship A1 (src/transformer.py:130-165): daily revenue rollup as
+    join + groupBy — the reference's O(groups×payments) isin loop becomes
+    one shuffle each side + one agg shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", _iso_date("o_orderdate").alias("order_date"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("order_date")
+        .agg(
+            _dsum(F.col("rev")).alias("gross_revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+def q_order_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_order_daily shape on the driver tables (reference A1 + Q3/Q4
+    semantics, src/transformer.py:130-165): pre-aggregate lineitems per
+    order BEFORE joining so order_count never double-counts (SURVEY §7.3)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,8)")).alias("order_rev"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(F.lit(0.0)).cast("decimal(30,8)")
+        ).alias("returned_amt"),
+    )
+    joined = o.select(
+        "o_orderkey", _iso_date("o_orderdate").alias("order_date"), "o_orderpriority"
+    ).join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    return joined.groupBy("order_date", "o_orderpriority").agg(
+        F.coalesce(F.round(F.sum("order_rev"), 2).cast("double"), F.lit(0.0)).alias("gross_revenue"),
+        F.coalesce(F.round(F.sum("returned_amt"), 2).cast("double"), F.lit(0.0)).alias("returned_amount"),
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.when(F.col("returned_amt") > 0, 1).otherwise(0)).alias("returned_order_count"),
+        safe_divide(
+            F.sum(F.when(F.col("returned_amt") > 0, 1).otherwise(0)), F.count(F.lit(1))
+        ).alias("return_rate"),
+    )
+
+
+def q_dedup_last_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 last-writer-wins (src/transformer.py:40): latest event per user,
+    rank-1 window, deterministic tiebreak."""
+    e = _events(spark, sf_dir)
+    return dd.last_writer_wins(e, ["user_id"], "ts", tiebreak_cols=["event_id"]).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 keep-first (src/transformer.py:88,126), deterministic variant:
+    earliest event per (user_id, event_type)."""
+    e = _events(spark, sf_dir)
+    return dd.keep_first(e, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]).select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+def q_drift_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 multi-key falsy-aware coalesce (src/transformer.py:52-74):
+    resolve a payload key from JSON with pandas `or`-chain semantics
+    (0 counts as missing — SURVEY Q10)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    missing_key = F.get_json_object(F.col("props"), "$.does_not_exist")
+    resolved = F.coalesce(F.nullif(F.coalesce(missing_key, k), F.lit("0")), F.lit("-1"))
+    return e.select("event_id", resolved.alias("k_resolved"))
+
+
+def q_status_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 status canonicalization (src/transformer.py:66-72) + A3
+    frequency breakdown (src/quality_report.py:131-134)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(canonical_status(F.col("event_type")).alias("canonical_status"))
+        .groupBy("canonical_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_timestamp_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 multi-format timestamp parse with NULL-coerce
+    (src/transformer.py:33,82,120): round-trip events.ts through two vendor
+    string formats, re-parse via the try_to_timestamp coalesce chain."""
+    from commercepulse_data_pipeline_spark.functions.temporal import parse_timestamp
+
+    e = _events(spark, sf_dir)
+    as_string = F.when(
+        F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy/MM/dd HH:mm:ss")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm"))
+    return e.select("event_id", F.unix_micros(parse_timestamp(as_string)).alias("parsed_us"))
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 date-range generator + F5 calendar derivations
+    (src/populate_dimensions.py:19-29) — dim_date, 1,461 rows."""
+    days = spark.sql(
+        "SELECT explode(sequence(to_date('2023-01-01'), to_date('2026-12-31'), interval 1 day)) AS date_key"
+    )
+    cal = calendar_columns(F.col("date_key"))
+    return days.select(
+        _iso_date("date_key").alias("date_key"),
+        cal["day_of_week"].alias("day_of_week"),
+        cal["week_number"].cast("long").alias("week_number"),
+        cal["month"].cast("long").alias("month"),
+        cal["quarter"].cast("long").alias("quarter"),
+        cal["year"].cast("long").alias("year"),
+        cal["is_weekend"].alias("is_weekend"),
+    )
+
+
+def q_customer_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 groupBy-min first-seen (src/populate_dimensions.py:51) + J1
+    fact-dim equi-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(_iso_date("o_orderdate")).alias("first_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_spent"),
+    )
+    return c.join(F.broadcast(firsts), c.c_custkey == firsts.o_custkey).select(
+        "c_custkey", "c_name", "first_order_date", "n_orders", "total_spent"
+    )
+
+
+def q_orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-anti orphan detection (src/quality_report.py:61-66)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def q_big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left-semi membership (src/transformer.py:140,144): customers
+    having at least one high-value order, counted per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(c, big, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + F6 interval arithmetic + P6 threshold counts (late-arrival
+    analysis, src/quality_report.py:72-98)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    lag_us = F.unix_micros(F.col("l_shipdate").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
+    day_us = 86400.0 * 1_000_000
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.round(F.sum(lag_us).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_ship"),
+        F.sum((lag_us > 7 * day_us).cast("long")).alias("over_7d"),
+        F.sum((lag_us > 30 * day_us).cast("long")).alias("over_30d"),
+    )
+
+
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 global scalar aggregates + P4/P5 null/zero predicates
+    (src/quality_report.py:45-48)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum((F.col("value") == 0).cast("long")).alias("zero_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (distributed replacement of the driver-side .head(n),
+    SURVEY §2.8): top 10 customers by revenue, deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    by_cust = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    return by_cust.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(10)
+
+
+def q_union_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op — unionByName + distinct (the reference's only set-ops are
+    membership checks; the envelope union S1+S2 is unionByName, SURVEY §2.8)."""
+    e = _events(spark, sf_dir)
+    buyers = e.where(F.col("event_type") == "purchase").select("user_id", F.lit("purchase").alias("src"))
+    errored = e.where(F.col("event_type") == "error").select("user_id", F.lit("error").alias("src"))
+    return buyers.unionByName(errored).distinct()
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window — per-user cumulative value over time (our engine's
+    window family; the reference had none, SURVEY §2.8)."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) + per-session stats — the
+    stateful-stream pattern in batch form (§2.10 mapping)."""
+    e = _events(spark, sf_dir)
+    sessions = win.sessionize(e, "user_id", "ts", gap_minutes=30)
+    return win.session_stats(sessions, "user_id", "ts").select(
+        "user_id", "session_id", "n_events", "duration_sec"
+    )
+
+
+def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling window aggregate — the batch equivalent of the
+    streaming daily rollup (§2.10: F.window('1 day') ≡ to_date groupBy)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(_iso_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extension operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: clusters + canonical id."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicate_clusters(d, "text", "doc_id")
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats, pure codegen (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_text_stats(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+    )
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/diversity/alpha bands)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_score(d, "text").select("doc_id", "quality_score")
+
+
+def q_docs_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-style frequency breakdown over (lang, source) with char stats."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 + first rolling 8-token
+    window hash (containment-detection primitive)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    first_window = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.when(F.size(toks) >= 8, first_window).alias("head_fingerprint"),
+    )
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4, 3-word shingles), lexicographic-min md5
+    family — engine-reproducible by construction."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
+    return d.where(F.size(dd.word_shingles(F.col("text"), 3)) > 0).select(
+        "doc_id", F.array_join(sig, "|").alias("signature")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows): the scalable
+    near-dup path — band-key equi-join, never O(n²)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 via shingle-inverted-index join."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_freq=1000000
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: top-10 by cosine to the vec_id=0
+    embedding. Double-precision sequential fold → engine-reproducible."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.cosine_topk(e, list(qvec), k=10, id_col="vec_id", vec_col="embedding")
+
+
+def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (norm avg) — array math as higher-order
+    functions, aggregated per class."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum(F.col("norm").cast("decimal(30,15)")).cast("double") / F.count("norm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+# --- rows-only queries (non-SQL-expressible; driver records weaker check) --
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate ANN (rows-only: hyperplane PRNG is
+    engine-specific). Bucket restrict → exact re-rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.lsh_topk(e, list(qvec), k=10, n_planes=4)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via 16-bit block LSH (rows-only:
+    xxhash64 is Spark-specific)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6, blocks=4)
+
+
+def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (argmax over per-language
+    scores)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.detect_language(d, "text").select("doc_id", "detected_lang", F.col("lang_score"))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_daily_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "daily_revenue": q_daily_revenue,
+        "order_daily_rollup": q_order_daily_rollup,
+        "dedup_last_writer": q_dedup_last_writer,
+        "dedup_keep_first": q_dedup_keep_first,
+        "drift_coalesce": q_drift_coalesce,
+        "status_canonical": q_status_canonical,
+        "timestamp_multiformat": q_timestamp_multiformat,
+        "calendar_dim": q_calendar_dim,
+        "customer_first_order": q_customer_first_order,
+        "orphan_customers": q_orphan_customers,
+        "big_spender_segments": q_big_spender_segments,
+        "ship_latency": q_ship_latency,
+        "completeness": q_completeness,
+        "top_customers": q_top_customers,
+        "union_actors": q_union_actors,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "event_daily_stats": q_event_daily_stats,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "docs_fingerprint": q_docs_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        # rows-only (no oracle): engine-specific hash/PRNG families
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "docs_lang_detect": q_docs_lang_detect,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB shared text-tokenization fragment (kept identical across oracles).
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
+    " i -> array_to_string(t[i:i+2], ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "daily_revenue": """
+            SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                   CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS gross_revenue,
+                   count(DISTINCT o.o_orderkey) AS order_count
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "order_daily_rollup": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS order_rev,
+                       sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,8))) AS returned_amt
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, o.o_orderpriority,
+                   coalesce(CAST(round(sum(p.order_rev), 2) AS DOUBLE), 0.0) AS gross_revenue,
+                   coalesce(CAST(round(sum(p.returned_amt), 2) AS DOUBLE), 0.0) AS returned_amount,
+                   count(*) AS order_count,
+                   sum(CASE WHEN p.returned_amt > 0 THEN 1 ELSE 0 END) AS returned_order_count,
+                   CASE WHEN count(*) > 0 THEN
+                     round(sum(CASE WHEN p.returned_amt > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+                   END AS return_rate
+            FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "dedup_last_writer": """
+            SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "dedup_keep_first": """
+            SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "drift_coalesce": """
+            SELECT event_id,
+                   coalesce(
+                     nullif(coalesce(json_extract_string(props, '$.does_not_exist'),
+                                     json_extract_string(props, '$.k')), '0'),
+                     '-1') AS k_resolved
+            FROM events
+        """,
+        "status_canonical": """
+            SELECT CASE
+                     WHEN lower(event_type) IN ('failed', 'fail', 'error') THEN 'failed'
+                     WHEN lower(event_type) IN ('success', 'successful', 'completed', 'paid') THEN 'success'
+                     ELSE lower(event_type)
+                   END AS canonical_status,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "timestamp_multiformat": """
+            SELECT event_id,
+                   epoch_us(CASE WHEN event_id % 2 = 0
+                        THEN try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S')
+                        ELSE try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M')
+                   END) AS parsed_us
+            FROM events
+        """,
+        "calendar_dim": """
+            SELECT strftime(d, '%Y-%m-%d') AS date_key,
+                   dayname(d) AS day_of_week,
+                   CAST(weekofyear(d) AS BIGINT) AS week_number,
+                   CAST(month(d) AS BIGINT) AS month,
+                   CAST(quarter(d) AS BIGINT) AS quarter,
+                   CAST(year(d) AS BIGINT) AS year,
+                   isodow(d) IN (6, 7) AS is_weekend
+            FROM (SELECT unnest(generate_series(DATE '2023-01-01', DATE '2026-12-31', INTERVAL 1 DAY))::DATE AS d)
+        """,
+        "customer_first_order": """
+            SELECT c.c_custkey, c.c_name,
+                   f.first_order_date, f.n_orders, f.total_spent
+            FROM customer c JOIN (
+                SELECT o_custkey,
+                       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_order_date,
+                       count(*) AS n_orders,
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_spent
+                FROM orders GROUP BY o_custkey
+            ) f ON c.c_custkey = f.o_custkey
+        """,
+        "orphan_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "big_spender_segments": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+            GROUP BY c_mktsegment
+        """,
+        "ship_latency": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_shipments,
+                   round(CAST(sum(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) AS DOUBLE) / 86400000000.0 / count(*), 4) AS avg_days_to_ship,
+                   sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 7 * 86400000000.0 THEN 1 ELSE 0 END) AS over_7d,
+                   sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 30 * 86400000000.0 THEN 1 ELSE 0 END) AS over_30d
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "completeness": """
+            SELECT count(*) AS total_events,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+                   sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS zero_value,
+                   count(DISTINCT user_id) AS distinct_users,
+                   CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+            FROM events
+        """,
+        "top_customers": """
+            SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+        """,
+        "union_actors": """
+            SELECT DISTINCT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+            UNION
+            SELECT DISTINCT user_id, 'error' AS src FROM events WHERE event_type = 'error'
+        """,
+        "running_total": """
+            SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+            FROM events
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+                   count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "event_daily_stats": """
+            SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value,
+                   count(DISTINCT user_id) AS active_users
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "docs_token_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+                   round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS mean_token_len
+            FROM t
+        """,
+        "docs_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), m AS (
+                SELECT doc_id, text, toks,
+                       CAST(len(toks) AS DOUBLE) AS n_tok,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS distinct_ratio,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0
+                            WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mean_len
+                FROM t
+            )
+            SELECT doc_id,
+                   round((distinct_ratio + alpha_ratio + len_band
+                          + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality_score
+            FROM m
+        """,
+        "docs_lang_breakdown": """
+            SELECT lang, source, count(*) AS n_docs,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "docs_fingerprint": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   md5(text) AS content_md5,
+                   CASE WHEN len(toks) >= 8
+                        THEN md5(array_to_string(toks[1:8], ' ')) END AS head_fingerprint
+            FROM t
+        """,
+        "minhash_signature": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            )
+            SELECT doc_id,
+                   min(md5('0:' || s)) || '|' || min(md5('1:' || s)) || '|' ||
+                   min(md5('2:' || s)) || '|' || min(md5('3:' || s)) AS signature
+            FROM sh GROUP BY doc_id
+        """,
+        "minhash_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            ), sig AS (
+                SELECT doc_id,
+                       min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                       min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                       min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                       min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+                UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+                UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+                UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b,
+                   round(s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE), 6) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON s.id_a = sa.doc_id
+            JOIN sizes sb ON s.id_b = sb.doc_id
+            WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+                       sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+                       sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+                FROM embeddings e, q
+            )
+            SELECT vec_id, round(dot / (ne * nq), 6) AS cosine_sim
+            FROM scored WHERE ne * nq > 0
+            ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_norms_by_label": """
+            SELECT label,
+                   count(*) AS n_vectors,
+                   round(CAST(sum(CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(30,15))) AS DOUBLE)
+                         / count(*), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

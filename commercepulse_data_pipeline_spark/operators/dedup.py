@@ -1,0 +1,352 @@
+"""Deduplication operators — the reference's signature capability (§2.5)
+plus the near-dup family a 100 TB training-data pipeline needs.
+
+Relational dedup (reference D1/D2/D3) is window-rank or dropDuplicates —
+one shuffle on the key, partial aggregation map-side, no driver involvement.
+
+Near-dup (MinHash-LSH, SimHash, n-gram Jaccard) follows the standard
+shingle → signature → band → bucket-join shape: candidate generation is an
+equi-join on band keys (shuffle on band hash — uniformly distributed by
+construction), so the O(n²) pair space is never materialized. At 100 TB the
+only hot spot is a degenerate bucket (e.g. the empty document); callers cap
+bucket width with ``max_bucket`` salting-style guard.
+
+Scale notes per operator are in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Relational dedup (reference §2.5)
+# ---------------------------------------------------------------------------
+
+def last_writer_wins(
+    df: DataFrame, key_cols: list[str], order_col: str, *, tiebreak_cols: list[str] | None = None
+) -> DataFrame:
+    """Latest row per key wins (reference D1, src/transformer.py:40:
+    ``sort_values(order_col, na_position='first').drop_duplicates(key,
+    keep='last')`` — NaT sorts first, so any real timestamp beats NULL).
+
+    Spark shape: rank-1 window. One shuffle on the key; at scale prefer the
+    key also being the table's bucketing column so the shuffle is free.
+    ``tiebreak_cols`` make the winner deterministic when order_col ties.
+    """
+    ordering = [F.col(order_col).desc_nulls_last()]
+    for c in tiebreak_cols or []:
+        ordering.append(F.col(c).desc_nulls_last())
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_first(
+    df: DataFrame, key_cols: list[str], order_col: str | None = None,
+    *, tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep one row per key (reference D2, src/transformer.py:88,126
+    ``drop_duplicates(subset=key)``).
+
+    Without ``order_col`` this is ``dropDuplicates`` ("some row wins", same
+    contract as pandas' arbitrary-but-first). With ``order_col`` it is the
+    deterministic variant — earliest by order_col (+ tiebreaks) wins —
+    which is what our oracle-checked queries use.
+    """
+    if order_col is None:
+        return df.dropDuplicates(key_cols)
+    ordering = [F.col(order_col).asc_nulls_last()]
+    for c in tiebreak_cols or []:
+        ordering.append(F.col(c).asc_nulls_last())
+    w = Window.partitionBy(*key_cols).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def idempotent_append(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Storage-level idempotency (reference D3/K1: Mongo upsert on unique
+    event_id index). Batch shape: dedup on the deterministic id before
+    append. Streaming shape: ``streaming.ingest.dedup_within_watermark``."""
+    return df.dropDuplicates([id_col])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content dedup via hash-groupBy: keep the lowest id per distinct
+    content hash. Shuffles on md5(text) — uniform by construction, no skew.
+    At 100 TB: hash first (map-side), never shuffle the raw text twice."""
+    fp = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.select(fp, "*")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "content_hash")
+    )
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters: (content_hash, canonical_id, dup_count).
+    One groupBy shuffle on the content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by the near-dup family)
+# ---------------------------------------------------------------------------
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column, as array<string>.
+
+    Pure Catalyst (transform over a sequence of offsets) — no UDF, so
+    shingling stays inside whole-stage codegen and pipelines with the scan.
+    """
+    toks = _tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Hash family: md5(seed || ':' || shingle), min taken LEXICOGRAPHICALLY
+    over the hex digests. Lexicographic min of a uniform hash is a valid
+    min-hash and — deliberately — is reproducible in any engine with md5
+    (our DuckDB oracle computes the identical signature).
+    """
+    shingles = word_shingles(text, shingle_n)
+    def min_for_seed(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+        )
+    return F.array(*[min_for_seed(i) for i in range(num_hashes)])
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_key) — one row per document per LSH band.
+
+    band_key = concat of the band's signature slice; docs sharing any
+    band_key are candidate near-duplicates. Rows-per-doc = ``bands`` —
+    linear blowup, then a single shuffle on band_key for candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        df.where(F.size(word_shingles(F.col(text_col), shingle_n)) > 0)
+        .select(F.col(id_col), F.explode(bands_arr).alias("band"))
+        .select(id_col, "band.band_id", "band.band_key")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    Scale shape: self-equi-join on (band_id, band_key) — the shuffle key is
+    a hash, so it distributes uniformly; ``max_bucket`` drops degenerate
+    buckets (e.g. boilerplate/empty docs) that would otherwise create an
+    O(bucket²) hot partition. Dropped buckets are a recall/robustness
+    trade the caller opts into, mirroring production LSH systems.
+    """
+    b = minhash_bands(df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    bucket_w = Window.partitionBy("band_id", "band_key")
+    b = b.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket_w)).where(
+        F.col("__bucket_n") <= max_bucket
+    ).drop("__bucket_n")
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity on shingle sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Distributed shape (no O(n²)): explode shingles → self-join on shingle
+    (only docs sharing ≥1 shingle ever meet) → count shared per pair →
+    |A∩B| / (|A|+|B|-|A∩B|). ``max_shingle_freq`` removes stop-shingles
+    that appear in too many docs (each contributes freq² join rows).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    freq_w = Window.partitionBy("shingle")
+    sh_f = sh.withColumn("__freq", F.count(F.lit(1)).over(freq_w)).where(
+        F.col("__freq") <= max_shingle_freq
+    ).drop("__freq")
+    a, b_ = sh_f.alias("a"), sh_f.alias("b")
+    shared = (
+        a.join(
+            b_,
+            on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash of the shingle set as a signed 64-bit long.
+
+    Per-bit majority vote over xxhash64(shingle): bit_i(sig) = 1 iff more
+    shingles have bit_i set than not. Pure higher-order-function Catalyst
+    expression (aggregate over the shingle array) — no UDF, no shuffle;
+    computed map-side during the scan.
+    """
+    shingles = word_shingles(text, shingle_n)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(shingles)
+    def bit_sum(i: int) -> Column:
+        # count of shingles with bit i set
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+    bit_cols = [
+        F.when(bit_sum(i) * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long")
+        if i < 63
+        else F.when(bit_sum(i) * 2 > n, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return F.when(n > 0, total)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    hamming_threshold: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via block-LSH.
+
+    Pigeonhole: if hamming(a,b) <= threshold < blocks, at least one of the
+    ``blocks`` 16-bit blocks matches exactly → join candidates on
+    (block_id, block_value), verify true Hamming distance with
+    bit_count(xor). Shuffle key is a hash block — uniform."""
+    sh = df.select(
+        F.col(id_col), simhash(F.col(text_col)).alias("sig")
+    ).where(F.col("sig").isNotNull())
+    width = 64 // blocks
+    blocks_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"),
+        )
+        for i in range(blocks)
+    ])
+    exploded = sh.select(id_col, "sig", F.explode(blocks_arr).alias("b")).select(
+        id_col, "sig", "b.block_id", "b.block_val"
+    )
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.block_id") == F.col("b.block_id"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
+    )

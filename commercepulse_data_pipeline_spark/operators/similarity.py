@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how production vector search scales:
+
+- ``cosine_topk``      — exact brute-force top-k. One pass over the corpus
+  with the query vector broadcast as a literal; dot products are pure
+  Catalyst higher-order functions (zip_with/aggregate) so the whole scan
+  stays in codegen. At 100 TB this is the verification/baseline path.
+- ``lsh_topk``         — approximate: random-hyperplane LSH buckets shrink
+  the candidate set before exact re-ranking. Candidate generation is a
+  bucket-key equi-join → uniform shuffle, no crossJoin.
+- ``knn_join``         — many-query batch form: small query set broadcast,
+  corpus scanned once (the shape you want on a cluster — never corpus ×
+  corpus).
+
+All math is done in double precision after an explicit cast so results are
+engine-reproducible (float32 accumulation order would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, NULL-safe on zero norms."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query is a literal array (broadcast by construction); ranking uses
+    a global sort of only (id, score) pairs — the wide embedding column is
+    pruned before the sort, so the shuffle is tiny even on a huge corpus.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = corpus.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+    ).where(F.col("cosine_sim").isNotNull())
+    if exclude_ids:
+        scored = scored.where(~F.col(id_col).isin(exclude_ids))
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(k).select(id_col, F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — dependency-free and
+    engine-independent) for sign-LSH bucketing."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket key: one bit per hyperplane (sign of dot product)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(v)) for v in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
+
+    At scale the corpus is pre-bucketed (partitioned/bucketed table on the
+    LSH key) so this reads one partition instead of the full corpus —
+    partition pruning does the work. Recall is tunable via n_planes and
+    multi-probe (not implemented round 1).
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    # driver-side bucket of the query (tiny, pure python)
+    qbits = "".join(
+        "1" if sum(q * w for q, w in zip(query_vec, p)) >= 0 else "0" for p in planes
+    )
+    bucketed = corpus.where(lsh_bucket(F.col(vec_col), planes) == F.lit(qbits))
+    return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """k nearest corpus vectors for EACH query row (small query side).
+
+    Broadcast the queries; corpus scanned once; per-query rank window on
+    (query_id) — the shuffle carries only (query_id, corpus_id, score)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec"))
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col(corpus_id),
+            cosine(F.col(corpus_vec), F.col("__qvec")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim").isNotNull())
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,78 @@
+"""Window/sessionization operators.
+
+The reference has no window functions (SURVEY §2.8) — its only windowed
+pattern is the rank-1 dedup. Our engine exposes the standard analytic
+window family plus gap-based sessionization, the workhorse of event
+analytics that the reference's daily-batch design could not express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame, partition_cols: list[str], order_col: str, value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per key ordered by time. One shuffle on the key."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def top_n_per_group(
+    df: DataFrame, partition_cols: list[str], order_col: str, n: int,
+    *, descending: bool = True, tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-n rows per group by rank — the distributed replacement for the
+    driver-side ``.head(n)`` pattern."""
+    ordering = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    for c in tiebreak_cols or []:
+        ordering.append(F.col(c).asc())
+    w = Window.partitionBy(*partition_cols).orderBy(*ordering)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n).drop("__rn")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Classic two-window shape (lag → boundary flag → cumulative sum), one
+    shuffle on user_id. session_id = user_id || '#' || session ordinal —
+    deterministic, join-able. At 100 TB: the user_id shuffle is the cost;
+    pre-bucketing the event table by user_id makes it free.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__new_session", is_new)
+        .withColumn("session_seq", F.sum("__new_session").over(w))
+        .withColumn(
+            "session_id", F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_seq").cast("string"))
+        )
+        .drop("__new_session")
+    )
+
+
+def session_stats(sessions: DataFrame, user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Per-session aggregate: bounds, event count, duration (whole seconds,
+    micros-floor — engine-reproducible arithmetic)."""
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
+    )

@@ -1,0 +1,99 @@
+"""Gold layer: fact_order_daily — THE core aggregate (reference A1,
+src/transformer.py:130-165).
+
+The reference computes this with a Python loop over pandas groups, each
+group re-scanning the FULL payments and refunds frames via ``isin`` —
+O(groups × payments) (SURVEY §3.1 step 4). Here it is the canonical
+distributed shape:
+
+1. pre-aggregate payments per order_id  (map-side partial agg → shuffle
+   on order_id)
+2. pre-aggregate refunds per order_id
+3. orders ⋈ per-order payment/refund rollups (equi-join on order_id — AQE
+   picks broadcast when a side is small)
+4. groupBy(order_date, vendor) final rollup
+
+Pre-aggregating BEFORE the join is the correctness point (SURVEY §7.3):
+joining raw payments first would fan out order rows and double-count
+``order_count``. It's also the scale point: the join carries one row per
+order, not one per payment.
+
+Quirk handling (SURVEY §1.4):
+- Q3: both revenue definitions exposed — ``gross_all_statuses`` (daily
+  fact definition: every matched payment, even failed) and the
+  success-only definition used by the quality report.
+- Q4: payment_success_rate = successful payments ÷ order count (the daily
+  fact definition), NULL on zero denominator.
+- Q5: pandas groupby drops NULL keys; we filter NULL order_date
+  explicitly so the behavior is declared, not accidental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.functions.drift import safe_divide
+
+
+def build_fact_order_daily(
+    orders: DataFrame,
+    payments: DataFrame,
+    refunds: DataFrame,
+    *,
+    revenue_all_statuses: bool = True,
+) -> DataFrame:
+    """Daily per-vendor revenue rollup (reference src/transformer.py:130-165).
+
+    ``revenue_all_statuses=True`` reproduces the daily-fact gross
+    definition (Q3: failed payments included); False switches to the
+    quality-report success-only definition.
+    """
+    pay_per_order = payments.groupBy("order_id").agg(
+        F.sum("payment_amount").alias("pay_amount_all"),
+        F.sum(F.when(F.col("payment_status") == "success", F.col("payment_amount")).otherwise(F.lit(0.0))).alias("pay_amount_success"),
+        F.sum(F.when(F.col("payment_status") == "success", 1).otherwise(0)).alias("n_success_payments"),
+    )
+    ref_per_order = refunds.groupBy("order_id").agg(
+        F.sum("refund_amount").alias("refund_amount"),
+    )
+    gross_col = "pay_amount_all" if revenue_all_statuses else "pay_amount_success"
+    joined = (
+        orders.where(F.col("order_date").isNotNull())  # Q5 made explicit
+        .select("order_id", "order_date", "vendor")
+        .join(pay_per_order, "order_id", "left")
+        .join(ref_per_order, "order_id", "left")
+    )
+    daily = joined.groupBy("order_date", "vendor").agg(
+        F.round(F.coalesce(F.sum(gross_col), F.lit(0.0)), 2).alias("gross_revenue"),
+        F.round(F.coalesce(F.sum("refund_amount"), F.lit(0.0)), 2).alias("total_refunds"),
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.when(F.col("n_success_payments") > 0, 1).otherwise(0)).alias("paid_count"),
+    )
+    return daily.select(
+        "order_date",
+        "vendor",
+        "gross_revenue",
+        "total_refunds",
+        F.round(F.col("gross_revenue") - F.col("total_refunds"), 2).alias("net_revenue"),
+        "order_count",
+        "paid_count",
+        # Q4: daily-fact definition — successful payments ÷ orders
+        safe_divide(F.col("paid_count"), F.col("order_count")).alias("payment_success_rate"),
+        safe_divide(F.col("total_refunds"), F.col("gross_revenue")).alias("refund_rate"),
+    )
+
+
+def revenue_by_date(fact_order_daily: DataFrame) -> DataFrame:
+    """README analytics query 1 (reference README.md:90-95)."""
+    return fact_order_daily.groupBy("order_date").agg(
+        F.round(F.sum("gross_revenue"), 2).alias("gross_revenue"),
+        F.round(F.sum("net_revenue"), 2).alias("net_revenue"),
+    )
+
+
+def vendor_success_pct(fact_order_daily: DataFrame) -> DataFrame:
+    """README analytics query 2 (reference README.md:97-102)."""
+    return fact_order_daily.groupBy("vendor").agg(
+        F.round(F.avg("payment_success_rate") * 100, 4).alias("success_pct")
+    )

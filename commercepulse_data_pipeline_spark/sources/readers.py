@@ -1,0 +1,131 @@
+"""Bronze-layer ingestion (reference §2.1 S1/S2, §2.2 K1 semantics).
+
+The reference lands raw events in MongoDB with an upsert-by-event_id
+unique index (src/bootstrap_loader.py:19,92-105). Our bronze layer is
+Parquet partitioned by ingest date: JSON/JSONL in → event envelope out,
+``payload`` kept as a raw JSON string (drift-proof — no schema lock-in at
+ingestion, SURVEY §1.3), idempotency via dropDuplicates(event_id).
+
+Scale: file listing + schema are per-day partitions; bad records are
+retained and *counted*, never silently dropped (reference S2 counts skips,
+src/live_event_loader.py:32-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from commercepulse_data_pipeline_spark.functions.drift import coalesce_keys
+from commercepulse_data_pipeline_spark.functions.hashing import event_id as _event_id
+
+ENVELOPE_FIELDS = ("event_id", "event_type", "event_time", "vendor", "payload", "ingested_at", "source")
+
+# Raw-string envelope schema: payload deliberately StringType (schema drift
+# is a designed-in property of the stream, FIXTURES §1-2).
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_time", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ingested_at", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+# Candidate key lists from the reference's envelope synthesis
+# (src/bootstrap_loader.py:32-43 natural key, :46-53 event time, :56-60 vendor).
+NATURAL_KEY_CANDIDATES = ("order_id", "payment_id", "refund_id", "id", "transaction_id", "tracking_id")
+EVENT_TIME_CANDIDATES = ("created_at", "order_date", "payment_date", "shipped_at", "refund_date", "timestamp", "date")
+VENDOR_CANDIDATES = ("vendor_id", "vendor", "seller_id", "merchant_id")
+
+
+def read_jsonl_events(spark: SparkSession, path: str, source: str = "live_stream") -> DataFrame:
+    """JSONL event scan with bad-record retention (reference S2).
+
+    PERMISSIVE mode parks unparseable lines in ``_corrupt_record``;
+    ``skipped`` below means rows the reference would have dropped
+    (decode failure OR missing event_id, src/live_event_loader.py:38-46).
+    """
+    raw = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        raw.withColumn("ingested_at", F.coalesce("ingested_at", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+        .withColumn("source", F.coalesce("source", F.lit(source)))
+        .withColumn("skipped", F.col("_corrupt_record").isNotNull() | F.col("event_id").isNull())
+    )
+
+
+def skip_count(events: DataFrame) -> int:
+    """How many raw lines would the reference's loader have skipped."""
+    return events.where(F.col("skipped")).count()
+
+
+def valid_events(events: DataFrame) -> DataFrame:
+    return events.where(~F.col("skipped")).select(*ENVELOPE_FIELDS)
+
+
+def read_historical_json(
+    spark: SparkSession, path: str, event_type: str, source: str = "historical_bootstrap"
+) -> DataFrame:
+    """Historical JSON-array bootstrap (reference S1,
+    src/bootstrap_loader.py:84-99): whole-file JSON arrays of flat records
+    → synthesized envelope (natural key, event time, vendor extraction +
+    deterministic SHA-256 event_id)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    cols = set(raw.columns)
+    def candidates(names):
+        return [F.col(n).cast("string") for n in names if n in cols] or [F.lit(None).cast("string")]
+    natural_key = coalesce_keys(candidates(NATURAL_KEY_CANDIDATES), skip_falsy=True)
+    evt_time = coalesce_keys(candidates(EVENT_TIME_CANDIDATES), skip_falsy=True)
+    vendor = F.coalesce(coalesce_keys(candidates(VENDOR_CANDIDATES), skip_falsy=True), F.lit("unknown"))
+    # payload = the whole record re-serialized as canonical JSON
+    payload = F.to_json(F.struct(*[F.col(c) for c in sorted(raw.columns)]))
+    natural_or_hash = F.coalesce(natural_key, F.md5(payload))
+    return raw.select(
+        _event_id(F.lit(event_type), natural_or_hash).alias("event_id"),
+        F.lit(event_type).alias("event_type"),
+        evt_time.alias("event_time"),
+        vendor.alias("vendor"),
+        payload.alias("payload"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ingested_at"),
+        F.lit(source).alias("source"),
+    )
+
+
+def write_bronze(events: DataFrame, path: str, mode: str = "append") -> None:
+    """Bronze sink: parquet partitioned by ingest date (partition pruning
+    replaces the reference's directory-per-date layout, §4)."""
+    (
+        events.withColumn("ingest_date", F.to_date(F.substring("ingested_at", 1, 10)))
+        .write.mode(mode)
+        .partitionBy("ingest_date")
+        .parquet(path)
+    )
+
+
+def read_bronze(spark: SparkSession, path: str, event_types: list[str] | None = None) -> DataFrame:
+    """Bronze scan with predicate pushdown (reference S3: Mongo
+    ``find({event_type: {$in: ...}})`` — Catalyst pushes the isin filter
+    into the parquet scan) and storage-level idempotency on read."""
+    df = spark.read.parquet(path)
+    if event_types:
+        df = df.where(F.col("event_type").isin(event_types))
+    return df.dropDuplicates(["event_id"])
+
+
+def read_fx_rates(spark: SparkSession, path: str) -> DataFrame:
+    """FX-rate CSV scan (reference S4 — shipped but never read by the
+    reference, SURVEY Q7; our currency-normalization fix uses it)."""
+    return (
+        spark.read.option("header", True).csv(path)
+        .select(F.to_date("date").alias("fx_date"), F.col("USDNGN").cast("double").alias("usd_ngn"))
+    )

@@ -1,0 +1,69 @@
+"""Structured Streaming variants of the ingestion + daily aggregate
+(reference §2.10 — the reference SIMULATES a stream as daily JSONL batch
+files and states "No real-time streaming" as a limitation,
+reference README.md:207; this module is the real thing).
+
+Semantics mapped:
+- duplicates (same event_id, possibly later ingested_at, generator
+  :233-237)        → ``withWatermark + dropDuplicatesWithinWatermark``
+- late data (event_time lags ingested_at by 1-7 days for ~10%,
+  generator :211-215) → 7-day watermark; late-beyond-watermark rows are
+  dropped by the engine and surfaced via the observable metrics
+- daily tumbling windows (transformer groups by calendar date)
+  → ``F.window(event_time, '1 day')``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream over the daily JSONL landing layout
+    (``.../YYYY-MM-DD/events.jsonl``), one micro-batch per trigger."""
+    return (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+        .where(F.col("event_id").isNotNull())
+        .withColumn("event_ts", F.to_timestamp("event_time"))
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "7 days") -> DataFrame:
+    """Streaming replacement for the reference's Mongo upsert-by-event_id
+    (K1/D3): exact-duplicate events collapse as long as they arrive within
+    the watermark horizon — bounded state, unlike a grow-forever set."""
+    return stream.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def daily_counts(stream: DataFrame, watermark: str = "7 days") -> DataFrame:
+    """Daily tumbling event counts by type — the streaming form of the
+    daily batch rollup. Append-mode capable: results finalize once the
+    watermark passes the day boundary."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 day").alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date(F.col("day.start")).alias("event_date"), "event_type", "n_events")
+    )
+
+
+def write_bronze_stream(stream: DataFrame, path: str, checkpoint: str, trigger_once: bool = True):
+    """Bronze sink: append parquet partitioned by event date, exactly-once
+    via checkpointing. Combined with ``dedup_within_watermark`` this is
+    the reference's idempotent landing zone, distributed."""
+    writer = (
+        stream.withColumn("ingest_date", F.to_date("event_ts"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("ingest_date")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
