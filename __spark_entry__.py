@@ -384,9 +384,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4, 3-word shingles), lexicographic-min md5
     family — engine-reproducible by construction."""
     d = _t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(F.col("text"), num_hashes=4, shingle_n=3)
-    return d.where(F.size(dd.word_shingles(F.col("text"), 3)) > 0).select(
-        "doc_id", F.array_join(sig, "|").alias("signature")
+    sig = dd.minhash_signature_table(d, "text", "doc_id", num_hashes=4, shingle_n=3)
+    return sig.select(
+        "doc_id", F.concat_ws("|", "h0", "h1", "h2", "h3").alias("signature")
     )
 
 

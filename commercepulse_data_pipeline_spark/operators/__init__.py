@@ -10,6 +10,7 @@ from commercepulse_data_pipeline_spark.operators.dedup import (
     minhash_bands,
     minhash_candidate_pairs,
     minhash_signature,
+    minhash_signature_table,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidate_pairs,
@@ -60,6 +61,7 @@ __all__ = [
     "minhash_bands",
     "minhash_candidate_pairs",
     "minhash_signature",
+    "minhash_signature_table",
     "ngram_jaccard_pairs",
     "orphans",
     "quality_score",

@@ -144,6 +144,36 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
     return F.array(*[min_for_seed(i) for i in range(num_hashes)])
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) — MinHash signature via explode + groupBy-min.
+
+    This is the scale shape: one md5 per (shingle, seed) computed exactly
+    once, partial min aggregation map-side, a single shuffle on the doc
+    id. The pure-expression ``minhash_signature`` (array column) inlines a
+    huge expression tree that Catalyst may duplicate per consumer —
+    measured 5-50× slower in multi-band plans; prefer this table form for
+    anything beyond a single projection.
+
+    Docs with zero shingles (< shingle_n tokens) produce no rows — same
+    contract as the DuckDB oracle's unnest.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("__shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -160,18 +190,20 @@ def minhash_bands(
     linear blowup, then a single shuffle on band_key for candidates.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sig = minhash_signature_table(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
     bands_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("band_key"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
         )
         for b in range(bands)
     ])
-    return (
-        df.where(F.size(word_shingles(F.col(text_col), shingle_n)) > 0)
-        .select(F.col(id_col), F.explode(bands_arr).alias("band"))
-        .select(id_col, "band.band_id", "band.band_key")
+    return sig.select(F.col(id_col), F.explode(bands_arr).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
     )
 
 
