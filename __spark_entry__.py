@@ -448,7 +448,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates via 16-bit block LSH (rows-only:
     xxhash64 is Spark-specific)."""
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6, blocks=4)
+    return dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6)
 
 
 def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,9 +119,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     shingling stays inside whole-stage codegen and pipelines with the scan.
     """
     toks = _tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    count = F.size(toks) - F.lit(n - 1)
     shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    return F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at))
+    # Guard: sequence(0, count-1) with count <= 0 descends through negative
+    # offsets and slice(start=0) throws — short docs get an empty array.
+    return F.when(
+        count > 0,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
@@ -336,18 +341,23 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     *,
     hamming_threshold: int = 3,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, via block-LSH.
 
     Pigeonhole: if hamming(a,b) <= threshold < blocks, at least one of the
-    ``blocks`` 16-bit blocks matches exactly → join candidates on
+    ``blocks`` equal-width bit blocks matches exactly → join candidates on
     (block_id, block_value), verify true Hamming distance with
-    bit_count(xor). Shuffle key is a hash block — uniform."""
+    bit_count(xor). Shuffle key is a hash block — uniform. ``blocks``
+    defaults to ``hamming_threshold + 1`` (the minimum that preserves the
+    recall guarantee); bits beyond blocks*width are uncovered, which only
+    ADDS candidates (never loses the guarantee)."""
+    if blocks is None:
+        blocks = min(64, hamming_threshold + 1)
     sh = df.select(
         F.col(id_col), simhash(F.col(text_col)).alias("sig")
     ).where(F.col("sig").isNotNull())
-    width = 64 // blocks
+    width = max(1, 64 // blocks)
     blocks_arr = F.array(*[
         F.struct(
             F.lit(i).alias("block_id"),

@@ -124,30 +124,41 @@ def knn_join(
     queries: DataFrame,
     k: int = 5,
     *,
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
-    query_id: str = "query_id",
-    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str | None = None,
+    query_vec: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """k nearest corpus vectors for EACH query row (small query side).
 
     Broadcast the queries; corpus scanned once; per-query rank window on
-    (query_id) — the shuffle carries only (query_id, corpus_id, score)."""
+    (query_id) — the shuffle carries only (query_id, neighbor_id, score).
+    ``queries`` may be the corpus itself (self-kNN for embedding-cosine
+    near-dup detection); ``exclude_self`` drops the trivial id==id match.
+    Output columns: query_id, neighbor_id, cosine_sim, rank.
+    """
+    query_id = query_id or id_col
+    query_vec = query_vec or vec_col
     q = F.broadcast(
-        queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec"))
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
     )
     scored = (
         corpus.crossJoin(q)
         .select(
-            F.col("__qid").alias(query_id),
-            F.col(corpus_id),
-            cosine(F.col(corpus_vec), F.col("__qvec")).alias("cosine_sim"),
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim").isNotNull())
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id).asc())
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )

@@ -115,8 +115,12 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     explode + groupBy(fingerprint) finds cross-document shared passages
     with one uniform shuffle."""
     toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(window_tokens - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
-    )
+    count = F.size(toks) - F.lit(window_tokens - 1)
+    # Guard: count <= 0 would make sequence() descend and slice(start=0) throw.
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,191 @@
+"""Unit tests: dedup / join / window / text / similarity operators
+(SURVEY §2.5-§2.8 + extension operators)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.operators import dedup as dd
+from commercepulse_data_pipeline_spark.operators import similarity as sim
+from commercepulse_data_pipeline_spark.operators import text as tx
+from commercepulse_data_pipeline_spark.operators import windows as win
+from commercepulse_data_pipeline_spark.operators.joins import anti_join, enrich, orphans, semi_join
+
+
+def _events_df(spark):
+    rows = [
+        # (key, ts, val)
+        ("k1", "2026-01-01 10:00:00", 1.0),
+        ("k1", "2026-01-01 11:00:00", 2.0),
+        ("k1", None, 99.0),  # NULL ts must never win last-writer
+        ("k2", "2026-01-02 09:00:00", 3.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts_s", "v"]).select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+
+
+def test_last_writer_wins_null_never_beats_real(spark):
+    out = dd.last_writer_wins(_events_df(spark), ["k"], "ts").orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [("k1", 2.0), ("k2", 3.0)]
+
+
+def test_keep_first(spark):
+    out = dd.keep_first(_events_df(spark), ["k"], "ts").orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [("k1", 1.0), ("k2", 3.0)]
+
+
+def test_exact_dedup_and_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")], ["doc_id", "text"]
+    )
+    kept = dd.exact_dedup(df, "text", "doc_id")
+    assert kept.count() == 2
+    assert {r.doc_id for r in kept.collect()} == {1, 3}  # canonical = min id
+    clusters = dd.duplicate_clusters(df, "text", "doc_id").collect()
+    by_canon = {r.canonical_id: r.dup_count for r in clusters}
+    assert by_canon == {1: 2, 3: 1}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(dd.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0].s == ["a b c", "b c d"]
+    assert out[1].s == []  # fewer tokens than n → empty
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "совершенно другой текст без общих шинглов вообще ничего")],
+        ["doc_id", "text"],
+    )
+    sig = dd.minhash_signature_table(df, "text", "doc_id", num_hashes=4, shingle_n=3)
+    rows = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    # identical docs must land in the same band bucket → candidate pair
+    pairs = dd.minhash_candidate_pairs(df, "text", "doc_id", num_hashes=8, bands=4).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_ngram_jaccard_pairs_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        ["doc_id", "text"],
+    )
+    out = dd.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3, threshold=0.5)
+    rows = [(r.id_a, r.id_b, r.jaccard) for r in out.collect()]
+    assert rows == [(1, 2, 1.0)]
+
+
+def test_simhash_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "spark is a unified analytics engine for large scale data"),
+         (2, "spark is a unified analytics engine for large scale data processing"),
+         (3, "entirely unrelated words about cooking pasta with tomato sauce")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.simhash_candidate_pairs(df, "text", "doc_id", hamming_threshold=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_joins(spark):
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    child = spark.createDataFrame([(1, "a"), (3, "b")], ["k", "x"])
+    assert semi_join(child, parent, "k").count() == 1
+    assert anti_join(child, parent, "k").count() == 1
+    assert orphans(child, parent, "k").collect()[0].x == "b"
+    enriched = enrich(child, parent.withColumn("p", F.lit("P")), "k", broadcast_dim=True)
+    got = {(r.k, r.p) for r in enriched.collect()}
+    assert got == {(1, "P"), (3, None)}  # left join keeps orphan child
+
+
+def test_windows_running_total_and_topn(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 1, 7.0)], ["u", "seq", "v"]
+    )
+    rt = win.running_total(df, ["u"], order_col="seq", value_col="v")
+    got = {(r.u, r.seq): r.running_total for r in rt.collect()}
+    assert got[("u1", 2)] == 15.0
+    top = win.top_n_per_group(df, ["u"], order_col="v", n=1)
+    assert {(r.u, r.v) for r in top.collect()} == {("u1", 10.0), ("u2", 7.0)}
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        ("u1", "2026-01-01 10:00:00"),
+        ("u1", "2026-01-01 10:10:00"),  # same session (gap 10m < 30m)
+        ("u1", "2026-01-01 12:00:00"),  # new session
+        ("u2", "2026-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    stats = win.session_stats(win.sessionize(df, "user_id", "ts", gap_minutes=30))
+    per_user = {}
+    for r in stats.collect():
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user["u1"]) == [1, 2]
+    assert per_user["u2"] == [1]
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello hello world"), (2, "")], ["doc_id", "text"])
+    stats = {r.doc_id: r for r in tx.with_text_stats(df, "text").collect()}
+    assert stats[1].n_tokens == 3
+    assert stats[1].n_distinct_tokens == 2  # case-folded
+    assert stats[2].n_tokens == 0
+    q = {r.doc_id: r.quality_score for r in tx.quality_score(df, "text").collect()}
+    assert 0.0 <= q[1] <= 1.0 and 0.0 <= q[2] <= 1.0
+    assert q[1] > q[2]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house with a mouse"),
+         (2, "el gato y el perro están en la casa con un ratón")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.detected_lang for r in tx.detect_language(df, "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),     # identical direction → cos 1.0
+        (2, [0.0, 1.0]),     # orthogonal → cos 0.0
+        (3, [-1.0, 0.0]),    # opposite → cos -1.0
+        (4, [1.0, 1.0]),     # cos ≈ 0.7071
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.cosine_topk(df, [1.0, 0.0], k=3, id_col="vec_id", vec_col="embedding").collect()
+    assert [r.vec_id for r in out] == [0, 1, 4]
+    assert abs(out[2].cosine_sim - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_knn_join_self(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.knn_join(df, df, k=2, id_col="vec_id", vec_col="embedding")
+    mine = {r.query_id: r for r in out.where(F.col("rank") == 1).collect()}
+    # nearest non-self neighbor of consecutive integer vectors is a neighbor id
+    assert all(abs(mine[q].neighbor_id - q) == 1 for q in mine)
+
+
+def test_lsh_topk_contains_exact_match(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [3.0, 4.0, 1.0]
+    out = sim.lsh_topk(df, q, k=5, n_planes=3).collect()
+    assert len(out) == 5
+    # results sorted by cosine descending
+    sims = [r.cosine_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
