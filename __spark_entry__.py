@@ -30,6 +30,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, widened for per-row-heavy compute.
+
+    The testdata files are single-row-group parquet → ONE scan split, so
+    shingling/hashing downstream would run on one core no matter the
+    cluster size. Repartition to the session parallelism: the shuffled
+    text is <1 MB at test SF (negligible), and at production scale data
+    arrives in many files/row-groups so the same plan reads wide without
+    this (a production deployment keys or drops this repartition)."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long (legacy conf, runtime-settable) and
@@ -337,13 +351,13 @@ def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: clusters + canonical id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dd.duplicate_clusters(d, "text", "doc_id")
 
 
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + lexical stats, pure codegen (no UDF)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return tx.with_text_stats(d, "text").select(
         "doc_id",
         "n_tokens",
@@ -354,7 +368,7 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length/diversity/alpha bands)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return tx.quality_score(d, "text").select("doc_id", "quality_score")
 
 
@@ -370,7 +384,7 @@ def q_docs_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5 + first rolling 8-token
     window hash (containment-detection primitive)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = tx.tokens(F.col("text"))
     first_window = F.md5(F.array_join(F.slice(toks, 1, 8), " "))
     return d.select(
@@ -383,7 +397,7 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4, 3-word shingles), lexicographic-min md5
     family — engine-reproducible by construction."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sig = dd.minhash_signature_table(d, "text", "doc_id", num_hashes=4, shingle_n=3)
     return sig.select(
         "doc_id", F.concat_ws("|", "h0", "h1", "h2", "h3").alias("signature")
@@ -393,7 +407,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows): the scalable
     near-dup path — band-key equi-join, never O(n²)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dd.minhash_candidate_pairs(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
@@ -401,7 +415,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 via shingle-inverted-index join."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dd.ngram_jaccard_pairs(
         d, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_freq=1000000
     )
@@ -413,6 +427,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return sim.cosine_topk(e, list(qvec), k=10, id_col="vec_id", vec_col="embedding")
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (embedding-cosine near-dup primitive): 3 nearest
+    non-self neighbors for each of the first 5 vectors. Queries broadcast,
+    corpus scanned once; shuffle carries only (query_id, neighbor_id,
+    score) — never corpus × corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = sim.knn_join(e, q, k=3, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,15 +474,41 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates via 16-bit block LSH (rows-only:
     xxhash64 is Spark-specific)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6)
 
 
 def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic (argmax over per-language
     scores)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return tx.detect_language(d, "text").select("doc_id", "detected_lang", F.col("lang_score"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on real testdata: documents become
+    opaque binary media rows (utf-8 bytes), decoded/featurized through the
+    Arrow-batched mapInPandas path (decoder stubbed deterministically —
+    rows-only: the fake codec is engine-specific by design)."""
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    d = _docs(spark, sf_dir)
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        modality.alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id", "modality", "width", "height",
+        F.round("duration_sec", 2).alias("duration_sec"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -497,11 +550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         # rows-only (no oracle): engine-specific hash/PRNG families
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
+        "media_features": q_media_features,
     }
 
 
@@ -803,6 +858,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(dot / (ne * nq), 6) AS cosine_sim
             FROM scored WHERE ne * nq > 0
             ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_knn": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+                       sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+                       sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, dot / (ne * nq) AS sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY dot / (ne * nq) DESC, neighbor_id ASC) AS rank
+                FROM scored WHERE ne * nq > 0
+            )
+            SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+            FROM ranked WHERE rank <= 3
         """,
         "embedding_norms_by_label": """
             SELECT label,

@@ -129,6 +129,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _pairs_in_group(ids: Column) -> Column:
+    """All ordered pairs (id_a < id_b) from an array of ids, as
+    array<struct<id_a,id_b>> — pure Catalyst (nested transform over the
+    sorted array), generated inside the aggregation stage with no join."""
+    s = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
@@ -224,29 +240,29 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) via LSH banding.
 
-    Scale shape: self-equi-join on (band_id, band_key) — the shuffle key is
-    a hash, so it distributes uniformly; ``max_bucket`` drops degenerate
-    buckets (e.g. boilerplate/empty docs) that would otherwise create an
-    O(bucket²) hot partition. Dropped buckets are a recall/robustness
-    trade the caller opts into, mirroring production LSH systems.
+    Scale shape: POSTING LIST, not self-join — group the band table by
+    (band_id, band_key) into an id list (one uniform hash-key shuffle),
+    prune singleton buckets (the overwhelming majority — they can't
+    produce pairs), and generate pairs inside the bucket array with a
+    Catalyst nested transform. The self-join alternative shuffles the band
+    table twice and sorts it; this shuffles it once.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate/empty docs) that
+    would otherwise emit O(bucket²) pairs — a recall/robustness trade the
+    caller opts into, mirroring production LSH systems. At 100 TB,
+    prefilter trivially-degenerate docs (empty/whitespace text) upstream
+    so no single bucket's id list dominates an aggregation partition; the
+    aggregation itself spills via the sort-based fallback.
     """
     b = minhash_bands(df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
-    bucket_w = Window.partitionBy("band_id", "band_key")
-    b = b.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket_w)).where(
-        F.col("__bucket_n") <= max_bucket
-    ).drop("__bucket_n")
-    left = b.alias("l")
-    right = b.alias("r")
+    buckets = (
+        b.groupBy("band_id", "band_key")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        buckets.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -266,26 +282,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
-    Distributed shape (no O(n²)): explode shingles → self-join on shingle
-    (only docs sharing ≥1 shingle ever meet) → count shared per pair →
-    |A∩B| / (|A|+|B|-|A∩B|). ``max_shingle_freq`` removes stop-shingles
-    that appear in too many docs (each contributes freq² join rows).
+    Distributed shape (no O(n²)): explode shingles → POSTING LIST per
+    shingle (groupBy + collect_list, one uniform shuffle) → singleton
+    shingles pruned (they can't contribute to any pair — typically the
+    vast majority of the corpus vocabulary) → per-pair shared-shingle
+    count → |A∩B| / (|A|+|B|-|A∩B|). ``max_shingle_freq`` removes
+    stop-shingles that appear in too many docs (each would emit freq²/2
+    pair rows).
     """
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    freq_w = Window.partitionBy("shingle")
-    sh_f = sh.withColumn("__freq", F.count(F.lit(1)).over(freq_w)).where(
-        F.col("__freq") <= max_shingle_freq
-    ).drop("__freq")
-    a, b_ = sh_f.alias("a"), sh_f.alias("b")
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_shingle_freq))
+    )
     shared = (
-        a.join(
-            b_,
-            on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        posting.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
@@ -368,21 +384,21 @@ def simhash_candidate_pairs(
     exploded = sh.select(id_col, "sig", F.explode(blocks_arr).alias("b")).select(
         id_col, "sig", "b.block_id", "b.block_val"
     )
-    a, b_ = exploded.alias("a"), exploded.alias("b")
+    # Posting-list candidate generation (same shape as minhash_candidate_pairs):
+    # one shuffle on the block key, singleton buckets pruned, pairs built
+    # in-array. Each item carries its signature for the exact-verify step.
+    buckets = (
+        exploded.groupBy("block_id", "block_val")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("sig"))).alias("__items"))
+        .where(F.size("__items") >= 2)
+    )
     cand = (
-        a.join(
-            b_,
-            on=[
-                F.col("a.block_id") == F.col("b.block_id"),
-                F.col("a.block_val") == F.col("b.block_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
+        buckets.select(F.explode(_pairs_in_group(F.col("__items"))).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col(f"p.id_a.{id_col}").alias("id_a"),
+            F.col("p.id_a.sig").alias("sig_a"),
+            F.col(f"p.id_b.{id_col}").alias("id_b"),
+            F.col("p.id_b.sig").alias("sig_b"),
         )
         .distinct()
     )

@@ -42,12 +42,19 @@ def token_count(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append per-document text statistics columns."""
-    t = F.col(text_col)
-    toks = tokens(t)
+    """Append per-document text statistics columns.
+
+    The token array is materialized in its OWN projection before the
+    metrics reference it: inlining `tokens(t)` into every metric makes
+    Catalyst re-expand (and re-execute) the split per mention — measured
+    ~14× slower at sf0.1. CollapseProject keeps the boundary because the
+    array is non-cheap and multi-referenced.
+    """
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     return (
-        df.withColumn("n_chars_calc", F.length(t))
+        staged.withColumn("n_chars_calc", F.length(F.col(text_col)))
         .withColumn("n_tokens", n_tok)
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
         .withColumn(
@@ -57,6 +64,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / n_tok,
             ),
         )
+        .drop("__toks")
     )
 
 
@@ -65,8 +73,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     diversity, mean word length band, and alpha ratio. The exact formula is
     arbitrary (as all quality heuristics are); what matters at scale is
     that it's a single codegen'd projection."""
+    df = df.withColumn("__toks", tokens(F.col(text_col)))  # staged once (see with_text_stats)
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("double")
     distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(F.lit(0.0))
     alpha_ratio = F.when(
@@ -81,13 +90,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     word_band = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     score = (distinct_ratio + alpha_ratio + len_band + word_band) / F.lit(4.0)
-    return df.withColumn("quality_score", F.round(score, 6))
+    return df.withColumn("quality_score", F.round(score, 6)).drop("__toks")
 
 
-def language_scores(text: Column) -> dict[str, Column]:
+def language_scores(toks: Column) -> dict[str, Column]:
     """Per-language stopword-hit ratio (the n-gram-free language-ID
-    heuristic): fraction of tokens that are stopwords of each language."""
-    toks = tokens(text)
+    heuristic): fraction of tokens that are stopwords of each language.
+    ``toks`` should be an already-materialized token array column."""
     n = F.size(toks)
     out = {}
     for lang, words in _STOPWORDS.items():
@@ -98,15 +107,20 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """argmax over language_scores; 'und' when no stopwords hit at all."""
-    scores = language_scores(F.col(text_col))
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))  # staged once
+    scores = language_scores(F.col("__toks"))
     pairs = F.array(*[
         F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()
     ])
     best = F.array_max(pairs)
-    return df.withColumn(
-        "detected_lang",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_score", F.round(best["score"], 6))
+    return (
+        staged.withColumn(
+            "detected_lang",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(best["score"], 6))
+        .drop("__toks")
+    )
 
 
 def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
