@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.drift import canonical_status, safe_divide
@@ -511,6 +511,89 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order value per priority class. Exact
+    ``percentile`` here for oracle parity; at 100 TB the drop-in scale
+    path is ``approx_percentile`` (t-digest sketch, mergeable map-side —
+    no full sort of the group)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: revenue by (year, month) + yearly subtotals +
+    grand total in ONE pass — Spark expands grouping sets map-side, so the
+    three aggregation levels share a single shuffle instead of three jobs."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_totalprice"),
+    )
+    return base.rollup("order_year", "order_month").agg(
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics window: monthly revenue with previous-month delta.
+    The window partitions by nothing but operates on the (tiny) monthly
+    rollup — the wide input is reduced BEFORE the global sort."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("order_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "order_month",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.when(prev > 0, F.round((F.col("revenue") - prev) / prev, 6)).alias("mom_change"),
+    )
+
+
+def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared passages (containment/plagiarism primitive):
+    rolling 8-token fingerprints → explode → groupBy fingerprint → keep
+    fingerprints seen in ≥2 distinct docs. One uniform hash-key shuffle."""
+    d = _docs(spark, sf_dir)
+    fps = d.select(
+        "doc_id", F.explode(tx.rolling_fingerprints(F.col("text"), 8)).alias("fp")
+    ).dropDuplicates(["doc_id", "fp"])
+    return (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation per source: whitespace tokens vs BPE-ish
+    sub-word tokens (boundary-split regex) — the corpus-sizing query run
+    before a training job. Pure codegen'd projections + one tiny rollup."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "source",
+        F.size(tx.tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(tx.bpe_ish_tokens(F.col("text"))).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_chars_raw").alias("total_chars"),
+        F.round(F.sum("bpe_tokens") / F.sum("ws_tokens"), 4).alias("bpe_per_word"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -538,6 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "top_customers": q_top_customers,
         "union_actors": q_union_actors,
+        "order_value_percentiles": q_order_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
+        "month_over_month": q_month_over_month,
+        "docs_shared_passages": q_docs_shared_passages,
+        "token_budget": q_token_budget,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
         "event_daily_stats": q_event_daily_stats,
@@ -708,6 +796,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
             UNION
             SELECT DISTINCT user_id, 'error' AS src FROM events WHERE event_type = 'error'
+        """,
+        "order_value_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "revenue_rollup": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS order_month,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        """,
+        "month_over_month": """
+            WITH monthly AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT order_month, revenue,
+                   round(lag(revenue) OVER (ORDER BY order_month), 2) AS prev_revenue,
+                   CASE WHEN lag(revenue) OVER (ORDER BY order_month) > 0
+                        THEN round((revenue - lag(revenue) OVER (ORDER BY order_month))
+                                   / lag(revenue) OVER (ORDER BY order_month), 6)
+                   END AS mom_change
+            FROM monthly
+        """,
+        "docs_shared_passages": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            fps AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+7], ' ')))) AS fp
+                FROM t WHERE len(t) >= 8
+            )
+            SELECT fp, count(DISTINCT doc_id) AS n_docs
+            FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "token_budget": r"""
+            WITH staged AS (
+                SELECT source,
+                       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ws_tokens,
+                       len(list_filter(string_split_regex(
+                           regexp_replace(regexp_replace(lower(text),
+                               '(\p{L})(\p{N})', '\1 \2', 'g'),
+                               '(\p{N})(\p{L})', '\1 \2', 'g'),
+                           '[^\p{L}\p{N}]+'), x -> x <> '')) AS bpe_tokens,
+                       length(text) AS n_chars_raw
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(ws_tokens) AS total_ws_tokens,
+                   sum(bpe_tokens) AS total_bpe_tokens,
+                   sum(n_chars_raw) AS total_chars,
+                   round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 4) AS bpe_per_word
+            FROM staged GROUP BY source
         """,
         "running_total": """
             SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

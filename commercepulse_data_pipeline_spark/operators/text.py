@@ -30,11 +30,15 @@ def tokens(text: Column) -> Column:
 def bpe_ish_tokens(text: Column) -> Column:
     """Sub-word-ish tokenization: split on whitespace AND punctuation AND
     letter/digit boundaries — a cheap regex approximation of BPE pre-token
-    counts used for budget estimation."""
-    return F.filter(
-        F.split(F.lower(text), r"[^\p{L}\p{N}]+|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"),
-        lambda t: t != "",
-    )
+    counts used for budget estimation.
+
+    Boundary splits are two backreference replaces (not lookarounds) so
+    the same tokenization is expressible in RE2-based engines (DuckDB
+    oracle parity)."""
+    s = F.lower(text)
+    s = F.regexp_replace(s, r"(\p{L})(\p{N})", r"$1 $2")
+    s = F.regexp_replace(s, r"(\p{N})(\p{L})", r"$1 $2")
+    return F.filter(F.split(s, r"[^\p{L}\p{N}]+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
