@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale posture, asserted.
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLANS stay the plans we want at 100 TB — filters reach the
+parquet scan, projections prune the read schema, small dimensions
+broadcast, pair generation never degenerates into a cartesian join.
+A refactor that silently breaks pushdown still passes value checks but
+fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    # big_spender_segments: o_totalprice > 150000 must reach the orders scan
+    plan = _plan(E.q_big_spender_segments(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_isin_pushed_to_scan(spark):
+    # status_canonical reads events; union_actors filters event_type IN (...)
+    plan = _plan(E.q_union_actors(spark, SF_DIR))
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_column_pruning_pricing_summary(spark):
+    # 7 of 16 lineitem columns are needed; ReadSchema must not include
+    # the wide comment/shipinstruct strings
+    plan = _plan(E.q_pricing_summary(spark, SF_DIR))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    assert "l_comment" not in read[0]
+    assert "l_quantity" in read[0]
+
+
+def test_column_pruning_top_customers(spark):
+    plan = _plan(E.q_top_customers(spark, SF_DIR))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_comment" not in read[0] and "o_orderdate" not in read[0]
+
+
+def test_small_dim_joins_broadcast(spark):
+    # customer (150 rows at sf0.001) joined to orders agg — the initial
+    # AQE plan must already pick a broadcast join, not sort-merge
+    plan = _plan(E.q_customer_first_order(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_broadcasts_queries(spark):
+    # the query side of the kNN join is explicitly broadcast: the corpus
+    # is scanned once with no shuffle of the wide embedding column
+    plan = _plan(E.q_embedding_knn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pair_generation_has_no_join(spark):
+    # posting-list candidate generation: pairs come from in-array
+    # transforms after a groupBy — no self-join anywhere in the plan
+    plan = _plan(E.q_minhash_pairs(spark, SF_DIR))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert j not in plan
+
+
+def test_text_metrics_stay_jvm_side_no_shuffle(spark):
+    # quality scoring is a pure projection: JVM-side only (higher-order
+    # functions are codegen-fallback but still JVM expressions — the
+    # assertion that matters is NO Python eval nodes) and NO shuffle
+    # beyond the explicit input-widening repartition
+    plan = _plan(E.q_docs_quality(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan  # no keyed shuffle at all
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # the daily rollup must partial-aggregate map-side (HashAggregate
+    # appears both before and after the exchange)
+    plan = _plan(E.q_event_daily_stats(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
