@@ -40,3 +40,46 @@ def enrich(
     """Fact-to-dimension equi-join (reference J1). Dims broadcast by
     default — the 100 TB posture: never shuffle the fact for a small dim."""
     return fact.join(F.broadcast(dim) if broadcast_dim else dim, on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the most recent right-side
+    values with ``right_ts <= left_ts`` for its key (e.g. the FX rate in
+    effect on a transaction's date — the reference has no as-of operator;
+    its late-arrival check is a plain equi-join, SURVEY §2.6).
+
+    Scale shape: UNION + forward-fill window, not a range join — both
+    inputs shuffle ONCE on the key, each partition does a single ordered
+    sweep, and no (left × right-candidates) intermediate ever exists.
+    Ties (right_ts == left_ts) take the right row (inclusive backward).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(key_cols) | {right_ts}
+    ]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join value columns collide with left columns: {sorted(clash)}")
+    from pyspark.sql import Window
+
+    l = left.withColumn("__is_left", F.lit(1)).withColumn("__asof_ts", F.col(left_ts))
+    r = right.select(
+        *key_cols, F.col(right_ts).alias("__asof_ts"), *value_cols
+    ).withColumn("__is_left", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__asof_ts").asc_nulls_first(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in u.columns if c not in value_cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.where(F.col("__is_left") == 1).drop("__is_left", "__asof_ts")

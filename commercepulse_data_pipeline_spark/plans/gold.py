@@ -97,3 +97,42 @@ def vendor_success_pct(fact_order_daily: DataFrame) -> DataFrame:
     return fact_order_daily.groupBy("vendor").agg(
         F.round(F.avg("payment_success_rate") * 100, 4).alias("success_pct")
     )
+
+
+def normalize_currency(
+    facts: DataFrame,
+    fx_rates: DataFrame,
+    *,
+    amount_col: str,
+    date_col: str,
+    currency_col: str = "currency",
+    base_currency: str = "NGN",
+) -> DataFrame:
+    """Q7 fix (SURVEY §1.4): the reference ships daily USDNGN rates
+    (data/fx_rates_2023.csv) but never reads them — all revenue sums mix
+    USD and NGN. Here USD amounts convert to the base currency using the
+    rate in effect on the fact's date (backward as-of join, so gap days
+    fall back to the latest earlier rate).
+
+    ``fx_rates`` is the ``sources.readers.read_fx_rates`` shape
+    (fx_date, usd_ngn). The rate table is tiny → the as-of union's window
+    cost is dominated by one shuffle of the facts on the (empty) key,
+    i.e. a single global sweep; for per-currency-pair tables add the pair
+    to the key columns.
+    """
+    from commercepulse_data_pipeline_spark.operators.joins import asof_join
+
+    with_rate = asof_join(
+        facts, fx_rates, key_cols=[], left_ts=date_col, right_ts="fx_date",
+        value_cols=["usd_ngn"],
+    )
+    cur = F.upper(F.coalesce(F.col(currency_col), F.lit(base_currency)))
+    converted = F.when(
+        (cur == "USD") & F.col("usd_ngn").isNotNull(),
+        F.col(amount_col) * F.col("usd_ngn"),
+    ).otherwise(F.col(amount_col))
+    return (
+        with_rate.withColumn(f"{amount_col}_{base_currency.lower()}", F.round(converted, 2))
+        .withColumn("fx_rate_applied", F.when(cur == "USD", F.col("usd_ngn")))
+        .drop("usd_ngn")
+    )

@@ -1,0 +1,124 @@
+"""Tests: as-of join, currency normalization (SURVEY Q7 fix), batch
+bronze write/read roundtrip with partition pruning, historical JSON
+bootstrap envelope synthesis."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.operators.joins import asof_join
+from commercepulse_data_pipeline_spark.plans.gold import normalize_currency
+from commercepulse_data_pipeline_spark.sources.readers import (
+    read_bronze,
+    read_fx_rates,
+    read_historical_json,
+    write_bronze,
+)
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+def test_asof_join_backward_with_gaps(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 50.0), ("B", 3, 30.0)], ["sym", "qt", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 4), ("A", 7), ("B", 2), ("B", 9)], ["sym", "tt"]
+    )
+    out = asof_join(trades, quotes, ["sym"], "tt", "qt", ["px"])
+    got = {(r.sym, r.tt): r.px for r in out.collect()}
+    assert got == {
+        ("A", 0): None,   # no quote yet
+        ("A", 1): 10.0,   # tie → inclusive backward
+        ("A", 4): 10.0,   # gap falls back to latest earlier
+        ("A", 7): 50.0,
+        ("B", 2): None,
+        ("B", 9): 30.0,
+    }
+
+
+def test_asof_join_rejects_column_collision(spark):
+    df = spark.createDataFrame([("A", 1, 1.0)], ["sym", "t", "px"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, ["sym"], "t", "t", ["px"])
+
+
+# --------------------------------------------------------------------------
+# currency normalization (Q7 fix)
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def fx_csv(spark, tmp_path):
+    p = tmp_path / "fx_rates.csv"
+    p.write_text(
+        "date,USDNGN\n"
+        "2026-02-09,1500.0\n"
+        "2026-02-11,1520.0\n"  # note: 02-10 missing (gap day)
+    )
+    return read_fx_rates(spark, str(p))
+
+
+def test_normalize_currency_asof_and_passthrough(spark, fx_csv):
+    facts = spark.createDataFrame(
+        [
+            ("o1", 100.0, "2026-02-10", "USD"),   # gap day → 02-09 rate
+            ("o2", 200.0, "2026-02-11", "usd"),   # case-insensitive
+            ("o3", 5000.0, "2026-02-11", "NGN"),  # already base → unchanged
+            ("o4", 300.0, "2026-02-11", None),    # NULL currency → assume base
+        ],
+        ["order_id", "amount", "d", "currency"],
+    ).select("order_id", "amount", F.to_date("d").alias("order_date"), "currency")
+    out = {r.order_id: r for r in normalize_currency(
+        facts, fx_csv, amount_col="amount", date_col="order_date"
+    ).collect()}
+    assert out["o1"].amount_ngn == 150000.0 and out["o1"].fx_rate_applied == 1500.0
+    assert out["o2"].amount_ngn == 304000.0
+    assert out["o3"].amount_ngn == 5000.0 and out["o3"].fx_rate_applied is None
+    assert out["o4"].amount_ngn == 300.0
+
+
+# --------------------------------------------------------------------------
+# batch bronze sink/scan (K1 semantics + partition pruning)
+# --------------------------------------------------------------------------
+
+def test_bronze_roundtrip_partition_pruning(spark, bronze_events, tmp_path):
+    path = str(tmp_path / "bronze")
+    write_bronze(bronze_events, path, mode="overwrite")
+    back = read_bronze(spark, path)
+    assert back.count() == bronze_events.count()
+    # event-type predicate + partition filter both reach the scan
+    pruned = read_bronze(spark, path, event_types=["order_created"]).where(
+        F.col("ingest_date") == "2026-02-20"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ingest_date" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_historical_json_bootstrap_envelope(spark, tmp_path):
+    """Reference S1 (src/bootstrap_loader.py:84-99): JSON array file →
+    envelope with natural key, event time, vendor + deterministic id."""
+    records = [
+        {"order_id": "O1", "created_at": "2023-05-01T10:00:00Z", "vendor": "vendor_b", "total": 10},
+        {"order_id": "O2", "created_at": "2023-05-02T10:00:00Z", "vendor": "vendor_a", "total": 20},
+        {"note": "no ids at all"},
+    ]
+    p = tmp_path / "historical_orders.json"
+    p.write_text(json.dumps(records))
+    env = read_historical_json(spark, str(p), "historical_order")
+    rows = env.collect()
+    assert len(rows) == 3
+    assert all(r.event_type == "historical_order" for r in rows)
+    assert all(r.event_id is not None and len(r.event_id) == 64 for r in rows)  # sha-256 hex
+    by_key = {json.loads(r.payload).get("order_id"): r for r in rows}
+    assert by_key["O1"].vendor == "vendor_b"
+    assert by_key["O1"].event_time == "2023-05-01T10:00:00Z"
+    assert by_key[None].vendor == "unknown"
+    # determinism: same input → same event ids (idempotent replays collapse)
+    env2 = read_historical_json(spark, str(p), "historical_order")
+    assert {r.event_id for r in rows} == {r.event_id for r in env2.collect()}
