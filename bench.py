@@ -22,15 +22,20 @@ HEADLINE = [
     "pricing_summary",
     "daily_revenue",
     "order_daily_rollup",
+    "revenue_rollup",
+    "order_value_percentiles",
     "ship_latency",
     "dedup_last_writer",
     "sessionize",
     "event_daily_stats",
     "docs_quality",
     "docs_exact_dedup",
+    "token_budget",
     "minhash_pairs",
     "ngram_jaccard",
+    "simhash_pairs",
     "ann_cosine_topk",
+    "embedding_knn",
 ]
 
 

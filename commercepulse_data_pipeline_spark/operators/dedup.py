@@ -321,19 +321,15 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
-    """SimHash of the shingle set as a signed 64-bit long.
+def _simhash_from_hashes(hashes: Column, n: Column, bits: int = 64) -> Column:
+    """SimHash from an ALREADY-MATERIALIZED array of 64-bit hashes.
 
-    Per-bit majority vote over xxhash64(shingle): bit_i(sig) = 1 iff more
-    shingles have bit_i set than not. Pure higher-order-function Catalyst
-    expression (aggregate over the shingle array) — no UDF, no shuffle;
-    computed map-side during the scan.
+    Per-bit majority vote: bit_i(sig) = 1 iff more hashes have bit_i set
+    than not. ``hashes``/``n`` must be plain column references (staged in
+    their own projection) — inlining the hash computation here would make
+    Catalyst re-expand it per bit (64× recompute; measured ~15× slower).
     """
-    shingles = word_shingles(text, shingle_n)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    n = F.size(shingles)
     def bit_sum(i: int) -> Column:
-        # count of shingles with bit i set
         return F.aggregate(
             hashes,
             F.lit(0),
@@ -349,6 +345,57 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     for c in bit_cols[1:]:
         total = total + c
     return F.when(n > 0, total)
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, sig) — SimHash per document in TABLE form: explode shingle
+    hashes → one groupBy(id) with 64 conditional sums (one per bit) →
+    majority-vote signature from the sums.
+
+    Why this shape: the whole aggregation runs in whole-stage-codegen'd
+    HashAggregate with map-side partial aggregation (one uniform shuffle
+    on the doc id). The array-column alternative (64 higher-order
+    ``aggregate`` passes) is interpreted expression evaluation — measured
+    ~5× slower even with the hash array staged. Same trade as
+    ``minhash_signature_table``.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1)).cast("int")).alias(f"b{i}")
+        for i in range(bits)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    counts = hashed.groupBy(id_col).agg(*aggs)
+    n = F.col("__n")
+    bit_cols = [
+        F.when(F.col(f"b{i}") * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long")
+        if i < 63
+        else F.when(F.col(f"b{i}") * 2 > n, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    # docs with zero shingles produce no rows (same contract as minhash)
+    return counts.select(F.col(id_col), total.alias("sig"))
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash as a single column expression. Prefer ``simhash_table``
+    in real plans — as one inline expression Catalyst re-expands the
+    shingle/hash subtrees per bit (see _simhash_from_hashes)."""
+    shingles = word_shingles(text, shingle_n)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return _simhash_from_hashes(hashes, F.size(shingles), bits)
 
 
 def simhash_candidate_pairs(
@@ -370,9 +417,7 @@ def simhash_candidate_pairs(
     ADDS candidates (never loses the guarantee)."""
     if blocks is None:
         blocks = min(64, hamming_threshold + 1)
-    sh = df.select(
-        F.col(id_col), simhash(F.col(text_col)).alias("sig")
-    ).where(F.col("sig").isNotNull())
+    sh = simhash_table(df, text_col, id_col).where(F.col("sig").isNotNull())
     width = max(1, 64 // blocks)
     blocks_arr = F.array(*[
         F.struct(

@@ -96,3 +96,58 @@ def test_stream_bronze_sink_exactly_once(spark, landing_dir, tmp_path):
     # partitioned by ingest date → partition pruning on the date predicate
     one_day = spark.read.parquet(bronze).where(F.col("ingest_date") == "2026-02-10")
     assert 0 < one_day.count() < first
+
+
+def test_current_order_state_stateful_upsert(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches; a later
+    batch's OLDER event must not overwrite newer state (D1 semantics)."""
+    from commercepulse_data_pipeline_spark.streaming.state import current_order_state
+
+    d1, d2 = tmp_path / "b1", tmp_path / "b2"
+    d1.mkdir(); d2.mkdir()
+    (d1 / "events.jsonl").write_text("\n".join([
+        json.dumps({"order_id": "O1", "event_time": "2026-02-10T10:00:00Z",
+                    "order_status": "pending", "order_amount": 100.0}),
+        json.dumps({"order_id": "O2", "event_time": "2026-02-10T11:00:00Z",
+                    "order_status": "pending", "order_amount": 50.0}),
+    ]) + "\n")
+    (d2 / "events.jsonl").write_text("\n".join([
+        # newer event for O1 → state advances
+        json.dumps({"order_id": "O1", "event_time": "2026-02-11T09:00:00Z",
+                    "order_status": "confirmed", "order_amount": 100.0}),
+        # OUT-OF-ORDER older event for O2 → must NOT overwrite
+        json.dumps({"order_id": "O2", "event_time": "2026-02-09T00:00:00Z",
+                    "order_status": "created", "order_amount": 49.0}),
+        # NULL event time → never wins, still counted
+        json.dumps({"order_id": "O2", "event_time": None,
+                    "order_status": "ghost", "order_amount": 0.0}),
+    ]) + "\n")
+
+    schema = ("order_id string, event_time string, order_status string, "
+              "order_amount double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(str(tmp_path) + "/*/events.jsonl")
+        .withColumn("event_ts", F.to_timestamp("event_time"))
+    )
+    out = current_order_state(stream)
+    q = (
+        out.writeStream.format("memory").queryName("order_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM order_state ORDER BY updated_at_us"
+    ).collect()
+    # last emitted row per key = final state
+    final = {}
+    for r in rows:
+        if r.n_events >= final.get(r.order_id, (0,))[0]:
+            final[r.order_id] = (r.n_events, r)
+    o1 = final["O1"][1]
+    assert o1.order_status == "confirmed" and o1.n_events == 2
+    o2 = final["O2"][1]
+    assert o2.order_status == "pending"      # out-of-order event ignored
+    assert o2.order_amount == 50.0
+    assert o2.n_events == 3                  # but all events counted
