@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): engine semantics vs executable
+reference models, on randomized inputs.
+
+Each property runs a bounded number of examples (Spark job per example is
+expensive); the models are tiny pure-Python reimplementations of the
+REFERENCE semantics (pandas or-chain, keep-last dedup, set Jaccard), so
+these catch semantic drift that fixed fixtures miss.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.functions.drift import coalesce_keys
+from commercepulse_data_pipeline_spark.operators import dedup as dd
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# small vocab → collisions/duplicates are likely, which is the point
+_WORD = st.sampled_from(["a", "b", "c", "dog", "cat", "42", ""])
+_CELL = st.one_of(st.none(), _WORD)
+
+
+@given(rows=st.lists(st.tuples(_CELL, _CELL, _CELL), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_falsy_coalesce_matches_python_or_chain(spark, rows):
+    """coalesce_keys(skip_falsy=True) ≡ the reference's `a or b or c`
+    (reference src/transformer.py:52-74): '' and '0' fall through."""
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = [
+        r.v
+        for r in df.select(
+            coalesce_keys([F.col("a"), F.col("b"), F.col("c")], skip_falsy=True).alias("v")
+        ).collect()
+    ]
+    # python or-chain model; coalesce_keys treats "0"/"0.0" as falsy like
+    # the reference's numeric payloads do
+    def or_chain(t):
+        for v in t:
+            if v not in (None, "", "0", "0.0"):
+                return v
+        return None
+    assert out == [or_chain(t) for t in rows]
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),          # key
+            st.one_of(st.none(), st.integers(0, 50)),      # ts (None = NaT)
+            st.integers(0, 999),                           # payload/value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_last_writer_wins_properties(spark, events):
+    """D1 invariants on random event sets: one row per key; the winner's
+    ts equals the max non-NULL ts for that key (NULL only wins when the
+    key has no real timestamp at all)."""
+    rows = [(k, f"2026-01-01 00:00:{t:02d}" if t is not None else None, v) for k, t, v in events]
+    df = spark.createDataFrame(rows, "k string, ts_s string, v long").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = dd.last_writer_wins(df, ["k"], "ts", tiebreak_cols=["v"]).collect()
+    keys = [r.k for r in out]
+    assert sorted(keys) == sorted(set(k for k, _, _ in events))
+    by_key = {}
+    for k, t, v in events:
+        by_key.setdefault(k, []).append((t, v))
+    for r in out:
+        real = [t for t, _ in by_key[r.k] if t is not None]
+        if real:
+            assert r.ts is not None and r.ts.second == max(real)
+        else:
+            assert r.ts is None
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_bruteforce(spark, corpus):
+    """Distributed posting-list Jaccard ≡ brute-force set Jaccard on the
+    same 3-shingle sets, for every pair above threshold."""
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.3, max_shingle_freq=10**6
+        ).collect()
+    }
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            expected[(ia, ib)] = round(j, 6)
+    assert got == expected
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=2, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_simhash_recall_guarantee(spark, corpus, threshold):
+    """Pigeonhole recall: every pair whose true signature Hamming distance
+    is <= threshold MUST appear in the candidate output (block-LSH may add
+    candidates, never lose qualifying ones)."""
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.doc_id: r.sig for r in dd.simhash_table(df, "text", "doc_id").collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_candidate_pairs(
+            df, "text", "doc_id", hamming_threshold=threshold
+        ).collect()
+    }
+    for (ia, _), (ib, _) in itertools.combinations(rows, 2):
+        if ia in sigs and ib in sigs:
+            ham = bin((sigs[ia] ^ sigs[ib]) & ((1 << 64) - 1)).count("1")
+            if ham <= threshold:
+                assert (ia, ib) in got, f"missed pair {(ia, ib)} at hamming {ham}"
