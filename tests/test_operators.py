@@ -189,3 +189,37 @@ def test_lsh_topk_contains_exact_match(spark):
     # results sorted by cosine descending
     sims = [r.cosine_sim for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from commercepulse_data_pipeline_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(4)
+    out = {r.k: r for r in salted_agg(
+        df, ["k"],
+        {"total": ("v", F.sum, F.sum),
+         "n": ("v", F.count, F.sum),
+         "mx": ("v", F.max, F.max)},
+        salt_buckets=8,
+    ).collect()}
+    assert out["hot"].total == sum(range(500)) and out["hot"].n == 500
+    assert out["hot"].mx == 499.0
+    assert out["cold"].total == 3.0 and out["cold"].n == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from commercepulse_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(300)] + [("k2", 0), ("orphan", 1)], ["k", "i"]
+    )
+    small = spark.createDataFrame([("hot", "H"), ("k2", "T")], ["k", "tag"])
+    out = salted_join(big, small, "k", salt_buckets=4)
+    plain = big.join(small, "k")
+    assert out.count() == plain.count() == 301
+    assert {r.tag for r in out.where(F.col("k") == "hot").collect()} == {"H"}
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, small, "k", how="left", salt_buckets=4)
+    assert left.count() == 302
+    assert left.where(F.col("k") == "orphan").collect()[0].tag is None
