@@ -511,6 +511,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (§2.9) flagship: TPC-H-Q5-shaped 6-table star join via
+    ``spark.sql`` over registered temp views. Catalyst reorders the joins
+    and broadcasts the small dims; the region filter prunes before the
+    fact join (verify with .explain: dims under BroadcastExchange)."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of order value per priority class. Exact
     ``percentile`` here for oracle parity; at 100 TB the drop-in scale
@@ -621,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "top_customers": q_top_customers,
         "union_actors": q_union_actors,
+        "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
         "month_over_month": q_month_over_month,
@@ -796,6 +821,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
             UNION
             SELECT DISTINCT user_id, 'error' AS src FROM events WHERE event_type = 'error'
+        """,
+        "sql_regional_revenue": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
         """,
         "order_value_percentiles": """
             SELECT o_orderpriority,

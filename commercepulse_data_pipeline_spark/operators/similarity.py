@@ -101,13 +101,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
+    """Approximate top-k: restrict the exact scan to the query's LSH
+    bucket(s).
 
     At scale the corpus is pre-bucketed (partitioned/bucketed table on the
-    LSH key) so this reads one partition instead of the full corpus —
-    partition pruning does the work. Recall is tunable via n_planes and
-    multi-probe (not implemented round 1).
+    LSH key) so this reads ``probes`` partitions instead of the full
+    corpus — partition pruning does the work. Recall tuning:
+    ``n_planes`` (bucket granularity) and ``probes`` (multi-probe: also
+    scan the buckets one sign-flip away — near-boundary neighbors land
+    there; probes=1+n_planes covers all Hamming-1 buckets).
     """
     dim = len(query_vec)
     planes = random_hyperplanes(dim, n_planes, seed)
@@ -115,7 +119,18 @@ def lsh_topk(
     qbits = "".join(
         "1" if sum(q * w for q, w in zip(query_vec, p)) >= 0 else "0" for p in planes
     )
-    bucketed = corpus.where(lsh_bucket(F.col(vec_col), planes) == F.lit(qbits))
+    # multi-probe order: the exact bucket, then single-bit flips of the
+    # planes whose |dot| is smallest (the boundaries the query is closest
+    # to — the flip most likely to hold near-neighbors).
+    margins = [
+        (abs(sum(q * w for q, w in zip(query_vec, p))), i) for i, p in enumerate(planes)
+    ]
+    flip_order = [i for _, i in sorted(margins)]
+    buckets = [qbits]
+    for i in flip_order[: max(0, probes - 1)]:
+        flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+        buckets.append(flipped)
+    bucketed = corpus.where(lsh_bucket(F.col(vec_col), planes).isin(buckets))
     return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 

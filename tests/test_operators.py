@@ -223,3 +223,18 @@ def test_salted_join_matches_plain_join(spark):
     left = salted_join(big, small, "k", how="left", salt_buckets=4)
     assert left.count() == 302
     assert left.where(F.col("k") == "orphan").collect()[0].tag is None
+
+
+def test_lsh_multiprobe_recall_improves(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), (i % 11) / 11.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [1.0, 0.05, 0.5]
+    exact = {r.vec_id for r in sim.cosine_topk(df, q, k=10).collect()}
+    one = {r.vec_id for r in sim.lsh_topk(df, q, k=10, n_planes=4, probes=1).collect()}
+    multi = {r.vec_id for r in sim.lsh_topk(df, q, k=10, n_planes=4, probes=4).collect()}
+    # multi-probe candidates are a superset of single-probe → recall can
+    # only improve
+    assert len(multi & exact) >= len(one & exact)
+    assert one <= multi | one  # sanity: both sorted subsets of the corpus
