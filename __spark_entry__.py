@@ -331,6 +331,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap): the built-in
+    form of the sessionize operator — one aggregation, windows merge as
+    events arrive; identical in batch and Structured Streaming (where it
+    pairs with a watermark). Output: per-user sessions with bounds."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling window aggregate — the batch equivalent of the
     streaming daily rollup (§2.10: F.window('1 day') ≡ to_date groupBy)."""
@@ -511,6 +529,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (§2.8 — the reference only has
+    isin membership): users who both purchased AND errored, minus users
+    who signed up (present in all three → excluded once). Distinct set ops = aggregate-style shuffles, no joins
+    written by hand."""
+    e = _events(spark, sf_dir)
+    big = F.col("value") > 200
+    purchasers = e.where((F.col("event_type") == "purchase") & big).select("user_id")
+    errorers = e.where((F.col("event_type") == "error") & big).select("user_id")
+    signups = e.where((F.col("event_type") == "signup") & big).select("user_id")
+    return purchasers.intersect(errorers).exceptAll(signups.distinct()).select("user_id")
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide rollup): per-user event counts, one column per event
+    type. Spark's pivot is a single groupBy with per-bucket conditional
+    aggregates — same shuffle as the long form. Explicit value list so
+    the plan needs no discovery pass (at 100 TB never let pivot infer
+    values with an extra job)."""
+    e = _events(spark, sf_dir)
+    types = ["purchase", "view", "click", "error", "signup"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL surface (§2.9) flagship: TPC-H-Q5-shaped 6-table star join via
     ``spark.sql`` over registered temp views. Catalyst reorders the joins
@@ -645,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "top_customers": q_top_customers,
         "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "status_pivot": q_status_pivot,
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
@@ -653,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
         "event_daily_stats": q_event_daily_stats,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
@@ -822,6 +875,24 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT DISTINCT user_id, 'error' AS src FROM events WHERE event_type = 'error'
         """,
+        "set_ops": """
+            SELECT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+            )
+            EXCEPT ALL
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 200
+        """,
+        "status_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+            FROM events GROUP BY user_id
+        """,
         "sql_regional_revenue": """
             SELECT n_name,
                    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
@@ -923,6 +994,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id,
                    count(*) AS n_events,
                    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "session_windows": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+            ), flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) + 1800000000 AS end_us,
+                   count(*) AS n_events
             FROM numbered GROUP BY user_id, session_seq
         """,
         "event_daily_stats": """

@@ -52,6 +52,28 @@ def daily_counts(stream: DataFrame, watermark: str = "7 days") -> DataFrame:
     )
 
 
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows: per-vendor activity sessions that merge
+    as events arrive (native ``session_window`` state — the streaming twin
+    of the batch ``operators.windows.sessionize``). Watermark bounds the
+    session-merge state; run in append mode (sessions emit once finalized
+    past the watermark) or complete mode — session windows do not support
+    update mode."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), F.col("vendor"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "vendor",
+            "n_events",
+        )
+    )
+
+
 def write_bronze_stream(stream: DataFrame, path: str, checkpoint: str, trigger_once: bool = True):
     """Bronze sink: append parquet partitioned by event date, exactly-once
     via checkpointing. Combined with ``dedup_within_watermark`` this is

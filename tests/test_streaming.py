@@ -151,3 +151,18 @@ def test_current_order_state_stateful_upsert(spark, tmp_path):
     assert o2.order_status == "pending"      # out-of-order event ignored
     assert o2.order_amount == 50.0
     assert o2.n_events == 3                  # but all events counted
+
+
+def test_stream_session_windows(spark, landing_dir):
+    from commercepulse_data_pipeline_spark.streaming.ingest import session_counts
+
+    stream = read_event_stream(spark, f"{landing_dir}/*/events.jsonl")
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("session_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_sink").collect()
+    assert rows and all(r.n_events >= 1 for r in rows)
+    assert all(r.session_end > r.session_start for r in rows)
