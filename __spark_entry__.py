@@ -6,8 +6,10 @@ holds the DuckDB-equivalent ANSI SQL. Column names and rounding are aligned
 on both sides so the driver's order-insensitive value-hash matches.
 
 Queries marked "rows-only" (no oracle entry) are the genuinely
-non-SQL-expressible ones: sign-LSH ANN (engine-specific hyperplane PRNG)
-and SimHash banding (engine-specific 64-bit hash family).
+non-SQL-expressible ones: sign-LSH ANN (engine-specific hyperplane PRNG),
+SimHash banding (engine-specific 64-bit hash family), stopword-argmax
+language ID (tie-breaking on Python dict order), and the multimodal
+decode path (deterministic fake codec, engine-specific by design).
 """
 
 from __future__ import annotations
