@@ -46,6 +46,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism — for per-row-heavy
+    plans over the single-row-group test files (one scan split otherwise;
+    same rationale and caveats as ``_docs``)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long (legacy conf, runtime-settable) and
@@ -91,7 +98,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped multi-agg groupBy (reference A1/A4/A5/F8 analog:
     src/transformer.py:130-165 rollup semantics). Map-side partial agg →
     2-key shuffle; whole-stage codegen end-to-end."""
-    l = _t(spark, sf_dir, "lineitem")
+    l = _wide(_t(spark, sf_dir, "lineitem"))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
