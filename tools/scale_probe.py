@@ -1,0 +1,113 @@
+"""Scale probe: replicate the sf0.1 tables N× on disk (multi-file parquet,
+like production layout) and compare headline query times against sf0.1.
+
+Near-linear growth (ratio ≈ N on a fixed-core box) is the evidence that
+plans are shuffle/partition-clean: a superlinear blowup would expose a
+hidden cross product, a driver-side collect, or a skew hotspot.
+
+Usage: python tools/scale_probe.py [N] [outdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = [
+    "pricing_summary",
+    "daily_revenue",
+    "order_daily_rollup",
+    "dedup_last_writer",
+    "docs_quality",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "simhash_pairs",
+]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def replicate(spark, src: str, dst: str, n: int) -> None:
+    """N× data volume; keys offset per copy so join/group cardinality
+    scales with the data (pure duplication would understate group growth)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    offsets = {
+        "orders": ("o_orderkey", 10_000_000), "lineitem": ("l_orderkey", 10_000_000),
+        "documents": ("doc_id", 10_000_000), "embeddings": ("vec_id", 10_000_000),
+        "events": ("event_id", 10_000_000),
+    }
+    for t in TABLES:
+        src_df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t in offsets:
+            key, step = offsets[t]
+            parts = [src_df.withColumn(key, F.col(key) + F.lit(i * step)) for i in range(n)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = src_df  # dims stay fixed (star-schema realism)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in PROBE_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_sf1"
+    src = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # events.parquet carries TIMESTAMP(NANOS): read as long (replicas
+        # store plain INT64 nanos, which _events() converts on read)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{outdir}/lineitem.parquet"):
+        replicate(spark, src, outdir, n)
+
+    base = run(spark, src)
+    big = run(spark, outdir)
+    report = {
+        "replication": n,
+        "base_sf": 0.1,
+        "queries": {
+            q: {"base_s": base[q], "scaled_s": big[q],
+                "ratio": round(big[q] / base[q], 2) if base[q] > 0 else None}
+            for q in PROBE_QUERIES
+        },
+    }
+    print(json.dumps(report, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
