@@ -47,7 +47,26 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
         src_df = spark.read.parquet(f"{src}/{t}.parquet")
         if t in offsets:
             key, step = offsets[t]
-            parts = [src_df.withColumn(key, F.col(key) + F.lit(i * step)) for i in range(n)]
+            parts = []
+            for i in range(n):
+                p = src_df.withColumn(key, F.col(key) + F.lit(i * step))
+                if t == "documents":
+                    # Prefix every token with the copy id → each copy has a
+                    # DISJOINT shingle vocabulary. Plain replication makes
+                    # every copy an exact near-dup of its siblings, so pair
+                    # outputs grow quadratically BY CONSTRUCTION and the
+                    # probe would measure output inflation, not plan scaling.
+                    p = p.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), r"\s+"),
+                                lambda x: F.concat(F.lit(f"c{i}_"), x),
+                            ),
+                            " ",
+                        ),
+                    )
+                parts.append(p)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -91,7 +110,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{outdir}/lineitem.parquet"):
+    # embeddings is replicated last — its presence means a complete replica
+    if not os.path.exists(f"{outdir}/embeddings.parquet"):
         replicate(spark, src, outdir, n)
 
     base = run(spark, src)
