@@ -1,0 +1,183 @@
+"""Command-line entry points mirroring the reference's runnable scripts
+(SURVEY §3 lifecycle): a user of the reference can switch 1:1.
+
+    reference                              this engine
+    ------------------------------------   ------------------------------------------
+    python src/bootstrap_loader.py         python -m commercepulse_data_pipeline_spark.cli bootstrap …
+    python src/live_event_loader.py DATE   python -m commercepulse_data_pipeline_spark.cli load-live …
+    python src/bq_loader.py                python -m commercepulse_data_pipeline_spark.cli transform …
+    python src/quality_report.py           python -m commercepulse_data_pipeline_spark.cli report …
+    python src/populate_dimensions.py      python -m commercepulse_data_pipeline_spark.cli dims …
+
+Destinations are parquet directories (the warehouse) instead of
+MongoDB/BigQuery; pass ``--csv`` to also land CSVs like the reference's
+``warehouse/facts/*.csv`` (reference src/transformer.py:230-248).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from commercepulse_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="commercepulse-cli")
+
+
+def _silver_tables(spark, bronze: str):
+    from commercepulse_data_pipeline_spark.plans import silver
+    from commercepulse_data_pipeline_spark.sources.readers import read_bronze
+
+    events = read_bronze(spark, bronze)
+    return (
+        silver.normalize_orders(events),
+        silver.normalize_payments(events),
+        silver.normalize_refunds(events),
+    )
+
+
+def _write(df, path: str, csv: bool) -> None:
+    df.write.mode("overwrite").parquet(f"{path}.parquet")
+    if csv:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{path}.csv")
+
+
+def cmd_bootstrap(args) -> int:
+    """Historical JSON arrays → bronze (reference src/bootstrap_loader.py:108-122)."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        read_historical_json,
+        write_bronze,
+    )
+
+    spark = _spark()
+    for spec in args.files:
+        event_type, path = spec.split("=", 1)
+        env = read_historical_json(spark, path, event_type)
+        write_bronze(env.dropDuplicates(["event_id"]), args.bronze)
+        print(f"bootstrapped {event_type}: {env.count()} events")
+    return 0
+
+
+def cmd_load_live(args) -> int:
+    """One landing day of JSONL → bronze, with the reference's skip count
+    (reference src/live_event_loader.py:15-66)."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        read_jsonl_events,
+        skip_count,
+        valid_events,
+        write_bronze,
+    )
+
+    spark = _spark()
+    path = f"{args.landing}/{args.date}/events.jsonl"
+    raw = read_jsonl_events(spark, path)
+    skipped = skip_count(raw)
+    good = valid_events(raw).dropDuplicates(["event_id"])
+    write_bronze(good, args.bronze)
+    print(f"loaded {good.count()} events from {args.date} ({skipped} skipped)")
+    return 0
+
+
+def cmd_transform(args) -> int:
+    """bronze → silver facts → gold daily aggregate (reference
+    src/bq_loader.py:98-142 + src/transformer.py:190-248)."""
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+
+    spark = _spark()
+    orders, payments, refunds = _silver_tables(spark, args.bronze)
+    daily = build_fact_order_daily(orders, payments, refunds)
+    w = args.warehouse
+    _write(orders, f"{w}/fact_orders", args.csv)
+    _write(payments, f"{w}/fact_payments", args.csv)
+    _write(refunds, f"{w}/fact_refunds", args.csv)
+    _write(daily, f"{w}/fact_order_daily", args.csv)
+    print(
+        f"orders={orders.count()} payments={payments.count()} "
+        f"refunds={refunds.count()} daily_rows={daily.count()}"
+    )
+    return 0
+
+
+def cmd_report(args) -> int:
+    """Data-quality report (reference src/quality_report.py:6-165)."""
+    from commercepulse_data_pipeline_spark.plans.quality import full_report
+
+    spark = _spark()
+    orders, payments, refunds = _silver_tables(spark, args.bronze)
+    sections = full_report(orders, payments, refunds)
+    lines = ["DATA QUALITY REPORT", "=" * 40]
+    for name, df in sections.items():
+        lines.append(f"\n[{name}]")
+        for row in df.collect():
+            lines.append("  " + ", ".join(f"{k}={v}" for k, v in row.asDict().items()))
+    text = "\n".join(lines)
+    print(text)
+    if args.out:
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        with open(f"{args.out}/quality_report.txt", "w") as f:
+            f.write(text + "\n")
+    return 0
+
+
+def cmd_dims(args) -> int:
+    """Dimension tables (reference src/populate_dimensions.py:108-124)."""
+    from commercepulse_data_pipeline_spark.plans.dimensions import (
+        build_dim_customer,
+        build_dim_date,
+        build_dim_product,
+    )
+
+    spark = _spark()
+    orders, _, _ = _silver_tables(spark, args.bronze)
+    w = args.warehouse
+    _write(build_dim_date(spark), f"{w}/dim_date", args.csv)
+    _write(build_dim_customer(orders), f"{w}/dim_customer", args.csv)
+    _write(build_dim_product(spark), f"{w}/dim_product", args.csv)
+    print("dims written")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap", help="historical JSON arrays → bronze")
+    b.add_argument("files", nargs="+", help="event_type=path.json specs")
+    b.add_argument("--bronze", required=True)
+    b.set_defaults(fn=cmd_bootstrap)
+
+    l = sub.add_parser("load-live", help="one landing day → bronze")
+    l.add_argument("date")
+    l.add_argument("--landing", required=True)
+    l.add_argument("--bronze", required=True)
+    l.set_defaults(fn=cmd_load_live)
+
+    t = sub.add_parser("transform", help="bronze → silver+gold warehouse")
+    t.add_argument("--bronze", required=True)
+    t.add_argument("--warehouse", required=True)
+    t.add_argument("--csv", action="store_true", help="also write single-file CSVs")
+    t.set_defaults(fn=cmd_transform)
+
+    r = sub.add_parser("report", help="data-quality report")
+    r.add_argument("--bronze", required=True)
+    r.add_argument("--out", default=None)
+    r.set_defaults(fn=cmd_report)
+
+    d = sub.add_parser("dims", help="dimension tables")
+    d.add_argument("--bronze", required=True)
+    d.add_argument("--warehouse", required=True)
+    d.add_argument("--csv", action="store_true")
+    d.set_defaults(fn=cmd_dims)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
