@@ -129,3 +129,27 @@ def read_fx_rates(spark: SparkSession, path: str) -> DataFrame:
         spark.read.option("header", True).csv(path)
         .select(F.to_date("date").alias("fx_date"), F.col("USDNGN").cast("double").alias("usd_ngn"))
     )
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_col: str,
+    *,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (co-located join layout).
+
+    Two fact tables bucketed by the same key into the same bucket count
+    join WITHOUT a shuffle — the physical plan has no Exchange on either
+    side (SortMergeJoin reads matching buckets directly). At 100 TB this
+    is the difference between re-shuffling petabytes per join and reading
+    co-located files; bucket the big fact tables by their join key at
+    write time (orders/payments/refunds by order_id).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
