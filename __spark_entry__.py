@@ -116,17 +116,29 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship A1 (src/transformer.py:130-165): daily revenue rollup as
     join + groupBy — the reference's O(groups×payments) isin loop becomes
-    one shuffle each side + one agg shuffle."""
+    one shuffle each side + one agg shuffle.
+
+    Lineitems pre-aggregate per order BEFORE the join: the join carries
+    one row per order instead of one per lineitem, and the final rollup
+    counts plain rows instead of a countDistinct (which would force an
+    expand/two-phase distinct aggregation). Decimal partial sums re-sum
+    exactly (associative), so rounding matches the single-pass oracle."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", _iso_date("o_orderdate").alias("order_date"))
-    l = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    l_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,8)")
+            ).alias("order_rev")
+        )
     )
     return (
-        o.join(l, o.o_orderkey == l.l_orderkey)
+        o.join(l_per_order, o.o_orderkey == l_per_order.l_orderkey)
         .groupBy("order_date")
         .agg(
-            _dsum(F.col("rev")).alias("gross_revenue"),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            F.round(F.sum("order_rev"), 2).cast("double").alias("gross_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
         )
     )
 
