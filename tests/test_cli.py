@@ -1,0 +1,58 @@
+"""CLI integration: generator → load-live → transform → report → dims,
+all through the argparse entry points (the reference-user switchover
+path)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from commercepulse_data_pipeline_spark import cli
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_landing")
+    # generator is a plain-python tool — run it as the user would
+    subprocess.run(
+        [sys.executable, "tools/generate_events.py", "--out", str(out),
+         "--date", "2026-02-19", "--events", "200", "--seed", "7"],
+        check=True,
+    )
+    return out
+
+
+def test_generator_deterministic(tmp_path):
+    for d in ("a", "b"):
+        subprocess.run(
+            [sys.executable, "tools/generate_events.py", "--out", str(tmp_path / d),
+             "--date", "2026-02-19", "--events", "50", "--seed", "123"],
+            check=True,
+        )
+    a = (tmp_path / "a" / "2026-02-19" / "events.jsonl").read_text()
+    b = (tmp_path / "b" / "2026-02-19" / "events.jsonl").read_text()
+    assert a == b
+
+
+def test_cli_full_lifecycle(spark, landing, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    warehouse = str(tmp_path / "warehouse")
+    reports = str(tmp_path / "reports")
+
+    assert cli.main(["load-live", "2026-02-19", "--landing", str(landing), "--bronze", bronze]) == 0
+    assert cli.main(["transform", "--bronze", bronze, "--warehouse", warehouse, "--csv"]) == 0
+    assert cli.main(["report", "--bronze", bronze, "--out", reports]) == 0
+
+    daily = spark.read.parquet(f"{warehouse}/fact_order_daily.parquet")
+    orders = spark.read.parquet(f"{warehouse}/fact_orders.parquet")
+    assert daily.count() > 0 and orders.count() > 0
+    # invariant: net = gross − refunds on every daily row
+    for r in daily.collect():
+        assert abs(r.net_revenue - (r.gross_revenue - r.total_refunds)) < 0.01
+    # duplicate replays collapsed: order ids unique
+    assert orders.select("order_id").distinct().count() == orders.count()
+    report_txt = (tmp_path / "reports" / "quality_report.txt").read_text()
+    assert "revenue_integrity" in report_txt and "orphans" in report_txt
