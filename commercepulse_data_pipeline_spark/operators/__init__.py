@@ -14,13 +14,19 @@ from commercepulse_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_candidate_pairs,
+    simhash_table,
     word_shingles,
 )
 from commercepulse_data_pipeline_spark.operators.joins import (
     anti_join,
+    asof_join,
     enrich,
     orphans,
     semi_join,
+)
+from commercepulse_data_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_join,
 )
 from commercepulse_data_pipeline_spark.operators.similarity import (
     cosine,
@@ -46,6 +52,7 @@ from commercepulse_data_pipeline_spark.operators.windows import (
 
 __all__ = [
     "anti_join",
+    "asof_join",
     "bpe_ish_tokens",
     "cosine",
     "cosine_topk",
@@ -67,11 +74,14 @@ __all__ = [
     "quality_score",
     "rolling_fingerprints",
     "running_total",
+    "salted_agg",
+    "salted_join",
     "semi_join",
     "session_stats",
     "sessionize",
     "simhash",
     "simhash_candidate_pairs",
+    "simhash_table",
     "token_count",
     "tokens",
     "top_n_per_group",

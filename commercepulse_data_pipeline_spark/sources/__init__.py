@@ -11,6 +11,7 @@ from commercepulse_data_pipeline_spark.sources.readers import (
     skip_count,
     valid_events,
     write_bronze,
+    write_bucketed,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "skip_count",
     "valid_events",
     "write_bronze",
+    "write_bucketed",
 ]
