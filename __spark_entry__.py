@@ -507,7 +507,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific). Bucket restrict → exact re-rank."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return sim.lsh_topk(e, list(qvec), k=10, n_planes=4)
+    return sim.lsh_topk(e, list(qvec), k=10, n_planes=4, probes=2)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,6 +579,26 @@ def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
         )
+    )
+
+
+def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, `stack`): per-date metric rows from the
+    daily stats — the inverse of pivot, a pure projection + generator
+    (no shuffle beyond the source aggregation)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(_iso_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("active_users"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    return daily.selectExpr(
+        "event_date",
+        "stack(3, 'n_events', n_events, 'active_users', active_users, "
+        "'total_value', total_value) AS (metric, metric_value)",
     )
 
 
@@ -718,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
         "status_pivot": q_status_pivot,
+        "unpivot_daily": q_unpivot_daily,
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
@@ -913,6 +934,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
                    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
             FROM events GROUP BY user_id
+        """,
+        "unpivot_daily": """
+            WITH daily AS (
+                SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+                       CAST(count(*) AS DOUBLE) AS n_events,
+                       CAST(count(DISTINCT user_id) AS DOUBLE) AS active_users,
+                       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+                FROM events GROUP BY 1
+            )
+            SELECT event_date, 'n_events' AS metric, n_events AS metric_value FROM daily
+            UNION ALL
+            SELECT event_date, 'active_users', active_users FROM daily
+            UNION ALL
+            SELECT event_date, 'total_value', total_value FROM daily
         """,
         "sql_regional_revenue": """
             SELECT n_name,

@@ -200,3 +200,42 @@ def test_dim_customer_first_seen(spark, silver):
     rows = {r.customer_id for r in dim.collect()}
     assert rows == {"C1", "c2@x.com", "C3"}  # NULL customer (O3) excluded
     assert build_dim_product(spark).count() == 1
+
+
+# --------------------------------------------------------------------------
+# CDC merge-upsert + SCD2 (MERGE INTO emulation)
+# --------------------------------------------------------------------------
+
+def test_merge_upsert(spark):
+    from commercepulse_data_pipeline_spark.plans.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [("O1", "pending", 1), ("O2", "confirmed", 1)], ["order_id", "status", "v"]
+    )
+    updates = spark.createDataFrame(
+        [("O1", "shipped", 2), ("O1", "confirmed", 1), ("O3", "pending", 1)],
+        ["order_id", "status", "v"],
+    )
+    out = {r.order_id: r.status for r in
+           merge_upsert(target, updates, ["order_id"], "v").collect()}
+    assert out == {"O1": "shipped", "O2": "confirmed", "O3": "pending"}
+
+
+def test_scd2_history_and_asof(spark):
+    from commercepulse_data_pipeline_spark.plans.scd import as_of, scd2_history
+
+    rows = [
+        ("O1", "pending", "2026-02-10 10:00:00"),
+        ("O1", "confirmed", "2026-02-11 09:00:00"),
+        ("O1", "shipped", "2026-02-12 08:00:00"),
+        ("O2", "pending", "2026-02-11 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["order_id", "status", "s"]).select(
+        "order_id", "status", F.to_timestamp("s").alias("ts")
+    )
+    hist = scd2_history(ev, ["order_id"], "ts")
+    current = {r.order_id: r.status for r in hist.where("is_current").collect()}
+    assert current == {"O1": "shipped", "O2": "pending"}
+    # point-in-time: on 2026-02-11 at noon O1 was confirmed
+    snap = {r.order_id: r.status for r in as_of(hist, "2026-02-11 12:30:00").collect()}
+    assert snap == {"O1": "confirmed", "O2": "pending"}
