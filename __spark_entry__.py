@@ -524,6 +524,26 @@ def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.detect_language(d, "text").select("doc_id", "detected_lang", F.col("lang_score"))
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only: sketch outputs are
+    estimator-specific by design): HyperLogLog++ distinct counts and
+    t-digest quantiles. These are THE 100 TB shapes — mergeable partial
+    sketches, map-side combine, no exact-distinct expand and no full sort;
+    exact twins (`countDistinct`, `percentile`) are oracle-checked in
+    `event_daily_stats` / `order_value_percentiles`."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type", "approx_users",
+        F.round(F.element_at("value_p50_p95", 1), 2).alias("p50"),
+        F.round(F.element_at("value_p50_p95", 2), 2).alias("p95"),
+        "n_events",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on real testdata: documents become
     opaque binary media rows (utf-8 bytes), decoded/featurized through the
@@ -765,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
         "media_features": q_media_features,
+        "approx_stats": q_approx_stats,
     }
 
 
