@@ -104,6 +104,102 @@ def extract_features(
     return media.select("media_id", "modality", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_sec", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, target: tuple[int, int] = (224, 224), batch_rows: int = 64
+) -> DataFrame:
+    """Image resize through the same Arrow-batched path as decode.
+
+    The resize itself is STUBBED (no PIL here): output bytes are a
+    deterministic function of (input bytes, target) so the distributed
+    contract — schema, batching, one output row per image row — is fully
+    testable; swap the inner function for `PIL.Image.resize` on a cluster
+    image that has it."""
+    import pandas as pd
+
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                # STUB: deterministic fake "resized" payload
+                fake = bytes([tw % 256, th % 256]) + content[: tw * th % 97]
+                out.append({"media_id": row["media_id"], "width": tw, "height": th, "content": fake})
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return (
+        media.where(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(
+    media: DataFrame, *, fps: float = 1.0, max_frames: int = 16, batch_rows: int = 16
+) -> DataFrame:
+    """Video frame sampling: one output ROW PER FRAME (row explosion
+    happens inside the Arrow batch, so a 2-hour video yields max_frames
+    rows without materializing the decode on the driver).
+
+    Frame extraction is STUBBED (no ffmpeg): frame bytes/timestamps are a
+    deterministic function of (content, index); duration comes from the
+    fake decoder. The real implementation swaps the inner loop for an
+    ffmpeg pipe — the Spark contract (schema, per-row fan-out, batch
+    sizing for big blobs) is what's under test."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                d = DeterministicFakeDecoder.decode(content, "video")
+                duration = d["duration_sec"] or 0.0
+                n = min(max_frames, max(1, int(duration * fps)))
+                for i in range(n):
+                    ts = i / fps
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_index": i,
+                            "frame_ts_sec": ts,
+                            # STUB: deterministic fake frame bytes
+                            "frame": bytes([i % 256]) + content[:32],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return (
+        media.where(F.col("modality") == "video")
+        .select("media_id", "content")
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — deliberately never references ``content`` so
     the parquet scan prunes the binary column entirely."""

@@ -86,3 +86,28 @@ def test_fake_decoder_deterministic():
     d1 = DeterministicFakeDecoder.decode(b"same bytes", "image")
     d2 = DeterministicFakeDecoder.decode(b"same bytes", "image")
     assert d1 == d2
+
+
+def test_resize_images_contract(media_df):
+    from commercepulse_data_pipeline_spark.multimodal import resize_images
+
+    out = resize_images(media_df, target=(224, 224)).collect()
+    # one row per IMAGE row only (3 images in the fixture)
+    assert len(out) == 3
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    # deterministic across partitionings
+    again = resize_images(media_df.repartition(4), target=(224, 224)).collect()
+    assert {r.media_id: bytes(r.content) for r in out} == \
+           {r.media_id: bytes(r.content) for r in again}
+
+
+def test_sample_frames_fanout(media_df):
+    from commercepulse_data_pipeline_spark.multimodal import sample_frames
+
+    out = sample_frames(media_df, fps=1.0, max_frames=5).collect()
+    # only the video row fans out; ≥1 and ≤ max_frames frames
+    ids = {r.media_id for r in out}
+    assert ids == {"vid-1"}
+    assert 1 <= len(out) <= 5
+    assert [r.frame_index for r in sorted(out, key=lambda r: r.frame_index)] == list(range(len(out)))
+    assert all(r.frame_ts_sec == r.frame_index / 1.0 for r in out)
