@@ -676,6 +676,23 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four aggregation levels of
+    (priority, year) — per-cell, per-priority, per-year, grand total —
+    in one pass / one shuffle (same machinery as ROLLUP with the full
+    power set)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_totalprice"),
+    )
+    return base.cube("o_orderpriority", "order_year").agg(
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() analytics window: monthly revenue with previous-month delta.
     The window partitions by nothing but operates on the (tiny) monthly
@@ -762,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
+        "revenue_cube": q_revenue_cube,
         "month_over_month": q_month_over_month,
         "docs_shared_passages": q_docs_shared_passages,
         "token_budget": q_token_budget,
@@ -998,6 +1016,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        """,
+        "revenue_cube": """
+            SELECT o_orderpriority,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         """,
         "month_over_month": """
             WITH monthly AS (

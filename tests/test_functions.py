@@ -157,3 +157,37 @@ def test_pandas_udf_extension_point(spark):
     assert abs(out[1].unit[0] - 0.6) < 1e-9 and abs(out[1].unit[1] - 0.8) < 1e-9
     assert out[2].norm == 0.0 and out[2].unit == [0.0, 0.0]
     assert out[3].norm is None and out[3].unit is None
+
+
+def test_approx_within_tolerance_of_exact(spark):
+    """Sketch aggregates (the 100 TB path) must land within their stated
+    error of the exact twins."""
+    df = spark.range(0, 20000).selectExpr(
+        "cast(id % 997 as string) AS k", "cast(id as double) AS v"
+    )
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx_k"),
+        F.countDistinct("k").alias("exact_k"),
+        F.percentile_approx("v", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(v, 0.5)").alias("exact_p50"),
+    ).collect()[0]
+    assert abs(row.approx_k - row.exact_k) / row.exact_k < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+
+
+def test_ddl_create_if_not_exists(spark, tmp_path):
+    """Reference K3 (sql/facts.sql DDL): CREATE TABLE IF NOT EXISTS via
+    spark.sql is idempotent; re-issue is a no-op, data survives."""
+    loc = str(tmp_path / "fact_tbl")
+    ddl = f"""
+        CREATE TABLE IF NOT EXISTS fact_ddl_test (
+            order_id STRING, amount DOUBLE, order_date DATE
+        ) USING parquet LOCATION '{loc}'
+    """
+    try:
+        spark.sql(ddl)
+        spark.sql("INSERT INTO fact_ddl_test VALUES ('O1', 10.0, DATE'2026-02-10')")
+        spark.sql(ddl)  # idempotent re-create
+        assert spark.table("fact_ddl_test").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fact_ddl_test")
