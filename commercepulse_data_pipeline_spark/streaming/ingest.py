@@ -74,6 +74,30 @@ def session_counts(
     )
 
 
+def late_arrival_counts(
+    stream: DataFrame, *, threshold_days: float = 1.0, watermark: str = "7 days"
+) -> DataFrame:
+    """Streaming late-data detection (reference Q9 detects in a batch
+    report, src/quality_report.py:72-98; generator emits 1-7-day-late
+    events): per-event-day counts of events whose ingestion lagged their
+    event time by more than ``threshold_days``. Rows later than the
+    watermark are dropped by the engine itself — this measures the late
+    ones that still made it."""
+    lag_days = (
+        F.unix_timestamp(F.to_timestamp("ingested_at")) - F.unix_timestamp("event_ts")
+    ) / F.lit(86400.0)
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((lag_days > threshold_days).cast("long")).alias("late_events"),
+            F.round(F.max(lag_days), 2).alias("max_lag_days"),
+        )
+        .select(F.to_date(F.col("day.start")).alias("event_date"), "n_events", "late_events", "max_lag_days")
+    )
+
+
 def write_bronze_stream(stream: DataFrame, path: str, checkpoint: str, trigger_once: bool = True):
     """Bronze sink: append parquet partitioned by event date, exactly-once
     via checkpointing. Combined with ``dedup_within_watermark`` this is

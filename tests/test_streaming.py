@@ -166,3 +166,22 @@ def test_stream_session_windows(spark, landing_dir):
     rows = spark.sql("SELECT * FROM session_sink").collect()
     assert rows and all(r.n_events >= 1 for r in rows)
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stream_late_arrival_counts(spark, landing_dir):
+    from commercepulse_data_pipeline_spark.streaming.ingest import late_arrival_counts
+
+    stream = read_event_stream(spark, f"{landing_dir}/*/events.jsonl")
+    q = (
+        late_arrival_counts(stream, threshold_days=1.0, watermark="30 days")
+        .writeStream.format("memory").queryName("late_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.event_date): r for r in spark.sql("SELECT * FROM late_sink").collect()}
+    # fixture pay-6: event_time 2026-02-13, ingested 2026-02-20 → 7 days late
+    assert rows["2026-02-13"].late_events >= 1
+    assert rows["2026-02-13"].max_lag_days >= 6.9
+    # totals match the raw stream (nothing dropped at this watermark):
+    # 16 envelope lines incl. the duplicate replay
+    assert sum(r.n_events for r in rows.values()) == 16
