@@ -445,7 +445,12 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows): the scalable
-    near-dup path — band-key equi-join, never O(n²)."""
+    near-dup path — posting-list bucket grouping, never O(n²).
+
+    ``max_bucket`` is effectively disabled here so the DuckDB oracle
+    (which has no cap) matches exactly at test SF; production sets the
+    operator's scale-safe default (~1000) — see _pairs_in_group's memory
+    note."""
     d = _docs(spark, sf_dir)
     return dd.minhash_candidate_pairs(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
@@ -453,7 +458,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.5 via shingle-inverted-index join."""
+    """Exact n-gram Jaccard pairs ≥ 0.5 via shingle inverted index.
+
+    ``max_shingle_freq`` effectively disabled for oracle parity at test
+    SF; production caps stop-shingles (~1000) — see _pairs_in_group."""
     d = _docs(spark, sf_dir)
     return dd.ngram_jaccard_pairs(
         d, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_freq=1000000

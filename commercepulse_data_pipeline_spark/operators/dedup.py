@@ -133,6 +133,11 @@ def _pairs_in_group(ids: Column) -> Column:
     """All ordered pairs (id_a < id_b) from an array of ids, as
     array<struct<id_a,id_b>> — pure Catalyst (nested transform over the
     sorted array), generated inside the aggregation stage with no join."""
+    # Memory note: the pair array materializes len²/2 structs PER BUCKET
+    # ROW before the downstream explode — callers must cap bucket width
+    # (max_bucket / max_shingle_freq ≈ 1000 → ≤ ~500k pairs ≈ a few MB).
+    # Wider buckets are near-useless for similarity anyway (stop-shingles,
+    # boilerplate); drop or salt them instead of generating their pairs.
     s = F.array_sort(ids)
     return F.flatten(
         F.transform(
