@@ -518,6 +518,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, list(qvec), k=10, n_planes=4, probes=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate ANN (rows-only: centroid init is
+    engine-hash-seeded): deterministic k-means-lite coarse quantizer,
+    probe the 2 nearest inverted lists, exact cosine re-rank. Bucketing
+    the corpus by centroid_id turns the probe into partition pruning."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    assigned, cents = sim.ivf_assign(e, n_centroids=8, iters=1)
+    return sim.ivf_topk(assigned, cents, qvec, k=10, nprobe=2)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates via 16-bit block LSH (rows-only:
     xxhash64 is Spark-specific)."""
@@ -808,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms_by_label": q_embedding_norms_by_label,
         # rows-only (no oracle): engine-specific hash/PRNG families
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
         "media_features": q_media_features,

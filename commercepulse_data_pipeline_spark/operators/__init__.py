@@ -31,6 +31,8 @@ from commercepulse_data_pipeline_spark.operators.skew import (
 from commercepulse_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk,
+    ivf_assign,
+    ivf_topk,
     knn_join,
     lsh_topk,
 )
@@ -61,6 +63,8 @@ __all__ = [
     "enrich",
     "exact_dedup",
     "idempotent_append",
+    "ivf_assign",
+    "ivf_topk",
     "keep_first",
     "knn_join",
     "last_writer_wins",

@@ -134,6 +134,97 @@ def lsh_topk(
     return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: deterministic k-means-lite over DataFrame ops.
+
+    Init: the ``n_centroids`` corpus vectors with the lowest xxhash64(id)
+    (a deterministic pseudo-random sample — no Math.random, reproducible).
+    Each Lloyd iteration: broadcast centroids → per-row argmin (pure
+    Catalyst expression over the literal centroid arrays) → groupBy mean.
+    Returns (corpus + ``centroid_id`` column, centroid list).
+
+    Scale: centroids are tiny (driver-held literals); the corpus is
+    scanned once per iteration with NO shuffle except the k-row centroid
+    re-average. Persist the assigned corpus partitioned/bucketed by
+    ``centroid_id`` and ``ivf_topk`` turns into partition pruning.
+    """
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r[1])) for r in sample]
+
+    def assign_expr(cents: list[list[float]]) -> Column:
+        dists = [
+            F.struct(
+                _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        return F.array_min(F.array(*dists))["cid"]
+
+    for _ in range(iters):
+        assigned = corpus.withColumn("centroid_id", assign_expr(centroids))
+        dim = len(centroids[0])
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cents = list(centroids)
+        for r in means:
+            new_cents[r["centroid_id"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = new_cents
+
+    assigned = corpus.withColumn("centroid_id", assign_expr(centroids))
+    return assigned, list(enumerate(centroids))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF: rank centroids by distance to the query
+    (driver-side, tiny), scan only the ``nprobe`` nearest inverted lists,
+    exact cosine re-rank inside them. With the corpus bucketed by
+    ``centroid_id`` the probe is partition pruning, not a filter scan."""
+    def d2(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probe_ids = [cid for cid, c in sorted(centroids, key=lambda t: d2(t[1]))[:nprobe]]
+    bucketed = assigned.where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

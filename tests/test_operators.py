@@ -238,3 +238,25 @@ def test_lsh_multiprobe_recall_improves(spark):
     # only improve
     assert len(multi & exact) >= len(one & exact)
     assert one <= multi | one  # sanity: both sorted subsets of the corpus
+
+
+def test_ivf_assign_and_topk(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 9.0) * (1 + i % 3), math.sin(i / 9.0) * (1 + i % 3), 1.0])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = sim.ivf_assign(df, n_centroids=6, iters=2)
+    # every row gets exactly one centroid in range
+    got = assigned.select("centroid_id").distinct().collect()
+    assert all(0 <= r.centroid_id < 6 for r in got)
+    assert assigned.count() == 120
+    # determinism: same input → same assignment
+    assigned2, cents2 = sim.ivf_assign(df, n_centroids=6, iters=2)
+    assert cents == cents2
+    # probe search returns k results, ranked, with decent overlap vs exact
+    q = [1.5, 0.5, 1.0]
+    exact = [r.vec_id for r in sim.cosine_topk(df, q, k=5).collect()]
+    approx = [r.vec_id for r in sim.ivf_topk(assigned, cents, q, k=5, nprobe=3).collect()]
+    assert len(approx) == 5
+    assert len(set(exact) & set(approx)) >= 3  # recall ≥ 0.6 at nprobe=3/6
