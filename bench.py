@@ -36,6 +36,9 @@ HEADLINE = [
     "simhash_pairs",
     "ann_cosine_topk",
     "embedding_knn",
+    "sql_regional_revenue",
+    "session_windows",
+    "docs_shared_passages",
 ]
 
 
