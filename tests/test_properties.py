@@ -152,3 +152,51 @@ def test_simhash_recall_guarantee(spark, corpus, threshold):
             ham = bin((sigs[ia] ^ sigs[ib]) & ((1 << 64) - 1)).count("1")
             if ham <= threshold:
                 assert (ia, ib) in got, f"missed pair {(ia, ib)} at hamming {ham}"
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("pqrstu"), min_size=3, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_exact_duplicates_always_pair(spark, texts):
+    """Identical documents MUST share a signature and appear as a
+    candidate pair in every banding (LSH never misses exact dups)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_id = 1000
+    rows.append((dup_id, texts[0]))  # exact duplicate of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_candidate_pairs(
+            df, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert (0, dup_id) in pairs
+
+
+@given(
+    quotes=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 99)), min_size=1, max_size=10),
+    trades=st.lists(st.integers(0, 25), min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, quotes, trades):
+    from commercepulse_data_pipeline_spark.operators.joins import asof_join
+
+    # dedupe driver-side so model and DataFrame agree exactly
+    # (dropDuplicates keeps an arbitrary row — a latent flake)
+    dedup_quotes: dict[int, float] = {}
+    for t, v in quotes:
+        dedup_quotes.setdefault(t, float(v))
+    qdf = spark.createDataFrame(
+        [("K", t, v) for t, v in dedup_quotes.items()], "sym string, qt long, px double"
+    )
+    tdf = spark.createDataFrame([("K", t) for t in set(trades)], "sym string, tt long")
+    got = {r.tt: r.px for r in asof_join(tdf, qdf, ["sym"], "tt", "qt", ["px"]).collect()}
+    for tt in set(trades):
+        eligible = [(qt, px) for qt, px in dedup_quotes.items() if qt <= tt]
+        expected = max(eligible)[1] if eligible else None
+        assert got[tt] == expected, (tt, got[tt], expected)
