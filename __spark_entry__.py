@@ -868,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(round(sum(p.order_rev), 2) AS DOUBLE), 0.0) AS gross_revenue,
                    coalesce(CAST(round(sum(p.returned_amt), 2) AS DOUBLE), 0.0) AS returned_amount,
                    count(*) AS order_count,
-                   sum(CASE WHEN p.returned_amt > 0 THEN 1 ELSE 0 END) AS returned_order_count,
+                   CAST(sum(CASE WHEN p.returned_amt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS returned_order_count,
                    CASE WHEN count(*) > 0 THEN
                      round(sum(CASE WHEN p.returned_amt > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
                    END AS return_rate
@@ -952,16 +952,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderpriority,
                    count(*) AS n_shipments,
                    round(CAST(sum(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) AS DOUBLE) / 86400000000.0 / count(*), 4) AS avg_days_to_ship,
-                   sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 7 * 86400000000.0 THEN 1 ELSE 0 END) AS over_7d,
-                   sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 30 * 86400000000.0 THEN 1 ELSE 0 END) AS over_30d
+                   CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 7 * 86400000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS over_7d,
+                   CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 30 * 86400000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS over_30d
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
         """,
         "completeness": """
             SELECT count(*) AS total_events,
-                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-                   sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS zero_value,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+                   CAST(sum(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_value,
                    count(DISTINCT user_id) AS distinct_users,
                    CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
             FROM events
@@ -987,11 +987,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "status_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
             FROM events GROUP BY user_id
         """,
         "unpivot_daily": """
@@ -1083,9 +1083,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT source, count(*) AS n_docs,
-                   sum(ws_tokens) AS total_ws_tokens,
-                   sum(bpe_tokens) AS total_bpe_tokens,
-                   sum(n_chars_raw) AS total_chars,
+                   CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                   CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+                   CAST(sum(n_chars_raw) AS BIGINT) AS total_chars,
                    round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 4) AS bpe_per_word
             FROM staged GROUP BY source
         """,
