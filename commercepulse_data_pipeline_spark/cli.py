@@ -28,11 +28,24 @@ def _spark():
     return get_spark(app_name="commercepulse-cli")
 
 
-def _silver_tables(spark, bronze: str):
-    from commercepulse_data_pipeline_spark.plans import silver
+def _silver_tables(spark, bronze: str, ref_compat: bool = False):
     from commercepulse_data_pipeline_spark.sources.readers import read_bronze
 
     events = read_bronze(spark, bronze)
+    if ref_compat:
+        # Bug-compat reference mode (compat.py): reference type sets and
+        # key maps, quirks Q1/Q2 included — reproduces the reference's
+        # shipped warehouse bit-for-bit (tests/test_golden_replay.py).
+        from commercepulse_data_pipeline_spark import compat
+
+        events = compat.ensure_pos(events)
+        return (
+            compat.normalize_orders_ref(events),
+            compat.normalize_payments_ref(events),
+            compat.normalize_refunds_ref(events),
+        )
+    from commercepulse_data_pipeline_spark.plans import silver
+
     return (
         silver.normalize_orders(events),
         silver.normalize_payments(events),
@@ -88,8 +101,13 @@ def cmd_transform(args) -> int:
     from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
 
     spark = _spark()
-    orders, payments, refunds = _silver_tables(spark, args.bronze)
-    daily = build_fact_order_daily(orders, payments, refunds)
+    orders, payments, refunds = _silver_tables(spark, args.bronze, args.ref_compat)
+    if args.ref_compat:
+        from commercepulse_data_pipeline_spark.compat import build_fact_order_daily_ref
+
+        daily = build_fact_order_daily_ref(orders, payments, refunds)
+    else:
+        daily = build_fact_order_daily(orders, payments, refunds)
     w = args.warehouse
     _write(orders, f"{w}/fact_orders", args.csv)
     _write(payments, f"{w}/fact_payments", args.csv)
@@ -107,7 +125,7 @@ def cmd_report(args) -> int:
     from commercepulse_data_pipeline_spark.plans.quality import full_report
 
     spark = _spark()
-    orders, payments, refunds = _silver_tables(spark, args.bronze)
+    orders, payments, refunds = _silver_tables(spark, args.bronze, args.ref_compat)
     sections = full_report(orders, payments, refunds)
     lines = ["DATA QUALITY REPORT", "=" * 40]
     for name, df in sections.items():
@@ -162,11 +180,13 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--bronze", required=True)
     t.add_argument("--warehouse", required=True)
     t.add_argument("--csv", action="store_true", help="also write single-file CSVs")
+    t.add_argument("--ref-compat", action="store_true", help="bug-compat reference mode (quirks Q1/Q2 intact)")
     t.set_defaults(fn=cmd_transform)
 
     r = sub.add_parser("report", help="data-quality report")
     r.add_argument("--bronze", required=True)
     r.add_argument("--out", default=None)
+    r.add_argument("--ref-compat", action="store_true", help="bug-compat reference mode (quirks Q1/Q2 intact)")
     r.set_defaults(fn=cmd_report)
 
     d = sub.add_parser("dims", help="dimension tables")

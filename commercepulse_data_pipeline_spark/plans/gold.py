@@ -42,12 +42,19 @@ def build_fact_order_daily(
     refunds: DataFrame,
     *,
     revenue_all_statuses: bool = True,
+    paid_count_per_payment: bool = False,
 ) -> DataFrame:
     """Daily per-vendor revenue rollup (reference src/transformer.py:130-165).
 
     ``revenue_all_statuses=True`` reproduces the daily-fact gross
     definition (Q3: failed payments included); False switches to the
     quality-report success-only definition.
+
+    ``paid_count_per_payment=True`` is the reference's exact paid_count
+    (number of successful PAYMENTS in the group, src/transformer.py:142 —
+    can exceed order_count, so payment_success_rate can exceed 1.0); the
+    default counts ORDERS with at least one successful payment (the fixed
+    semantic our oracle queries use).
     """
     pay_per_order = payments.groupBy("order_id").agg(
         F.sum("payment_amount").alias("pay_amount_all"),
@@ -68,7 +75,11 @@ def build_fact_order_daily(
         F.round(F.coalesce(F.sum(gross_col), F.lit(0.0)), 2).alias("gross_revenue"),
         F.round(F.coalesce(F.sum("refund_amount"), F.lit(0.0)), 2).alias("total_refunds"),
         F.count(F.lit(1)).alias("order_count"),
-        F.sum(F.when(F.col("n_success_payments") > 0, 1).otherwise(0)).alias("paid_count"),
+        (
+            F.sum(F.coalesce(F.col("n_success_payments"), F.lit(0)))
+            if paid_count_per_payment
+            else F.sum(F.when(F.col("n_success_payments") > 0, 1).otherwise(0))
+        ).alias("paid_count"),
     )
     return daily.select(
         "order_date",

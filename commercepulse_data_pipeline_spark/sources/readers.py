@@ -39,6 +39,16 @@ ENVELOPE_SCHEMA = T.StructType(
 
 # Candidate key lists from the reference's envelope synthesis
 # (src/bootstrap_loader.py:32-43 natural key, :46-53 event time, :56-60 vendor).
+# The natural-key map is PER EVENT TYPE (reference key_map,
+# src/bootstrap_loader.py:32-37): a historical_payment record containing
+# both order_id and payment_id keys hashes on payment_id — a flat global
+# priority list would pick order_id and produce a different event_id.
+NATURAL_KEY_MAP = {
+    "historical_order": ("order_id", "id"),
+    "historical_payment": ("payment_id", "id", "transaction_id"),
+    "historical_shipment": ("shipment_id", "id", "tracking_id"),
+    "historical_refund": ("refund_id", "id"),
+}
 NATURAL_KEY_CANDIDATES = ("order_id", "payment_id", "refund_id", "id", "transaction_id", "tracking_id")
 EVENT_TIME_CANDIDATES = ("created_at", "order_date", "payment_date", "shipped_at", "refund_date", "timestamp", "date")
 VENDOR_CANDIDATES = ("vendor_id", "vendor", "seller_id", "merchant_id")
@@ -84,7 +94,8 @@ def read_historical_json(
     cols = set(raw.columns)
     def candidates(names):
         return [F.col(n).cast("string") for n in names if n in cols] or [F.lit(None).cast("string")]
-    natural_key = coalesce_keys(candidates(NATURAL_KEY_CANDIDATES), skip_falsy=True)
+    key_names = NATURAL_KEY_MAP.get(event_type, NATURAL_KEY_CANDIDATES)
+    natural_key = coalesce_keys(candidates(key_names), skip_falsy=True)
     evt_time = coalesce_keys(candidates(EVENT_TIME_CANDIDATES), skip_falsy=True)
     vendor = F.coalesce(coalesce_keys(candidates(VENDOR_CANDIDATES), skip_falsy=True), F.lit("unknown"))
     # payload = the whole record re-serialized as canonical JSON
