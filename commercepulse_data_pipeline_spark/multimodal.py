@@ -73,17 +73,30 @@ def real_decode(content: bytes, modality: str) -> dict:
     )
 
 
+def _chunked(batches, batch_rows: int):
+    """Re-slice incoming Arrow batches to ≤ batch_rows rows each, INSIDE
+    the worker. This bounds the decode working set and per-yield output
+    size without mutating ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    on the shared session (engine code must not leave lasting side effects
+    on a driver-owned session — session.py contract)."""
+    for pdf in batches:
+        for lo in range(0, len(pdf), batch_rows):
+            yield pdf.iloc[lo : lo + batch_rows]
+
+
 def extract_features(
     media: DataFrame, *, decoder=DeterministicFakeDecoder.decode, batch_rows: int = 64
 ) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched, no per-row
-    Python overhead). ``batch_rows`` bounds bytes-per-batch for large
-    blobs — at 100 TB this is the knob that keeps executors from OOMing
-    on 4K video rows."""
+    Python overhead). ``batch_rows`` bounds rows-per-decode-chunk for
+    large blobs — at 100 TB this is the knob that keeps executors from
+    OOMing on 4K video rows (pair with a caller-side
+    ``arrow.maxRecordsPerBatch`` / size-based repartition to also bound
+    the Arrow transfer batch)."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             out = []
             for _, row in pdf.iterrows():
                 d = decoder(row["content"], row["modality"])
@@ -99,8 +112,6 @@ def extract_features(
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return media.select("media_id", "modality", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
@@ -138,7 +149,7 @@ def resize_images(
     tw, th = target
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             out = []
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
@@ -147,8 +158,6 @@ def resize_images(
                 out.append({"media_id": row["media_id"], "width": tw, "height": th, "content": fake})
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return (
         media.where(F.col("modality") == "image")
         .select("media_id", "content")
@@ -171,7 +180,7 @@ def sample_frames(
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             out = []
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
@@ -191,8 +200,6 @@ def sample_frames(
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return (
         media.where(F.col("modality") == "video")
         .select("media_id", "content")

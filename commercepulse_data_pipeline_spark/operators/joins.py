@@ -69,8 +69,15 @@ def asof_join(
     from pyspark.sql import Window
 
     l = left.withColumn("__is_left", F.lit(1)).withColumn("__asof_ts", F.col(left_ts))
+    # The value columns travel as ONE struct so the most recent right row
+    # wins atomically — filling each column independently with
+    # last(ignorenulls) would backfill a NULL field of the latest right row
+    # from an OLDER row, mixing fields across right rows (pandas merge_asof
+    # takes the latest row wholesale, NULLs included).
     r = right.select(
-        *key_cols, F.col(right_ts).alias("__asof_ts"), *value_cols
+        *key_cols,
+        F.col(right_ts).alias("__asof_ts"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__asof_row"),
     ).withColumn("__is_left", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -78,8 +85,8 @@ def asof_join(
         .orderBy(F.col("__asof_ts").asc_nulls_first(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        *[c for c in u.columns if c not in value_cols],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+    filled = u.withColumn("__asof_row", F.last("__asof_row", ignorenulls=True).over(w))
+    return filled.where(F.col("__is_left") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__asof_row.{c}").alias(c) for c in value_cols],
     )
-    return filled.where(F.col("__is_left") == 1).drop("__is_left", "__asof_ts")

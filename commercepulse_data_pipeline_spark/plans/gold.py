@@ -122,20 +122,44 @@ def normalize_currency(
     """Q7 fix (SURVEY §1.4): the reference ships daily USDNGN rates
     (data/fx_rates_2023.csv) but never reads them — all revenue sums mix
     USD and NGN. Here USD amounts convert to the base currency using the
-    rate in effect on the fact's date (backward as-of join, so gap days
-    fall back to the latest earlier rate).
+    rate in effect on the fact's date (backward as-of semantics, so gap
+    days fall back to the latest earlier rate).
 
     ``fx_rates`` is the ``sources.readers.read_fx_rates`` shape
-    (fx_date, usd_ngn). The rate table is tiny → the as-of union's window
-    cost is dominated by one shuffle of the facts on the (empty) key,
-    i.e. a single global sweep; for per-currency-pair tables add the pair
-    to the key columns.
-    """
-    from commercepulse_data_pipeline_spark.operators.joins import asof_join
+    (fx_date, usd_ngn).
 
-    with_rate = asof_join(
-        facts, fx_rates, key_cols=[], left_ts=date_col, right_ts="fx_date",
-        value_cols=["usd_ngn"],
+    Scale shape: rates are DAILY, so the as-of is precomputable — forward
+    -fill the tiny rate table onto a complete calendar (a window over a
+    few thousand calendar rows, driver-trivial), then BROADCAST equi-join
+    on the fact date. The facts never shuffle and there is no global
+    window; the only fact-side work is one column-pruned max(date) pass
+    to bound the calendar (pass a keyed as-of via ``operators.joins.
+    asof_join`` instead when the right side is not densifiable).
+    """
+    from pyspark.sql import Window
+
+    fact_date = F.to_date(F.col(date_col))
+    bounds = fx_rates.agg(
+        F.min("fx_date").alias("lo"), F.max("fx_date").alias("hi")
+    ).first()
+    out_amount = f"{amount_col}_{base_currency.lower()}"
+    if bounds["lo"] is None:  # no rates at all → everything passes through
+        return facts.withColumn(out_amount, F.round(F.col(amount_col), 2)).withColumn(
+            "fx_rate_applied", F.lit(None).cast("double")
+        )
+    fact_hi = facts.agg(F.max(fact_date).alias("hi")).first()["hi"]
+    hi = max(d for d in (bounds["hi"], fact_hi) if d is not None)
+    calendar = facts.sparkSession.sql(
+        f"SELECT explode(sequence(DATE'{bounds['lo']}', DATE'{hi}', interval 1 day)) AS fx_date"
+    )
+    ff = Window.orderBy("fx_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily_rates = calendar.join(fx_rates, "fx_date", "left").select(
+        "fx_date", F.last("usd_ngn", ignorenulls=True).over(ff).alias("usd_ngn")
+    )
+    with_rate = facts.withColumn("__fx_date", fact_date).join(
+        F.broadcast(daily_rates.withColumnRenamed("fx_date", "__fx_date")),
+        "__fx_date",
+        "left",
     )
     cur = F.upper(F.coalesce(F.col(currency_col), F.lit(base_currency)))
     converted = F.when(
@@ -143,7 +167,7 @@ def normalize_currency(
         F.col(amount_col) * F.col("usd_ngn"),
     ).otherwise(F.col(amount_col))
     return (
-        with_rate.withColumn(f"{amount_col}_{base_currency.lower()}", F.round(converted, 2))
+        with_rate.withColumn(out_amount, F.round(converted, 2))
         .withColumn("fx_rate_applied", F.when(cur == "USD", F.col("usd_ngn")))
-        .drop("usd_ngn")
+        .drop("usd_ngn", "__fx_date")
     )

@@ -99,11 +99,21 @@ def late_arrival_counts(
 
 
 def write_bronze_stream(stream: DataFrame, path: str, checkpoint: str, trigger_once: bool = True):
-    """Bronze sink: append parquet partitioned by event date, exactly-once
-    via checkpointing. Combined with ``dedup_within_watermark`` this is
-    the reference's idempotent landing zone, distributed."""
+    """Bronze sink: append parquet partitioned by INGESTION date,
+    exactly-once via checkpointing. Combined with ``dedup_within_watermark``
+    this is the reference's idempotent landing zone, distributed.
+
+    ``ingest_date`` derives from ``ingested_at`` (processing time, falling
+    back to the batch-time clock) — the same layout the batch
+    ``sources.readers.write_bronze`` produces, so batch and streaming
+    bronze agree under one partition-column name. Event-time layouts
+    belong to silver/gold, not the landing zone (a 7-day-late event must
+    land in TODAY's partition or daily replays would rewrite old ones)."""
     writer = (
-        stream.withColumn("ingest_date", F.to_date("event_ts"))
+        stream.withColumn(
+            "ingest_date",
+            F.coalesce(F.to_date(F.substring("ingested_at", 1, 10)), F.current_date()),
+        )
         .writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)

@@ -42,6 +42,18 @@ def test_asof_join_backward_with_gaps(spark):
     }
 
 
+def test_asof_join_latest_row_wins_atomically(spark):
+    """A NULL field in the most recent right row must stay NULL — not be
+    backfilled from an older right row (merge_asof takes the latest row
+    wholesale; per-column fills would mix fields across right rows)."""
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0, 100.0), ("A", 5, None, 500.0)], ["sym", "qt", "bid", "ask"]
+    )
+    trades = spark.createDataFrame([("A", 7)], ["sym", "tt"])
+    row = asof_join(trades, quotes, ["sym"], "tt", "qt", ["bid", "ask"]).first()
+    assert row.bid is None and row.ask == 500.0
+
+
 def test_asof_join_rejects_column_collision(spark):
     df = spark.createDataFrame([("A", 1, 1.0)], ["sym", "t", "px"])
     with pytest.raises(ValueError, match="collide"):
@@ -80,6 +92,28 @@ def test_normalize_currency_asof_and_passthrough(spark, fx_csv):
     assert out["o2"].amount_ngn == 304000.0
     assert out["o3"].amount_ngn == 5000.0 and out["o3"].fx_rate_applied is None
     assert out["o4"].amount_ngn == 300.0
+
+
+def test_normalize_currency_plan_is_broadcast_no_global_window(spark, fx_csv):
+    """Scale regression (VERDICT r1 #6): the fact side must join a
+    broadcast forward-filled calendar — not funnel through a keyless
+    single-partition window."""
+    facts = (
+        spark.range(1000)
+        .select(
+            F.col("id").cast("string").alias("order_id"),
+            (F.col("id") * 1.0).alias("amount"),
+            F.date_add(F.lit("2026-02-09").cast("date"), (F.col("id") % 5).cast("int")).alias("order_date"),
+            F.when(F.col("id") % 7 == 0, "USD").otherwise("NGN").alias("currency"),
+        )
+    )
+    out = normalize_currency(facts, fx_csv, amount_col="amount", date_col="order_date")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Window allowed is the one over the tiny calendar (below the
+    # broadcast exchange), never over the fact scan side
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Window" not in fact_side
 
 
 # --------------------------------------------------------------------------
