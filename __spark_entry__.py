@@ -605,15 +605,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates via 16-bit block LSH (rows-only:
-    xxhash64 is Spark-specific)."""
+    """SimHash near-dup pairs via block LSH. Oracle-checked: the hash
+    family is md5-derived (_md5_long) so DuckDB reproduces the exact
+    signatures, and the pigeonhole guarantee makes the block-LSH output
+    identical to the oracle's all-pairs hamming filter."""
     d = _docs(spark, sf_dir)
-    return dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6)
+    out = dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language-ID heuristic (argmax over per-language
-    scores)."""
+    """Stopword-ratio language-ID heuristic. Oracle-checked: argmax via
+    array_max(struct(score, lang)) ties deterministically on the
+    lexicographically greatest language code — replicated in SQL."""
     d = _docs(spark, sf_dir)
     return tx.detect_language(d, "text").select("doc_id", "detected_lang", F.col("lang_score"))
 
@@ -911,6 +915,76 @@ _SHINGLES3 = (
     "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),"
     " i -> array_to_string(t[i:i+2], ' ')))"
 )
+# 2-token shingles (simhash_table default), same construction.
+_SHINGLES2 = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
+    " i -> array_to_string(t[i:i+1], ' ')))"
+)
+
+
+def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
+    """DuckDB twin of q_simhash_pairs. The Spark side generates candidates
+    with block-LSH, but the pigeonhole guarantee (threshold < blocks ⇒
+    every true pair shares a block) makes the OUTPUT exactly 'all pairs
+    with hamming(sig_a, sig_b) <= threshold' — engine-independent given
+    the same signatures. Signatures derive from md5: first 16 hex chars
+    as a signed big-endian 64-bit value (operators/dedup.py::_md5_long),
+    per-bit majority vote."""
+    # hex nibble j (0-based, big-endian) of md5(shingle)
+    nib = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    terms = [f"(CASE WHEN {nib.format(pos=1)} >= 8 THEN {nib.format(pos=1)} - 16 ELSE {nib.format(pos=1)} END) * {16**15}"]
+    terms += [f"{nib.format(pos=j + 1)} * {16 ** (15 - j)}" for j in range(1, 16)]
+    v64 = " + ".join(terms)
+    bit_sums = ",\n                   ".join(
+        f"sum(CAST((v >> {i}) & 1 AS BIGINT)) AS b{i}" for i in range(64)
+    )
+    sig_terms = [f"(CASE WHEN 2 * b{i} > n THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(63)]
+    sig_terms.append("(CASE WHEN 2 * b63 > n THEN (-9223372036854775807 - 1) ELSE 0 END)")
+    sig = " + ".join(sig_terms)
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES2}) AS s FROM toks),
+        hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+        hv AS (SELECT doc_id, {v64} AS v FROM hx),
+        bits AS (SELECT doc_id, count(*) AS n,
+                   {bit_sums}
+                 FROM hv GROUP BY doc_id),
+        sigs AS (SELECT doc_id, {sig} AS sig FROM bits WHERE n > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
+    """
+
+
+def _lang_detect_oracle_sql() -> str:
+    """DuckDB twin of q_docs_lang_detect: per-language stopword-hit
+    ratios, argmax with the SAME tie-break Spark's array_max over
+    struct(score, lang) applies — greatest score, then LEXICOGRAPHICALLY
+    GREATEST language code."""
+    from commercepulse_data_pipeline_spark.operators.text import _STOPWORDS
+
+    per_lang = "\n            UNION ALL\n".join(
+        "SELECT doc_id, '{lang}' AS lang, CASE WHEN len(t) > 0 THEN "
+        "len(list_filter(t, x -> x IN ({words}))) / CAST(len(t) AS DOUBLE) "
+        "ELSE 0.0 END AS score FROM toks".format(
+            lang=lang, words=", ".join("'" + w + "'" for w in words)
+        )
+        for lang, words in _STOPWORDS.items()
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        scored AS ({per_lang}),
+        best AS (
+            SELECT doc_id, lang, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+            FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN score > 0 THEN lang ELSE 'und' END AS detected_lang,
+               round(score, 6) AS lang_score
+        FROM best WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1362,6 +1436,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "embedding_selfknn": _selfknn_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
+        "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,
                    count(*) AS n_vectors,

@@ -326,6 +326,17 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _md5_long(s: Column) -> Column:
+    """First 64 bits of md5(s) as a signed long (big-endian over the first
+    16 hex chars, two's complement). Chosen over xxhash64 so the hash
+    family is ENGINE-REPRODUCIBLE — the DuckDB oracle derives the
+    identical value from the same hex digits (VERDICT r1 #5)."""
+    h = F.md5(s)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def _simhash_from_hashes(hashes: Column, n: Column, bits: int = 64) -> Column:
     """SimHash from an ALREADY-MATERIALIZED array of 64-bit hashes.
 
@@ -374,7 +385,7 @@ def simhash_table(
     hashed = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    ).select(id_col, _md5_long(F.col("__s")).alias("__h"))
     aggs = [
         F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1)).cast("int")).alias(f"b{i}")
         for i in range(bits)
@@ -399,7 +410,7 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     in real plans — as one inline expression Catalyst re-expands the
     shingle/hash subtrees per bit (see _simhash_from_hashes)."""
     shingles = word_shingles(text, shingle_n)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hashes = F.transform(shingles, lambda s: _md5_long(s))
     return _simhash_from_hashes(hashes, F.size(shingles), bits)
 
 
