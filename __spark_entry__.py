@@ -294,6 +294,34 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fact_shipments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_shipments semantics on the driver tables (Q8 upgrade,
+    plans/silver.py::normalize_shipments + plans/quality.py::
+    shipment_latency_metrics): lineitem rows act as shipment updates per
+    order; last-writer-wins picks the CURRENT state (ship date desc,
+    line number as tie-break); rollup per (priority, current status)
+    with order→last-update latency and P6 threshold counts."""
+    from commercepulse_data_pipeline_spark.operators.dedup import last_writer_wins
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    upd = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_returnflag").alias("current_status"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+        F.col("l_linenumber").alias("line_no"),
+    )
+    cur = last_writer_wins(upd, ["order_id"], "ship_ts", tiebreak_cols=["line_no"])
+    j = cur.join(o, cur.order_id == o.o_orderkey)
+    lag_us = F.unix_micros(F.col("ship_ts")) - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    day_us = 86400.0 * 1_000_000
+    return j.groupBy("o_orderpriority", "current_status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(lag_us).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_last_update"),
+        F.sum((lag_us > 7 * day_us).cast("long")).alias("over_7d"),
+        F.sum((lag_us > 30 * day_us).cast("long")).alias("over_30d"),
+    )
+
+
 def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 global scalar aggregates + P4/P5 null/zero predicates
     (src/quality_report.py:45-48)."""
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_customers": q_orphan_customers,
         "big_spender_segments": q_big_spender_segments,
         "ship_latency": q_ship_latency,
+        "fact_shipments_rollup": q_fact_shipments_rollup,
         "completeness": q_completeness,
         "top_customers": q_top_customers,
         "union_actors": q_union_actors,
@@ -1106,6 +1135,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 30 * 86400000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS over_30d
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1
+        """,
+        "fact_shipments_rollup": """
+            WITH cur AS (
+                SELECT order_id, current_status, ship_ts FROM (
+                    SELECT l_orderkey AS order_id,
+                           l_returnflag AS current_status,
+                           l_shipdate AS ship_ts,
+                           row_number() OVER (
+                               PARTITION BY l_orderkey
+                               ORDER BY l_shipdate DESC, l_linenumber DESC
+                           ) AS rn
+                    FROM lineitem
+                ) WHERE rn = 1
+            )
+            SELECT o.o_orderpriority, c.current_status,
+                   count(*) AS n_orders,
+                   round(CAST(sum(epoch_us(c.ship_ts) - epoch_us(o.o_orderdate)) AS DOUBLE) / 86400000000.0 / count(*), 4) AS avg_days_to_last_update,
+                   CAST(sum(CASE WHEN epoch_us(c.ship_ts) - epoch_us(o.o_orderdate) > 7 * 86400000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS over_7d,
+                   CAST(sum(CASE WHEN epoch_us(c.ship_ts) - epoch_us(o.o_orderdate) > 30 * 86400000000.0 THEN 1 ELSE 0 END) AS BIGINT) AS over_30d
+            FROM cur c JOIN orders o ON c.order_id = o.o_orderkey
+            GROUP BY 1, 2
         """,
         "completeness": """
             SELECT count(*) AS total_events,

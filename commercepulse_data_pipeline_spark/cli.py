@@ -36,6 +36,8 @@ def _silver_tables(spark, bronze: str, ref_compat: bool = False):
         # Bug-compat reference mode (compat.py): reference type sets and
         # key maps, quirks Q1/Q2 included — reproduces the reference's
         # shipped warehouse bit-for-bit (tests/test_golden_replay.py).
+        # Shipments stay None: Q8 (no shipment consumer) is part of the
+        # reference behavior being reproduced.
         from commercepulse_data_pipeline_spark import compat
 
         events = compat.ensure_pos(events)
@@ -43,6 +45,7 @@ def _silver_tables(spark, bronze: str, ref_compat: bool = False):
             compat.normalize_orders_ref(events),
             compat.normalize_payments_ref(events),
             compat.normalize_refunds_ref(events),
+            None,
         )
     from commercepulse_data_pipeline_spark.plans import silver
 
@@ -50,6 +53,7 @@ def _silver_tables(spark, bronze: str, ref_compat: bool = False):
         silver.normalize_orders(events),
         silver.normalize_payments(events),
         silver.normalize_refunds(events),
+        silver.normalize_shipments(events),
     )
 
 
@@ -101,7 +105,7 @@ def cmd_transform(args) -> int:
     from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
 
     spark = _spark()
-    orders, payments, refunds = _silver_tables(spark, args.bronze, args.ref_compat)
+    orders, payments, refunds, shipments = _silver_tables(spark, args.bronze, args.ref_compat)
     if args.ref_compat:
         from commercepulse_data_pipeline_spark.compat import build_fact_order_daily_ref
 
@@ -112,10 +116,13 @@ def cmd_transform(args) -> int:
     _write(orders, f"{w}/fact_orders", args.csv)
     _write(payments, f"{w}/fact_payments", args.csv)
     _write(refunds, f"{w}/fact_refunds", args.csv)
+    if shipments is not None:
+        _write(shipments, f"{w}/fact_shipments", args.csv)
     _write(daily, f"{w}/fact_order_daily", args.csv)
+    n_ship = shipments.count() if shipments is not None else 0
     print(
         f"orders={orders.count()} payments={payments.count()} "
-        f"refunds={refunds.count()} daily_rows={daily.count()}"
+        f"refunds={refunds.count()} shipments={n_ship} daily_rows={daily.count()}"
     )
     return 0
 
@@ -125,8 +132,8 @@ def cmd_report(args) -> int:
     from commercepulse_data_pipeline_spark.plans.quality import full_report
 
     spark = _spark()
-    orders, payments, refunds = _silver_tables(spark, args.bronze, args.ref_compat)
-    sections = full_report(orders, payments, refunds)
+    orders, payments, refunds, shipments = _silver_tables(spark, args.bronze, args.ref_compat)
+    sections = full_report(orders, payments, refunds, shipments)
     lines = ["DATA QUALITY REPORT", "=" * 40]
     for name, df in sections.items():
         lines.append(f"\n[{name}]")
@@ -152,7 +159,7 @@ def cmd_dims(args) -> int:
     )
 
     spark = _spark()
-    orders, _, _ = _silver_tables(spark, args.bronze)
+    orders, _, _, _ = _silver_tables(spark, args.bronze)
     w = args.warehouse
     _write(build_dim_date(spark), f"{w}/dim_date", args.csv)
     _write(build_dim_customer(orders), f"{w}/dim_customer", args.csv)

@@ -63,6 +63,33 @@ def late_arrival_metrics(orders: DataFrame, payments: DataFrame) -> DataFrame:
     )
 
 
+def shipment_latency_metrics(orders: DataFrame, shipments: DataFrame) -> DataFrame:
+    """Order→shipment latency + current-status breakdown (Q8 upgrade —
+    the reference loads shipment events and never queries them, SURVEY
+    §1.4 Q8; this is the ship-latency section its quality report lacks).
+
+    One equi-join on order_id + one groupBy on the (tiny) status domain:
+    per current shipment status, count, avg days from order creation to
+    the last shipment update, and >7d/>30d threshold counts (the same P6
+    thresholds the payment-latency section uses)."""
+    joined = orders.select("order_id", "created_at").join(
+        shipments.select("order_id", "shipment_status", "shipment_time"),
+        "order_id",
+        "inner",
+    )
+    lag = days_between(F.col("shipment_time"), F.col("created_at"))
+    return (
+        joined.groupBy("shipment_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.avg(lag), 2).alias("avg_days_to_update"),
+            F.sum((lag > 7).cast("long")).alias("over_7d"),
+            F.sum((lag > 30).cast("long")).alias("over_30d"),
+        )
+        .orderBy("shipment_status")
+    )
+
+
 def revenue_integrity(payments: DataFrame, refunds: DataFrame) -> DataFrame:
     """Success-only revenue + rates (reference src/quality_report.py:105-118)."""
     pay = payments.agg(
@@ -104,9 +131,16 @@ def breakdown(df: DataFrame, col: str) -> DataFrame:
     ).orderBy(F.desc("n"), F.asc(col))
 
 
-def full_report(orders: DataFrame, payments: DataFrame, refunds: DataFrame) -> dict[str, DataFrame]:
-    """All six sections (reference run_quality_report shape)."""
-    return {
+def full_report(
+    orders: DataFrame,
+    payments: DataFrame,
+    refunds: DataFrame,
+    shipments: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """All six reference sections (run_quality_report shape), plus the
+    ship-latency section when a shipments silver table is supplied (Q8
+    upgrade — the reference has no shipment consumer)."""
+    report = {
         "completeness": completeness(orders),
         "orphans": orphan_counts(orders, payments, refunds),
         "late_arrival": late_arrival_metrics(orders, payments),
@@ -114,3 +148,6 @@ def full_report(orders: DataFrame, payments: DataFrame, refunds: DataFrame) -> d
         "status_breakdown": breakdown(payments, "payment_status"),
         "vendor_breakdown": breakdown(orders, "vendor"),
     }
+    if shipments is not None:
+        report["shipment_latency"] = shipment_latency_metrics(orders, shipments)
+    return report

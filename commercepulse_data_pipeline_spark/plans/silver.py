@@ -38,6 +38,10 @@ from commercepulse_data_pipeline_spark.operators.dedup import keep_first, last_w
 ORDER_TYPES = ["historical_order", "order_created", "order_updated"]
 PAYMENT_TYPES = ["historical_payment", "payment_attempt", "payment_confirmed", "payment_succeeded"]
 REFUND_TYPES = ["historical_refund", "refund_created", "refund_processed", "refund_issued"]
+# Q8 fix: the reference LOADS shipment events but never consumes them
+# (reference src/bootstrap_loader.py:79; SURVEY §1.4 Q8) — this silver
+# table is the deliberate capability upgrade.
+SHIPMENT_TYPES = ["historical_shipment", "shipment_created", "shipment_updated"]
 
 # Coalesce key maps (reference src/transformer.py:52-74 payments,
 # :100-111 refunds, :29-33 orders — extended per FIXTURES §2 dialects).
@@ -56,6 +60,17 @@ PAYMENT_KEYS = {
     "payment_status": ["payment_status", "status", "state", "payment_state"],
     "payment_method": ["channel", "method", "payment_method", "paymentMethod"],
     "payment_date": ["paid_at", "payment_date", "created_at", "paidAt", "timestamp", "ts", "date"],
+}
+# Shipment dialects observed in the shipped live day (+ drift variants:
+# vendor_a updateTime→update_time, vendor_b shipment_status→status,
+# vendor_c state→status) and the historical bootstrap keys
+# (reference src/bootstrap_loader.py:35 shipment_id|id|tracking_id, :48
+# shipped_at).
+SHIPMENT_KEYS = {
+    "tracking_id": ["tracking_code", "tracking", "tracking_id", "shipment_id", "id"],
+    "order_id": ["order_id", "orderId", "orderRef", "order.id", "order"],
+    "shipment_status": ["shipment_status", "status", "state"],
+    "shipment_time": ["updateTime", "update_time", "time", "ts", "shipped_at", "timestamp", "date"],
 }
 REFUND_KEYS = {
     "refund_id": ["refund_id", "id", "refundRef"],
@@ -107,6 +122,29 @@ def normalize_payments(events: DataFrame, payload_col: str = "payload") -> DataF
     )
     df = df.where(F.col("payment_id").isNotNull())
     return keep_first(df, ["payment_id"], "payment_date", tiebreak_cols=["event_id"])
+
+
+def normalize_shipments(events: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """fact_shipments: CURRENT shipment state, unique by tracking_id, last
+    update wins by shipment time (same D1 shape as orders). The update
+    history stays queryable in bronze; this is the serving view.
+
+    Q8 fix — no reference twin exists (shipments are loaded and dropped
+    there); semantics chosen to mirror fact_orders: status lowercased
+    (CREATED/PICKED_UP/IN_TRANSIT/DELIVERED dialects), rows without a
+    tracking id dropped explicitly."""
+    x = _extract(payload_col, SHIPMENT_KEYS)
+    df = events.where(F.col("event_type").isin(SHIPMENT_TYPES)).select(
+        x["tracking_id"].alias("tracking_id"),
+        x["order_id"].alias("order_id"),
+        F.lower(x["shipment_status"]).alias("shipment_status"),
+        parse_timestamp(F.coalesce(x["shipment_time"], F.col("event_time"))).alias("shipment_time"),
+        F.col("event_id"),
+        F.col("vendor"),
+        F.col("event_type"),
+    )
+    df = df.where(F.col("tracking_id").isNotNull())
+    return last_writer_wins(df, ["tracking_id"], "shipment_time", tiebreak_cols=["event_id"])
 
 
 def normalize_refunds(events: DataFrame, payload_col: str = "payload") -> DataFrame:
