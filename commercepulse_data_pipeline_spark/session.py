@@ -25,13 +25,30 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+# RocksDB-backed streaming state (bundled with Spark since 3.2): keeps
+# dedup/session/stateful-upsert state OFF the executor heap and spillable
+# to disk — at 100 TB stream volumes the in-memory HDFS-backed provider
+# OOMs long before the watermark can evict. Changelog checkpointing
+# uploads per-batch deltas instead of full snapshots.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def get_spark(
     app_name: str = "commercepulse-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-appropriate defaults."""
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``rocksdb_state=True`` applies ``ROCKSDB_STATE_CONF`` — recommended
+    for any long-running streaming job with keyed state."""
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{DEFAULT_CPUS}]")
@@ -45,6 +62,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if rocksdb_state:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -191,3 +191,58 @@ def test_stream_late_arrival_counts(spark, landing_dir):
     # totals match the raw stream (nothing dropped at this watermark):
     # 16 envelope lines incl. the duplicate replay
     assert sum(r.n_events for r in rows.values()) == 16
+
+
+def test_dedup_state_bounded_with_rocksdb_eviction(spark, tmp_path):
+    """The bounded-state claim, demonstrated (VERDICT r1 #8): under the
+    RocksDB state store, dedup_within_watermark must EVICT keys older
+    than the watermark as it advances — state at the end holds roughly
+    one day's keys, not every key ever seen."""
+    from commercepulse_data_pipeline_spark.session import ROCKSDB_STATE_CONF
+
+    n_days, per_day = 3, 300
+    for d in range(n_days):
+        day = f"2026-03-{10 + d:02d}"
+        p = tmp_path / day
+        p.mkdir()
+        (p / "events.jsonl").write_text("\n".join(
+            json.dumps({
+                "event_id": f"e-{day}-{i}",
+                "event_type": "order_created",
+                "event_time": f"{day}T{i % 24:02d}:{i % 60:02d}:00Z",
+                "vendor": "vendor_b",
+                "payload": "{}",
+                "ingested_at": f"{day}T23:59:59Z",
+                "source": "t",
+            }) for i in range(per_day)
+        ) + "\n")
+
+    prev = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = read_event_stream(
+            spark, str(tmp_path) + "/*/events.jsonl", max_files_per_trigger=1
+        )
+        deduped = dedup_within_watermark(stream, watermark="1 hour")
+        q = (
+            deduped.writeStream.format("memory").queryName("rocksdb_dedup")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        assert spark.sql("SELECT count(*) FROM rocksdb_dedup").first()[0] == n_days * per_day
+        states = [p["stateOperators"][0] for p in q.recentProgress if p["stateOperators"]]
+        assert states, "no state operator metrics reported"
+        final_rows = states[-1]["numRowsTotal"]
+        removed = sum(s.get("numRowsRemoved", 0) for s in states)
+        # eviction happened and end-state is bounded by ~one day of keys,
+        # not the full 3-day history
+        assert removed > 0
+        assert final_rows <= per_day
+        assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
