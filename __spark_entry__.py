@@ -638,7 +638,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, and the pigeonhole guarantee makes the block-LSH output
     identical to the oracle's all-pairs hamming filter."""
     d = _docs(spark, sf_dir)
-    out = dd.simhash_candidate_pairs(d, "text", "doc_id", hamming_threshold=6)
+    # max_bucket effectively disabled (like minhash_pairs/ngram_jaccard):
+    # the all-pairs oracle has no cap, and dropping a block bucket weakens
+    # the pigeonhole guarantee. Production uses the operator default.
+    out = dd.simhash_candidate_pairs(
+        d, "text", "doc_id", hamming_threshold=6, max_bucket=100000
+    )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

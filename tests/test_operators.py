@@ -222,6 +222,55 @@ def test_knn_join_self_max_bucket_caps_degenerate(spark):
     assert out.count() == 0
 
 
+def test_capped_posting_lists_never_collects_overcap_bucket(spark):
+    """VERDICT r2 #3: the bucket cap must be enforced BEFORE collect_list —
+    pass 1 (count) drops the over-cap key, pass 2's semi-join removes its
+    rows, so the collect stage provably never sees the degenerate bucket's
+    members (row-count check on the pre-collect input)."""
+    # planted degenerate bucket: key "hot" with 12 members (cap = 10)
+    rows = [("hot", i) for i in range(12)] + [("ok", 100), ("ok", 101), ("lone", 200)]
+    keyed = spark.createDataFrame(rows, ["bucket", "doc_id"])
+
+    ok_keys = dd.eligible_buckets(keyed, ["bucket"], max_bucket=10)
+    assert [r.bucket for r in ok_keys.collect()] == ["ok"]  # hot dropped, lone pruned
+
+    # the exact pre-collect input: semi-join against surviving keys —
+    # zero rows of the degenerate bucket reach the collect aggregation
+    pre_collect = keyed.join(ok_keys, ["bucket"], "left_semi")
+    assert pre_collect.where(F.col("bucket") == "hot").count() == 0
+    assert pre_collect.count() == 2
+
+    lists = dd.capped_posting_lists(keyed, ["bucket"], F.col("doc_id"), max_bucket=10)
+    got = {r.bucket: sorted(r["__ids"]) for r in lists.collect()}
+    assert got == {"ok": [100, 101]}
+
+
+def test_pair_generators_drop_planted_degenerate_bucket(spark):
+    """End-to-end: 15 identical docs (one degenerate bucket everywhere)
+    plus a true near-dup pair. With the cap below 15 every pair generator
+    drops the clones wholesale but still reports the planted pair."""
+    clone = "the same boilerplate text repeated verbatim across documents"
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = [(i, clone) for i in range(15)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    mh = dd.minhash_candidate_pairs(
+        df, "text", "doc_id", num_hashes=8, bands=4, max_bucket=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(100, 101)}
+
+    nj = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, max_shingle_freq=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in nj} == {(100, 101)}
+
+    sh = dd.simhash_candidate_pairs(
+        df, "text", "doc_id", hamming_threshold=10, max_bucket=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in sh} == {(100, 101)}
+
+
 def test_lsh_topk_contains_exact_match(spark):
     rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
