@@ -286,9 +286,12 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp")
     )
     day_us = 86400.0 * 1_000_000
+    # sum lag_us in DECIMAL: per-group int64 sums of microsecond lags
+    # overflow silently at large SF while the DuckDB oracle sums in
+    # 128-bit (ADVICE r2) — decimal(38,0) matches that headroom exactly.
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_shipments"),
-        F.round(F.sum(lag_us).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_ship"),
+        F.round(F.sum(lag_us.cast("decimal(30,0)")).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_ship"),
         F.sum((lag_us > 7 * day_us).cast("long")).alias("over_7d"),
         F.sum((lag_us > 30 * day_us).cast("long")).alias("over_30d"),
     )
@@ -316,7 +319,8 @@ def q_fact_shipments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86400.0 * 1_000_000
     return j.groupBy("o_orderpriority", "current_status").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(lag_us).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_last_update"),
+        # decimal sum for the same int64-overflow reason as q_ship_latency
+        F.round(F.sum(lag_us.cast("decimal(30,0)")).cast("double") / F.lit(day_us) / F.count(F.lit(1)), 4).alias("avg_days_to_last_update"),
         F.sum((lag_us > 7 * day_us).cast("long")).alias("over_7d"),
         F.sum((lag_us > 30 * day_us).cast("long")).alias("over_30d"),
     )

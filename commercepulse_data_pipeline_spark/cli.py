@@ -128,17 +128,35 @@ def cmd_transform(args) -> int:
 
 
 def cmd_report(args) -> int:
-    """Data-quality report (reference src/quality_report.py:6-165)."""
+    """Data-quality report (reference src/quality_report.py:6-165).
+
+    ``--ref-compat`` renders ``compat.quality_report_ref`` — the
+    reference's EXACT numbers (null-safe isin orphans, success-only
+    revenue) — so the flag's bug-compat claim covers the report too, not
+    just silver (ADVICE r2). Default mode uses the fixed SQL-semantics
+    ``plans.quality.full_report``."""
     from commercepulse_data_pipeline_spark.plans.quality import full_report
 
     spark = _spark()
     orders, payments, refunds, shipments = _silver_tables(spark, args.bronze, args.ref_compat)
-    sections = full_report(orders, payments, refunds, shipments)
-    lines = ["DATA QUALITY REPORT", "=" * 40]
-    for name, df in sections.items():
-        lines.append(f"\n[{name}]")
-        for row in df.collect():
-            lines.append("  " + ", ".join(f"{k}={v}" for k, v in row.asDict().items()))
+    if args.ref_compat:
+        from commercepulse_data_pipeline_spark.compat import quality_report_ref
+
+        report = quality_report_ref(orders, payments, refunds)
+        lines = ["DATA QUALITY REPORT (ref-compat)", "=" * 40]
+        for key, val in report.items():
+            if isinstance(val, dict):
+                lines.append(f"\n[{key}]")
+                lines.extend(f"  {k}={v}" for k, v in val.items())
+            else:
+                lines.append(f"  {key}={val}")
+    else:
+        sections = full_report(orders, payments, refunds, shipments)
+        lines = ["DATA QUALITY REPORT", "=" * 40]
+        for name, df in sections.items():
+            lines.append(f"\n[{name}]")
+            for row in df.collect():
+                lines.append("  " + ", ".join(f"{k}={v}" for k, v in row.asDict().items()))
     text = "\n".join(lines)
     print(text)
     if args.out:

@@ -58,12 +58,23 @@ def read_events_with_pos(spark: SparkSession, path: str, source: str = "live_str
     """JSONL scan carrying ingestion position (file order) for the
     reference's tie-break semantics.
 
-    ``monotonically_increasing_id`` is non-contiguous but ORDER-PRESERVING
-    for a file scan (partition index is the high bits and splits follow
-    byte offsets), which is all the tie-break needs. Duplicate event_ids
-    collapse to their FIRST occurrence's position (Mongo upsert keeps the
-    first document's insertion position; the ``$set`` replaces content,
-    which differs only in ``ingested_at`` — unused downstream).
+    Position = ``file_rank * 2^40 + row_index_within_file``. A bare
+    ``monotonically_increasing_id`` is NOT file-ordered across files —
+    Spark packs input splits sorted by size descending, so partition
+    order need not follow path order (ADVICE r2). File rank therefore
+    comes from a driver-side sort of the distinct input file paths (one
+    tiny job — file listing is driver work in Spark anyway); the
+    within-file index is a per-file window over the monotonic id, which
+    follows byte order whenever each file maps to a single input split
+    (files < ``spark.sql.files.maxPartitionBytes``; the reference's daily
+    live files are MBs. For files bigger than one split, within-file
+    order is split-granular — pre-split such inputs upstream if exact
+    intra-file ordering matters).
+
+    Duplicate event_ids collapse to their FIRST occurrence's position
+    (Mongo upsert keeps the first document's insertion position; the
+    ``$set`` replaces content, which differs only in ``ingested_at`` —
+    unused downstream).
     """
     from commercepulse_data_pipeline_spark.sources.readers import (
         read_jsonl_events,
@@ -71,7 +82,26 @@ def read_events_with_pos(spark: SparkSession, path: str, source: str = "live_str
     )
 
     raw = read_jsonl_events(spark, path, source=source)
-    good = valid_events(raw).withColumn(POS_COL, F.monotonically_increasing_id())
+    good = (
+        valid_events(raw)
+        .withColumn("__file", F.input_file_name())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    files = sorted(r["__file"] for r in good.select("__file").distinct().collect())
+    ranks = spark.createDataFrame(
+        [(f, i) for i, f in enumerate(files)] or [("", 0)],
+        "__file string, __file_rank int",
+    )
+    in_file = Window.partitionBy("__file").orderBy(F.col("__mid").asc())
+    good = (
+        good.join(F.broadcast(ranks), "__file", "left")
+        .withColumn(
+            POS_COL,
+            F.coalesce(F.col("__file_rank"), F.lit(0)).cast("long") * F.lit(1 << 40)
+            + F.row_number().over(in_file).cast("long"),
+        )
+        .drop("__file", "__mid", "__file_rank")
+    )
     w = Window.partitionBy("event_id").orderBy(F.col(POS_COL).asc())
     return (
         good.withColumn("__rn", F.row_number().over(w))

@@ -152,6 +152,11 @@ def normalize_currency(
     calendar = facts.sparkSession.sql(
         f"SELECT explode(sequence(DATE'{bounds['lo']}', DATE'{hi}', interval 1 day)) AS fx_date"
     )
+    # Collapse to ONE rate per date before densifying (ADVICE r2): a
+    # duplicate fx_date row would otherwise duplicate every fact on that
+    # date through the equi-join — the old as-of union/window shape could
+    # never multiply left rows, so this guard keeps that invariant.
+    fx_rates = fx_rates.groupBy("fx_date").agg(F.max("usd_ngn").alias("usd_ngn"))
     ff = Window.orderBy("fx_date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily_rates = calendar.join(fx_rates, "fx_date", "left").select(
         "fx_date", F.last("usd_ngn", ignorenulls=True).over(ff).alias("usd_ngn")

@@ -107,6 +107,10 @@ if __name__ == "__main__":
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        # UTC like session.py: epoch-based queries (ship_latency,
+        # fact_shipments_rollup, late_payments) cast DATE→TIMESTAMP in the
+        # session zone and would mismatch the oracle on non-UTC hosts.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
