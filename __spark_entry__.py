@@ -6,10 +6,13 @@ holds the DuckDB-equivalent ANSI SQL. Column names and rounding are aligned
 on both sides so the driver's order-insensitive value-hash matches.
 
 Queries marked "rows-only" (no oracle entry) are the genuinely
-non-SQL-expressible ones: sign-LSH ANN (engine-specific hyperplane PRNG),
-SimHash banding (engine-specific 64-bit hash family), stopword-argmax
-language ID (tie-breaking on Python dict order), and the multimodal
-decode path (deterministic fake codec, engine-specific by design).
+non-SQL-expressible ones: the multimodal decode path (deterministic fake
+codec, engine-specific by design) and sketch aggregates (estimator-specific
+outputs; their exact twins ARE oracle-checked, and a tolerance parity test
+covers the sketches in pytest). Everything else — including both approximate
+ANN paths (sign-LSH and IVF) — is hash-checked by replaying the
+deterministic hash/PRNG families (md5-derived longs, LCG hyperplanes,
+decimal Lloyd means) as SQL literals or in-SQL derivations.
 """
 
 from __future__ import annotations
@@ -539,20 +542,27 @@ def q_embedding_selfknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_plane_dot(vec_expr: str, plane: list[float]) -> str:
+    """DuckDB expression for dot(vec, literal plane) with the SAME
+    sequential left-fold over doubles as Spark's F.aggregate/zip_with
+    (operators/similarity.py::_dot) — bit-identical across engines."""
+    arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, len({vec_expr}) + 1), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
+    )
+
+
 def _selfknn_oracle_sql() -> str:
     """DuckDB twin of q_embedding_selfknn, planes inlined as literals."""
     p = _SELFKNN
 
     def bucket_expr(table: int) -> str:
         planes = sim.random_hyperplanes(p["dim"], p["n_planes"], p["seed"] + table)
-        bits = []
-        for plane in planes:
-            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
-            dot = (
-                "list_sum(list_transform(range(1, len(e.embedding) + 1), "
-                f"i -> CAST(e.embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
-            )
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+        bits = [
+            f"(CASE WHEN {_duck_plane_dot('e.embedding', plane)} >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes
+        ]
         return " || ".join(bits)
 
     keyed = "\nUNION ALL\n".join(
@@ -615,25 +625,204 @@ def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only queries (non-SQL-expressible; driver records weaker check) --
+# lsh_topk parameters shared by the Spark query and its generated DuckDB
+# oracle (same deterministic LCG hyperplane family as _SELFKNN).
+_LSH_TOPK = dict(k=10, n_planes=4, probes=2, seed=42, dim=64)
+
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH-bucketed approximate ANN (rows-only: hyperplane PRNG is
-    engine-specific). Bucket restrict → exact re-rank."""
+    """Sign-LSH-bucketed approximate ANN (VERDICT r2 #1 — now
+    oracle-checked): bucket restrict → exact re-rank. The hyperplanes are
+    a deterministic LCG (operators/similarity.py:72), so the oracle
+    replays them as SQL literals, re-derives the query's bucket + its
+    lowest-margin multi-probe flip in SQL, and hash-matches."""
     e = _t(spark, sf_dir, "embeddings")
+    p = _LSH_TOPK
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return sim.lsh_topk(e, list(qvec), k=10, n_planes=4, probes=2)
+    return sim.lsh_topk(
+        e, list(qvec), k=p["k"], n_planes=p["n_planes"], probes=p["probes"], seed=p["seed"]
+    )
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk. Planes are inlined literals; the
+    query's bucket bits and multi-probe flip plane (smallest |dot| margin,
+    ties → lowest index, exactly Python's stable sort in lsh_topk) are
+    computed in SQL; a row survives iff its bits match the query's on
+    every plane except possibly the flip plane — i.e. membership in
+    {exact bucket, 1-flip bucket}, the probes=2 probe set."""
+    p = _LSH_TOPK
+    assert p["probes"] == 2, "oracle is generated for the registered probes=2 config"
+    n = p["n_planes"]
+    planes = sim.random_hyperplanes(p["dim"], n, p["seed"])
+    qb = ",\n                   ".join(
+        f"(CASE WHEN {_duck_plane_dot('q.qv', planes[i])} >= 0 THEN 1 ELSE 0 END) AS qb{i},"
+        f" abs({_duck_plane_dot('q.qv', planes[i])}) AS m{i}"
+        for i in range(n)
+    )
+    # argmin over margins, ties -> lowest plane index (CASE order).
+    flip_branches = " ".join(
+        "WHEN " + " AND ".join(f"m{i} <= m{j}" for j in range(n) if j != i) + f" THEN {i}"
+        for i in range(n - 1)
+    )
+    flip = f"CASE {flip_branches} ELSE {n - 1} END"
+    cb = ",\n                   ".join(
+        f"(CASE WHEN {_duck_plane_dot('e.embedding', planes[i])} >= 0 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(n)
+    )
+    mismatches_outside_flip = " + ".join(
+        f"(CASE WHEN f.fi <> {i} AND c.b{i} <> f.qb{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (
+            SELECT {qb}
+            FROM q
+        ),
+        fl AS (SELECT *, {flip} AS fi FROM qb),
+        cand AS (
+            SELECT e.vec_id, e.embedding,
+                   {cb}
+            FROM embeddings e
+        ),
+        kept AS (
+            SELECT c.vec_id, c.embedding FROM cand c, fl f
+            WHERE {mismatches_outside_flip} = 0
+        ),
+        scored AS (
+            SELECT k.vec_id,
+                   list_sum(list_transform(range(1, len(k.embedding) + 1),
+                       i -> CAST(k.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+                   sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+            FROM kept k, q
+        )
+        SELECT vec_id, round(dot / (ne * nq), 6) AS cosine_sim
+        FROM scored WHERE ne * nq > 0
+        ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT {p["k"]}
+    """
+
+
+# ivf parameters shared by the Spark query and its generated DuckDB oracle.
+_IVF_TOPK = dict(k=10, n_centroids=8, iters=1, nprobe=2, dim=64)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate ANN (rows-only: centroid init is
-    engine-hash-seeded): deterministic k-means-lite coarse quantizer,
-    probe the 2 nearest inverted lists, exact cosine re-rank. Bucketing
-    the corpus by centroid_id turns the probe into partition pruning."""
+    """IVF-partitioned approximate ANN (VERDICT r2 #2 — now
+    oracle-checked): deterministic k-means-lite coarse quantizer, probe
+    the 2 nearest inverted lists, exact cosine re-rank. Centroid init is
+    the md5-derived 64-bit hash order (engine-reproducible per the
+    DECISIONS.md md5/sha rule; was xxhash64), and Lloyd means accumulate
+    in decimal, so the oracle replays init + iteration + probe in SQL.
+    Bucketing the corpus by centroid_id turns the probe into partition
+    pruning."""
     e = _t(spark, sf_dir, "embeddings")
+    p = _IVF_TOPK
     qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
-    assigned, cents = sim.ivf_assign(e, n_centroids=8, iters=1)
-    return sim.ivf_topk(assigned, cents, qvec, k=10, nprobe=2)
+    assigned, cents = sim.ivf_assign(e, n_centroids=p["n_centroids"], iters=p["iters"])
+    return sim.ivf_topk(assigned, cents, qvec, k=p["k"], nprobe=p["nprobe"])
+
+
+def _duck_md5_long(hex_expr: str) -> str:
+    """DuckDB expression for operators/dedup.py::_md5_long applied to an
+    md5-hex expression: first 16 hex chars as a signed big-endian 64-bit
+    value (same construction as the simhash oracle's v64)."""
+    nib = f"(strpos('0123456789abcdef', substr({hex_expr}, {{pos}}, 1)) - 1)"
+    terms = [
+        f"(CASE WHEN {nib.format(pos=1)} >= 8 THEN {nib.format(pos=1)} - 16"
+        f" ELSE {nib.format(pos=1)} END) * {16**15}"
+    ]
+    terms += [f"{nib.format(pos=j + 1)} * {16 ** (15 - j)}" for j in range(1, 16)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivf_topk: replays the ENTIRE deterministic
+    pipeline in SQL — md5-ordered centroid init, one Lloyd iteration with
+    exact decimal per-dimension means (operators/similarity.py::ivf_assign),
+    final assignment, nprobe=2 centroid ranking, exact cosine re-rank."""
+    p = _IVF_TOPK
+    assert p["iters"] == 1, "oracle is generated for the registered iters=1 config"
+    dim, k_cent = p["dim"], p["n_centroids"]
+    h64 = _duck_md5_long("md5(CAST(vec_id AS VARCHAR))")
+    # squared distance with Spark's exact fold shape: (x-y)*(x-y) summed
+    # left-to-right (operators/similarity.py::_sq_dist).
+    sqd = (
+        "list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT vec_id, embedding, {h64} AS hv FROM embeddings
+        ),
+        init AS (
+            SELECT row_number() OVER (ORDER BY hv ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY hv ASC, vec_id ASC) <= {k_cent}
+        ),
+        a0 AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, i.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {sqd.format(v="e.embedding", c="i.cvec")} ASC, i.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN init i
+            ) WHERE rn = 1
+        ),
+        dims AS (
+            SELECT a.cid, d.d,
+                   CAST(CAST(a.embedding[d.d] AS DOUBLE) AS DECIMAL(30,15)) AS v
+            FROM a0 a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) d
+        ),
+        cm AS (
+            SELECT cid, d, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            FROM dims GROUP BY cid, d
+        ),
+        upd AS (SELECT cid, list(m ORDER BY d ASC) AS cvec FROM cm GROUP BY cid),
+        cents AS (
+            SELECT i.cid, coalesce(u.cvec, i.cvec) AS cvec
+            FROM init i LEFT JOIN upd u ON i.cid = u.cid
+        ),
+        a1 AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {sqd.format(v="e.embedding", c="c.cvec")} ASC, c.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qd AS (
+            SELECT c.cid, {sqd.format(v="q.qv", c="c.cvec")} AS d2
+            FROM cents c, q
+        ),
+        probe AS (
+            SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn FROM qd
+            ) WHERE rn <= {p["nprobe"]}
+        ),
+        kept AS (
+            SELECT a.vec_id, a.embedding FROM a1 a JOIN probe p ON a.cid = p.cid
+        ),
+        scored AS (
+            SELECT k.vec_id,
+                   list_sum(list_transform(range(1, len(k.embedding) + 1),
+                       i -> CAST(k.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(k.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+                   sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+            FROM kept k, q
+        )
+        SELECT vec_id, round(dot / (ne * nq), 6) AS cosine_sim
+        FROM scored WHERE ne * nq > 0
+        ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT {p["k"]}
+    """
+
+
+# --- rows-only queries (non-SQL-expressible; driver records weaker check) --
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,9 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_selfknn": q_embedding_selfknn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
-        # rows-only (no oracle): engine-specific hash/PRNG families
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # rows-only (no oracle): engine-specific by design
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
         "media_features": q_media_features,
@@ -1495,6 +1684,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "embedding_selfknn": _selfknn_oracle_sql(),
+        "ann_lsh_topk": _lsh_topk_oracle_sql(),
+        "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """

@@ -152,10 +152,15 @@ def ivf_assign(
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer: deterministic k-means-lite over DataFrame ops.
 
-    Init: the ``n_centroids`` corpus vectors with the lowest xxhash64(id)
-    (a deterministic pseudo-random sample — no Math.random, reproducible).
+    Init: the ``n_centroids`` corpus vectors with the lowest md5-derived
+    64-bit hash of the id (``_md5_long`` — a deterministic pseudo-random
+    sample that is also ENGINE-REPRODUCIBLE, per the DECISIONS.md rule
+    that oracle-checked hashes are md5/sha only; was xxhash64 in r2).
     Each Lloyd iteration: broadcast centroids → per-row argmin (pure
     Catalyst expression over the literal centroid arrays) → groupBy mean.
+    Per-dimension means accumulate in DECIMAL (exact, commutative) so the
+    centroid doubles never depend on partition/merge order — the same
+    order-independence discipline as ``_dsum`` in the query layer.
     Returns (corpus + ``centroid_id`` column, centroid list).
 
     Scale: centroids are tiny (driver-held literals); the corpus is
@@ -163,9 +168,11 @@ def ivf_assign(
     re-average. Persist the assigned corpus partitioned/bucketed by
     ``centroid_id`` and ``ivf_topk`` turns into partition pruning.
     """
+    from commercepulse_data_pipeline_spark.operators.dedup import _md5_long
+
     sample = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .orderBy(_md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .collect()
     )
@@ -188,7 +195,14 @@ def ivf_assign(
             assigned.groupBy("centroid_id")
             .agg(
                 *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"m{i}")
+                    (
+                        F.sum(
+                            F.element_at(F.col(vec_col), i + 1)
+                            .cast("double")
+                            .cast("decimal(30,15)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )
@@ -218,7 +232,9 @@ def ivf_topk(
     exact cosine re-rank inside them. With the corpus bucketed by
     ``centroid_id`` the probe is partition pruning, not a filter scan."""
     def d2(c: list[float]) -> float:
-        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+        # (a-b)*(a-b), not **2: a single IEEE multiply is what the SQL
+        # oracle replays; pow() need not be bit-identical to it.
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
 
     probe_ids = [cid for cid, c in sorted(centroids, key=lambda t: d2(t[1]))[:nprobe]]
     bucketed = assigned.where(F.col("centroid_id").isin(probe_ids))
