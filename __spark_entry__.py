@@ -36,24 +36,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table, widened for per-row-heavy compute.
-
-    The testdata files are single-row-group parquet → ONE scan split, so
-    shingling/hashing downstream would run on one core no matter the
-    cluster size. Repartition to the session parallelism: the shuffled
-    text is <1 MB at test SF (negligible), and at production scale data
-    arrives in many files/row-groups so the same plan reads wide without
-    this (a production deployment keys or drops this repartition)."""
-    return _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-
-
-def _wide(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to session parallelism — for per-row-heavy
-    plans over the single-row-group test files (one scan split otherwise;
-    same rationale and caveats as ``_docs``)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """documents table. Scan parallelism comes from the storage layout +
+    session conf (many row groups / files, `spark.sql.files.maxPartitionBytes`),
+    never from an injected repartition — bench.py materializes
+    multi-row-group copies of the single-row-group testdata files so the
+    benched plans read wide the same way production data (many files/row
+    groups) does."""
+    return _t(spark, sf_dir, "documents")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +90,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped multi-agg groupBy (reference A1/A4/A5/F8 analog:
     src/transformer.py:130-165 rollup semantics). Map-side partial agg →
     2-key shuffle; whole-stage codegen end-to-end."""
-    l = _wide(_t(spark, sf_dir, "lineitem"))
+    l = _t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
