@@ -46,17 +46,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    convert to a microsecond timestamp (truncation — matches DuckDB's
-    ns→us view of the same file)."""
+    """events table with ``ts`` normalized to TIMESTAMP (ltz).
+
+    The driver-generated events.parquet has shipped with two physical ts
+    encodings across rounds — TIMESTAMP(NANOS) (rejected by Spark's
+    reader; read via the nanosAsLong legacy conf and truncated to micros)
+    and micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ, which
+    ``unix_micros``/windowing reject). Both normalize to the same
+    wall-clock TIMESTAMP under the UTC session timezone — exactly DuckDB's
+    naive view of the same file, so oracles agree either way."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf may not exist on other versions
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -305,7 +313,10 @@ def q_fact_shipments_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
         F.col("l_linenumber").alias("line_no"),
     )
-    cur = last_writer_wins(upd, ["order_id"], "ship_ts", tiebreak_cols=["line_no"])
+    # current_status closes the tiebreak chain: this round's testdata has
+    # (orderkey, shipdate, linenumber) full-tie rows with DIFFERENT
+    # returnflags, which engines would otherwise break arbitrarily.
+    cur = last_writer_wins(upd, ["order_id"], "ship_ts", tiebreak_cols=["line_no", "current_status"])
     j = cur.join(o, cur.order_id == o.o_orderkey)
     lag_us = F.unix_micros(F.col("ship_ts")) - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     day_us = 86400.0 * 1_000_000
@@ -1331,7 +1342,7 @@ def oracle_sql() -> dict[str, str]:
                            l_shipdate AS ship_ts,
                            row_number() OVER (
                                PARTITION BY l_orderkey
-                               ORDER BY l_shipdate DESC, l_linenumber DESC
+                               ORDER BY l_shipdate DESC, l_linenumber DESC, l_returnflag DESC
                            ) AS rn
                     FROM lineitem
                 ) WHERE rn = 1

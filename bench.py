@@ -112,12 +112,16 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Untimed warm-up: trigger JVM JIT / codegen compilation and parquet
-    # footer reads once, so the first measured query reflects the plan,
-    # not cold-start. Standard benchmark methodology (warm runs).
-    spark.read.parquet(f"{bench_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Untimed warm-up: one full sweep over the headline suite. Measured on
+    # this container, the JVM's first ~25s run 5-10× slow regardless of
+    # query — tiered JIT is still compiling the parquet scan / codegen'd
+    # agg loops (e.g. the same query: 5.5s, 5.5s, 0.8s, 0.8s across four
+    # back-to-back runs). A single-query warm-up doesn't cover that window,
+    # so early queries in the timed loop were charged JIT time that no
+    # long-lived production executor ever pays. Standard warm-iterations
+    # methodology (JMH-style): sweep once untimed, then measure.
+    for name in HEADLINE:
+        qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice; we report the min (steady-state). The first
     # run pays one-time whole-stage-codegen compilation (~2-4s for the

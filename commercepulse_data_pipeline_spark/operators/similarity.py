@@ -268,7 +268,7 @@ def knn_join_self(
     2. posting list per (table, bucket) — uniform shuffle on the bucket
        key; singleton buckets pruned; ``max_bucket`` drops degenerate
        buckets (zero vectors / boilerplate) that would emit O(bucket²)
-       pairs — enforced two-pass (count filter before collect) so the
+       pairs — enforced cap-before-collect (window count filter) so the
        degenerate id array is never buffered.
     3. distinct candidate pairs → re-join both ids to the corpus for the
        exact cosine (plain equi-joins on the id — bucket the corpus table
@@ -300,7 +300,7 @@ def knn_join_self(
     )
 
     # Two-pass cap (VERDICT r2 #3): over-cap buckets are eliminated by a
-    # count filter BEFORE any id array is collected.
+    # window count filter BEFORE any id array is collected.
     buckets = capped_posting_lists(
         keyed, ["table_id", "bucket"], F.col("__id"), max_bucket=max_bucket
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.operators import dedup as dd
@@ -224,9 +225,10 @@ def test_knn_join_self_max_bucket_caps_degenerate(spark):
 
 def test_capped_posting_lists_never_collects_overcap_bucket(spark):
     """VERDICT r2 #3: the bucket cap must be enforced BEFORE collect_list —
-    pass 1 (count) drops the over-cap key, pass 2's semi-join removes its
-    rows, so the collect stage provably never sees the degenerate bucket's
-    members (row-count check on the pre-collect input)."""
+    the window count tags each row with its bucket size and the filter
+    drops singleton/over-cap rows, so the collect aggregation provably
+    never sees the degenerate bucket's members (row-count check on the
+    exact pre-collect input)."""
     # planted degenerate bucket: key "hot" with 12 members (cap = 10)
     rows = [("hot", i) for i in range(12)] + [("ok", 100), ("ok", 101), ("lone", 200)]
     keyed = spark.createDataFrame(rows, ["bucket", "doc_id"])
@@ -234,15 +236,25 @@ def test_capped_posting_lists_never_collects_overcap_bucket(spark):
     ok_keys = dd.eligible_buckets(keyed, ["bucket"], max_bucket=10)
     assert [r.bucket for r in ok_keys.collect()] == ["ok"]  # hot dropped, lone pruned
 
-    # the exact pre-collect input: semi-join against surviving keys —
+    # the exact pre-collect input: window-counted rows after the cap filter —
     # zero rows of the degenerate bucket reach the collect aggregation
-    pre_collect = keyed.join(ok_keys, ["bucket"], "left_semi")
+    w = Window.partitionBy("bucket")
+    pre_collect = keyed.withColumn("__bucket_n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__bucket_n") >= 2) & (F.col("__bucket_n") <= 10)
+    )
     assert pre_collect.where(F.col("bucket") == "hot").count() == 0
     assert pre_collect.count() == 2
 
     lists = dd.capped_posting_lists(keyed, ["bucket"], F.col("doc_id"), max_bucket=10)
     got = {r.bucket: sorted(r["__ids"]) for r in lists.collect()}
     assert got == {"ok": [100, 101]}
+
+    # plan shape: upstream computed ONCE with ONE exchange — the final
+    # groupBy reuses the window's hash partitioning on the same keys
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in final_plan, plan
 
 
 def test_pair_generators_drop_planted_degenerate_bucket(spark):

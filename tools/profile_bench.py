@@ -1,0 +1,70 @@
+"""Profile individual headline queries under the exact bench.py session
+conf (multi-row-group split copies + low maxPartitionBytes), printing
+per-query wall time over N runs plus optional formatted plans.
+
+Usage: python tools/profile_bench.py q1 q2 ... [--explain] [--runs N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import materialize_split_copies  # noqa: E402
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    explain = "--explain" in sys.argv
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_dir = materialize_split_copies(sf_dir)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("profile")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "262144")
+        .config("spark.sql.files.openCostInBytes", "65536")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    # warm-up
+    spark.read.parquet(f"{bench_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    for name in names:
+        fn = qs[name]
+        if explain:
+            fn(spark, bench_dir).explain("formatted")
+        ts = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.monotonic() - t0, 3))
+        print(f"{name}: min={min(ts)} runs={ts}", flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
