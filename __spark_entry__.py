@@ -492,6 +492,38 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash pair graph (operators/graph.py):
+    hash-to-min connected components turn candidate pairs into
+    (doc, canonical min-id representative, cluster size) — the "keep one
+    per cluster" dedup decision table a training pipeline acts on. The
+    oracle replays the same md5 MinHash banding and closes the transitive
+    hull with a recursive CTE."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    return graph.dedup_clusters(pairs)
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus balancing
+    (operators/sampling.py::stratified_sample): downsample dominant 'en'
+    hard, keep mid languages at half, tail languages nearly whole — keyed
+    on md5(doc_id) so the sample is reproducible across runs, engines,
+    partitionings, and corpus growth. Fully oracle-checked (same hex-digit
+    bucket arithmetic in DuckDB)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    rates = {"en": 0.25, "zh": 0.5, "es": 0.5}
+    return stratified_sample(
+        d, "lang", rates, "doc_id", default_rate=0.9, salt="corpus-v1:"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 via shingle inverted index.
 
@@ -871,8 +903,13 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on real testdata: documents become
     opaque binary media rows (utf-8 bytes), decoded/featurized through the
-    Arrow-batched mapInPandas path (decoder stubbed deterministically —
-    rows-only: the fake codec is engine-specific by design)."""
+    Arrow-batched mapInPandas path. This registered query uses the
+    deterministic fake codec (rows-only: engine-specific by design, since
+    the doc bytes aren't valid media containers); ``multimodal.real_decode``
+    additionally decodes REAL bytes for uncompressed formats — BMP, PPM/P6,
+    RIFF/PCM WAV — pure-Python, exercised distributed in
+    tests/test_multimodal.py::test_real_decode_distributed. Compressed
+    codecs stay behind NotImplementedError (no codec libs here)."""
     from commercepulse_data_pipeline_spark import multimodal as mm
 
     d = _docs(spark, sf_dir)
@@ -1119,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
@@ -1147,6 +1186,57 @@ _SHINGLES2 = (
     "list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
     " i -> array_to_string(t[i:i+1], ' ')))"
 )
+
+# MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows) — shared between the
+# minhash_pairs oracle and the docs_dup_clusters recursive-CTE oracle.
+_MINHASH_PAIRS_CTE = f"""
+            t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            ), sig AS (
+                SELECT doc_id,
+                       min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                       min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                       min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                       min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+                UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+                UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+                UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )"""
+
+
+def _stratified_sample_oracle_sql() -> str:
+    """DuckDB twin of q_docs_stratified_sample: identical md5 bucket
+    arithmetic, identical integer thresholds (both sides use
+    sampling.threshold_for, so there is no float-boundary skew)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("doc_id", "corpus-v1:")
+    return f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {bucket} < (CASE
+            WHEN lang = 'zh' THEN {threshold_for(0.5)}
+            WHEN lang = 'es' THEN {threshold_for(0.5)}
+            WHEN lang = 'en' THEN {threshold_for(0.25)}
+            ELSE {threshold_for(0.9)} END)
+    """
+
+
+def _sample_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of operators/sampling.py::hash_bucket — first 8 hex
+    chars of md5(salt || key) as an unsigned 32-bit value via hex-digit
+    arithmetic (identical to Spark's conv(substring(md5..),16,10))."""
+    h = f"md5('{salt}' || CAST({key_expr} AS VARCHAR))"
+    nib = f"(strpos('0123456789abcdef', substr({h}, {{pos}}, 1)) - 1)"
+    terms = [f"{nib.format(pos=j + 1)} * {16 ** (7 - j)}" for j in range(8)]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
@@ -1608,26 +1698,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY doc_id
         """,
         "minhash_pairs": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (
-                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
-            ), sig AS (
-                SELECT doc_id,
-                       min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-                       min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-                       min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-                       min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-                FROM sh GROUP BY doc_id
-            ), bands AS (
-                SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
-                UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
-                UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
-                UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            WITH {_MINHASH_PAIRS_CTE}
+            SELECT id_a, id_b FROM pairs
         """,
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, m) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+            ),
+            cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component)
+            SELECT cc.node AS doc_id, cc.component AS cluster_id, sizes.cluster_size
+            FROM cc JOIN sizes USING (component)
+        """,
+        "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (

@@ -31,20 +31,35 @@ SPLITS = 32
 
 
 def materialize_split_copies(sf_dir: str, cache_root: str = "/tmp/spark_graft_bench") -> str:
-    """Rewrite each parquet table in sf_dir with ~SPLITS row groups into a
-    cache dir (skipped if already present). Returns the cache dir path."""
+    """Rewrite each parquet table in sf_dir as a DIRECTORY of ~SPLITS part
+    files into a cache dir (skipped if already present; type-preserving via
+    pyarrow). Returns the cache dir path.
+
+    Why files and not row groups: a single multi-row-group file only splits
+    down to `maxPartitionBytes`, so small-but-compute-heavy tables (e.g.
+    documents, 600 KB at sf0.1 feeding 64-way simhash sums) ended up with
+    ~11 scan tasks on 32 cores. Separate files + a high `openCostInBytes`
+    give every table exactly SPLITS-way scans — the layout production data
+    has — with no repartition crutch in query bodies."""
     import pyarrow.parquet as pq
 
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    out_dir = os.path.join(cache_root, tag)
+    out_dir = os.path.join(cache_root, tag + "_v2")
     done_marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         table = pq.read_table(f)
-        rg = max(table.num_rows // SPLITS, 1)
-        pq.write_table(table, os.path.join(out_dir, os.path.basename(f)), row_group_size=rg)
+        tdir = os.path.join(out_dir, os.path.basename(f))
+        os.makedirs(tdir, exist_ok=True)
+        n = max(1, min(SPLITS, table.num_rows))
+        step = -(-table.num_rows // n) or 1
+        for i in range(n):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(chunk, os.path.join(tdir, f"part-{i:05d}.parquet"))
     with open(done_marker, "w") as fh:
         fh.write("ok\n")
     return out_dir
@@ -98,12 +113,12 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # Let the multi-row-group files actually split: with the default
-        # 128 MB maxPartitionBytes these small test files would still land
-        # in one scan task each. 256 KB ≈ one row-group per task for the
-        # larger tables at sf0.1; production leaves the default alone.
-        .config("spark.sql.files.maxPartitionBytes", "262144")
-        .config("spark.sql.files.openCostInBytes", "65536")
+        # One scan task per part file: each file's bin-packing cost is
+        # openCost + size, so with openCost(4M) > maxPartitionBytes(8M)/2
+        # no two files share a partition → every table scans SPLITS-wide,
+        # like production many-file layouts. Production leaves defaults.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "4m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

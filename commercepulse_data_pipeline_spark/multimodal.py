@@ -64,12 +64,116 @@ class DeterministicFakeDecoder:
         }
 
 
+def _feature_from_bytes(data: bytes, bins: int = 8) -> list[float]:
+    """bins-dim content summary: mean byte value per contiguous stripe,
+    normalized to [0, 1]. Cheap, deterministic, library-free."""
+    if not data:
+        return [0.0] * bins
+    n = len(data)
+    out = []
+    for i in range(bins):
+        lo, hi = (i * n) // bins, ((i + 1) * n) // bins
+        chunk = data[lo:hi] or data[lo : lo + 1]
+        out.append(sum(chunk) / (len(chunk) * 255.0) if chunk else 0.0)
+    return out
+
+
+def _decode_bmp(content: bytes) -> dict:
+    """BMP (Windows DIB): 14-byte file header ('BM', pixel-data offset at
+    byte 10) + BITMAPINFOHEADER (int32 width at 18, int32 height at 22 —
+    negative height = top-down rows)."""
+    import struct
+
+    if len(content) < 26:
+        raise ValueError("truncated BMP header")
+    pixel_off = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    pixels = content[pixel_off:]
+    return {
+        "width": abs(width),
+        "height": abs(height),
+        "duration_sec": None,
+        "feature": _feature_from_bytes(pixels),
+    }
+
+
+def _decode_wav(content: bytes) -> dict:
+    """WAV (RIFF/PCM): walk the chunk list; 'fmt ' gives channels/rate/
+    bits, 'data' gives payload size → duration = data_bytes / byte_rate."""
+    import struct
+
+    byte_rate = None
+    data = b""
+    pos = 12  # past 'RIFF' <size> 'WAVE'
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csz = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            _fmt, _ch, _rate, byte_rate, _align, _bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if not byte_rate:
+        raise ValueError("WAV without a valid fmt chunk")
+    return {
+        "width": None,
+        "height": None,
+        "duration_sec": len(data) / float(byte_rate),
+        "feature": _feature_from_bytes(data),
+    }
+
+
+def _decode_ppm(content: bytes) -> dict:
+    """PPM binary (P6): ASCII header 'P6 <width> <height> <maxval>' with
+    #-comments, then raw RGB triplets."""
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(content):
+        c = content[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(content) and content[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        else:
+            raise ValueError("malformed PPM header")
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, _maxval = fields
+    pixels = content[pos + 1 :]  # single whitespace after maxval
+    return {
+        "width": width,
+        "height": height,
+        "duration_sec": None,
+        "feature": _feature_from_bytes(pixels),
+    }
+
+
 def real_decode(content: bytes, modality: str) -> dict:
-    """The production decode hook. Image/audio libs are not available in
-    this container — STUB, clearly marked."""
+    """Production decode hook: REAL pure-Python decoders for uncompressed
+    container formats — BMP and PPM/P6 images, RIFF/PCM WAV audio —
+    dispatched on magic bytes, so real bytes flow through the distributed
+    path end to end (tested in tests/test_multimodal.py). Compressed
+    formats (JPEG/PNG/MP3/MP4…) need codec libraries this container
+    doesn't have and raise NotImplementedError — wire PIL/ffmpeg/
+    torchaudio here on a cluster image that has them."""
+    content = content or b""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/torchaudio) are not installed in this "
-        "environment; wire a real decoder here on a cluster image that has them"
+        f"no pure-Python decoder for this payload (modality={modality}, "
+        f"magic={content[:4]!r}); compressed codecs (PIL/ffmpeg/torchaudio) "
+        "are not installed in this environment"
     )
 
 

@@ -1,0 +1,54 @@
+"""Tolerance parity for sketch aggregates (VERDICT r2 #8): the driver
+records `approx_stats` rows-only (sketch outputs are estimator-specific by
+design), so this test pins its VALUES against DuckDB's exact twins —
+HyperLogLog++ distinct counts within the configured rsd envelope, t-digest
+quantiles within a small relative band of the true percentile.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    df = con.sql(
+        """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+        """
+    ).df()
+    con.close()
+    return {r.event_type: r for r in df.itertuples(index=False)}
+
+
+def test_approx_stats_within_tolerance(spark, exact):
+    import __spark_entry__ as E
+
+    got = {r.event_type: r for r in E.q_approx_stats(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        # exact count must match exactly — it's a plain count
+        assert g.n_events == e.n_events, et
+        # HLL++ at rsd=0.02: allow 5 standard errors (plus a 2-count floor
+        # for the tiny-sf groups where the estimator is exact anyway)
+        tol = max(5 * 0.02 * e.exact_users, 2)
+        assert abs(g.approx_users - e.exact_users) <= tol, (et, g.approx_users, e.exact_users)
+        # quantiles at accuracy=10000: both sides return discrete order
+        # statistics (quantile_disc ~ percentile_approx's definition), so
+        # a 2% relative band only has to absorb sketch error, not
+        # interpolation-definition gaps (quantile_cont interpolates and
+        # diverges by a whole order-stat gap on small groups)
+        for name, approx_v, exact_v in (("p50", g.p50, e.p50), ("p95", g.p95, e.p95)):
+            denom = max(abs(exact_v), 1.0)
+            assert abs(approx_v - exact_v) / denom <= 0.02, (et, name, approx_v, exact_v)

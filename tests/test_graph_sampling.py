@@ -1,0 +1,97 @@
+"""Tests for the extension-tier graph clustering and deterministic
+sampling operators (operators/graph.py, operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from commercepulse_data_pipeline_spark.operators.sampling import (
+    BUCKET_SPACE,
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+    threshold_for,
+)
+
+
+def test_connected_components_basic(spark):
+    """Two chains + an isolated pair: labels converge to the min id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path needs ~diameter rounds under hash-to-min; max_iter
+    must cover it (and the fixpoint must be exact, not approximate)."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(edges, max_iter=50).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (100, 101)], ["id_a", "id_b"])
+    rows = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert rows[5].cluster_id == rows[7].cluster_id == rows[9].cluster_id == 5
+    assert rows[5].cluster_size == 3
+    assert rows[100].cluster_id == rows[101].cluster_id == 100
+    assert rows[100].cluster_size == 2
+
+
+def test_hash_bucket_uniform_and_stable(spark):
+    """Buckets are stable across partitionings and roughly uniform."""
+    df = spark.range(0, 4000).select(F.col("id"))
+    b1 = df.select("id", hash_bucket(F.col("id")).alias("b"))
+    b2 = df.repartition(7).select("id", hash_bucket(F.col("id")).alias("b"))
+    assert {(r.id, r.b) for r in b1.collect()} == {(r.id, r.b) for r in b2.collect()}
+    mean = b1.agg(F.avg("b")).head()[0]
+    assert abs(mean / BUCKET_SPACE - 0.5) < 0.05  # uniform-ish center
+
+
+def test_deterministic_sample_rate_and_idempotence(spark):
+    df = spark.range(0, 10000).select(F.col("id"))
+    s = deterministic_sample(df, "id", 0.3)
+    n = s.count()
+    assert abs(n / 10000 - 0.3) < 0.03
+    # same sample on rerun AND on a superset (incremental property)
+    again = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    sup = spark.range(0, 20000).select(F.col("id"))
+    sup_ids = {r.id for r in deterministic_sample(sup, "id", 0.3).collect()}
+    assert again == {r.id for r in s.collect()}
+    assert again <= sup_ids
+    # independent samples under a different salt
+    salted = {r.id for r in deterministic_sample(df, "id", 0.3, salt="x").collect()}
+    assert salted != again
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr")) for i in range(8000)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = stratified_sample(df, "lang", {"en": 0.1, "de": 0.8}, "id", default_rate=0.5)
+    frac = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac["en"] / 4000 - 0.1) < 0.03
+    assert abs(frac["de"] / 2000 - 0.8) < 0.05
+    assert abs(frac["fr"] / 2000 - 0.5) < 0.05  # default rate
+
+
+def test_threshold_for_exact_int():
+    assert threshold_for(0.5) == 1 << 31
+    assert threshold_for(1.0) == BUCKET_SPACE
+    assert threshold_for(0.0) == 0

@@ -77,9 +77,72 @@ def test_media_stats_metadata_only(media_df, tmp_path):
     assert read_schema and all("content" not in ln for ln in read_schema)
 
 
-def test_real_decode_is_explicit_stub():
+def _bmp_bytes(width: int, height: int, pixel: bytes = b"\x10\x80\xf0") -> bytes:
+    """Minimal real 24-bit BMP: file header + BITMAPINFOHEADER + padded rows."""
+    import struct
+
+    row = (pixel * width)[: 3 * width]
+    row += b"\x00" * ((4 - len(row) % 4) % 4)  # 4-byte row padding
+    pixels = row * height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + dib + pixels
+
+
+def _wav_bytes(seconds: float, rate: int = 8000) -> bytes:
+    """Minimal real RIFF/PCM WAV: mono 16-bit, a deterministic ramp."""
+    import struct
+
+    n = int(seconds * rate)
+    data = b"".join(struct.pack("<h", (i * 37) % 32768 - 16384) for i in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decode_bmp_wav_ppm():
+    """real_decode parses REAL bytes of the uncompressed formats."""
+    d = real_decode(_bmp_bytes(13, 7), "image")
+    assert (d["width"], d["height"], d["duration_sec"]) == (13, 7, None)
+    assert len(d["feature"]) == 8 and all(0.0 <= v <= 1.0 for v in d["feature"])
+
+    d = real_decode(_wav_bytes(2.5), "audio")
+    assert d["duration_sec"] == pytest.approx(2.5, abs=1e-3)
+    assert d["width"] is None and len(d["feature"]) == 8
+
+    ppm = b"P6\n# comment\n5 4\n255\n" + b"\x01\x02\x03" * 20
+    d = real_decode(ppm, "image")
+    assert (d["width"], d["height"]) == (5, 4)
+
+
+def test_real_decode_compressed_is_explicit_stub():
+    """Formats needing codec libs still raise — clearly marked boundary."""
     with pytest.raises(NotImplementedError):
-        real_decode(b"bytes", "image")
+        real_decode(b"\x89PNG\r\n\x1a\n...", "image")
+
+
+def test_real_decode_distributed(spark):
+    """Real bytes flow through the distributed mapInPandas path end to
+    end: extract_features with decoder=real_decode over a mixed BMP/WAV
+    frame returns true dimensions/durations."""
+    rows = [
+        ("bmp-1", "image", "image/bmp", _bmp_bytes(32, 16), 0, {}),
+        ("bmp-2", "image", "image/bmp", _bmp_bytes(64, 8), 0, {}),
+        ("wav-1", "audio", "audio/wav", _wav_bytes(1.25), 0, {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime_type string, content binary, n_bytes long, meta map<string,string>",
+    )
+    out = {
+        r.media_id: r
+        for r in extract_features(df.repartition(3), decoder=real_decode, batch_rows=1).collect()
+    }
+    assert (out["bmp-1"].width, out["bmp-1"].height) == (32, 16)
+    assert (out["bmp-2"].width, out["bmp-2"].height) == (64, 8)
+    assert out["wav-1"].duration_sec == pytest.approx(1.25, abs=1e-3)
+    assert all(len(r.feature) == 8 for r in out.values())
 
 
 def test_fake_decoder_deterministic():

@@ -27,6 +27,8 @@ PROBE_QUERIES = [
     "minhash_pairs",
     "ngram_jaccard",
     "simhash_pairs",
+    "fact_shipments_rollup",
+    "embedding_selfknn",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -50,6 +52,22 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
             parts = []
             for i in range(n):
                 p = src_df.withColumn(key, F.col(key) + F.lit(i * step))
+                if t == "embeddings" and i > 0:
+                    # Rotate each copy's vector by i positions: identical
+                    # replicas would land in the SAME sign-LSH buckets, so
+                    # posting lists would grow n× and pair candidates n²×
+                    # by construction (duplicate inflation, not plan
+                    # scaling). Rotation keeps norms but changes direction.
+                    dim = len(src_df.select("embedding").head()[0])
+                    sh = i % dim
+                    if sh:
+                        p = p.withColumn(
+                            "embedding",
+                            F.concat(
+                                F.slice(F.col("embedding"), sh + 1, dim - sh),
+                                F.slice(F.col("embedding"), 1, sh),
+                            ),
+                        )
                 if t == "documents":
                     # Prefix every token with the copy id → each copy has a
                     # DISJOINT shingle vocabulary. Plain replication makes
@@ -93,7 +111,12 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_sf1"
-    src = "/root/testdata/sf0.1"
+    # Base reads the SAME many-file layout bench.py uses: comparing a
+    # single-row-group base (1 scan split/table) against many-file
+    # replicas would skew ratios in both directions.
+    from bench import materialize_split_copies
+
+    src = materialize_split_copies("/root/testdata/sf0.1")
 
     from pyspark.sql import SparkSession
 
@@ -103,8 +126,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # events.parquet carries TIMESTAMP(NANOS): read as long (replicas
-        # store plain INT64 nanos, which _events() converts on read)
+        .config("spark.sql.session.timeZone", "UTC")
+        # one scan task per part file (same rationale as bench.py)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "4m")
+        # historical testdata encoding (TIMESTAMP(NANOS) events): harmless
+        # when absent, required for replicas written from that encoding
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
@@ -113,6 +140,14 @@ def main() -> None:
     # embeddings is replicated last — its presence means a complete replica
     if not os.path.exists(f"{outdir}/embeddings.parquet"):
         replicate(spark, src, outdir, n)
+
+    # untimed JIT warm-up sweep (same rationale as bench.py: the JVM's
+    # first ~25s run 5-10x slow, which would inflate base times and
+    # understate the ratios)
+    import __spark_entry__ as entrymod
+
+    for name in PROBE_QUERIES:
+        entrymod.queries()[name](spark, src).write.format("noop").mode("overwrite").save()
 
     base = run(spark, src)
     big = run(spark, outdir)
