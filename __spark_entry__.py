@@ -524,6 +524,24 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window manifest via sharded next-fit sequence packing
+    (operators/packing.py): docs shard by md5 bucket, pack in id order
+    into 512-token windows inside each shard (applyInPandas — the
+    sanctioned stateful-loop path), then roll up to one row per window.
+    The oracle replays the identical shard assignment and walk as a
+    DuckDB recursive CTE."""
+    from commercepulse_data_pipeline_spark.operators import packing
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = packing.pack_sequences(
+        d, "doc_id", "n_tokens", capacity=512, n_shards=8, salt="pack-v1:"
+    )
+    return packing.packed_windows(packed)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 via shingle inverted index.
 
@@ -1158,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
@@ -1226,6 +1245,40 @@ def _stratified_sample_oracle_sql() -> str:
             WHEN lang = 'es' THEN {threshold_for(0.5)}
             WHEN lang = 'en' THEN {threshold_for(0.25)}
             ELSE {threshold_for(0.9)} END)
+    """
+
+
+def _packed_windows_oracle_sql(capacity: int = 512, n_shards: int = 8) -> str:
+    """DuckDB twin of q_docs_packed_windows: identical md5 shard buckets,
+    identical in-shard next-fit walk replayed as a recursive CTE (one
+    recursion step per row per shard — shards advance independently)."""
+    bucket = _sample_bucket_sql("doc_id", "pack-v1:")
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, len({_TOKS}) AS tok FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, least(tok, {capacity}) AS tok,
+                   CAST({bucket} % {n_shards} AS INT) AS shard
+            FROM t
+        ),
+        ord AS (
+            SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM sh
+        ),
+        walk(shard, rn, bin_idx, fill) AS (
+            SELECT shard, rn, CAST(0 AS BIGINT), CAST(tok AS BIGINT)
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn,
+                   CASE WHEN w.fill > 0 AND w.fill + o.tok > {capacity}
+                        THEN w.bin_idx + 1 ELSE w.bin_idx END,
+                   CASE WHEN w.fill > 0 AND w.fill + o.tok > {capacity}
+                        THEN CAST(o.tok AS BIGINT) ELSE w.fill + o.tok END
+            FROM ord o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn + 1
+        )
+        SELECT shard, bin_idx, count(*) AS n_docs, max(fill) AS window_tokens
+        FROM walk GROUP BY 1, 2
     """
 
 
@@ -1718,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cc JOIN sizes USING (component)
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
+        "docs_packed_windows": _packed_windows_oracle_sql(),
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (

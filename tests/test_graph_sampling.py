@@ -95,3 +95,51 @@ def test_threshold_for_exact_int():
     assert threshold_for(0.5) == 1 << 31
     assert threshold_for(1.0) == BUCKET_SPACE
     assert threshold_for(0.0) == 0
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_capacity_and_order(spark):
+    from commercepulse_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        packed_windows,
+    )
+
+    rows = [(i, 100 + (i * 37) % 300) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_sequences(df, "doc_id", "n_tokens", capacity=512, n_shards=4)
+    out = packed.collect()
+    assert len(out) == 200  # every doc assigned exactly once
+    # windows never exceed capacity
+    wins = packed_windows(packed).collect()
+    assert all(w.window_tokens <= 512 for w in wins)
+    # within a shard, bin_idx is non-decreasing in doc_id (next-fit walk)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        assert r.bin_idx >= by_shard.get(r.shard, 0)
+        by_shard[r.shard] = r.bin_idx
+
+
+def test_pack_sequences_partition_independent(spark):
+    from commercepulse_data_pipeline_spark.operators.packing import pack_sequences
+
+    rows = [(i, 50 + i % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    a = {(r.doc_id, r.shard, r.bin_idx) for r in
+         pack_sequences(df, "doc_id", "n_tokens", capacity=256, n_shards=4).collect()}
+    b = {(r.doc_id, r.shard, r.bin_idx) for r in
+         pack_sequences(df.repartition(13), "doc_id", "n_tokens", capacity=256, n_shards=4).collect()}
+    assert a == b
+
+
+def test_pack_sequences_oversize_doc_truncated_to_own_bin(spark):
+    from commercepulse_data_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10_000), (2, 100)], ["doc_id", "n_tokens"])
+    out = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "n_tokens", capacity=512, n_shards=1).collect()}
+    # the oversize doc counts at capacity, so it fills a bin alone
+    assert out[1].bin_fill <= 512
+    assert out[1].bin_idx != out[2].bin_idx
