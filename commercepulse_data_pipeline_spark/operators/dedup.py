@@ -342,7 +342,13 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # set size = array length of the (already-distinct) shingle array: a
+    # pure per-doc projection. Deriving it from the exploded rows instead
+    # (groupBy + count) would re-run the shingle explode a second time —
+    # sh has two consumers and Spark does not share subplans across them.
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_n)).alias("set_size")
+    ).where(F.col("set_size") > 0)
     posting = capped_posting_lists(
         sh, ["shingle"], F.col(id_col), max_bucket=max_shingle_freq
     )
