@@ -542,6 +542,22 @@ def q_docs_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packed_windows(packed)
 
 
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): every 10th
+    doc plays the evaluation set; the rest of the corpus is scored by the
+    fraction of its distinct 3-gram shingles that appear in the eval
+    vocabulary. Probe vocab broadcasts; corpus side is one explode + one
+    id-keyed aggregation."""
+    from commercepulse_data_pipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    d = _docs(spark, sf_dir)
+    probes = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(corpus, probes, text_col="text", id_col="doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 via shingle inverted index.
 
@@ -1177,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
@@ -1772,6 +1789,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_packed_windows": _packed_windows_oracle_sql(),
+        "docs_contamination": f"""
+            WITH probe_vocab AS (
+                SELECT DISTINCT unnest({_SHINGLES3}) AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 = 0)
+                WHERE len(t) >= 3
+            ),
+            doc_sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 <> 0)
+                WHERE len(t) >= 3
+            ),
+            hits AS (
+                SELECT d.doc_id, count(*) AS hits FROM doc_sh d
+                WHERE EXISTS (SELECT 1 FROM probe_vocab p WHERE p.shingle = d.s)
+                GROUP BY d.doc_id
+            ),
+            sizes AS (
+                SELECT doc_id, len({_SHINGLES3}) AS set_size
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 10 <> 0)
+                WHERE len(t) >= 3
+            )
+            SELECT s.doc_id, s.set_size,
+                   COALESCE(h.hits, 0) AS hits,
+                   round(COALESCE(h.hits, 0) / CAST(s.set_size AS DOUBLE), 6) AS contamination
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (

@@ -143,3 +143,32 @@ def test_pack_sequences_oversize_doc_truncated_to_own_bin(spark):
     # the oversize doc counts at capacity, so it fills a bin alone
     assert out[1].bin_fill <= 512
     assert out[1].bin_idx != out[2].bin_idx
+
+
+# ---------------------------------------------------------------------------
+# Contamination (operators/contamination.py)
+# ---------------------------------------------------------------------------
+
+def test_ngram_contamination_planted_overlap(spark):
+    from commercepulse_data_pipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    probe = "the quick brown fox jumps over the lazy dog"
+    clean = "completely different words with no shared trigrams here at all"
+    half = "the quick brown fox runs through entirely novel territory now"
+    corpus = spark.createDataFrame(
+        [(1, probe), (2, clean), (3, half), (4, "too short")], ["doc_id", "text"]
+    )
+    probes = spark.createDataFrame([(100, probe)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_contamination(corpus, probes).collect()}
+    assert out[1].contamination == 1.0          # verbatim copy of the benchmark
+    assert out[2].contamination == 0.0          # no overlap
+    assert 0.0 < out[3].contamination < 1.0     # partial leak
+    assert 4 not in out                         # <3 tokens -> no shingles
+
+    # plan: the probe vocabulary must broadcast (no shuffle on the corpus
+    # side for the membership test)
+    plan = ngram_contamination(corpus, probes)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, plan
