@@ -508,6 +508,25 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(pairs)
 
 
+def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup retention pipeline composed end to end: MinHash
+    pair graph → connected-component clusters → KEEP THE BEST-QUALITY
+    member per cluster (operators/graph.py::keep_best_per_cluster, scored
+    by operators/text.py::quality_score, ties → lowest id). This is the
+    decision table a training pipeline acts on. The oracle composes the
+    same three fragments in SQL (recursive CTE + quality twin +
+    rank-1 window)."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    clusters = graph.dedup_clusters(pairs)
+    quality = tx.quality_score(d, "text").select("doc_id", "quality_score")
+    return graph.keep_best_per_cluster(clusters, quality)
+
+
 def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language corpus balancing
     (operators/sampling.py::stratified_sample): downsample dominant 'en'
@@ -1191,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
         "docs_contamination": q_docs_contamination,
@@ -1222,6 +1242,32 @@ _SHINGLES2 = (
     "list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),"
     " i -> array_to_string(t[i:i+1], ' ')))"
 )
+
+# Quality-score twin (operators/text.py::quality_score) — shared between
+# the docs_quality oracle and the docs_dedup_keep_best composition.
+_QUALITY_SQL = f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), m AS (
+                SELECT doc_id, text, toks,
+                       CAST(len(toks) AS DOUBLE) AS n_tok,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS distinct_ratio,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0
+                            WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mean_len
+                FROM t
+            )
+            SELECT doc_id,
+                   round((distinct_ratio + alpha_ratio + len_band
+                          + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality_score
+            FROM m
+        """
 
 # MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows) — shared between the
 # minhash_pairs oracle and the docs_dup_clusters recursive-CTE oracle.
@@ -1721,29 +1767,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS mean_token_len
             FROM t
         """,
-        "docs_quality": f"""
-            WITH t AS (
-                SELECT doc_id, text, {_TOKS} AS toks FROM documents
-            ), m AS (
-                SELECT doc_id, text, toks,
-                       CAST(len(toks) AS DOUBLE) AS n_tok,
-                       CASE WHEN len(toks) > 0
-                            THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS distinct_ratio,
-                       CASE WHEN length(text) > 0
-                            THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) / CAST(length(text) AS DOUBLE)
-                            ELSE 0.0 END AS alpha_ratio,
-                       CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0
-                            WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
-                       CASE WHEN len(toks) > 0
-                            THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
-                            ELSE 0.0 END AS mean_len
-                FROM t
-            )
-            SELECT doc_id,
-                   round((distinct_ratio + alpha_ratio + len_band
-                          + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality_score
-            FROM m
-        """,
+        "docs_quality": _QUALITY_SQL,
         "docs_lang_breakdown": """
             SELECT lang, source, count(*) AS n_docs,
                    round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 2) AS avg_chars
@@ -1786,6 +1810,35 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component)
             SELECT cc.node AS doc_id, cc.component AS cluster_id, sizes.cluster_size
             FROM cc JOIN sizes USING (component)
+        """,
+        "docs_dedup_keep_best": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, m) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+            ),
+            cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component),
+            quality AS ({_QUALITY_SQL}),
+            ranked AS (
+                SELECT cc.node AS doc_id, cc.component AS cluster_id,
+                       s.cluster_size, q.quality_score,
+                       row_number() OVER (
+                           PARTITION BY cc.component
+                           ORDER BY q.quality_score DESC, cc.node ASC
+                       ) AS rn
+                FROM cc
+                JOIN sizes s ON s.component = cc.component
+                JOIN quality q ON q.doc_id = cc.node
+            )
+            SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_score,
+                   cluster_size, cluster_size - 1 AS n_dropped
+            FROM ranked WHERE rn = 1
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_packed_windows": _packed_windows_oracle_sql(),

@@ -81,6 +81,42 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Dedup RETENTION POLICY: per near-dup cluster keep the
+    highest-scoring member (ties → lowest id), the decision a training
+    pipeline actually applies after clustering — "drop duplicates, keep
+    the best-quality copy", not "keep an arbitrary one".
+
+    ``clusters`` is ``dedup_clusters`` output; ``scores`` maps id → score
+    (e.g. ``text.quality_score``). One shuffle on the cluster id for the
+    rank window; the scores join is id-keyed (bucket both by id at scale
+    and it co-locates). Returns one row per cluster:
+    (cluster_id, kept_doc_id, score, cluster_size, n_dropped)."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc_id"),
+            F.col(score_col).alias("kept_score"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -172,3 +172,22 @@ def test_ngram_contamination_planted_overlap(spark):
     plan = ngram_contamination(corpus, probes)._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final and "LeftSemi" in final, plan
+
+
+def test_keep_best_per_cluster(spark):
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        keep_best_per_cluster,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    clusters = dedup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.7)],
+        ["doc_id", "quality_score"],
+    )
+    out = {r.cluster_id: r for r in keep_best_per_cluster(clusters, scores).collect()}
+    # cluster {1,2,3}: 2 and 3 tie on score -> lowest id (2) wins
+    assert out[1].kept_doc_id == 2 and out[1].cluster_size == 3 and out[1].n_dropped == 2
+    # cluster {10,11}: 11 has the higher score
+    assert out[10].kept_doc_id == 11 and out[10].n_dropped == 1
