@@ -122,3 +122,36 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Deterministic sampling must stay a scan-side filter: no Exchange,
+    no aggregation — the plan is projection + filter over the scan."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_docs_stratified_sample(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, plan
+    assert "HashAggregate" not in final, plan
+
+
+def test_contamination_broadcasts_probe_vocab(spark):
+    """The probe vocabulary must broadcast; the corpus side keeps its
+    scan partitioning for the semi-join (no shuffle before the hits agg
+    other than the id-keyed aggregation itself)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_docs_contamination(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, plan
+
+
+def test_packed_windows_single_shuffle_per_stage(spark):
+    """Sharded packing: one Exchange onto the shard key for the
+    applyInPandas group, one for the window rollup — and no more."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_docs_packed_windows(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in final and "BroadcastNestedLoopJoin" not in final, plan
