@@ -561,6 +561,22 @@ def q_docs_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packed_windows(packed)
 
 
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass (operators/text.py::scrub): within-doc line
+    dedup + URL/email/phone redaction with per-class counts — pure
+    codegen'd projections, no shuffle. Output carries md5(scrubbed) so the
+    oracle hash-checks the full transformation even where it is the
+    identity on this corpus."""
+    d = _docs(spark, sf_dir)
+    return tx.scrub(d, "text").select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): every 10th
     doc plays the evaluation set; the rest of the corpus is scored by the
@@ -1214,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
         "docs_contamination": q_docs_contamination,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
@@ -1842,6 +1859,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_packed_windows": _packed_windows_oracle_sql(),
+        "docs_pii_scrub": r"""
+            WITH staged AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines,
+                       regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS after_url
+                FROM documents
+            ), c AS (
+                SELECT doc_id, text, lines, after_url,
+                       regexp_replace(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email,
+                       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls
+                FROM staged
+            ), k AS (
+                SELECT doc_id, n_urls,
+                       CAST(len(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                       CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+                       array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10)) AS deduped
+                FROM c
+            )
+            SELECT doc_id, n_urls, n_emails, n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(deduped,
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM k
+        """,
         "docs_contamination": f"""
             WITH probe_vocab AS (
                 SELECT DISTINCT unnest({_SHINGLES3}) AS shingle

@@ -142,3 +142,69 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + in-document repetition removal (extension tier: the
+# cleaning passes a training corpus runs before tokenization)
+# ---------------------------------------------------------------------------
+
+# Patterns stay in the common Java-regex / RE2 subset so the DuckDB oracle
+# replays them verbatim. Applied in order: URLs first (they can contain
+# '@' and digits), then emails, then phone-ish digit runs.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs/emails/phone-like digit runs with typed placeholders —
+    single codegen'd projection, no UDF, no shuffle."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (counted in the same order redaction
+    applies, on the progressively redacted text, so a URL's '@' is never
+    double-counted as an email)."""
+    after_url = F.regexp_replace(text, URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    return {
+        "n_urls": F.regexp_count(text, F.lit(URL_RE)),
+        "n_emails": F.regexp_count(after_url, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(after_email, F.lit(PHONE_RE)),
+    }
+
+
+def dedup_lines(lines: Column) -> Column:
+    """Remove REPEATED lines within a document, keeping first occurrences
+    in order (boilerplate headers/footers repeat verbatim inside scraped
+    docs): keep line i iff its first occurrence index is i.
+
+    ``lines`` MUST be a plain column reference to an already-split array
+    (stage it in its own projection first): the lambda references the
+    array once per element via ``array_position``, and an inlined
+    ``split(...)`` expression would be RE-EXPANDED per element — the
+    Catalyst pitfall that bit the token/simhash stats (verify SKILL.md).
+    """
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) - 1 == i)
+    return F.array_join(kept, "\n")
+
+
+def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The composed cleaning pass: line-dedup then PII-redact, with per-doc
+    PII counts. Two stacked projections over the scan (the line array is
+    staged so it is computed once) — no UDF, no shuffle."""
+    counts = pii_counts(F.col(text_col))
+    return (
+        df.withColumn("__lines", F.split(F.col(text_col), r"\n"))
+        .withColumns(
+            {
+                **counts,
+                "scrubbed": redact_pii(dedup_lines(F.col("__lines"))),
+            }
+        )
+        .drop("__lines")
+    )

@@ -191,3 +191,61 @@ def test_keep_best_per_cluster(spark):
     assert out[1].kept_doc_id == 2 and out[1].cluster_size == 3 and out[1].n_dropped == 2
     # cluster {10,11}: 11 has the higher score
     assert out[10].kept_doc_id == 11 and out[10].n_dropped == 1
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + line dedup (operators/text.py)
+# ---------------------------------------------------------------------------
+
+def test_scrub_planted_pii_and_lines(spark):
+    from commercepulse_data_pipeline_spark.operators import text as tx
+
+    doc = (
+        "contact me at alice@example.com or +1 (555) 123-4567\n"
+        "see https://example.com/path?q=1 for details\n"
+        "see https://example.com/path?q=1 for details\n"
+        "clean closing line"
+    )
+    df = spark.createDataFrame([(1, doc), (2, "no pii here at all")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in tx.scrub(df).collect()}
+    assert (out[1].n_urls, out[1].n_emails, out[1].n_phones) == (2, 1, 1)
+    assert (out[2].n_urls, out[2].n_emails, out[2].n_phones) == (0, 0, 0)
+    s = out[1].scrubbed
+    assert "<EMAIL>" in s and "<URL>" in s and "<PHONE>" in s
+    assert "alice@example.com" not in s and "555" not in s
+    # the repeated URL line was deduped BEFORE redaction: one <URL> line
+    assert s.count("see <URL> for details") == 1
+    assert s.endswith("clean closing line")
+
+
+def test_scrub_matches_duckdb_on_planted_pii(spark, tmp_path):
+    """Regex-dialect agreement on POSITIVE matches: the registered parity
+    query only sees a PII-free corpus, so cross-check planted rows through
+    the exact oracle SQL against the exact Spark query."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "mail bob@test.org twice bob@test.org\nmail bob@test.org twice bob@test.org"),
+        (2, "call +44 20 7946 0958 now or visit http://x.io/a"),
+        (3, "plain text only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    spark_out = {
+        r.doc_id: (r.n_urls, r.n_emails, r.n_phones, r.scrubbed_md5)
+        for r in E.q_docs_pii_scrub(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    duck_out = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), r[4])
+        for r in con.sql(E.oracle_sql()["docs_pii_scrub"]).fetchall()
+    }
+    con.close()
+    assert spark_out == duck_out
+    assert spark_out[1][1] == 4  # counts see the RAW text (4 emails pre line-dedup)
