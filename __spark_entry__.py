@@ -37,11 +37,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table. Scan parallelism comes from the storage layout +
-    session conf (many row groups / files, `spark.sql.files.maxPartitionBytes`),
-    never from an injected repartition — bench.py materializes
-    multi-row-group copies of the single-row-group testdata files so the
-    benched plans read wide the same way production data (many files/row
-    groups) does."""
+    session conf (many part files + one-task-per-file packing), never from
+    an injected repartition — bench.py rewrites each single-row-group
+    testdata file as a 32-part-file directory so the benched plans read
+    wide the same way production data (many files) does."""
     return _t(spark, sf_dir, "documents")
 
 

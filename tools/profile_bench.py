@@ -1,5 +1,5 @@
 """Profile individual headline queries under the exact bench.py session
-conf (multi-row-group split copies + low maxPartitionBytes), printing
+conf (32-part-file split copies + one-task-per-file packing), printing
 per-query wall time over N runs plus optional formatted plans.
 
 Usage: python tools/profile_bench.py q1 q2 ... [--explain] [--runs N]
