@@ -29,6 +29,13 @@ PROBE_QUERIES = [
     "simhash_pairs",
     "fact_shipments_rollup",
     "embedding_selfknn",
+    # round-4 extension tier
+    "docs_dup_clusters",
+    "docs_dedup_keep_best",
+    "docs_stratified_sample",
+    "docs_packed_windows",
+    "docs_contamination",
+    "docs_pii_scrub",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
