@@ -186,6 +186,56 @@ def cmd_dims(args) -> int:
     return 0
 
 
+def cmd_clean_corpus(args) -> int:
+    """Training-corpus cleaning pipeline (extension tier), end to end:
+
+        scrub (line dedup + PII redaction)
+        → exact dedup (content hash, lowest id wins)
+        → near-dup clusters (MinHash pairs → connected components)
+          → keep the best-quality member per cluster
+        → deterministic sample (md5-bucket, reproducible/incremental)
+        → sharded next-fit packing into fixed-token context windows
+
+    Writes <out>/corpus (cleaned docs + window assignment) and
+    <out>/windows (one row per context window) as parquet. Every stage is
+    the same operator the oracle-checked queries exercise."""
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.operators import graph
+    from commercepulse_data_pipeline_spark.operators import packing
+    from commercepulse_data_pipeline_spark.operators import text as tx
+    from commercepulse_data_pipeline_spark.operators.sampling import deterministic_sample
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+
+    scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
+    exact = dd.exact_dedup(scrubbed, "text", "doc_id")
+
+    pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
+    clusters = graph.dedup_clusters(pairs)
+    quality = tx.quality_score(exact, "text").select("doc_id", "quality_score")
+    keep = graph.keep_best_per_cluster(clusters, quality)
+    # drop clustered docs that are NOT the kept representative
+    losers = clusters.join(
+        keep.select(F.col("kept_doc_id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    deduped = exact.join(losers, "doc_id", "left_anti")
+
+    sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
+
+    with_tokens = sampled.withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
+    packed = packing.pack_sequences(
+        with_tokens, "doc_id", "n_tokens", capacity=args.capacity, salt=args.salt
+    )
+    corpus = with_tokens.join(packed.select("doc_id", "shard", "bin_idx"), "doc_id")
+
+    corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
+    packing.packed_windows(packed).write.mode("overwrite").parquet(f"{args.out}/windows")
+    n_in, n_out = docs.count(), corpus.count()
+    print(f"clean-corpus: {n_in} docs in -> {n_out} kept, windows written to {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +269,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--warehouse", required=True)
     d.add_argument("--csv", action="store_true")
     d.set_defaults(fn=cmd_dims)
+
+    c = sub.add_parser(
+        "clean-corpus",
+        help="training-corpus pipeline: scrub → dedup → cluster-keep-best → sample → pack",
+    )
+    c.add_argument("--docs", required=True, help="parquet with (doc_id, text, ...)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--sample-rate", type=float, default=1.0, dest="sample_rate")
+    c.add_argument("--capacity", type=int, default=2048, help="tokens per context window")
+    c.add_argument("--salt", default="corpus-v1:")
+    c.set_defaults(fn=cmd_clean_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

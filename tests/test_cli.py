@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from commercepulse_data_pipeline_spark import cli
 
 
@@ -80,3 +82,39 @@ def test_cli_incremental_days_and_reload(spark, landing, tmp_path):
 
     deduped = read_bronze(spark, bronze)
     assert deduped.count() == both.count()  # no new logical events
+
+
+def test_clean_corpus_pipeline(spark, tmp_path):
+    """End-to-end corpus cleaning: planted exact dups, near-dups, and PII
+    flow through scrub → dedup → cluster-keep-best → sample → pack."""
+    from commercepulse_data_pipeline_spark import cli
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, near),                                   # near-dup of 1
+        (4, "mail me at a@b.co\n" + "unique words entirely different content here"),
+        (5, "another completely distinct document with its own vocabulary set"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+    ])
+    assert rc == 0
+    corpus = spark.read.parquet(str(tmp_path / "out/corpus"))
+    kept = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert 2 not in kept                   # exact dup dropped
+    assert len(kept & {1, 3}) == 1          # near-dup cluster -> one survivor
+    assert 4 in kept and 5 in kept
+    pii_doc = corpus.where(F.col("doc_id") == 4).head()
+    assert "<EMAIL>" in pii_doc.text and "a@b.co" not in pii_doc.text
+    windows = spark.read.parquet(str(tmp_path / "out/windows"))
+    assert windows.count() >= 1
+    assert windows.agg(F.max("window_tokens")).head()[0] <= 64
