@@ -123,3 +123,59 @@ def write_bronze_stream(stream: DataFrame, path: str, checkpoint: str, trigger_o
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def join_payments_to_orders_stream(
+    stream: DataFrame, *, watermark: str = "7 days", within: str = "1 day"
+) -> DataFrame:
+    """STREAM-STREAM inner join: each payment event joins its order
+    creation if it arrives within ``within`` of the order's event time —
+    the streaming form of the batch enrich join, with the vendor-drift
+    order-id coalesce (F1) applied on both sides.
+
+    Why the time-range condition is load-bearing at scale: an equi-join
+    alone would force Spark to buffer EVERY order forever (any future
+    payment might match). With both sides watermarked and the range bound
+    ``order_ts <= pay_ts <= order_ts + within``, the engine can evict an
+    order's join state once the watermark passes ``order_ts + within`` and
+    a payment's once it passes ``pay_ts`` — bounded state on both sides.
+    Append-mode capable (matches finalize when eviction proves no further
+    partner can arrive).
+    """
+    oid = F.coalesce(
+        F.get_json_object("payload", "$.order_id"),
+        F.get_json_object("payload", "$.orderRef"),
+        F.get_json_object("payload", "$.order.id"),
+    )
+    amount = F.coalesce(
+        F.get_json_object("payload", "$.amountPaid"),
+        F.get_json_object("payload", "$.amount"),
+        F.get_json_object("payload", "$.payment_amount"),
+    ).cast("double")
+    orders = (
+        stream.where(F.col("event_type") == "order_created")
+        .select(oid.alias("order_id"), F.col("event_ts").alias("order_ts"))
+        .where(F.col("order_id").isNotNull())
+        .withWatermark("order_ts", watermark)
+    )
+    payments = (
+        stream.where(F.col("event_type").startswith("payment_"))
+        .select(
+            F.col("event_id").alias("payment_event_id"),
+            oid.alias("pay_order_id"),
+            F.col("event_ts").alias("pay_ts"),
+            amount.alias("amount"),
+        )
+        .where(F.col("pay_order_id").isNotNull())
+        .withWatermark("pay_ts", watermark)
+    )
+    return (
+        orders.join(
+            payments,
+            (F.col("order_id") == F.col("pay_order_id"))
+            & (F.col("pay_ts") >= F.col("order_ts"))
+            & (F.col("pay_ts") <= F.col("order_ts") + F.expr(f"INTERVAL {within}")),
+            "inner",
+        )
+        .select("order_id", "order_ts", "payment_event_id", "pay_ts", "amount")
+    )

@@ -246,3 +246,24 @@ def test_dedup_state_bounded_with_rocksdb_eviction(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_stream_join_payments_to_orders(spark, landing_dir):
+    """Stream-stream inner join with an event-time range bound: payments
+    match their order iff within 1 day of the order creation. The orphan
+    payment (no order) and the out-of-range duplicate-payment event are
+    both excluded; the drift-coalesced order id matches all 3 vendor
+    dialects."""
+    from commercepulse_data_pipeline_spark.streaming.ingest import (
+        join_payments_to_orders_stream,
+    )
+
+    stream = read_event_stream(spark, f"{landing_dir}/*/events.jsonl")
+    joined = join_payments_to_orders_stream(stream, within="1 day")
+    _run_to_memory(joined, "ss_join_sink", "append")
+    rows = {r.payment_event_id: r for r in spark.sql("SELECT * FROM ss_join_sink").collect()}
+    assert set(rows) == {"pay-1", "pay-2", "pay-3", "pay-6"}
+    assert rows["pay-1"].order_id == "O1" and rows["pay-1"].amount == 1000.0
+    assert rows["pay-3"].order_id == "O3" and rows["pay-3"].amount == 250.0
+    # pay-4 (orphan O-GHOST) and pay-5 (2 days after O1's creation, outside
+    # the 1-day range) are excluded by the join itself
