@@ -138,16 +138,16 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice; we report the min (steady-state). The first
-    # run pays one-time whole-stage-codegen compilation (~2-4s for the
-    # widest expression trees), a fixed cost that amortizes to zero at
-    # production scale and would otherwise dominate sub-second queries.
+    # Each query runs three times; we report the min (steady-state).
+    # Per-query run-to-run variance on this box is ±30% (GC, scheduling);
+    # min-of-3 after the full warm-up sweep keeps the recorded number
+    # representative of the plan, not the noise.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
