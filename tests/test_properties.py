@@ -200,3 +200,67 @@ def test_asof_join_matches_bruteforce(spark, quotes, trades):
         eligible = [(qt, px) for qt, px in dedup_quotes.items() if qt <= tt]
         expected = max(eligible)[1] if eligible else None
         assert got[tt] == expected, (tt, got[tt], expected)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 400)), min_size=1, max_size=40, unique_by=lambda t: t[0]
+    ),
+    capacity=st.sampled_from([64, 128, 512]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_nextfit(spark, rows, capacity):
+    """Sharded next-fit packing ≡ a pure-Python next-fit walk per shard:
+    same bins, same fills, for arbitrary token counts (incl. zero and
+    over-capacity docs)."""
+    from commercepulse_data_pipeline_spark.operators.packing import pack_sequences
+    from commercepulse_data_pipeline_spark.operators.sampling import BUCKET_SPACE
+
+    import hashlib
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r.doc_id: (r.shard, r.bin_idx, r.bin_fill)
+        for r in pack_sequences(df, "doc_id", "n_tokens", capacity=capacity, n_shards=3).collect()
+    }
+
+    def bucket(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:8], 16) % 3
+
+    model = {}
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, tok in rows:
+        shards.setdefault(bucket(doc_id), []).append((doc_id, min(tok, capacity)))
+    for shard, docs in shards.items():
+        bin_idx, fill = 0, 0
+        for doc_id, tok in sorted(docs):
+            if fill and fill + tok > capacity:
+                bin_idx, fill = bin_idx + 1, 0
+            fill += tok
+            model[doc_id] = (shard, bin_idx, fill)
+    assert got == model
+
+
+@given(
+    keyed=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "hot"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.sampled_from([2, 5, 10]),
+)
+@settings(**_SETTINGS)
+def test_capped_posting_lists_invariants(spark, keyed, cap):
+    """For ANY input: output lists have 2..cap members, exactly the keys
+    whose group size is in that band, with the full member multiset."""
+    from collections import Counter
+
+    df = spark.createDataFrame(keyed, ["bucket", "doc_id"])
+    out = {r.bucket: sorted(r["__ids"]) for r in
+           dd.capped_posting_lists(df, ["bucket"], F.col("doc_id"), max_bucket=cap).collect()}
+    sizes = Counter(k for k, _ in keyed)
+    expect_keys = {k for k, n in sizes.items() if 2 <= n <= cap}
+    assert set(out) == expect_keys
+    for k in expect_keys:
+        assert out[k] == sorted(v for kk, v in keyed if kk == k)
