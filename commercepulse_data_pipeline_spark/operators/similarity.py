@@ -264,6 +264,48 @@ def ivf_topk(
     return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def write_ivf_index(
+    assigned: DataFrame, path: str, *, centroids: list[tuple[int, list[float]]]
+) -> None:
+    """Persist the IVF index: the assigned corpus PARTITIONED BY
+    centroid_id (probes become partition PRUNING — the scan never opens a
+    non-probed list's files) plus the centroid table next to it. This is
+    the 100 TB serving shape: ``ivf_topk`` over a fresh ``ivf_assign`` is
+    the build path, this is the query path."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(cid, [float(v) for v in c]) for cid, c in centroids],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: rank the (tiny) centroid table on the
+    driver, read ONLY the ``nprobe`` nearest partitions (partition
+    pruning, plan-asserted in tests), exact cosine re-rank inside them."""
+    cents = [
+        (int(r.centroid_id), list(r.centroid))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+
+    def d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+
+    probe_ids = [cid for cid, c in sorted(cents, key=lambda t: d2(t[1]))[:nprobe]]
+    lists = spark.read.parquet(f"{path}/lists").where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(lists, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_join_self(
     corpus: DataFrame,
     k: int = 5,

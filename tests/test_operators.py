@@ -363,3 +363,27 @@ def test_ivf_assign_and_topk(spark):
     approx = [r.vec_id for r in sim.ivf_topk(assigned, cents, q, k=5, nprobe=3).collect()]
     assert len(approx) == 5
     assert len(set(exact) & set(approx)) >= 3  # recall ≥ 0.6 at nprobe=3/6
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index must answer probes via partition PRUNING:
+    the scan's PartitionFilters carry the centroid_id restriction, and the
+    indexed answer equals the unindexed ivf_topk answer."""
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = sim.ivf_assign(e, n_centroids=4, iters=1)
+    q = rows[5][1]
+
+    direct = sim.ivf_topk(assigned, cents, q, k=5, nprobe=2).collect()
+
+    idx = str(tmp_path / "ivf")
+    sim.write_ivf_index(assigned, idx, centroids=cents)
+    indexed_df = sim.ivf_topk_indexed(spark, idx, q, k=5, nprobe=2)
+    indexed = indexed_df.collect()
+    assert [(r.vec_id, r.cosine_sim) for r in indexed] == [
+        (r.vec_id, r.cosine_sim) for r in direct
+    ]
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [" in final and "centroid_id" in final.split("PartitionFilters")[1][:120], plan
