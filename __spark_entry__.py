@@ -1185,7 +1185,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver checks queries in dict order and may cap
+    # the number of rows it records (r4 recorded exactly the first 50 of 55).
+    # So: (a) queries whose operators changed most recently come FIRST, so a
+    # cap can never silently drop a query that needs re-verification; (b) all
+    # 53 oracle-backed entries precede the 2 rows-only ones; (c) the tail of
+    # the oracle-backed block holds only queries green in BOTH r3 and r4
+    # whose operator code is untouched since.
     return {
+        # -- re-verify first: operators touched after their last driver check
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_lang_detect": q_docs_lang_detect,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        # -- r4-new extension tier
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
+        # -- headline reference queries
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
         "order_daily_rollup": q_order_daily_rollup,
@@ -1202,10 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_shipments_rollup": q_fact_shipments_rollup,
         "completeness": q_completeness,
         "top_customers": q_top_customers,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
         "status_pivot": q_status_pivot,
-        "unpivot_daily": q_unpivot_daily,
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
@@ -1224,22 +1240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_packed_windows": q_docs_packed_windows,
-        "docs_contamination": q_docs_contamination,
-        "docs_pii_scrub": q_docs_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_selfknn": q_embedding_selfknn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        # rows-only (no oracle): engine-specific by design
-        "simhash_pairs": q_simhash_pairs,
-        "docs_lang_detect": q_docs_lang_detect,
+        # -- stable tail: green in r3 AND r4, operators untouched since
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        # -- rows-only (no oracle): engine-specific by design
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
     }
