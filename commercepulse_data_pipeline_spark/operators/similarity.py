@@ -115,6 +115,27 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
 
+def _probe_buckets(
+    query_vec: list[float], planes: list[list[float]], probes: int
+) -> list[str]:
+    """Driver-side multi-probe bucket list (tiny, pure python): the query's
+    exact bucket, then single-bit flips of the planes whose |dot| is
+    smallest (the boundaries the query is closest to — the flips most
+    likely to hold near-neighbors)."""
+    qbits = "".join(
+        "1" if sum(q * w for q, w in zip(query_vec, p)) >= 0 else "0" for p in planes
+    )
+    margins = [
+        (abs(sum(q * w for q, w in zip(query_vec, p))), i) for i, p in enumerate(planes)
+    ]
+    flip_order = [i for _, i in sorted(margins)]
+    buckets = [qbits]
+    for i in flip_order[: max(0, probes - 1)]:
+        flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+        buckets.append(flipped)
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -129,32 +150,83 @@ def lsh_topk(
     """Approximate top-k: restrict the exact scan to the query's LSH
     bucket(s).
 
-    At scale the corpus is pre-bucketed (partitioned/bucketed table on the
-    LSH key) so this reads ``probes`` partitions instead of the full
-    corpus — partition pruning does the work. Recall tuning:
-    ``n_planes`` (bucket granularity) and ``probes`` (multi-probe: also
-    scan the buckets one sign-flip away — near-boundary neighbors land
-    there; probes=1+n_planes covers all Hamming-1 buckets).
+    This form recomputes the bucket key over a full corpus scan — the
+    build/ad-hoc path. At scale, persist the corpus pre-bucketed with
+    ``write_lsh_index`` and query with ``lsh_topk_indexed``: probes then
+    become partition PRUNING (only the probed buckets' files are opened).
+    Recall tuning: ``n_planes`` (bucket granularity) and ``probes``
+    (multi-probe: also scan the buckets one sign-flip away —
+    near-boundary neighbors land there; probes=1+n_planes covers all
+    Hamming-1 buckets).
     """
-    dim = len(query_vec)
-    planes = random_hyperplanes(dim, n_planes, seed)
-    # driver-side bucket of the query (tiny, pure python)
-    qbits = "".join(
-        "1" if sum(q * w for q, w in zip(query_vec, p)) >= 0 else "0" for p in planes
-    )
-    # multi-probe order: the exact bucket, then single-bit flips of the
-    # planes whose |dot| is smallest (the boundaries the query is closest
-    # to — the flip most likely to hold near-neighbors).
-    margins = [
-        (abs(sum(q * w for q, w in zip(query_vec, p))), i) for i, p in enumerate(planes)
-    ]
-    flip_order = [i for _, i in sorted(margins)]
-    buckets = [qbits]
-    for i in flip_order[: max(0, probes - 1)]:
-        flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
-        buckets.append(flipped)
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    buckets = _probe_buckets(query_vec, planes, probes)
     bucketed = corpus.where(lsh_bucket(F.col(vec_col), planes).isin(buckets))
     return cosine_topk(bucketed, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Persist the sign-LSH index: the corpus PARTITIONED BY its bucket key
+    (probes become partition PRUNING) plus the hyperplane table next to it,
+    mirroring ``write_ivf_index``. The planes are persisted — not re-derived
+    from (dim, n_planes, seed) at query time — so the index is
+    self-describing and survives any future change to the plane generator.
+
+    This is the 100 TB serving shape for sign-LSH ANN: build once (one
+    full scan + one shuffle-free partitioned write), then every query
+    opens only its ``probes`` buckets' files.
+    """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    # Partition key is the bucket's integer value, not the bit string:
+    # partition-column type inference would read "0101" back as int 101
+    # (leading zero lost) and probe matching would silently miss.
+    bucketed = corpus.withColumn(
+        "lsh_bucket", F.conv(lsh_bucket(F.col(vec_col), planes), 2, 10).cast("long")
+    )
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(f"{path}/lists")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(v) for v in p]) for i, p in enumerate(planes)],
+        "plane_id int, plane array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/planes")
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """Query a persisted sign-LSH index: bucket the query against the
+    (tiny) persisted plane table on the driver, read ONLY the probed
+    buckets' partitions (partition pruning, plan-asserted in tests), exact
+    cosine re-rank inside them. Same answers as ``lsh_topk`` with the same
+    planes — the restriction moves from a filter scan to pruning."""
+    planes = [
+        list(r.plane)
+        for r in sorted(
+            spark.read.parquet(f"{path}/planes").collect(), key=lambda r: r.plane_id
+        )
+    ]
+    buckets = [int(b, 2) for b in _probe_buckets(query_vec, planes, probes)]
+    lists = spark.read.parquet(f"{path}/lists").where(F.col("lsh_bucket").isin(buckets))
+    return cosine_topk(lists, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
 def _sq_dist(a: Column, b: Column) -> Column:

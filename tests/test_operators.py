@@ -365,6 +365,32 @@ def test_ivf_assign_and_topk(spark):
     assert len(set(exact) & set(approx)) >= 3  # recall ≥ 0.6 at nprobe=3/6
 
 
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """The persisted sign-LSH index must answer probes via partition
+    PRUNING: the scan's PartitionFilters carry the lsh_bucket restriction,
+    and the indexed answer equals the unindexed lsh_topk answer with the
+    same planes/probes."""
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), (i % 11) / 11.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [1.0, 0.05, 0.5]
+
+    direct = sim.lsh_topk(df, q, k=5, n_planes=4, probes=2).collect()
+
+    idx = str(tmp_path / "lsh")
+    sim.write_lsh_index(df, idx, n_planes=4)
+    indexed_df = sim.lsh_topk_indexed(spark, idx, q, k=5, probes=2)
+    indexed = indexed_df.collect()
+    assert [(r.vec_id, r.cosine_sim) for r in indexed] == [
+        (r.vec_id, r.cosine_sim) for r in direct
+    ]
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [" in final and "lsh_bucket" in final.split("PartitionFilters")[1][:120], plan
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     """The persisted IVF index must answer probes via partition PRUNING:
     the scan's PartitionFilters carry the centroid_id restriction, and the
