@@ -19,11 +19,12 @@ large-star/small-star — the loop structure below is the same.
 
 100 TB posture per round: one shuffle to join labels onto edges, one
 aggregation for neighbor-min, one join to merge — all keyed on node id
-(uniform if ids are). ``localCheckpoint`` truncates lineage each round so
-the plan doesn't grow exponentially with iterations (at cluster scale use
-a reliable ``checkpoint`` dir instead — localCheckpoint loses partitions
-on executor failure). The driver holds ONE scalar per round (the changed
-count, needed for the fixpoint test) — no data ever collects.
+(uniform if ids are). Lineage is truncated each round so the plan doesn't
+grow exponentially with iterations: ``localCheckpoint`` by default
+(single-node / trusted executors), or pass ``checkpoint_dir=`` for a
+reliable HDFS/S3 checkpoint that survives executor loss — the setting a
+preemptible-executor cluster needs. The driver holds ONE scalar per round
+(the changed count, needed for the fixpoint test) — no data ever collects.
 """
 
 from __future__ import annotations
@@ -38,21 +39,37 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is the
     minimum node id reachable from the node. Raises if the fixpoint is not
     reached within ``max_iter`` rounds (raise it for high-diameter graphs).
+
+    ``checkpoint_dir``: by default each round truncates lineage with
+    ``localCheckpoint`` (fast, but checkpointed partitions live on executor
+    local storage and are LOST if an executor dies — fine single-node /
+    on-heap, wrong on a preemptible-executor cluster). Pass a reliable
+    (HDFS/S3) directory and each round writes a fault-tolerant
+    ``checkpoint`` instead — the 100 TB posture.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
 
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -70,7 +87,8 @@ def connected_components(
                 .cast("long")
                 .alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        merged = _ckpt(merged)
         changed = merged.agg(F.sum("__changed")).head()[0] or 0
         labels = merged.drop("__changed")
         if changed == 0:

@@ -37,6 +37,27 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 41
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches per-round lineage truncation from
+    localCheckpoint (executor-local, lost on executor failure) to a
+    reliable checkpoint that survives executor loss. Same answers on a
+    50-node path — a high-diameter worst case for hash-to-min, which
+    needs ~diameter rounds (clique-ish near-dup graphs need 2-4) — and
+    checkpoint data actually lands in the reliable dir."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(50)], ["id_a", "id_b"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iter=60, checkpoint_dir=ckpt).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 51
+    # the reliable dir was actually used (RDD checkpoint files written)
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "no checkpoint files written to the reliable dir"
+
+
 def test_connected_components_raises_past_max_iter(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
