@@ -23,12 +23,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, salt_cols: list[str] | None, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): Murmur3 over the row's content.
+
+    NOT ``F.rand(seed)``: rand is seeded per-partition, so a task retry or
+    a repartition re-salts rows differently — at odds with this repo's
+    determinism discipline (cf. operators/sampling.py, which exists
+    because of exactly this). A content hash gives the same row the same
+    salt on every run, engine, and partitioning. Caveat: bit-identical
+    rows share a salt bucket — if the hot key's rows are exact duplicates
+    rather than merely key-equal, exact-dedup them first (that is the
+    cheaper fix anyway)."""
+    cols = [F.col(c) for c in (salt_cols if salt_cols is not None else df.columns)]
+    return F.pmod(F.hash(*cols), F.lit(buckets)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
     aggs: dict[str, tuple[str, Callable[[Column], Column], Callable[[Column], Column]]],
     *,
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys.
 
@@ -43,8 +59,12 @@ def salted_agg(
     Only works for algebraic aggregates (sum/count/min/max, or anything
     with a partial+merge decomposition). Non-decomposable aggregates
     (exact median, collect_list order) don't belong here.
+
+    The salt is a content hash (``_content_salt``) — deterministic under
+    task retries and repartitioning; ``salt_cols`` narrows the hashed
+    columns (default: all) if some are wide binaries.
     """
-    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted = df.withColumn("__salt", _content_salt(df, salt_cols, salt_buckets))
     phase1 = salted.groupBy(*key_cols, "__salt").agg(
         *[
             partial(F.col(col)).alias(f"__p_{out}")
@@ -66,6 +86,7 @@ def salted_join(
     *,
     how: str = "inner",
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``big`` is skewed on ``on`` and ``small`` is too
     large to broadcast: salt the big side uniformly, replicate the small
@@ -74,8 +95,12 @@ def salted_join(
     Cost model: small side shuffles salt_buckets× its size; the hot key's
     probe rows spread over salt_buckets partitions. Pick buckets ≈ the
     skew factor, not more.
+
+    The salt is a content hash over the big side's row (``_content_salt``)
+    — a retried or repartitioned task salts identically, so the join is
+    row-level deterministic, not just multiset-equal.
     """
-    big_s = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    big_s = big.withColumn("__salt", _content_salt(big, salt_cols, salt_buckets))
     small_r = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
