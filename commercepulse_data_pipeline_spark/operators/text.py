@@ -178,33 +178,73 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
-def dedup_lines(lines: Column) -> Column:
+def sorted_line_index(lines: Column) -> Column:
+    """(line, pos) pairs sorted by (line, then pos) — the index
+    ``dedup_lines`` consumes. Stage BOTH ``lines`` and this in their own
+    projections before calling ``dedup_lines``: higher-order-function
+    subtrees are not subexpression-eliminated, so an inlined expression
+    would be re-evaluated per reference (the Catalyst pitfall that bit the
+    token/simhash stats — verify SKILL.md)."""
+    return F.array_sort(
+        F.transform(lines, lambda x, i: F.struct(x.alias("line"), i.cast("int").alias("pos")))
+    )
+
+
+def _dedup_lines_naive(lines: Column) -> Column:
+    """First-occurrence line dedup via per-element ``array_position`` —
+    O(lines²) per document: a pathological scraped doc with 10⁵ lines does
+    10¹⁰ string comparisons on a single task (VERDICT r4 #3). Kept ONLY as
+    the spec twin for the property test pinning ``dedup_lines``; do not
+    put it on a pipeline path."""
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) - 1 == i)
+    return F.array_join(kept, "\n")
+
+
+def dedup_lines(lines: Column, srt: Column | None = None) -> Column:
     """Remove REPEATED lines within a document, keeping first occurrences
     in order (boilerplate headers/footers repeat verbatim inside scraped
-    docs): keep line i iff its first occurrence index is i.
+    docs).
 
-    ``lines`` MUST be a plain column reference to an already-split array
-    (stage it in its own projection first): the lambda references the
-    array once per element via ``array_position``, and an inlined
-    ``split(...)`` expression would be RE-EXPANDED per element — the
-    Catalyst pitfall that bit the token/simhash stats (verify SKILL.md).
+    Scale-safe form, O(n log n) per document and still a pure projection
+    (no shuffle, no UDF): sort (line, pos) pairs, mark each entry whose
+    line differs from its sorted predecessor (= the line's FIRST
+    occurrence), then restore document order by sorting the surviving
+    positions. Property-tested identical to the ``array_position`` spec
+    form (``_dedup_lines_naive``).
+
+    ``lines`` must be a staged column reference; pass ``srt`` (a staged
+    ``sorted_line_index(lines)`` column) to guarantee the sort runs once —
+    if omitted it is built inline and may be re-evaluated per reference.
     """
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) - 1 == i)
+    if srt is None:
+        srt = sorted_line_index(lines)
+    # sorted predecessor of each entry: [null, srt[0..n-2]]
+    prev = F.concat(
+        F.array(F.lit(None).cast("struct<line:string,pos:int>")),
+        F.slice(srt, 1, F.greatest(F.size(srt) - 1, F.lit(0))),
+    )
+    firsts = F.zip_with(
+        srt, prev, lambda c, p: F.when(p.isNull() | (c["line"] != p["line"]), c["pos"])
+    )
+    kept_pos = F.array_sort(F.filter(firsts, lambda p: p.isNotNull()))
+    kept = F.transform(kept_pos, lambda p: F.element_at(lines, p + 1))
     return F.array_join(kept, "\n")
 
 
 def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The composed cleaning pass: line-dedup then PII-redact, with per-doc
-    PII counts. Two stacked projections over the scan (the line array is
-    staged so it is computed once) — no UDF, no shuffle."""
+    PII counts. Stacked projections over the scan (the line array and its
+    sorted index are staged so each is computed once) — no UDF, no
+    shuffle."""
     counts = pii_counts(F.col(text_col))
     return (
         df.withColumn("__lines", F.split(F.col(text_col), r"\n"))
+        .withColumn("__srt", sorted_line_index(F.col("__lines")))
         .withColumns(
             {
                 **counts,
-                "scrubbed": redact_pii(dedup_lines(F.col("__lines"))),
+                "scrubbed": redact_pii(dedup_lines(F.col("__lines"), F.col("__srt"))),
             }
         )
-        .drop("__lines")
+        .drop("__lines", "__srt")
     )
