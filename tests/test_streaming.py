@@ -267,3 +267,59 @@ def test_stream_stream_join_payments_to_orders(spark, landing_dir):
     assert rows["pay-3"].order_id == "O3" and rows["pay-3"].amount == 250.0
     # pay-4 (orphan O-GHOST) and pay-5 (2 days after O1's creation, outside
     # the 1-day range) are excluded by the join itself
+
+
+def test_streaming_gold_upsert_converges_to_batch(spark, landing_dir, tmp_path):
+    """foreachBatch IVM of fact_order_daily (SURVEY §3.1 restated as
+    streaming; the reference names this as its limitation,
+    README.md:207): after consuming the landing stream one file per
+    micro-batch, {store}/gold equals the batch build_fact_order_daily
+    over the same events — and replaying the whole stream (fresh
+    checkpoint, same store) changes nothing (at-least-once idempotent)."""
+    import os
+
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+    from commercepulse_data_pipeline_spark.plans.silver import (
+        normalize_orders,
+        normalize_payments,
+        normalize_refunds,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+    from commercepulse_data_pipeline_spark.streaming.gold_upsert import (
+        maintain_gold_daily_stream,
+    )
+
+    n_days = len([d for d in os.listdir(landing_dir) if not d.startswith("_")])
+    assert n_days >= 2  # one micro-batch per file ⇒ a genuinely incremental run
+
+    store = str(tmp_path / "gold_store")
+    stream = read_event_stream(spark, f"{landing_dir}/*/events.jsonl", max_files_per_trigger=1)
+    q = maintain_gold_daily_stream(stream, store, str(tmp_path / "ckpt1"))
+    q.awaitTermination(180)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    batch_events = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .json(f"{landing_dir}/*/events.jsonl")
+        .where(F.col("event_id").isNotNull())
+    )
+    expect = build_fact_order_daily(
+        normalize_orders(batch_events),
+        normalize_payments(batch_events),
+        normalize_refunds(batch_events),
+    )
+    got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert rows_of(got) == rows_of(expect)
+    assert got.count() > 0
+
+    # full replay with a fresh checkpoint: same store state afterwards
+    q2 = maintain_gold_daily_stream(
+        read_event_stream(spark, f"{landing_dir}/*/events.jsonl", max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    got2 = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert rows_of(got2) == rows_of(expect)
