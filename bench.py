@@ -46,6 +46,13 @@ def materialize_split_copies(sf_dir: str, cache_root: str = "/tmp/spark_graft_be
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     out_dir = os.path.join(cache_root, tag + "_v2")
     done_marker = os.path.join(out_dir, "_DONE")
+    # drop the pre-v2 single-file-layout cache so stale copies don't
+    # accumulate under cache_root across layout versions
+    legacy = os.path.join(cache_root, tag)
+    if os.path.isdir(legacy):
+        import shutil
+
+        shutil.rmtree(legacy, ignore_errors=True)
     if os.path.exists(done_marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
