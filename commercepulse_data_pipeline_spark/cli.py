@@ -224,14 +224,19 @@ def cmd_clean_corpus(args) -> int:
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
 
     with_tokens = sampled.withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
+    # packed feeds both the corpus join and the windows write; without the
+    # persist each write would re-run the MinHash + iterative
+    # connected-components DAG upstream of it
     packed = packing.pack_sequences(
         with_tokens, "doc_id", "n_tokens", capacity=args.capacity, salt=args.salt
-    )
-    corpus = with_tokens.join(packed.select("doc_id", "shard", "bin_idx"), "doc_id")
+    ).persist()
+    corpus = with_tokens.join(packed.select("doc_id", "shard", "bin_idx"), "doc_id").persist()
 
     corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
     packing.packed_windows(packed).write.mode("overwrite").parquet(f"{args.out}/windows")
-    n_in, n_out = docs.count(), corpus.count()
+    n_in, n_out = docs.count(), corpus.count()  # corpus is cached by its write
+    packed.unpersist()
+    corpus.unpersist()
     print(f"clean-corpus: {n_in} docs in -> {n_out} kept, windows written to {args.out}")
     return 0
 

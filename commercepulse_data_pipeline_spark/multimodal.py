@@ -146,7 +146,31 @@ def _decode_ppm(content: bytes) -> dict:
     if len(fields) < 3:
         raise ValueError("truncated PPM header")
     width, height, _maxval = fields
-    pixels = content[pos + 1 :]  # single whitespace after maxval
+    # Header terminator after maxval: optional spacing/comments, then one
+    # line-ending or space (\r\n consumed as a pair for text-mode
+    # writers). Anything past that single terminator is raster data even
+    # if the byte happens to be whitespace-valued — so this scanner stops,
+    # it does not greedily eat whitespace.
+    while pos < len(content):
+        c = content[pos : pos + 1]
+        if c == b"#":  # trailing comment; its own newline ends the header
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            pos += 1
+            break
+        elif c in (b" ", b"\t"):  # spacing before a trailing comment
+            pos += 1
+        elif c == b"\r":
+            pos += 1
+            if content[pos : pos + 1] == b"\n":
+                pos += 1
+            break
+        elif c == b"\n":
+            pos += 1
+            break
+        else:  # raster begins (terminator was a consumed space)
+            break
+    pixels = content[pos:]
     return {
         "width": width,
         "height": height,

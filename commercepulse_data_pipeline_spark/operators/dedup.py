@@ -430,15 +430,19 @@ def simhash_table(
     ~5× slower even with the hash array staged. Same trade as
     ``minhash_signature_table``.
 
-    Lane packing: bit counts i and i+32 share one 64-bit sum (two 32-bit
-    lanes — ``(h>>i & 1) + (h>>(i+32) & 1) << 32``), halving the
-    aggregation buffer to 32 longs + count. Carry-safe: a lane overflows
-    only past 2³² shingles in ONE document, orders of magnitude beyond any
-    real doc. Measured ~10-15% faster than 64 separate sums at sf0.1 and
-    half the per-group state at 100 TB. The unpacked counts (and hence the
-    signature) are bit-identical — oracle parity unaffected.
+    Lane packing: bit counts i and i+bits/2 share one 64-bit sum (two
+    32-bit lanes — ``(h>>i & 1) + (h>>(i+bits/2) & 1) << 32``), halving
+    the aggregation buffer to bits/2 longs + count. Carry-safe: a lane
+    overflows only past 2³² shingles in ONE document, orders of magnitude
+    beyond any real doc. Measured ~10-15% faster than 64 separate sums at
+    sf0.1 and half the per-group state at 100 TB. The unpacked counts
+    (and hence the signature) are bit-identical — oracle parity
+    unaffected. ``bits`` must be even and ≤ 64 (signatures live in one
+    long; bit 63 maps to the long's sign bit).
     """
-    assert bits == 64, "lane packing below is written for the 64-bit family"
+    if bits % 2 != 0 or not 2 <= bits <= 64:
+        raise ValueError(f"bits must be even and in [2, 64], got {bits}")
+    half = bits // 2
     hashed = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
@@ -446,10 +450,10 @@ def simhash_table(
 
     def lane(j: int) -> Column:
         lo = F.shiftright("__h", j).bitwiseAND(F.lit(1)).cast("long")
-        hi = F.shiftright("__h", j + 32).bitwiseAND(F.lit(1)).cast("long")
+        hi = F.shiftright("__h", j + half).bitwiseAND(F.lit(1)).cast("long")
         return lo + hi * F.lit(1 << 32)
 
-    aggs = [F.sum(lane(j)).alias(f"p{j}") for j in range(32)] + [
+    aggs = [F.sum(lane(j)).alias(f"p{j}") for j in range(half)] + [
         F.count(F.lit(1)).alias("__n")
     ]
     counts = hashed.groupBy(id_col).agg(*aggs)
@@ -457,9 +461,9 @@ def simhash_table(
 
     def bit_count(i: int) -> Column:
         # unpack count of set bit i from its packed lane sum
-        if i < 32:
+        if i < half:
             return F.col(f"p{i}").bitwiseAND(F.lit((1 << 32) - 1))
-        return F.shiftright(F.col(f"p{i - 32}"), 32)
+        return F.shiftright(F.col(f"p{i - half}"), 32)
 
     bit_cols = [
         F.when(bit_count(i) * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i).cast("long")

@@ -141,6 +141,16 @@ def join_payments_to_orders_stream(
     a payment's once it passes ``pay_ts`` — bounded state on both sides.
     Append-mode capable (matches finalize when eviction proves no further
     partner can arrive).
+
+    Replay safety: the landing stream is at-least-once, and a REPLAYED
+    order_created would fan each matching payment into one output row per
+    replica (the batch path dedups with last_writer_wins first). Both
+    sides therefore dedup within the watermark before joining — orders by
+    order_id (replicas of the same creation event are bit-identical, so
+    first-arrival-wins equals last-writer-wins here), payments by
+    event_id. A genuine second order_created with a DIFFERENT event time
+    for the same order_id is also collapsed to the first arrival — the
+    stream twin of the batch one-row-per-order_id contract.
     """
     oid = F.coalesce(
         F.get_json_object("payload", "$.order_id"),
@@ -157,6 +167,7 @@ def join_payments_to_orders_stream(
         .select(oid.alias("order_id"), F.col("event_ts").alias("order_ts"))
         .where(F.col("order_id").isNotNull())
         .withWatermark("order_ts", watermark)
+        .dropDuplicatesWithinWatermark(["order_id"])
     )
     payments = (
         stream.where(F.col("event_type").startswith("payment_"))
@@ -168,6 +179,7 @@ def join_payments_to_orders_stream(
         )
         .where(F.col("pay_order_id").isNotNull())
         .withWatermark("pay_ts", watermark)
+        .dropDuplicatesWithinWatermark(["payment_event_id"])
     )
     return (
         orders.join(

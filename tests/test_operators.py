@@ -96,6 +96,31 @@ def test_simhash_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_table_non64_bits(spark):
+    """Lane packing generalizes over bits/2 lanes: simhash_table at any
+    even width matches the single-expression simhash column form (same
+    shingles, same md5 bit source, same majority vote), and odd/oversize
+    widths are rejected up front (ADVICE r4: the 64-only assert had made
+    the documented ``bits`` parameter a trap)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "spark is a unified analytics engine for large scale data"),
+         (2, "entirely unrelated words about cooking pasta with tomato sauce")],
+        ["doc_id", "text"],
+    )
+    for bits in (16, 32, 64):
+        table = {r.doc_id: r.sig for r in
+                 dd.simhash_table(df, "text", "doc_id", bits=bits).collect()}
+        expr = {r.doc_id: r.sig for r in
+                df.select("doc_id", dd.simhash(F.col("text"), bits=bits).alias("sig")).collect()}
+        assert table == expr, bits
+    with _pytest.raises(ValueError):
+        dd.simhash_table(df, "text", "doc_id", bits=15)
+    with _pytest.raises(ValueError):
+        dd.simhash_table(df, "text", "doc_id", bits=128)
+
+
 def test_joins(spark):
     parent = spark.createDataFrame([(1,), (2,)], ["k"])
     child = spark.createDataFrame([(1, "a"), (3, "b")], ["k", "x"])

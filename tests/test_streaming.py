@@ -323,3 +323,36 @@ def test_streaming_gold_upsert_converges_to_batch(spark, landing_dir, tmp_path):
     q2.awaitTermination(180)
     got2 = spark.read.parquet(f"{store}/gold").select(*expect.columns)
     assert rows_of(got2) == rows_of(expect)
+
+
+def test_stream_stream_join_replayed_order_no_fanout(spark, tmp_path):
+    """An at-least-once REPLAY of an order_created (same event_id, and a
+    second replica arriving in a later file) must not fan the matching
+    payment into multiple join rows: both join sides dedup within the
+    watermark before joining (batch path parity — LWW runs first there)."""
+    import json as _json
+
+    from commercepulse_data_pipeline_spark.streaming.ingest import (
+        join_payments_to_orders_stream,
+    )
+    from tests.conftest import _env
+
+    order = _env("ord-r-1", "order_created", "2026-02-10T10:00:00Z", "vendor_b",
+                 {"order_id": "O9", "customerId": "C9", "totalAmount": 70.0,
+                  "state": "pending", "created_at": "2026-02-10T10:00:00Z"})
+    pay = _env("pay-r-1", "payment_received", "2026-02-10T12:00:00Z", "vendor_b",
+               {"payment_id": "P9", "order_id": "O9", "amount": 70.0,
+                "payment_status": "success"})
+    d1 = tmp_path / "2026-02-10"; d1.mkdir()
+    d2 = tmp_path / "2026-02-11"; d2.mkdir()
+    (d1 / "events.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in (order, order, pay)) + "\n"
+    )
+    (d2 / "events.jsonl").write_text(_json.dumps(order) + "\n")  # late replica
+
+    stream = read_event_stream(spark, f"{tmp_path}/*/events.jsonl")
+    joined = join_payments_to_orders_stream(stream, within="1 day")
+    _run_to_memory(joined, "ss_replay_sink", "append")
+    rows = spark.sql("SELECT * FROM ss_replay_sink").collect()
+    assert len(rows) == 1
+    assert rows[0].payment_event_id == "pay-r-1" and rows[0].amount == 70.0
