@@ -14,8 +14,10 @@ repeated until a fixpoint. Convergence is O(graph diameter) rounds — for
 near-dup graphs (dense clique-ish clusters from banding) the diameter is
 tiny (2-4), so this beats the O(log n) large-star/small-star variant in
 practice while keeping every round a plain shuffle-on-key join + groupBy
-min. At truly adversarial diameters (long chains), switch to
-large-star/small-star — the loop structure below is the same.
+min. At truly adversarial diameters (long chains of pairwise-similar
+docs), pass ``algorithm="star"`` for two-phase large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — logarithmic rounds regardless of diameter.
 
 100 TB posture per round: one shuffle to join labels onto edges, one
 aggregation for neighbor-min, one join to merge — all keyed on node id
@@ -40,10 +42,17 @@ def connected_components(
     *,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    algorithm: str = "hash_to_min",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is the
     minimum node id reachable from the node. Raises if the fixpoint is not
     reached within ``max_iter`` rounds (raise it for high-diameter graphs).
+
+    ``algorithm``: ``"hash_to_min"`` (default) converges in O(diameter)
+    rounds — fastest for the dense clique-ish clusters near-dup banding
+    produces. ``"star"`` is large-star/small-star contraction —
+    logarithmic rounds regardless of diameter, the safe choice when the
+    pair graph may contain long chains (A≈B≈C≈… with A̸≈C).
 
     ``checkpoint_dir``: by default each round truncates lineage with
     ``localCheckpoint`` (fast, but checkpointed partitions live on executor
@@ -52,6 +61,8 @@ def connected_components(
     (HDFS/S3) directory and each round writes a fault-tolerant
     ``checkpoint`` instead — the 100 TB posture.
     """
+    if algorithm not in ("hash_to_min", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -60,6 +71,9 @@ def connected_components(
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        return _star_components(edges, src, dst, max_iter=max_iter, ckpt=_ckpt)
 
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -95,7 +109,85 @@ def connected_components(
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds max_iter; raise it or use star contraction"
+        "graph diameter exceeds max_iter; raise it or use algorithm='star'"
+    )
+
+
+def _star_components(
+    edges: DataFrame, src: str, dst: str, *, max_iter: int, ckpt
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., SoCC'14):
+    alternate
+
+        large-star(u): link every neighbor v > u to min(N(u) ∪ {u})
+        small-star(u): orient edges to the larger endpoint, link every
+                       smaller neighbor AND u itself to that min
+
+    until the edge set stops changing; the fixpoint is one star per
+    component rooted at its minimum id. Rounds are logarithmic in
+    component size REGARDLESS of diameter — the safe choice for chain-y
+    pair graphs where hash-to-min needs O(diameter) rounds.
+
+    Per round: two groupBy-min + two join-emit passes, all keyed on node
+    id, nothing collects. The fixpoint test reads one (count, hash-sum)
+    scalar pair per round and confirms the final equality with an exact
+    ``exceptAll`` check, so a hash collision can't end the loop early."""
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .unionByName(edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+
+    e = ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = F.least(F.col("__mn"), F.col("u"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        o = cur.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        with_m = o.join(o.groupBy("u").agg(F.min("v").alias("__mn")), "u")
+        pairs = with_m.select(F.col("v").alias("u"), F.col("__mn").alias("v")).unionByName(
+            with_m.select("u", F.col("__mn").alias("v"))
+        )
+        return pairs.where(F.col("u") != F.col("v")).distinct()
+
+    def signature(cur: DataFrame) -> tuple:
+        row = cur.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal sum: ANSI mode raises on long overflow, and 2^63-scale
+            # hash values overflow a long sum after a handful of rows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).head()
+        return (row["c"], row["h"])
+
+    prev, prev_sig = e, signature(e)
+    for _ in range(max_iter):
+        cur = ckpt(small_star(large_star(prev)))
+        sig = signature(cur)
+        if sig == prev_sig and cur.exceptAll(prev).limit(1).count() == 0:
+            labels = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+                F.col("u").alias("node"), "component"
+            )
+            roots = nodes.join(labels, nodes["n"] == labels["node"], "left_anti").select(
+                F.col("n").alias("node"), F.col("n").alias("component")
+            )
+            return labels.unionByName(roots)
+        prev, prev_sig = cur, sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds"
     )
 
 

@@ -313,3 +313,38 @@ def test_dedup_lines_sorted_form_matches_naive(spark, docs):
                 seen.add(ln)
                 expect.append(ln)
         assert got[i][0] == "\n".join(expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_star_matches_hash_to_min(spark, edges):
+    """Both CC algorithms produce identical (node, component) labelings on
+    ANY graph (self-loops, duplicates, disconnected pieces included) —
+    and both match a pure-Python union-find model."""
+    from commercepulse_data_pipeline_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r.node, r.component)
+         for r in connected_components(df, max_iter=60).collect()}
+    b = {(r.node, r.component)
+         for r in connected_components(df, max_iter=60, algorithm="star").collect()}
+    assert a == b
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    model = {(n, find(n)) for n in parent}
+    assert a == model
