@@ -241,6 +241,28 @@ def cmd_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_stream_gold(args) -> int:
+    """Continuous gold maintenance (SURVEY §3.1 as streaming; the
+    reference's stated limitation, README.md:207): tail the landing
+    stream, fold each micro-batch into silver, MERGE affected days into
+    ``{store}/gold``. ``--follow`` keeps the query alive for new files;
+    without it the query drains what's available and exits (backfill /
+    cron shape)."""
+    from commercepulse_data_pipeline_spark.streaming.gold_upsert import (
+        maintain_gold_daily_stream,
+    )
+    from commercepulse_data_pipeline_spark.streaming.ingest import read_event_stream
+
+    spark = _spark()
+    stream = read_event_stream(spark, f"{args.landing}/*/events.jsonl")
+    q = maintain_gold_daily_stream(
+        stream, args.store, args.checkpoint, trigger_once=not args.follow
+    )
+    q.awaitTermination()
+    print(f"stream-gold: gold table maintained at {args.store}/gold")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -285,6 +307,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--capacity", type=int, default=2048, help="tokens per context window")
     c.add_argument("--salt", default="corpus-v1:")
     c.set_defaults(fn=cmd_clean_corpus)
+
+    g = sub.add_parser(
+        "stream-gold",
+        help="continuously maintain fact_order_daily from the event landing stream",
+    )
+    g.add_argument("--landing", required=True, help="daily JSONL landing root (.../YYYY-MM-DD/events.jsonl)")
+    g.add_argument("--store", required=True, help="state dir: silver tables + gold parquet")
+    g.add_argument("--checkpoint", required=True)
+    g.add_argument("--follow", action="store_true",
+                   help="keep running for new files (default: drain available data once)")
+    g.set_defaults(fn=cmd_stream_gold)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -118,3 +118,32 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     windows = spark.read.parquet(str(tmp_path / "out/windows"))
     assert windows.count() >= 1
     assert windows.agg(F.max("window_tokens")).head()[0] <= 64
+
+
+def test_cli_stream_gold(spark, landing, tmp_path):
+    """stream-gold drains the landing dir and leaves a gold parquet that
+    matches the batch transform's fact_order_daily over the same events."""
+    store = str(tmp_path / "sg_store")
+    ckpt = str(tmp_path / "sg_ckpt")
+    assert cli.main(["stream-gold", "--landing", str(landing),
+                     "--store", store, "--checkpoint", ckpt]) == 0
+
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+    from commercepulse_data_pipeline_spark.plans.silver import (
+        normalize_orders,
+        normalize_payments,
+        normalize_refunds,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+
+    events = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .json(f"{landing}/*/events.jsonl")
+        .where(F.col("event_id").isNotNull())
+    )
+    expect = build_fact_order_daily(
+        normalize_orders(events), normalize_payments(events), normalize_refunds(events)
+    )
+    got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert got.count() > 0
