@@ -228,12 +228,22 @@ def keep_best_per_cluster(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "hash_to_min",
 ) -> DataFrame:
     """Near-dup clusters from a candidate-pair list: one row per clustered
     doc with its canonical (min-id) representative and the cluster size —
-    the "keep canonical, drop the rest" dedup decision table."""
-    cc = connected_components(pairs, id_a, id_b)
+    the "keep canonical, drop the rest" dedup decision table. Keyword
+    options pass through to ``connected_components``."""
+    cc = connected_components(
+        pairs, id_a, id_b,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir, algorithm=algorithm,
+    )
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "component")
