@@ -178,6 +178,74 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", *, ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 family —
+    the boilerplate filters every web-scale corpus applies before
+    training):
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line.
+    - ``top_ngram_frac``: occurrences of the single most frequent token
+      n-gram over total n-grams (run-length over the SORTED n-gram array —
+      O(n log n) per doc, same discipline as ``dedup_lines``).
+
+    Both are pure codegen projections: no UDF, no shuffle, scales as a
+    map-only pass at 100 TB. Heavy arrays are staged in their own columns
+    (HOF subtrees are not subexpression-eliminated — verify SKILL.md).
+    Cross-engine pinned against a DuckDB replay in
+    tests/test_graph_sampling.py."""
+    df = df.withColumn("__lines", F.split(F.col(text_col), r"\n"))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    n_gram_count = F.size(F.col("__toks")) - F.lit(ngram_n - 1)
+    gram_at = lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, ngram_n), " ")  # noqa: E731
+    df = df.withColumn(
+        "__grams",
+        F.when(
+            n_gram_count > 0,
+            F.transform(F.sequence(F.lit(0), n_gram_count - 1), gram_at),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    df = df.withColumn("__gsort", F.array_sort(F.col("__grams")))
+
+    n_lines = F.size(F.col("__lines")).cast("double")
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (F.size(F.col("__lines")) - F.size(F.array_distinct(F.col("__lines")))) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    # longest run of equal adjacent elements in the sorted array = count
+    # of the most frequent n-gram; linear fold with a 3-field accumulator
+    def _step(a: Column, x: Column) -> Column:
+        run = (
+            F.when(a["prev"].isNotNull() & (x == a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    best = F.aggregate(
+        F.col("__gsort"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda a: a["best"],
+    )
+    n_grams = F.size(F.col("__grams")).cast("double")
+    top_ngram_frac = F.when(n_grams > 0, best / n_grams).otherwise(F.lit(0.0))
+
+    return df.withColumns(
+        {
+            "dup_line_frac": F.round(dup_line_frac, 6),
+            "top_ngram_frac": F.round(top_ngram_frac, 6),
+        }
+    ).drop("__lines", "__toks", "__grams", "__gsort")
+
+
 def sorted_line_index(lines: Column) -> Column:
     """(line, pos) pairs sorted by (line, then pos) — the index
     ``dedup_lines`` consumes. Stage BOTH ``lines`` and this in their own

@@ -293,3 +293,74 @@ def test_scrub_matches_duckdb_on_planted_pii(spark, tmp_path):
     con.close()
     assert spark_out == duck_out
     assert spark_out[1][1] == 4  # counts see the RAW text (4 emails pre line-dedup)
+
+
+def test_repetition_scores_model_and_duckdb(spark, tmp_path):
+    """Gopher-style repetition signals match a pure-Python model AND a
+    DuckDB replay (group-by mode count vs the Spark sorted-run fold) on
+    planted boilerplate."""
+    import duckdb
+
+    from commercepulse_data_pipeline_spark.operators.text import repetition_scores
+
+    rows = [
+        (1, "header\nbody one\nheader\nbody two\nheader"),
+        (2, "buy now buy now buy now click here"),
+        (3, "all distinct lines\nand unique words entirely"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.dup_line_frac, r.top_ngram_frac)
+        for r in repetition_scores(df, "text").collect()
+    }
+
+    def model(text):
+        lines = text.split("\n")
+        dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        top = max((grams.count(g) for g in set(grams)), default=0)
+        return (round(dup, 6), round(top / len(grams), 6) if grams else 0.0)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == model(text), (doc_id, got[doc_id], model(text))
+    assert got[1][0] == pytest.approx(2 / 5)   # 3x "header" → 2 repeat lines
+    assert got[2][1] == pytest.approx(3 / 7)   # "buy now" 3 of 7 bigrams
+
+    # DuckDB replay: same tokenization fragment as the registered oracles
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    sql = """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, lines,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM t
+        ), u AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g
+        ), mode_cnt AS (
+          SELECT doc_id, max(c) AS top FROM (
+            SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram
+          ) GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               round((len(g.lines) - len(list_distinct(g.lines))) / CAST(len(g.lines) AS DOUBLE), 6) AS dup_line_frac,
+               round(COALESCE(mode_cnt.top, 0) / CAST(NULLIF(len(g.grams), 0) AS DOUBLE), 6) AS top_ngram_frac
+        FROM g LEFT JOIN mode_cnt USING (doc_id)
+    """
+    duck = {
+        int(r[0]): (float(r[1]), float(r[2]) if r[2] is not None else 0.0)
+        for r in con.sql(sql).fetchall()
+    }
+    con.close()
+    assert duck == got
