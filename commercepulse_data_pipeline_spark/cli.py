@@ -209,6 +209,18 @@ def cmd_clean_corpus(args) -> int:
     docs = spark.read.parquet(args.docs)
 
     scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
+    if args.max_dup_line_frac < 1.0 or args.max_top_ngram_frac < 1.0:
+        # Gopher-style boilerplate gate (map-only) BEFORE the pairwise
+        # dedup stages — dropping repetitive docs early shrinks the
+        # shingle/posting-list volume the expensive stages shuffle
+        scrubbed = (
+            tx.repetition_scores(scrubbed, "text")
+            .where(
+                (F.col("dup_line_frac") <= args.max_dup_line_frac)
+                & (F.col("top_ngram_frac") <= args.max_top_ngram_frac)
+            )
+            .drop("dup_line_frac", "top_ngram_frac")
+        )
     exact = dd.exact_dedup(scrubbed, "text", "doc_id")
 
     pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
@@ -306,6 +318,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sample-rate", type=float, default=1.0, dest="sample_rate")
     c.add_argument("--capacity", type=int, default=2048, help="tokens per context window")
     c.add_argument("--salt", default="corpus-v1:")
+    c.add_argument("--max-dup-line-frac", type=float, default=1.0, dest="max_dup_line_frac",
+                   help="drop docs whose repeated-line fraction exceeds this (1.0 = off)")
+    c.add_argument("--max-top-ngram-frac", type=float, default=1.0, dest="max_top_ngram_frac",
+                   help="drop docs whose most-frequent-bigram fraction exceeds this (1.0 = off)")
     c.set_defaults(fn=cmd_clean_corpus)
 
     g = sub.add_parser(

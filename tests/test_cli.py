@@ -119,6 +119,25 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     assert windows.count() >= 1
     assert windows.agg(F.max("window_tokens")).head()[0] <= 64
 
+    # repetition gate: the boilerplate doc (one bigram dominating) is
+    # dropped when the threshold is on, untouched docs survive
+    rows2 = rows + [(6, "spam spam spam spam spam spam spam spam")]
+    spark.createDataFrame(rows2, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "docs2")
+    )
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs2"),
+        "--out", str(tmp_path / "out2"),
+        "--capacity", "64",
+        "--max-top-ngram-frac", "0.5",
+    ])
+    assert rc == 0
+    kept2 = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "out2/corpus")).select("doc_id").collect()}
+    assert 6 not in kept2          # "spam spam" bigram frac = 1.0 > 0.5
+    assert 4 in kept2 and 5 in kept2
+
 
 def test_cli_stream_gold(spark, landing, tmp_path):
     """stream-gold drains the landing dir and leaves a gold parquet that
