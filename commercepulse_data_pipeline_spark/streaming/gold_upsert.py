@@ -30,11 +30,14 @@ normalizers needed):
 
 Storage is plain parquet with write-to-tmp-then-swap (all writes
 materialize against the OLD state before any directory is swapped, so a
-batch reads a consistent snapshot). That emulates MERGE without a table
-format; on a cluster, point this at Delta/Iceberg and replace the swap
-with a transactional MERGE — the batch-function body is unchanged. The
-driver holds only the affected-date list (bounded by the batch's touched
-days), never data.
+batch reads a consistent snapshot). Be explicit about what that costs:
+the swap REWRITES each silver table in full every batch — fine for the
+daily-file cadence this models, wrong at 100 TB. The cluster shape is a
+transactional table format (Delta/Iceberg): silver keyed MERGE, gold
+``replaceWhere`` on the affected dates — the batch-function body and all
+its dataframe logic are unchanged, only the four writes at the end swap
+for MERGE statements. The driver holds only the affected-date list
+(bounded by the batch's touched days), never data.
 """
 
 from __future__ import annotations
