@@ -208,19 +208,21 @@ def cmd_clean_corpus(args) -> int:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
 
-    scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     if args.max_dup_line_frac < 1.0 or args.max_top_ngram_frac < 1.0:
-        # Gopher-style boilerplate gate (map-only) BEFORE the pairwise
-        # dedup stages — dropping repetitive docs early shrinks the
-        # shingle/posting-list volume the expensive stages shuffle
-        scrubbed = (
-            tx.repetition_scores(scrubbed, "text")
+        # Gopher-style boilerplate gate (map-only), on the RAW text and
+        # BEFORE scrub: scrub's line-dedup removes exactly the repeats
+        # dup_line_frac measures, so gating after it would be a no-op.
+        # Dropping repetitive docs first also shrinks the shingle volume
+        # the pairwise dedup stages shuffle.
+        docs = (
+            tx.repetition_scores(docs, "text")
             .where(
                 (F.col("dup_line_frac") <= args.max_dup_line_frac)
                 & (F.col("top_ngram_frac") <= args.max_top_ngram_frac)
             )
             .drop("dup_line_frac", "top_ngram_frac")
         )
+    scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     exact = dd.exact_dedup(scrubbed, "text", "doc_id")
 
     pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")

@@ -145,32 +145,17 @@ def _decode_ppm(content: bytes) -> dict:
             raise ValueError("malformed PPM header")
     if len(fields) < 3:
         raise ValueError("truncated PPM header")
-    width, height, _maxval = fields
-    # Header terminator after maxval: optional spacing/comments, then one
-    # line-ending or space (\r\n consumed as a pair for text-mode
-    # writers). Anything past that single terminator is raster data even
-    # if the byte happens to be whitespace-valued — so this scanner stops,
-    # it does not greedily eat whitespace.
-    while pos < len(content):
-        c = content[pos : pos + 1]
-        if c == b"#":  # trailing comment; its own newline ends the header
-            while pos < len(content) and content[pos : pos + 1] != b"\n":
-                pos += 1
-            pos += 1
-            break
-        elif c in (b" ", b"\t"):  # spacing before a trailing comment
-            pos += 1
-        elif c == b"\r":
-            pos += 1
-            if content[pos : pos + 1] == b"\n":
-                pos += 1
-            break
-        elif c == b"\n":
-            pos += 1
-            break
-        else:  # raster begins (terminator was a consumed space)
-            break
-    pixels = content[pos:]
+    width, height, maxval = fields
+    # The header terminator after maxval is ambiguous byte-wise: legal
+    # variants (single space/newline, CRLF, trailing comment) differ in
+    # length, and the FIRST raster byte may itself be whitespace- or
+    # '#'-valued, so no forward scan can tell terminator from data. The
+    # raster's size is exact though — 3·w·h samples (2 bytes each above
+    # maxval 255) — so anchor it at EOF. Fall back to the single-byte
+    # skip for truncated payloads.
+    expected = 3 * width * height * (2 if maxval > 255 else 1)
+    start = len(content) - expected
+    pixels = content[start:] if start >= pos + 1 else content[pos + 1 :]
     return {
         "width": width,
         "height": height,

@@ -59,13 +59,24 @@ def connected_components(
     local storage and are LOST if an executor dies — fine single-node /
     on-heap, wrong on a preemptible-executor cluster). Pass a reliable
     (HDFS/S3) directory and each round writes a fault-tolerant
-    ``checkpoint`` instead — the 100 TB posture.
+    ``checkpoint`` instead — the 100 TB posture. Lifecycle is the
+    CALLER's: Spark never deletes reliable checkpoint files, and every
+    round keeps its copy of the label state, so a run accumulates
+    O(rounds) dataset copies under a per-invocation subdirectory of
+    ``checkpoint_dir`` — delete ``checkpoint_dir`` after materializing
+    the result. ``setCheckpointDir`` is SparkContext-global: concurrent
+    invocations on one session may interleave files across each other's
+    subdirs (results stay correct; cleanup is per the parent dir).
     """
     if algorithm not in ("hash_to_min", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        spark.sparkContext.setCheckpointDir(
+            f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        )
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:

@@ -185,6 +185,11 @@ def write_lsh_index(
     full scan + one shuffle-free partitioned write), then every query
     opens only its ``probes`` buckets' files.
     """
+    if not 1 <= n_planes <= 63:
+        # the integer bucket key must fit a signed long; a 64-bit bucket
+        # would overflow conv().cast("long") into NULL partition values
+        # and probes would silently miss
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"]) if first else 0

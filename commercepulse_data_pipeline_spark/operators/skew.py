@@ -33,9 +33,23 @@ def _content_salt(df: DataFrame, salt_cols: list[str] | None, buckets: int) -> C
     salt on every run, engine, and partitioning. Caveat: bit-identical
     rows share a salt bucket — if the hot key's rows are exact duplicates
     rather than merely key-equal, exact-dedup them first (that is the
-    cheaper fix anyway)."""
-    cols = [F.col(c) for c in (salt_cols if salt_cols is not None else df.columns)]
-    return F.pmod(F.hash(*cols), F.lit(buckets)).cast("int")
+    cheaper fix anyway).
+
+    By default every hashable column feeds the hash; MapType columns are
+    skipped (``F.hash`` rejects maps — unordered entries have no stable
+    hash). Pass ``salt_cols`` explicitly to narrow."""
+    from pyspark.sql.types import MapType
+
+    if salt_cols is None:
+        cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    else:
+        cols = list(salt_cols)
+    if not cols:
+        raise ValueError(
+            "content salt needs at least one non-map column "
+            "(all columns are MapType, or salt_cols is empty)"
+        )
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
 
 
 def salted_agg(

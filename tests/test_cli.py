@@ -119,9 +119,14 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     assert windows.count() >= 1
     assert windows.agg(F.max("window_tokens")).head()[0] <= 64
 
-    # repetition gate: the boilerplate doc (one bigram dominating) is
-    # dropped when the threshold is on, untouched docs survive
-    rows2 = rows + [(6, "spam spam spam spam spam spam spam spam")]
+    # repetition gate: the bigram-boilerplate doc AND the repeated-line
+    # doc are dropped when thresholds are on, clean docs survive. The
+    # dup-line gate must see RAW text — scrub's line-dedup would erase
+    # the very repeats it measures (caught in the r5 self-review).
+    rows2 = rows + [
+        (6, "spam spam spam spam spam spam spam spam"),
+        (7, "same header line\n" * 60 + "one real sentence of content here"),
+    ]
     spark.createDataFrame(rows2, ["doc_id", "text"]).write.mode("overwrite").parquet(
         str(tmp_path / "docs2")
     )
@@ -131,11 +136,13 @@ def test_clean_corpus_pipeline(spark, tmp_path):
         "--out", str(tmp_path / "out2"),
         "--capacity", "64",
         "--max-top-ngram-frac", "0.5",
+        "--max-dup-line-frac", "0.5",
     ])
     assert rc == 0
     kept2 = {r.doc_id for r in
              spark.read.parquet(str(tmp_path / "out2/corpus")).select("doc_id").collect()}
     assert 6 not in kept2          # "spam spam" bigram frac = 1.0 > 0.5
+    assert 7 not in kept2          # 59/62 lines are repeats > 0.5
     assert 4 in kept2 and 5 in kept2
 
 

@@ -117,17 +117,21 @@ def test_real_decode_bmp_wav_ppm():
 
     # legal P6 header-terminator variants must not shift the raster
     # offset: CRLF (text-mode writers), trailing comment after maxval,
-    # and a raster whose FIRST byte is whitespace-valued (0x0A) — the
-    # scanner must consume exactly one terminator, not eat raster bytes
-    raster = b"\x0a\x02\x03" + b"\x01\x02\x03" * 19
-    for variant in (
-        b"P6 5 4 255\r\n" + raster,
-        b"P6 5 4 255 # trailing comment\n" + raster,
-        b"P6 5 4 255\n" + raster,
-    ):
-        d = real_decode(variant, "image")
-        assert (d["width"], d["height"]) == (5, 4)
-        assert d["feature"] == real_decode(b"P6 5 4 255\n" + raster, "image")["feature"]
+    # single space, and rasters whose FIRST byte is whitespace- or
+    # '#'-valued — the raster is EOF-anchored by its exact size, so
+    # every variant yields identical features
+    for first in (b"\x0a", b"\x0d", b"\x23", b"\x20", b"\x01"):
+        raster = first + b"\x02\x03" + b"\x01\x02\x03" * 19
+        ref = real_decode(b"P6 5 4 255\n" + raster, "image")["feature"]
+        for variant in (
+            b"P6 5 4 255\r\n" + raster,
+            b"P6 5 4 255 # trailing comment\n" + raster,
+            b"P6 5 4 255 " + raster,
+            b"P6\n5 4\n# c\n255\n" + raster,
+        ):
+            d = real_decode(variant, "image")
+            assert (d["width"], d["height"]) == (5, 4)
+            assert d["feature"] == ref, (first, variant[:16])
 
 
 def test_real_decode_compressed_is_explicit_stub():

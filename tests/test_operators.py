@@ -433,6 +433,12 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "PartitionFilters: [" in final and "lsh_bucket" in final.split("PartitionFilters")[1][:120], plan
 
+    # bucket key must fit a signed long: 64+ planes would overflow the
+    # partition value into NULL and probes would silently miss
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sim.write_lsh_index(df, str(tmp_path / "bad"), n_planes=64)
+
 
 def test_ivf_index_partition_pruning(spark, tmp_path):
     """The persisted IVF index must answer probes via partition PRUNING:
