@@ -356,3 +356,72 @@ def test_stream_stream_join_replayed_order_no_fanout(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ss_replay_sink").collect()
     assert len(rows) == 1
     assert rows[0].payment_event_id == "pay-r-1" and rows[0].amount == 70.0
+
+
+def test_streaming_gold_upsert_incremental_continuation(spark, tmp_path):
+    """Production cadence: drain, then NEW landing days arrive, drain again
+    with the SAME checkpoint — only new files are processed (checkpoint
+    bookkeeping) and gold tracks the batch answer over everything seen."""
+    import json as _json
+
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+    from commercepulse_data_pipeline_spark.plans.silver import (
+        normalize_orders,
+        normalize_payments,
+        normalize_refunds,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+    from commercepulse_data_pipeline_spark.streaming.gold_upsert import (
+        maintain_gold_daily_stream,
+    )
+    from tests.conftest import _env
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def day(name, events):
+        d = landing / name
+        d.mkdir()
+        (d / "events.jsonl").write_text("\n".join(_json.dumps(e) for e in events) + "\n")
+
+    o1 = _env("inc-o1", "order_created", "2026-03-01T10:00:00Z", "vendor_b",
+              {"order_id": "I1", "customerId": "C1", "totalAmount": 100.0,
+               "state": "pending", "created_at": "2026-03-01T10:00:00Z"})
+    p1 = _env("inc-p1", "payment_succeeded", "2026-03-01T11:00:00Z", "vendor_b",
+              {"transaction_id": "IP1", "order_id": "I1", "amountPaid": 100.0,
+               "payment_status": "successful", "paid_at": "2026-03-01T11:00:00Z"})
+    day("2026-03-01", [o1, p1])
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = maintain_gold_daily_stream(
+        read_event_stream(spark, f"{landing}/*/events.jsonl"), store, ckpt)
+    q.awaitTermination(120)
+    g1 = spark.read.parquet(f"{store}/gold")
+    assert g1.count() == 1 and g1.head().gross_revenue == 100.0
+
+    # a later day arrives: an UPDATE moving I1's state + a brand-new order
+    o1b = _env("inc-o1b", "order_updated", "2026-03-02T09:00:00Z", "vendor_b",
+               {"order_id": "I1", "customerId": "C1", "totalAmount": 100.0,
+                "state": "confirmed", "created_at": "2026-03-02T09:00:00Z"})
+    o2 = _env("inc-o2", "order_created", "2026-03-02T10:00:00Z", "vendor_a",
+              {"orderRef": "I2", "total": 50.0, "status": "confirmed",
+               "created": "2026/03/02 10:00:00"})
+    day("2026-03-02", [o1b, o2])
+
+    q2 = maintain_gold_daily_stream(
+        read_event_stream(spark, f"{landing}/*/events.jsonl"), store, ckpt)
+    q2.awaitTermination(120)
+
+    events = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .json(f"{landing}/*/events.jsonl")
+        .where(F.col("event_id").isNotNull())
+    )
+    expect = build_fact_order_daily(
+        normalize_orders(events), normalize_payments(events), normalize_refunds(events)
+    )
+    got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    # LWW moved I1 to 2026-03-02: the 03-01 group must have been dropped
+    dates = {str(r.order_date)[:10] for r in got.select("order_date").collect()}
+    assert dates == {"2026-03-02"}
