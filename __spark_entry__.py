@@ -576,6 +576,19 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (operators/text.py::repetition_scores,
+    Rae et al. 2021 §A1.1 family): per-doc duplicate-line fraction and
+    top-bigram fraction — the boilerplate filters a web-scale corpus
+    applies before training. Pure codegen projections (sorted-run fold for
+    the mode count), no UDF, no shuffle. The oracle recomputes the mode
+    with a group-by count."""
+    d = _docs(spark, sf_dir)
+    return tx.repetition_scores(d, "text").select(
+        "doc_id", "dup_line_frac", "top_ngram_frac"
+    )
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): every 10th
     doc plays the evaluation set; the rest of the corpus is scored by the
@@ -1198,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "docs_lang_detect": q_docs_lang_detect,
         "docs_pii_scrub": q_docs_pii_scrub,
+        # -- r5-new extension tier
+        "docs_repetition": q_docs_repetition,
         # -- r4-new extension tier
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -1893,6 +1908,37 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
             FROM k
+        """,
+        "docs_repetition": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS lines,
+                       {_TOKS} AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, lines,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> array_to_string(toks[i:i+1], ' '))
+                            ELSE [] END AS grams
+                FROM t
+            ), u AS (
+                SELECT doc_id, unnest(grams) AS gram FROM g
+            ), mode_cnt AS (
+                SELECT doc_id, max(c) AS top FROM (
+                    SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CASE WHEN len(g.lines) > 0
+                        THEN round((len(g.lines) - len(list_distinct(g.lines)))
+                                   / CAST(len(g.lines) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN len(g.grams) > 0
+                        THEN round(COALESCE(mode_cnt.top, 0)
+                                   / CAST(len(g.grams) AS DOUBLE), 6)
+                        ELSE 0.0 END AS top_ngram_frac
+            FROM g LEFT JOIN mode_cnt USING (doc_id)
         """,
         "docs_contamination": f"""
             WITH probe_vocab AS (
