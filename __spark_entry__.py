@@ -589,6 +589,19 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global corpus vocabulary statistic (operators/text.py::top_ngrams):
+    top-100 token bigrams by occurrence count with document frequency —
+    the stat that feeds the stop-shingle caps (max_shingle_freq /
+    max_bucket) and Gopher-style corpus audits. Per-doc counts are
+    computed ARRAY-SIDE (sorted-run RLE, pure codegen), so one gram-keyed
+    aggregation with map-side combine is the only shuffle and the top-k is
+    a TakeOrdered. Deterministic k-boundary: (count desc, doc-freq desc,
+    gram asc)."""
+    d = _docs(spark, sf_dir)
+    return tx.top_ngrams(d, "text", "doc_id", ngram_n=2, k=100)
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): every 10th
     doc plays the evaluation set; the rest of the corpus is scored by the
@@ -1158,9 +1171,14 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling 8-token fingerprints → explode → groupBy fingerprint → keep
     fingerprints seen in ≥2 distinct docs. One uniform hash-key shuffle."""
     d = _docs(spark, sf_dir)
-    fps = d.select(
-        "doc_id", F.explode(tx.rolling_fingerprints(F.col("text"), 8)).alias("fp")
-    ).dropDuplicates(["doc_id", "fp"])
+    fps = (
+        d.select(
+            "doc_id",
+            F.explode_outer(tx.rolling_fingerprints(F.col("text"), 8)).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+        .dropDuplicates(["doc_id", "fp"])
+    )
     return (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1213,6 +1231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         # -- r5-new extension tier
         "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        # -- r5 let-binding refactor touched these operators (expr.py):
+        #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
         # -- r4-new extension tier
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
@@ -1252,16 +1276,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
-        "docs_fingerprint": q_docs_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_selfknn": q_embedding_selfknn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "ann_lsh_topk": q_ann_lsh_topk,
         # -- stable tail: green in r3 AND r4, operators untouched since
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
         "unpivot_daily": q_unpivot_daily,
@@ -1939,6 +1960,26 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(g.grams) AS DOUBLE), 6)
                         ELSE 0.0 END AS top_ngram_frac
             FROM g LEFT JOIN mode_cnt USING (doc_id)
+        """,
+        "corpus_top_ngrams": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> array_to_string(t[i:i+1], ' '))
+                            ELSE [] END AS grams
+                FROM t
+            ), u AS (
+                SELECT doc_id, unnest(grams) AS gram FROM g
+            )
+            SELECT gram,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM u GROUP BY gram
+            ORDER BY n_occurrences DESC, n_docs DESC, gram ASC
+            LIMIT 100
         """,
         "docs_contamination": f"""
             WITH probe_vocab AS (

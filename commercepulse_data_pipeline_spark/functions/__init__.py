@@ -3,6 +3,7 @@ JVM-side Catalyst expressions — no Python UDFs. (The sanctioned
 Arrow-batched extension templates live in ``functions.pandas_ext``,
 imported explicitly so the core library stays UDF-free.)"""
 
+from commercepulse_data_pipeline_spark.functions.expr import let
 from commercepulse_data_pipeline_spark.functions.drift import (
     canonical_status,
     coalesce_keys,
@@ -30,6 +31,7 @@ __all__ = [
     "days_between",
     "event_id",
     "json_keys",
+    "let",
     "numeric_or_zero",
     "parse_timestamp",
     "row_fingerprint",

@@ -45,15 +45,20 @@ def ngram_contamination(
     have any ``shingle_n``-gram are omitted (no denominator).
     """
     probe_text_col = probe_text_col or text_col
+    # explode_outer + null-filter on both sides: a plain explode's
+    # inferred non-empty filter re-runs the shingle construction once more
+    # per row (see functions/expr.py); shingle elements are never NULL
     probe_vocab = F.broadcast(
         probes.select(
-            F.explode(word_shingles(F.col(probe_text_col), shingle_n)).alias("shingle")
-        ).distinct()
+            F.explode_outer(word_shingles(F.col(probe_text_col), shingle_n)).alias("shingle")
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
     )
     doc_sh = corpus.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     hits = (
         doc_sh.join(probe_vocab, "shingle", "left_semi")
         .groupBy(id_col)

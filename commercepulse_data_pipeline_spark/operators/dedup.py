@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.expr import let
+
 
 # ---------------------------------------------------------------------------
 # Relational dedup (reference §2.5)
@@ -117,16 +119,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Pure Catalyst (transform over a sequence of offsets) — no UDF, so
     shingling stays inside whole-stage codegen and pipelines with the scan.
+
+    The token array is LET-BOUND (``functions/expr.py::let``) before the
+    per-offset lambda references it: an inline ``toks`` subtree would be
+    re-tokenized once per shingle offset (lambda bodies re-evaluate
+    non-attribute references per element), turning shingling O(tokens²)
+    per document — measured ~19× slower at 1000-token docs and growing
+    with length. The binding also survives optimizer re-inlining
+    (pushed-down inferred filters), which staging in a projection does not.
     """
-    toks = _tokens(text)
-    count = F.size(toks) - F.lit(n - 1)
-    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    # Guard: sequence(0, count-1) with count <= 0 descends through negative
-    # offsets and slice(start=0) throws — short docs get an empty array.
-    return F.when(
-        count > 0,
-        F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at)),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def body(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+        # Guard: sequence(0, count-1) with count <= 0 descends through
+        # negative offsets and slice(start=0) throws — short docs get an
+        # empty array.
+        return F.when(
+            count > 0,
+            F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(_tokens(text), body)
 
 
 def eligible_buckets(keyed: DataFrame, keys: list[str], *, max_bucket: int) -> DataFrame:
@@ -183,15 +197,20 @@ def _pairs_in_group(ids: Column) -> Column:
     # (max_bucket / max_shingle_freq ≈ 1000 → ≤ ~500k pairs ≈ a few MB).
     # Wider buckets are near-useless for similarity anyway (stop-shingles,
     # boilerplate); drop or salt them instead of generating their pairs.
-    s = F.array_sort(ids)
-    return F.flatten(
-        F.transform(
-            s,
-            lambda x, i: F.transform(
-                F.slice(s, i + 2, F.size(s)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # The sorted array is let-bound: referenced inline from the outer
+    # lambda, array_sort(ids) would re-sort the bucket once per MEMBER
+    # (O(n² log n) per bucket).
+    return let(
+        F.array_sort(ids),
+        lambda s: F.flatten(
+            F.transform(
+                s,
+                lambda x, i: F.transform(
+                    F.slice(s, i + 2, F.size(s)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
     )
 
 
@@ -207,12 +226,16 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
     min-hash and — deliberately — is reproducible in any engine with md5
     (our DuckDB oracle computes the identical signature).
     """
-    shingles = word_shingles(text, shingle_n)
-    def min_for_seed(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
-        )
-    return F.array(*[min_for_seed(i) for i in range(num_hashes)])
+    def body(shingles: Column) -> Column:
+        def min_for_seed(i: int) -> Column:
+            return F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+            )
+        return F.array(*[min_for_seed(i) for i in range(num_hashes)])
+
+    # let-bound: each of the k transform() arguments would otherwise
+    # re-evaluate the shingle construction (k evals per row)
+    return let(word_shingles(text, shingle_n), body)
 
 
 def minhash_signature_table(
@@ -235,9 +258,14 @@ def minhash_signature_table(
     Docs with zero shingles (< shingle_n tokens) produce no rows — same
     contract as the DuckDB oracle's unnest.
     """
+    # explode_OUTER + null-filter: a plain explode's inferred non-empty
+    # filter (InferFiltersFromGenerate) evaluates the shingle construction
+    # a second time per row (see functions/expr.py); shingle elements are
+    # never NULL, so dropping the outer-generate's null row is exact.
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle")
-    )
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("__shingle"),
+    ).where(F.col("__shingle").isNotNull())
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("__shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -273,7 +301,10 @@ def minhash_bands(
         )
         for b in range(bands)
     ])
-    return sig.select(F.col(id_col), F.explode(bands_arr).alias("band")).select(
+    # explode_outer: bands_arr is a fixed-length literal array (never
+    # empty), but plain explode would still evaluate it once more in the
+    # inferred non-empty filter
+    return sig.select(F.col(id_col), F.explode_outer(bands_arr).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
 
@@ -308,8 +339,11 @@ def minhash_candidate_pairs(
     buckets = capped_posting_lists(
         b, ["band_id", "band_key"], F.col(id_col), max_bucket=max_bucket
     )
+    # explode_outer: the inferred non-empty filter of a plain explode
+    # would generate the O(bucket²) pair array TWICE per bucket row
     return (
-        buckets.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        buckets.select(F.explode_outer(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -339,8 +373,13 @@ def ngram_jaccard_pairs(
     pair rows); enforced cap-before-collect (``capped_posting_lists``) so a
     stop-shingle's full id list is never buffered.
     """
+    # explode_outer + null-filter: avoids the inferred filter's second
+    # evaluation of the shingle construction (functions/expr.py)
     sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        df.select(
+            F.col(id_col),
+            F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        ).where(F.col("shingle").isNotNull())
     )
     # set size = array length of the (already-distinct) shingle array: a
     # pure per-doc projection. Deriving it from the exploded rows instead
@@ -353,7 +392,8 @@ def ngram_jaccard_pairs(
         sh, ["shingle"], F.col(id_col), max_bucket=max_shingle_freq
     )
     shared = (
-        posting.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        posting.select(F.explode_outer(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .where(F.col("p").isNotNull())
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -443,10 +483,15 @@ def simhash_table(
     if bits % 2 != 0 or not 2 <= bits <= 64:
         raise ValueError(f"bits must be even and in [2, 64], got {bits}")
     half = bits // 2
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
-    ).select(id_col, _md5_long(F.col("__s")).alias("__h"))
+    # explode_outer + null-filter: see minhash_signature_table
+    hashed = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        )
+        .where(F.col("__s").isNotNull())
+        .select(id_col, _md5_long(F.col("__s")).alias("__h"))
+    )
 
     def lane(j: int) -> Column:
         lo = F.shiftright("__h", j).bitwiseAND(F.lit(1)).cast("long")
@@ -522,7 +567,7 @@ def simhash_candidate_pairs(
         )
         for i in range(blocks)
     ])
-    exploded = sh.select(id_col, "sig", F.explode(blocks_arr).alias("b")).select(
+    exploded = sh.select(id_col, "sig", F.explode_outer(blocks_arr).alias("b")).select(
         id_col, "sig", "b.block_id", "b.block_val"
     )
     # Posting-list candidate generation (same shape as minhash_candidate_pairs):
@@ -535,7 +580,8 @@ def simhash_candidate_pairs(
         max_bucket=max_bucket,
     )
     cand = (
-        buckets.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        buckets.select(F.explode_outer(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .where(F.col("p").isNotNull())
         .select(
             F.col(f"p.id_a.{id_col}").alias("id_a"),
             F.col("p.id_a.sig").alias("sig_a"),

@@ -432,8 +432,11 @@ def knn_join_self(
         )
         for t in range(n_tables)
     ]
+    # explode_outer: the fixed-length table array is never empty, and a
+    # plain explode's inferred non-empty filter would re-run every
+    # lsh_bucket (n_tables × n_planes dot products) once more per row
     keyed = corpus.select(
-        F.col(id_col).alias("__id"), F.explode(F.array(*tables)).alias("tb")
+        F.col(id_col).alias("__id"), F.explode_outer(F.array(*tables)).alias("tb")
     ).select("__id", "tb.table_id", "tb.bucket")
 
     from commercepulse_data_pipeline_spark.operators.dedup import (
@@ -447,7 +450,8 @@ def knn_join_self(
         keyed, ["table_id", "bucket"], F.col("__id"), max_bucket=max_bucket
     )
     pairs = (
-        buckets.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+        buckets.select(F.explode_outer(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -476,7 +480,7 @@ def knn_join_self(
         .where(F.col("cosine_sim").isNotNull())
     )
     both = scored.select(
-        F.explode(
+        F.explode_outer(
             F.array(
                 F.struct(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")),
                 F.struct(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.expr import let
+
 # Tiny in-expression stopword lists per language — enough for a language-ID
 # heuristic without external models (none are available in this container).
 _STOPWORDS = {
@@ -43,6 +45,138 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams; empty array when the document has
+    fewer than ``n`` tokens. ``toks`` is let-bound
+    (``functions/expr.py::let``) so the per-offset lambda references a
+    variable even when a caller passes a full tokenization expression or
+    the optimizer re-inlines a staged column into a pushed-down filter —
+    either would otherwise re-evaluate ``toks`` once per offset."""
+
+    def body(t: Column) -> Column:
+        n_grams = F.size(t) - F.lit(n - 1)
+        gram_at = lambda i: F.array_join(F.slice(t, i + 1, n), " ")  # noqa: E731
+        return F.when(
+            n_grams > 0,
+            F.transform(F.sequence(F.lit(0), n_grams - 1), gram_at),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(toks, body)
+
+
+def rle_counts(srt: Column) -> Column:
+    """Run-length (value, cnt) pairs over a SORTED string array — the
+    array-side "group by" that turns per-document counting into a pure
+    projection. Boundary detection via filtered index positions, then
+    ``zip_with`` against the shifted boundary list: O(n) after the sort,
+    no per-step array copies (an ``aggregate`` fold appending to an array
+    accumulator would copy the accumulator per element — O(n²)).
+
+    ``srt`` and the boundary list are let-bound
+    (``functions/expr.py::let``): the per-element ``element_at`` lookups
+    would otherwise re-evaluate the full sorted-array expression per
+    element — O(n²·log n) — whenever the optimizer re-inlines it (e.g. an
+    explode's inferred filter; measured as a hang on a 5000-doc
+    partition)."""
+
+    def body(s: Column) -> Column:
+        n = F.size(s)
+
+        def with_starts(starts: Column) -> Column:
+            ends = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(n),
+            )
+            return F.zip_with(
+                starts,
+                ends,
+                lambda st, e: F.struct(
+                    F.element_at(s, st + 1).alias("value"),
+                    (e - st).cast("long").alias("cnt"),
+                ),
+            )
+
+        pairs = let(
+            F.filter(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+            ),
+            with_starts,
+        )
+        # guard BEFORE building: sequence(0, -1) on an empty array would
+        # step DOWNWARD ([0, -1]) and zip_with would pad a null pair
+        return F.when(n > 0, pairs).otherwise(
+            F.array().cast("array<struct<value:string,cnt:bigint>>")
+        )
+
+    return let(srt, body)
+
+
+def ngram_doc_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, ngram_n: int = 2
+) -> DataFrame:
+    """One row per (document, distinct n-gram) with its within-doc
+    occurrence count — the map-side stage of corpus vocabulary statistics.
+    The per-doc counting happens ARRAY-SIDE (sorted runs via
+    ``rle_counts``), so what explodes is distinct grams per document, not
+    raw occurrences — the shuffle volume a boilerplate-heavy corpus would
+    otherwise multiply."""
+    staged = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__grams", token_ngrams(F.col("__toks"), ngram_n))
+        .withColumn("__gsort", F.array_sort(F.col("__grams")))
+        .withColumn("__rle", rle_counts(F.col("__gsort")))
+    )
+    # explode_OUTER + null-filter, NOT plain explode: InferFiltersFromGenerate
+    # would push a size(__rle)>0 predicate BELOW the staged projections,
+    # re-inlining the whole expression tree into the Filter — and there
+    # element_at(array_sort(...), i) re-expands the sort per ARRAY ELEMENT,
+    # turning a linear scan into O(tokens²·log) per document (measured: hung
+    # a 5000-doc partition). The outer generate infers no filter; empty-gram
+    # docs surface one null pair dropped right after the Generate.
+    return (
+        staged.select(F.col(id_col), F.explode_outer(F.col("__rle")).alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .select(id_col, F.col("__p.value").alias("gram"), F.col("__p.cnt").alias("cnt"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram_n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Global top-k most frequent token n-grams with corpus occurrence and
+    document-frequency counts — the vocabulary statistic that FEEDS the
+    stop-shingle caps (``max_shingle_freq`` in ``ngram_jaccard_pairs``,
+    ``max_bucket`` in the LSH operators) and Gopher-style corpus audits.
+
+    Scale shape: per-doc counts are computed array-side (pure codegen, see
+    ``ngram_doc_counts``), then ONE gram-keyed aggregation — partial
+    (map-side) combine applies because sum/count are algebraic — and the
+    top-k is a TakeOrdered (per-partition heap + driver merge of k rows,
+    never a global sort materialization). Uniformly hashed shuffle keys;
+    a skewed boilerplate gram is a single (gram, partial-count) row per
+    map task, not a row per occurrence. Fully deterministic ordering
+    (count desc, doc-freq desc, gram asc) so the k-boundary is stable
+    cross-engine."""
+    counts = ngram_doc_counts(df, text_col, id_col, ngram_n=ngram_n)
+    return (
+        counts.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("n_docs").desc(), F.col("gram").asc()
+        )
+        .limit(k)
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -132,16 +266,20 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     window (array<string>). Basis for containment/plagiarism detection —
     explode + groupBy(fingerprint) finds cross-document shared passages
     with one uniform shuffle."""
-    toks = tokens(text)
-    count = F.size(toks) - F.lit(window_tokens - 1)
-    # Guard: count <= 0 would make sequence() descend and slice(start=0) throw.
-    return F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def body(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(window_tokens - 1)
+        # Guard: count <= 0 would make sequence() descend and slice(start=0) throw.
+        return F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bound (functions/expr.py): an inline token array would be
+    # re-tokenized once per window offset — O(tokens²) per document
+    return let(tokens(text), body)
 
 
 # ---------------------------------------------------------------------------
@@ -197,15 +335,7 @@ def repetition_scores(
     tests/test_graph_sampling.py."""
     df = df.withColumn("__lines", F.split(F.col(text_col), r"\n"))
     df = df.withColumn("__toks", tokens(F.col(text_col)))
-    n_gram_count = F.size(F.col("__toks")) - F.lit(ngram_n - 1)
-    gram_at = lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, ngram_n), " ")  # noqa: E731
-    df = df.withColumn(
-        "__grams",
-        F.when(
-            n_gram_count > 0,
-            F.transform(F.sequence(F.lit(0), n_gram_count - 1), gram_at),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    df = df.withColumn("__grams", token_ngrams(F.col("__toks"), ngram_n))
     df = df.withColumn("__gsort", F.array_sort(F.col("__grams")))
 
     n_lines = F.size(F.col("__lines")).cast("double")
@@ -286,17 +416,25 @@ def dedup_lines(lines: Column, srt: Column | None = None) -> Column:
     """
     if srt is None:
         srt = sorted_line_index(lines)
-    # sorted predecessor of each entry: [null, srt[0..n-2]]
-    prev = F.concat(
-        F.array(F.lit(None).cast("struct<line:string,pos:int>")),
-        F.slice(srt, 1, F.greatest(F.size(srt) - 1, F.lit(0))),
-    )
-    firsts = F.zip_with(
-        srt, prev, lambda c, p: F.when(p.isNull() | (c["line"] != p["line"]), c["pos"])
-    )
-    kept_pos = F.array_sort(F.filter(firsts, lambda p: p.isNotNull()))
-    kept = F.transform(kept_pos, lambda p: F.element_at(lines, p + 1))
-    return F.array_join(kept, "\n")
+
+    # both arrays let-bound (functions/expr.py): the final per-position
+    # element_at(lines, ·) would re-evaluate an inline or re-inlined lines
+    # expression once per surviving line
+    def body(b: Column) -> Column:
+        ls, s = b["lines"], b["srt"]
+        # sorted predecessor of each entry: [null, srt[0..n-2]]
+        prev = F.concat(
+            F.array(F.lit(None).cast("struct<line:string,pos:int>")),
+            F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+        )
+        firsts = F.zip_with(
+            s, prev, lambda c, p: F.when(p.isNull() | (c["line"] != p["line"]), c["pos"])
+        )
+        kept_pos = F.array_sort(F.filter(firsts, lambda p: p.isNotNull()))
+        kept = F.transform(kept_pos, lambda p: F.element_at(ls, p + 1))
+        return F.array_join(kept, "\n")
+
+    return let(F.struct(lines.alias("lines"), srt.alias("srt")), body)
 
 
 def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:

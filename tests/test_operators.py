@@ -462,3 +462,53 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "PartitionFilters: [" in final and "centroid_id" in final.split("PartitionFilters")[1][:120], plan
+
+
+def test_rle_counts_matches_counter(spark):
+    """Array-side run-length counting over sorted arrays equals a Python
+    Counter, including empty and all-equal arrays."""
+    from collections import Counter
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "b", "c"],
+        ["a", "a", "b", "b", "b", "c"],
+        ["", "", "x"],  # empty-string values are still counted values
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "arr"])
+    out = df.select(
+        "i", tx.rle_counts(F.array_sort(F.col("arr"))).alias("rle")
+    ).collect()
+    for r in out:
+        got = {p["value"]: p["cnt"] for p in r.rle}
+        assert got == dict(Counter(cases[r.i])), (r.i, got)
+        # runs are emitted in sorted order
+        assert [p["value"] for p in r.rle] == sorted(got)
+
+
+def test_top_ngrams_planted(spark):
+    """Global bigram counts + doc frequency with the deterministic
+    (count desc, doc-freq desc, gram asc) k-boundary."""
+    rows = [
+        (1, "a b a b c"),   # bigrams: a b, b a, a b, b c
+        (2, "a b x"),       # bigrams: a b, b x
+        (3, "solo"),        # no bigrams
+        (4, ""),            # no tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.gram, r.n_occurrences, r.n_docs)
+        for r in tx.top_ngrams(df, "text", "doc_id", ngram_n=2, k=3).collect()
+    ]
+    assert got == [("a b", 3, 2), ("b a", 1, 1), ("b c", 1, 1)]
+
+    # per-doc distinct-gram rows feeding the agg: counting happened
+    # array-side, so doc 1 contributes ONE row for "a b" with cnt=2
+    counts = {
+        (r.doc_id, r.gram): r.cnt
+        for r in tx.ngram_doc_counts(df, "text", "doc_id", ngram_n=2).collect()
+    }
+    assert counts[(1, "a b")] == 2 and counts[(2, "a b")] == 1
+    assert (3, "solo") not in counts and len([k for k in counts if k[0] >= 3]) == 0

@@ -155,3 +155,55 @@ def test_packed_windows_single_shuffle_per_stage(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 2, plan
     assert "CartesianProduct" not in final and "BroadcastNestedLoopJoin" not in final, plan
+
+
+def test_shingle_path_single_tokenization(spark):
+    """The shingle pipeline must evaluate tokenization exactly once per
+    row. Two regressions are pinned: (a) a plain explode would let
+    InferFiltersFromGenerate duplicate the whole array builder into a
+    pushed-down filter (a second split() in the optimized plan); (b) a
+    non-let-bound token array inside the per-offset lambda re-tokenizes
+    per shingle — O(tokens²) per doc (functions/expr.py). The let binding
+    shows up as transform(array(filter(split(...)), ...) with exactly ONE
+    split() occurrence."""
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    sig = dd.minhash_signature_table(df, "text", "doc_id", num_hashes=2, shingle_n=3)
+    optimized = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(lower") == 1, optimized
+
+    sh = dd.simhash_table(df, "text", "doc_id", shingle_n=2)
+    optimized = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(lower") == 1, optimized
+
+
+def test_pair_generation_single_sort(spark):
+    """_pairs_in_group must sort the bucket id list once (let-bound):
+    referenced inline from the pair lambdas, array_sort(ids) would re-sort
+    the bucket per MEMBER — O(n² log n) per bucket — and a plain explode's
+    inferred filter would add a second full pair-array construction."""
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, "x y z common shingle text here") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = dd.minhash_candidate_pairs(df, "text", "doc_id", max_bucket=100)
+    optimized = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_sort") == 1, optimized
+
+
+def test_ngram_counts_no_inferred_filter_duplication(spark):
+    """ngram_doc_counts (feeds corpus_top_ngrams) must keep the staged
+    RLE pipeline out of any pushed-down filter: the re-inlined copy
+    evaluates element_at(array_sort(...), i) per element — O(tokens²·log),
+    measured as a hang on a 5000-doc partition."""
+    from commercepulse_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"])
+    counts = tx.ngram_doc_counts(df, "text", "doc_id", ngram_n=2)
+    optimized = counts._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(lower") == 1, optimized
+    assert optimized.count("array_sort") == 1, optimized
