@@ -602,6 +602,21 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.top_ngrams(d, "text", "doc_id", ngram_n=2, k=100)
 
 
+def q_docs_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest
+    (operators/sampling.py::assign_splits): disjoint, exhaustive,
+    content-keyed — a document never migrates between splits under corpus
+    growth, reruns, or repartitioning (the eval-leakage mode randomSplit
+    invites). Pure codegen projection, no shuffle; the oracle replays the
+    identical hex-digit bucket arithmetic and integer thresholds."""
+    from commercepulse_data_pipeline_spark.operators.sampling import assign_splits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return assign_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1:"
+    )
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): every 10th
     doc plays the evaluation set; the rest of the corpus is scored by the
@@ -1232,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5-new extension tier
         "docs_repetition": q_docs_repetition,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_split_manifest": q_docs_split_manifest,
         # -- r5 let-binding refactor touched these operators (expr.py):
         #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
         "docs_fingerprint": q_docs_fingerprint,
@@ -1416,6 +1432,24 @@ def _sample_bucket_sql(key_expr: str, salt: str) -> str:
     nib = f"(strpos('0123456789abcdef', substr({h}, {{pos}}, 1)) - 1)"
     terms = [f"{nib.format(pos=j + 1)} * {16 ** (7 - j)}" for j in range(8)]
     return "(" + " + ".join(terms) + ")"
+
+
+def _split_manifest_oracle_sql() -> str:
+    """DuckDB twin of q_docs_split_manifest: the same cumulative integer
+    thresholds over the same md5 bucket, sorted-name order (test < train
+    < val), remainder to the last split."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("doc_id", "split-v1:")
+    t_test = threshold_for(0.1)
+    t_train = t_test + threshold_for(0.8)
+    return f"""
+        SELECT doc_id, CASE
+            WHEN {bucket} < {t_test} THEN 'test'
+            WHEN {bucket} < {t_train} THEN 'train'
+            ELSE 'val' END AS split
+        FROM documents
+    """
 
 
 def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
@@ -1904,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
+        "docs_split_manifest": _split_manifest_oracle_sql(),
         "docs_packed_windows": _packed_windows_oracle_sql(),
         "docs_pii_scrub": r"""
             WITH staged AS (

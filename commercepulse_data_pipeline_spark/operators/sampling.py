@@ -69,3 +69,42 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(threshold_for(rate))).otherwise(thr)
     return df.where(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    *,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment — every row gets a
+    split label from the same md5-bucket arithmetic as
+    ``deterministic_sample``, so the partition is:
+
+    - disjoint and exhaustive by construction (adjacent integer bucket
+      ranges over [0, 2^32) in sorted-name order, remainder to the last
+      split — no row lost to float-boundary gaps);
+    - stable across runs/engines/partitionings AND under corpus growth —
+      a document never migrates between splits when new data arrives
+      (the leakage mode that silently contaminates eval sets when
+      ``randomSplit`` reshuffles);
+    - replayable in the DuckDB oracle (hex-digit arithmetic, exact
+      integer thresholds computed once in Python).
+
+    ``splits`` maps name → fraction (must sum to ~1; the last sorted name
+    absorbs rounding). Pure codegen projection — no shuffle, no UDF.
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = sorted(splits)
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    upper = 0
+    for i, name in enumerate(names):
+        upper = BUCKET_SPACE if i == len(names) - 1 else upper + threshold_for(splits[name])
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)

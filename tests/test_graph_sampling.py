@@ -364,3 +364,38 @@ def test_repetition_scores_model_and_duckdb(spark, tmp_path):
     }
     con.close()
     assert duck == got
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark):
+    """Train/val/test assignment: every row labeled (exhaustive), labels
+    from the declared set (disjoint by construction), fractions near the
+    requested ones, and — the property that matters — NO row migrates
+    when the corpus grows (randomSplit's leakage mode)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators.sampling import assign_splits
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(2000).select(F.col("id").alias("doc_id"))
+    big = spark.range(6000).select(F.col("id").alias("doc_id"))
+
+    a = assign_splits(small, "doc_id", splits, salt="s1:")
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000          # exhaustive, one label each
+    assert counts["train"] == _pytest.approx(1600, rel=0.1)
+    assert counts["val"] == _pytest.approx(200, rel=0.3)
+
+    b = assign_splits(big, "doc_id", splits, salt="s1:")
+    small_map = {r.doc_id: r.split for r in a.collect()}
+    big_map = {r.doc_id: r.split for r in b.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())  # growth-stable
+
+    # different salt → independent assignment (not identical)
+    c = {r.doc_id: r.split for r in
+         assign_splits(small, "doc_id", splits, salt="s2:").collect()}
+    assert any(c[k] != v for k, v in small_map.items())
+
+    with _pytest.raises(ValueError):
+        assign_splits(small, "doc_id", {"train": 0.5, "test": 0.1})
