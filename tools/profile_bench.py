@@ -17,11 +17,14 @@ from bench import materialize_split_copies  # noqa: E402
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
     explain = "--explain" in sys.argv
     runs = 2
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    args = sys.argv[1:]
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]  # don't let the N leak into the name list
+    names = [a for a in args if not a.startswith("--")]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
