@@ -1295,8 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
         # -- stable tail: green in r3 AND r4, operators untouched since
+        "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "union_actors": q_union_actors,
@@ -1440,7 +1440,8 @@ def _split_manifest_oracle_sql() -> str:
     < val), remainder to the last split."""
     from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
 
-    bucket = _sample_bucket_sql("doc_id", "split-v1:")
+    # COALESCE matches assign_splits' NULL-key handling (hash as '')
+    bucket = _sample_bucket_sql("COALESCE(CAST(doc_id AS VARCHAR), '')", "split-v1:")
     t_test = threshold_for(0.1)
     t_train = t_test + threshold_for(0.8)
     return f"""

@@ -20,6 +20,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.operators.text import (
+    token_ngrams,
+    tokens as _tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -110,37 +114,20 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc
 # Shingling (shared by the near-dup family)
 # ---------------------------------------------------------------------------
 
-def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-
-
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a text column, as array<string>.
 
-    Pure Catalyst (transform over a sequence of offsets) — no UDF, so
-    shingling stays inside whole-stage codegen and pipelines with the scan.
-
-    The token array is LET-BOUND (``functions/expr.py::let``) before the
-    per-offset lambda references it: an inline ``toks`` subtree would be
-    re-tokenized once per shingle offset (lambda bodies re-evaluate
-    non-attribute references per element), turning shingling O(tokens²)
-    per document — measured ~19× slower at 1000-token docs and growing
-    with length. The binding also survives optimizer re-inlining
-    (pushed-down inferred filters), which staging in a projection does not.
+    Pure Catalyst — the guarded n-gram builder is ``operators/text.py::
+    token_ngrams`` (ONE implementation of the count-guard/sequence/slice
+    loop repo-wide), which let-binds the token array
+    (``functions/expr.py::let``) so the per-offset lambda references a
+    variable: an inline ``toks`` subtree would be re-tokenized once per
+    shingle offset, turning shingling O(tokens²) per document — measured
+    ~19× slower at 1000-token docs and growing with length. The binding
+    also survives optimizer re-inlining (pushed-down inferred filters),
+    which staging in a projection does not.
     """
-
-    def body(toks: Column) -> Column:
-        count = F.size(toks) - F.lit(n - 1)
-        shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-        # Guard: sequence(0, count-1) with count <= 0 descends through
-        # negative offsets and slice(start=0) throws — short docs get an
-        # empty array.
-        return F.when(
-            count > 0,
-            F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1), shingle_at)),
-        ).otherwise(F.array().cast("array<string>"))
-
-    return let(_tokens(text), body)
+    return F.array_distinct(token_ngrams(_tokens(text), n))
 
 
 def eligible_buckets(keyed: DataFrame, keys: list[str], *, max_bucket: int) -> DataFrame:

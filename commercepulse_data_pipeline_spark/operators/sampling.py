@@ -100,7 +100,11 @@ def assign_splits(
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")
     names = sorted(splits)
-    bucket = hash_bucket(F.col(key_col), salt)
+    # NULL keys hash as the empty string instead of propagating NULL
+    # through md5 — a NULL bucket would give split=NULL and the row would
+    # silently vanish from every split filter, breaking the exhaustiveness
+    # contract. All NULL-keyed rows land (deterministically) in one split.
+    bucket = hash_bucket(F.coalesce(F.col(key_col).cast("string"), F.lit("")), salt)
     expr: Column | None = None
     upper = 0
     for i, name in enumerate(names):

@@ -67,7 +67,9 @@ def token_ngrams(toks: Column, n: int) -> Column:
 
 
 def rle_counts(srt: Column) -> Column:
-    """Run-length (value, cnt) pairs over a SORTED string array — the
+    """Run-length (value, cnt) pairs over a SORTED string array (NULL
+    elements are counted as their own run — the boundary test is
+    null-safe) — the
     array-side "group by" that turns per-document counting into a pure
     projection. Boundary detection via filtered index positions, then
     ``zip_with`` against the shifted boundary list: O(n) after the sort,
@@ -101,7 +103,12 @@ def rle_counts(srt: Column) -> Column:
         pairs = let(
             F.filter(
                 F.sequence(F.lit(0), n - 1),
-                lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+                # null-SAFE boundary test: with plain !=, a value→NULL
+                # transition compares to NULL, the boundary is dropped,
+                # and the trailing NULL run silently inflates the
+                # preceding value's count
+                lambda i: (i == 0)
+                | ~F.element_at(s, i + 1).eqNullSafe(F.element_at(s, i)),
             ),
             with_starts,
         )
@@ -266,20 +273,10 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     window (array<string>). Basis for containment/plagiarism detection —
     explode + groupBy(fingerprint) finds cross-document shared passages
     with one uniform shuffle."""
-    def body(toks: Column) -> Column:
-        count = F.size(toks) - F.lit(window_tokens - 1)
-        # Guard: count <= 0 would make sequence() descend and slice(start=0) throw.
-        return F.when(
-            count > 0,
-            F.transform(
-                F.sequence(F.lit(0), count - 1),
-                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window_tokens), " ")),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    # let-bound (functions/expr.py): an inline token array would be
-    # re-tokenized once per window offset — O(tokens²) per document
-    return let(tokens(text), body)
+    # token_ngrams is the ONE guarded n-gram builder (let-bound: an
+    # inline token array would be re-tokenized once per window offset —
+    # O(tokens²) per document); this just md5s each window
+    return F.transform(token_ngrams(tokens(text), window_tokens), lambda g: F.md5(g))
 
 
 # ---------------------------------------------------------------------------

@@ -476,16 +476,21 @@ def test_rle_counts_matches_counter(spark):
         ["a", "b", "c"],
         ["a", "a", "b", "b", "b", "c"],
         ["", "", "x"],  # empty-string values are still counted values
+        ["a", "a", None, None],  # NULLs are their own run (null-safe boundary)
+        [None],
     ]
-    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "arr"])
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, arr array<string>"
+    )
     out = df.select(
         "i", tx.rle_counts(F.array_sort(F.col("arr"))).alias("rle")
     ).collect()
     for r in out:
         got = {p["value"]: p["cnt"] for p in r.rle}
         assert got == dict(Counter(cases[r.i])), (r.i, got)
-        # runs are emitted in sorted order
-        assert [p["value"] for p in r.rle] == sorted(got)
+        # runs are emitted in array_sort order (NULLs last)
+        non_null = [p["value"] for p in r.rle if p["value"] is not None]
+        assert non_null == sorted(non_null)
 
 
 def test_top_ngrams_planted(spark):

@@ -27,9 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def corpus(spark, n_docs: int, n_tokens: int):
-    # disjoint per-doc vocabulary: doc i's tokens are "d<i>w<j%97>" — no
+    # disjoint per-doc vocabulary: doc i's tokens are "d<i>w<j>" — no
     # cross-doc shingle collisions, so posting lists stay singleton and
-    # pair generation is a no-op; the timed work is the per-doc builders
+    # pair generation is a no-op; the timed work is the per-doc builders.
+    # j runs the FULL position range (no modulo): a cycling vocabulary
+    # would cap the distinct-shingle count at the cycle length, and the
+    # distinct-consuming operators (array_distinct before minhash/
+    # jaccard/simhash) would stop growing with doc length — the probe
+    # would then under-state the expected linear ratio.
     from pyspark.sql import functions as F
 
     df = spark.range(n_docs).select(
@@ -39,7 +44,7 @@ def corpus(spark, n_docs: int, n_tokens: int):
                 F.sequence(F.lit(0), F.lit(n_tokens - 1)),
                 lambda j: F.concat(
                     F.lit("d"), F.col("id").cast("string"), F.lit("w"),
-                    (j % 97).cast("string"), F.lit("x"), (j % 13).cast("string"),
+                    j.cast("string"),
                 ),
             ),
             " ",
