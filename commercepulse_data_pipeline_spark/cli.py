@@ -194,6 +194,8 @@ def cmd_clean_corpus(args) -> int:
         → near-dup clusters (MinHash pairs → connected components)
           → keep the best-quality member per cluster
         → deterministic sample (md5-bucket, reproducible/incremental)
+        → optional train/val/test split manifest (--splits; content-keyed,
+          stable under incremental reruns)
         → sharded next-fit packing into fixed-token context windows
 
     Writes <out>/corpus (cleaned docs + window assignment) and
@@ -203,7 +205,10 @@ def cmd_clean_corpus(args) -> int:
     from commercepulse_data_pipeline_spark.operators import graph
     from commercepulse_data_pipeline_spark.operators import packing
     from commercepulse_data_pipeline_spark.operators import text as tx
-    from commercepulse_data_pipeline_spark.operators.sampling import deterministic_sample
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        assign_splits,
+        deterministic_sample,
+    )
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
@@ -236,6 +241,16 @@ def cmd_clean_corpus(args) -> int:
     deduped = exact.join(losers, "doc_id", "left_anti")
 
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
+
+    if args.splits:
+        # train/val/test manifest AFTER all dedup/sampling (so the split
+        # fractions apply to what actually ships) — content-keyed, so a
+        # doc keeps its split across incremental reruns (no eval leakage)
+        fracs = {}
+        for spec in args.splits.split(","):
+            name, _, frac = spec.partition("=")
+            fracs[name.strip()] = float(frac)
+        sampled = assign_splits(sampled, "doc_id", fracs, salt=args.salt)
 
     with_tokens = sampled.withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
     # packed feeds both the corpus join and the windows write; without the
@@ -324,6 +339,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop docs whose repeated-line fraction exceeds this (1.0 = off)")
     c.add_argument("--max-top-ngram-frac", type=float, default=1.0, dest="max_top_ngram_frac",
                    help="drop docs whose most-frequent-bigram fraction exceeds this (1.0 = off)")
+    c.add_argument("--splits", default=None,
+                   help="train/val/test manifest, e.g. 'train=0.9,val=0.05,test=0.05' "
+                        "(content-keyed: stable under incremental reruns)")
     c.set_defaults(fn=cmd_clean_corpus)
 
     g = sub.add_parser(

@@ -145,6 +145,32 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     assert 7 not in kept2          # 59/62 lines are repeats > 0.5
     assert 4 in kept2 and 5 in kept2
 
+    # --splits: every kept doc gets a split label from the declared set,
+    # and the assignment is content-keyed (rerun -> identical labels)
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out3"),
+        "--capacity", "64",
+        "--splits", "train=0.8,val=0.1,test=0.1",
+    ])
+    assert rc == 0
+    c3 = spark.read.parquet(str(tmp_path / "out3/corpus"))
+    labels = {r.doc_id: r.split for r in c3.select("doc_id", "split").collect()}
+    assert labels and set(labels.values()) <= {"train", "val", "test"}
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out4"),
+        "--capacity", "64",
+        "--splits", "train=0.8,val=0.1,test=0.1",
+    ])
+    assert rc == 0
+    again = {r.doc_id: r.split for r in
+             spark.read.parquet(str(tmp_path / "out4/corpus"))
+             .select("doc_id", "split").collect()}
+    assert again == labels
+
 
 def test_cli_stream_gold(spark, landing, tmp_path):
     """stream-gold drains the landing dir and leaves a gold parquet that
