@@ -617,6 +617,20 @@ def q_docs_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/text.py::
+    chunk_documents): long docs cut into overlapping 64-token chunks at
+    stride 32 — the long-document companion to sequence packing. Pure
+    let-bound projection + explode_outer (no shuffle, linear per doc);
+    chunk text crosses the comparison as md5. The oracle replays the same
+    non-negative integer chunk arithmetic and token slicing."""
+    d = _docs(spark, sf_dir)
+    ch = tx.chunk_documents(d, "text", "doc_id", max_tokens=64, stride=32)
+    return ch.select(
+        "doc_id", "chunk_idx", "chunk_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): every 10th
     doc plays the evaluation set; the rest of the corpus is scored by the
@@ -1248,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "docs_split_manifest": q_docs_split_manifest,
+        "docs_chunked": q_docs_chunked,
         # -- r5 let-binding refactor touched these operators (expr.py):
         #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
         "docs_fingerprint": q_docs_fingerprint,
@@ -1940,6 +1955,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
+        "docs_chunked": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), c AS (
+                SELECT doc_id, t, len(t) AS n,
+                       (greatest(len(t) - 64, 0) + 31) // 32 + 1 AS n_chunks
+                FROM t WHERE len(t) > 0
+            ), u AS (
+                SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i FROM c
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(least(64, n - i * 32) AS BIGINT) AS chunk_tokens,
+                   md5(array_to_string(t[i * 32 + 1 : i * 32 + 64], ' ')) AS chunk_md5
+            FROM u
+        """,
         "docs_packed_windows": _packed_windows_oracle_sql(),
         "docs_pii_scrub": r"""
             WITH staged AS (

@@ -451,3 +451,67 @@ def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__lines", "__srt")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 512,
+    stride: int = 256,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    long-document companion to ``packing.pack_sequences`` (packing
+    combines SHORT docs into full context windows; this cuts LONG docs
+    down to them). Chunk i covers tokens [i·stride, i·stride+max_tokens);
+    ``stride < max_tokens`` gives sliding-window overlap so no span is
+    split across a boundary unseen.
+
+    Output: one row per (doc, chunk) with ``chunk_idx``, the chunk's
+    ``chunk_tokens`` count, and ``chunk_text`` (tokens re-joined with
+    single spaces — tokenization is the unit here, original whitespace is
+    not preserved). Docs with zero tokens produce no rows (same contract
+    as the shingle operators).
+
+    Scale shape: a pure let-bound projection + explode_outer — per-doc
+    work is linear in length, no shuffle at all; at 100 TB this runs at
+    parquet-scan speed. Chunk starts/counts use only non-negative integer
+    arithmetic so the DuckDB oracle replays bit-identically.
+    """
+    if not 0 < stride <= max_tokens:
+        raise ValueError(f"stride must be in (0, max_tokens], got {stride}")
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        # chunks = 1 + ceil(max(n - max_tokens, 0) / stride), via
+        # non-negative floor-div (negative int division differs between
+        # engines; this form never goes negative)
+        extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
+        n_chunks = (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)
+        n_chunks = F.floor(n_chunks).cast("int") + F.lit(1)
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.least(F.lit(max_tokens), n - i * stride)
+                    .cast("long")
+                    .alias("chunk_tokens"),
+                    F.array_join(F.slice(t, i * stride + 1, max_tokens), " ").alias(
+                        "chunk_text"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<chunk_idx:bigint,chunk_tokens:bigint,chunk_text:string>>"
+        ))
+
+    chunks = let(tokens(F.col(text_col)), body)
+    return (
+        df.withColumn("__chunks", chunks)
+        .select(F.col(id_col), F.explode_outer(F.col("__chunks")).alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .select(id_col, "__c.chunk_idx", "__c.chunk_tokens", "__c.chunk_text")
+    )

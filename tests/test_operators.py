@@ -517,3 +517,43 @@ def test_top_ngrams_planted(spark):
     }
     assert counts[(1, "a b")] == 2 and counts[(2, "a b")] == 1
     assert (3, "solo") not in counts and len([k for k in counts if k[0] >= 3]) == 0
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Overlapping chunk arithmetic: stride windows, short-doc single
+    chunk, empty doc omitted, stride<=max_tokens guard, and the
+    model twin (pure Python) agrees on every chunk."""
+    import pytest as _pytest
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b"),
+        (3, ""),
+        (4, " ".join(f"w{i}" for i in range(5))),  # exactly > one window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_tokens, r.chunk_text)
+        for r in tx.chunk_documents(df, max_tokens=4, stride=2).collect()
+    }
+
+    def model(text, max_tokens=4, stride=2):
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return {}
+        n_chunks = (max(len(toks) - max_tokens, 0) + stride - 1) // stride + 1
+        return {
+            i: (min(max_tokens, len(toks) - i * stride),
+                " ".join(toks[i * stride : i * stride + max_tokens]))
+            for i in range(n_chunks)
+        }
+
+    expect = {
+        (doc_id, i): v for doc_id, text in rows for i, v in model(text).items()
+    }
+    assert got == expect
+    assert (3, 0) not in got                       # empty doc -> no chunks
+    assert got[(2, 0)] == (2, "a b")               # short doc -> one chunk
+
+    with _pytest.raises(ValueError):
+        tx.chunk_documents(df, max_tokens=4, stride=5)
