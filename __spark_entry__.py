@@ -617,6 +617,24 @@ def q_docs_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py::
+    minhash_pairs_between): every 10th doc plays the NEW ingest batch, the
+    rest the already-indexed corpus. The batch's bands broadcast; the
+    index side is semi-restricted to probed keys before any shuffle —
+    per-ingest cost is O(batch) + one index scan, not a corpus re-band.
+    The oracle replays the same md5 banding on both sides and joins
+    them."""
+    d = _docs(spark, sf_dir)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    idx_bands = dd.minhash_bands(old, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    return dd.minhash_pairs_between(
+        new, idx_bands, "text", "doc_id",
+        num_hashes=8, bands=4, shingle_n=3, max_bucket=100000,
+    )
+
+
 def q_docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (operators/text.py::
     chunk_documents): long docs cut into overlapping 64-token chunks at
@@ -1263,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "docs_split_manifest": q_docs_split_manifest,
         "docs_chunked": q_docs_chunked,
+        "minhash_incremental": q_minhash_incremental,
         # -- r5 let-binding refactor touched these operators (expr.py):
         #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
         "docs_fingerprint": q_docs_fingerprint,
@@ -1955,6 +1974,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
+        "minhash_incremental": f"""
+            WITH {_MINHASH_PAIRS_CTE}
+            SELECT DISTINCT least(o.doc_id, n.doc_id) AS id_a,
+                            greatest(o.doc_id, n.doc_id) AS id_b
+            FROM bands o
+            JOIN bands n
+              ON o.band_id = n.band_id AND o.band_key = n.band_key
+            WHERE o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+        """,
         "docs_chunked": f"""
             WITH t AS (
                 SELECT doc_id, {_TOKS} AS t FROM documents

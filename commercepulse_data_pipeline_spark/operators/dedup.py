@@ -583,3 +583,149 @@ def simhash_candidate_pairs(
         .where(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index (dedup new arrivals against a persisted corpus)
+# ---------------------------------------------------------------------------
+
+def minhash_pairs_between(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and an existing band
+    table (the read side of the incremental index): per-ingest work is
+    O(new batch) + one scan of the index, instead of re-banding the whole
+    corpus per arrival.
+
+    Scale shape: the new batch's bands BROADCAST (an ingest batch is
+    small by definition); the index side is first restricted by a
+    broadcast left-semi on the new batch's band keys — so the only rows
+    that ever shuffle are index rows whose key the new batch actually
+    probes — then width-capped per key (``max_bucket``, window count —
+    degenerate boilerplate keys in the index would otherwise fan each
+    probing new doc into the whole bucket) before the pair join.
+
+    Returns distinct (id_a < id_b) pairs; ids shared between batch and
+    index (re-ingest) never pair with themselves.
+    """
+    new_bands = minhash_bands(
+        new_df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    probe_keys = F.broadcast(new_bands.select("band_id", "band_key").distinct())
+    matched = index_bands.join(probe_keys, ["band_id", "band_key"], "left_semi")
+    w = Window.partitionBy("band_id", "band_key")
+    matched = (
+        matched.withColumn("__key_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__key_n") <= max_bucket)
+        .drop("__key_n")
+    )
+    pairs = (
+        matched.withColumnRenamed(id_col, "__old_id")
+        .join(
+            F.broadcast(new_bands.withColumnRenamed(id_col, "__new_id")),
+            ["band_id", "band_key"],
+        )
+        .where(F.col("__old_id") != F.col("__new_id"))
+        .select(
+            F.least("__old_id", "__new_id").alias("id_a"),
+            F.greatest("__old_id", "__new_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH band table as its near-dup INDEX
+    (mirroring ``similarity.write_ivf_index`` / ``write_lsh_index``):
+    (id, band_id, band_key) parquet plus a sidecar meta file pinning the
+    banding parameters, so the read side always re-bands new docs with
+    the SAME hash family. ``mode="append"`` is the incremental-ingest
+    path — after deduping a batch, append its bands so the next batch
+    dedups against it too."""
+    import json
+
+    bands_df = minhash_bands(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    bands_df.write.mode(mode).parquet(f"{path}/bands")
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    spark = df.sparkSession
+    spark.createDataFrame([(json.dumps(sorted(meta.items())),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def read_minhash_index_meta(spark, path: str) -> dict:
+    import json
+
+    row = spark.read.json(f"{path}/meta").head()
+    return dict(json.loads(row.meta))
+
+
+def minhash_pairs_incremental(
+    new_df: DataFrame,
+    spark,
+    index_path: str,
+    *,
+    max_bucket: int = 1000,
+    update_index: bool = False,
+) -> DataFrame:
+    """New-batch near-dup candidates against a persisted index
+    (``write_minhash_index``), banding the batch with the index's OWN
+    pinned parameters. With ``update_index=True`` the pair result is
+    MATERIALIZED (eager localCheckpoint) before the batch's bands are
+    appended — the returned DataFrame is otherwise lazy, and an append
+    preceding its evaluation would re-list the index directory with the
+    new files already in it (harmlessly duplicated pairs at best,
+    filesystem-listing races at worst).
+
+    New-vs-new pairs within the batch come from the ordinary
+    ``minhash_candidate_pairs`` and are unioned in, so the result is
+    complete for "is anything in this batch a near-dup of anything seen
+    so far, including itself"."""
+    meta = read_minhash_index_meta(spark, index_path)
+    params = dict(
+        num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]),
+        shingle_n=int(meta["shingle_n"]),
+    )
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    idx = spark.read.parquet(f"{index_path}/bands")
+    vs_index = minhash_pairs_between(
+        new_df, idx, text_col, id_col, max_bucket=max_bucket, **params
+    )
+    within = minhash_candidate_pairs(
+        new_df, text_col, id_col, max_bucket=max_bucket, **params
+    )
+    out = vs_index.union(within).distinct()
+    if update_index:
+        out = out.localCheckpoint(eager=True)  # pin results BEFORE the append
+        minhash_bands(new_df, text_col, id_col, **params).write.mode("append").parquet(
+            f"{index_path}/bands"
+        )
+    return out

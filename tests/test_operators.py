@@ -557,3 +557,44 @@ def test_chunk_documents_sliding_windows(spark):
 
     with _pytest.raises(ValueError):
         tx.chunk_documents(df, max_tokens=4, stride=5)
+
+
+def test_minhash_incremental_index_lifecycle(spark, tmp_path):
+    """Persisted MinHash index: batch 1 dedups against the indexed
+    corpus (planted near-dup found), update_index=True appends batch 1's
+    bands, and batch 2 then finds its near-dup to a BATCH-1 doc without
+    any corpus re-band. The new side must broadcast (plan-asserted)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about cooking pasta sauce"),
+         (3, "third document with its own unique words entirely")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    dd.write_minhash_index(corpus, idx, num_hashes=8, bands=4, shingle_n=3)
+    meta = dd.read_minhash_index_meta(spark, idx)
+    assert int(meta["bands"]) == 4 and meta["text_col"] == "text"
+
+    batch1 = spark.createDataFrame(
+        [(10, base + " tonight"), (11, "nothing like anything indexed before")],
+        ["doc_id", "text"],
+    )
+    pairs1 = dd.minhash_pairs_incremental(batch1, spark, idx, update_index=True)
+    got1 = {(r.id_a, r.id_b) for r in pairs1.collect()}
+    assert (1, 10) in got1          # near-dup of the indexed doc found
+    assert not any(11 in p for p in got1)
+
+    # batch 2's dup partner is a BATCH-1 doc — only findable because
+    # update_index appended batch 1's bands
+    batch2 = spark.createDataFrame(
+        [(20, base + " tonight as well")], ["doc_id", "text"]
+    )
+    got2 = {(r.id_a, r.id_b) for r in
+            dd.minhash_pairs_incremental(batch2, spark, idx).collect()}
+    assert (10, 20) in got2 and (1, 20) in got2
+
+    # scale posture: the new batch is the broadcast side
+    plan = dd.minhash_pairs_between(
+        batch2, spark.read.parquet(f"{idx}/bands")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
