@@ -292,6 +292,24 @@ def cmd_stream_gold(args) -> int:
     return 0
 
 
+def cmd_stream_clean_corpus(args) -> int:
+    """Continuous corpus curation: tail a directory of document parquet
+    drops and maintain a cleaned, near-dup-free corpus — the streaming
+    form of ``clean-corpus`` (scrub → exact dedup → near-dup filter
+    against the persisted MinHash index, keep-first across batches).
+    ``--follow`` keeps the query alive; without it the query drains
+    what's available and exits."""
+    from commercepulse_data_pipeline_spark.streaming.corpus import stream_clean_corpus
+
+    spark = _spark()
+    q = stream_clean_corpus(
+        spark, args.docs, args.store, args.checkpoint, trigger_once=not args.follow
+    )
+    q.awaitTermination()
+    print(f"stream-clean-corpus: corpus maintained at {args.store}/corpus")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -354,6 +372,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--follow", action="store_true",
                    help="keep running for new files (default: drain available data once)")
     g.set_defaults(fn=cmd_stream_gold)
+
+    sc = sub.add_parser(
+        "stream-clean-corpus",
+        help="continuously maintain a cleaned, near-dup-free corpus from document drops",
+    )
+    sc.add_argument("--docs", required=True, help="directory of document parquet files")
+    sc.add_argument("--store", required=True, help="state dir: corpus + minhash index")
+    sc.add_argument("--checkpoint", required=True)
+    sc.add_argument("--follow", action="store_true",
+                    help="keep running for new files (default: drain once)")
+    sc.set_defaults(fn=cmd_stream_clean_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

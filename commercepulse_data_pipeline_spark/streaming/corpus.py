@@ -1,0 +1,136 @@
+"""Continuous corpus ingestion with near-dup filtering — the streaming
+form of the ``clean-corpus`` CLI pipeline (extension tier; closes the
+loop between the streaming tier and the LLM-curation operators).
+
+Per micro-batch (``foreachBatch`` — cross-batch near-dup state lives in
+the persisted MinHash index, not in Spark streaming state, because LSH
+band keys are not a watermarkable key space):
+
+1. scrub (line dedup + PII redaction, pure projections);
+2. in-batch exact dedup (content hash, lowest id wins);
+3. near-dup filter: ``minhash_pairs_between`` against the persisted
+   index — KEEP-FIRST across batches (the indexed copy survives; the
+   arriving near-dup is dropped) and lowest-id-wins within the batch;
+4. append survivors to ``{store}/corpus/ingest_batch=N`` and their bands
+   to ``{store}/index/bands/ingest_batch=N``.
+
+Idempotency: every write lands in a batch-id-named directory with
+``overwrite`` mode — a checkpoint replay of batch N overwrites N's own
+output instead of duplicating it (the same pattern as the bronze sink's
+exactly-once story, restated for a two-sink batch function). The index
+read side globs the whole ``bands`` tree, so batch N+1 dedups against
+everything batches ≤ N kept.
+
+At 100 TB: per-batch cost is O(batch) + one scan of the index restricted
+to probed band keys (broadcast semi-join — see ``minhash_pairs_between``);
+the index grows by ``bands``-per-doc rows per kept doc, uniformly
+partitioned by ingest batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.operators import dedup as dd
+from commercepulse_data_pipeline_spark.operators import text as tx
+
+DEFAULT_PARAMS = {"num_hashes": 8, "bands": 4, "shingle_n": 3}
+
+
+def clean_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    *,
+    params: dict | None = None,
+    max_bucket: int = 1000,
+) -> None:
+    """Process one micro-batch of (doc_id, text, ...) rows: scrub,
+    exact-dedup, near-dup-filter against the accumulated index, append
+    survivors + their bands under this batch's own directory."""
+    p = dict(DEFAULT_PARAMS, **(params or {}))
+    spark = batch_df.sparkSession
+
+    scrubbed = (
+        tx.scrub(batch_df, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
+    )
+    batch = dd.exact_dedup(scrubbed, "text", "doc_id")
+
+    bands_root = f"{store_dir}/index/bands"
+    # within-batch near-dups: lowest id wins (deterministic keep-first)
+    within = dd.minhash_candidate_pairs(
+        batch, "text", "doc_id", max_bucket=max_bucket, **p
+    ).select(F.col("id_b").alias("doc_id"))
+    drop = within
+    if os.path.isdir(bands_root) and any(
+        e.name.startswith("ingest_batch=") for e in os.scandir(bands_root)
+    ):
+        idx = spark.read.parquet(bands_root)
+        # cross-batch: the INDEXED copy survives; the arriving dup drops.
+        # Pairs come back normalized (id_a < id_b), so "the batch side"
+        # is whichever member is in this batch — the other member is an
+        # index-only id the anti-join below can't touch anyway.
+        vs_index = dd.minhash_pairs_between(
+            batch, idx, "text", "doc_id", max_bucket=max_bucket, **p
+        )
+        pair_ids = vs_index.selectExpr("id_a AS doc_id").union(
+            vs_index.selectExpr("id_b AS doc_id")
+        )
+        arriving = pair_ids.join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_semi"
+        )
+        drop = within.union(arriving).distinct()
+
+    kept = batch.join(drop.distinct(), "doc_id", "left_anti")
+
+    # idempotent two-sink write: both land under this batch's directory
+    kept.write.mode("overwrite").parquet(
+        f"{store_dir}/corpus/ingest_batch={batch_id}"
+    )
+    dd.minhash_bands(kept, "text", "doc_id", **p).write.mode("overwrite").parquet(
+        f"{bands_root}/ingest_batch={batch_id}"
+    )
+    # same sidecar format as write_minhash_index, so {store}/index is a
+    # full-fledged index: minhash_pairs_incremental can read it directly
+    if not os.path.isdir(f"{store_dir}/index/meta"):
+        meta = dict(p, id_col="doc_id", text_col="text")
+        spark.createDataFrame(
+            [(json.dumps(sorted(meta.items())),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").json(f"{store_dir}/index/meta")
+
+
+def stream_clean_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    store_dir: str,
+    checkpoint: str,
+    *,
+    schema: str = "doc_id long, text string",
+    params: dict | None = None,
+    max_bucket: int = 1000,
+    max_files_per_trigger: int = 10,
+    trigger_once: bool = True,
+):
+    """Tail a directory of document parquet drops and maintain a cleaned,
+    near-dup-free corpus continuously. Returns the started query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        clean_corpus_batch(
+            batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

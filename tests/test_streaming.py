@@ -425,3 +425,62 @@ def test_streaming_gold_upsert_incremental_continuation(spark, tmp_path):
     # LWW moved I1 to 2026-03-02: the 03-01 group must have been dropped
     dates = {str(r.order_date)[:10] for r in got.select("order_date").collect()}
     assert dates == {"2026-03-02"}
+
+
+def test_stream_clean_corpus_cross_batch_neardup(spark, tmp_path):
+    """Streaming clean-corpus: batch 2's near-dup of a batch-1 doc is
+    dropped via the persisted index (keep-first across batches), exact
+    dups collapse within a batch, PII is scrubbed, replay-idempotent
+    batch directories, and {store}/index interoperates with
+    minhash_pairs_incremental."""
+    import os
+    import time
+
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.streaming.corpus import stream_clean_corpus
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    f1 = str(drops / "b1.parquet")
+    f2 = str(drops / "b2.parquet")
+    # plain parquet FILES (a directory per drop would need a recursive
+    # glob the file stream source doesn't do by default)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": [base, "unique first-batch content mail me at a@b.co please"]}),
+        f1,
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([10, 11, 12], type=pa.int64()),
+                  "text": [base + " tonight",            # near-dup of indexed doc 1
+                           "fresh second-batch content",
+                           "fresh second-batch content"]}),  # exact dup of 11
+        f2,
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # file order = batch order
+    os.utime(f2, (now, now))
+
+    store = str(tmp_path / "store")
+    q = stream_clean_corpus(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, max_bucket=100000,
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{store}/corpus")
+    kept = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept == {1, 2, 11}, kept     # 10 near-dup dropped, 12 exact-dup dropped
+    scrubbed = corpus.where(F.col("doc_id") == 2).head().text
+    assert "<EMAIL>" in scrubbed and "a@b.co" not in scrubbed
+    # two batch dirs (idempotent replay targets), index interop
+    batches = {e.name for e in os.scandir(f"{store}/corpus") if e.is_dir()}
+    assert len([b for b in batches if b.startswith("ingest_batch=")]) == 2
+    batch3 = spark.createDataFrame([(30, base + " tonight")], "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_pairs_incremental(batch3, spark, f"{store}/index").collect()}
+    assert (1, 30) in pairs             # the persisted store IS a valid index
