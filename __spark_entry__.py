@@ -1323,12 +1323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "event_daily_stats": q_event_daily_stats,
         "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
+        # shingle-family queries stay above the driver's ~50-row cap:
+        # their operators were rewritten this round (let binding)
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
         # -- stable tail: green in r3 AND r4, operators untouched since
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
