@@ -635,6 +635,20 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf·idf keywords (operators/text.py::
+    doc_keywords): rational idf (N+1)/(df+1) — no transcendentals, so
+    ranks can't flip on libm last-ulp differences — array-side term
+    counts, one df agg, per-doc window top-k. The oracle recomputes term
+    counts with a group-by."""
+    d = _docs(spark, sf_dir)
+    out = tx.doc_keywords(d, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        "token", "tf", "df_count", "score",
+    )
+
+
 def q_docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (operators/text.py::
     chunk_documents): long docs cut into overlapping 64-token chunks at
@@ -1282,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_manifest": q_docs_split_manifest,
         "docs_chunked": q_docs_chunked,
         "minhash_incremental": q_minhash_incremental,
+        "docs_keywords": q_docs_keywords,
         # -- r5 let-binding refactor touched these operators (expr.py):
         #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
         "docs_fingerprint": q_docs_fingerprint,
@@ -1976,6 +1991,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
+        "docs_keywords": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(toks) AS token FROM t
+            ), tc AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM u GROUP BY doc_id, token
+            ), dfq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df_count
+                FROM tc GROUP BY token
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), s AS (
+                SELECT tc.doc_id, tc.token, tc.tf, dfq.df_count,
+                       tc.tf * (n.n_docs + 1) / CAST(dfq.df_count + 1 AS DOUBLE) AS score
+                FROM tc JOIN dfq USING (token) CROSS JOIN n
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC
+                ) AS rank
+                FROM s
+            )
+            SELECT doc_id, rank, token, tf, df_count,
+                   round(score, 6) AS score
+            FROM r WHERE rank <= 5
+        """,
         "minhash_incremental": f"""
             WITH {_MINHASH_PAIRS_CTE}
             SELECT DISTINCT least(o.doc_id, n.doc_id) AS id_a,

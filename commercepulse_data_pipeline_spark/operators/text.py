@@ -515,3 +515,59 @@ def chunk_documents(
         .where(F.col("__c").isNotNull())
         .select(id_col, "__c.chunk_idx", "__c.chunk_tokens", "__c.chunk_text")
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic keywords per document by tf·idf — the corpus
+    summarization/labeling primitive (feeds topic routing, domain
+    balancing, and dataset cards).
+
+    Scoring is RATIONAL, not logarithmic: ``score = tf · (N+1)/(df+1)``.
+    The ordering over (tf, df) is the same as with a log idf (monotone
+    in 1/(df+1) for fixed tf), but it avoids transcendentals whose last
+    ulp differs between libm implementations — a cross-engine rank flip
+    at a near-tie would break oracle value-hash parity (DECISIONS.md
+    rule: deterministic arithmetic only in oracle-checked outputs).
+
+    Scale shape: per-doc term counts come array-side (``ngram_doc_counts``
+    — one explode of DISTINCT terms per doc), document frequency is one
+    term-keyed agg with map-side combine, the join back is term-keyed
+    (uniform — no skew: a stop-word's df row is one row), and the top-k
+    is a per-doc window over ≤ distinct-terms rows. N (corpus size) is a
+    driver scalar from ``count()`` — same precedent as the FX-bound
+    scalars in plans/gold.py.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = ngram_doc_counts(df, text_col, id_col, ngram_n=1).withColumnRenamed(
+        "gram", "token"
+    )
+    dfreq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = terms.join(dfreq, "token").withColumn(
+        "score",
+        F.col("cnt").cast("double")
+        * F.lit(float(n_docs + 1))
+        / (F.col("df_count") + F.lit(1)).cast("double"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "token",
+            F.col("cnt").alias("tf"),
+            "df_count",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -598,3 +598,26 @@ def test_minhash_incremental_index_lifecycle(spark, tmp_path):
         batch2, spark.read.parquet(f"{idx}/bands")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    """tf·idf keywords: corpus-common terms rank below doc-specific
+    terms, rational scoring matches the model, ranks are deterministic
+    on ties (token asc)."""
+    rows = [
+        (1, "spark spark engine shared"),
+        (2, "pasta recipe shared"),
+        (3, "shared words everywhere shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tx.doc_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf, r.df_count, r.score))
+    # doc 1: 'spark' tf=2 df=1 -> 2*4/2=4.0 beats 'engine' 1*4/2=2.0;
+    # 'shared' df=3 -> 1*4/4=1.0 never makes top-2
+    assert by_doc[1] == [(1, "spark", 2, 1, 4.0), (2, "engine", 1, 1, 2.0)]
+    assert all(t != "shared" for _, t, *_ in by_doc[2])
+    # doc 3: 'shared' tf=2 still wins over df-1 singles (2*4/4=2.0 vs 1*4/2=2.0
+    # tie -> token asc puts 'everywhere' first among the 2.0 scores)
+    assert by_doc[3][0][1] in ("everywhere", "shared")
