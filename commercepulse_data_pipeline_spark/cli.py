@@ -248,8 +248,20 @@ def cmd_clean_corpus(args) -> int:
         # doc keeps its split across incremental reruns (no eval leakage)
         fracs = {}
         for spec in args.splits.split(","):
-            name, _, frac = spec.partition("=")
-            fracs[name.strip()] = float(frac)
+            name, eq, frac = spec.partition("=")
+            name = name.strip()
+            try:
+                value = float(frac)
+            except ValueError:
+                value = None
+            if not eq or not name or value is None:
+                raise SystemExit(
+                    f"--splits: bad spec {spec!r} (want name=fraction, "
+                    f"e.g. 'train=0.9,val=0.05,test=0.05')"
+                )
+            if name in fracs:
+                raise SystemExit(f"--splits: duplicate split name {name!r}")
+            fracs[name] = value
         sampled = assign_splits(sampled, "doc_id", fracs, salt=args.salt)
 
     with_tokens = sampled.withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))

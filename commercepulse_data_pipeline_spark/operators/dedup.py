@@ -305,8 +305,13 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    ``bands_df``: a precomputed ``minhash_bands`` table for ``df`` — pass
+    it (persisted) when the caller also needs the bands elsewhere, so the
+    md5 signature build isn't re-run per consumer.
 
     Scale shape: POSTING LIST, not self-join — group the band table by
     (band_id, band_key) into an id list (one uniform hash-key shuffle),
@@ -322,7 +327,13 @@ def minhash_candidate_pairs(
     ``capped_posting_lists``) so no executor ever materializes an
     over-cap bucket's id array.
     """
-    b = minhash_bands(df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    b = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+    )
     buckets = capped_posting_lists(
         b, ["band_id", "band_key"], F.col(id_col), max_bucket=max_bucket
     )
@@ -599,11 +610,17 @@ def minhash_pairs_between(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs between a NEW batch and an existing band
     table (the read side of the incremental index): per-ingest work is
     O(new batch) + one scan of the index, instead of re-banding the whole
     corpus per arrival.
+
+    ``new_bands``: a precomputed (persisted) ``minhash_bands`` table for
+    the batch — pass it when the caller reuses the bands, so the md5
+    signature build runs once (the table is consumed twice here: probe
+    keys and the pair join).
 
     Scale shape: the new batch's bands BROADCAST (an ingest batch is
     small by definition); the index side is first restricted by a
@@ -616,9 +633,11 @@ def minhash_pairs_between(
     Returns distinct (id_a < id_b) pairs; ids shared between batch and
     index (re-ingest) never pair with themselves.
     """
-    new_bands = minhash_bands(
-        new_df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
-    )
+    if new_bands is None:
+        new_bands = minhash_bands(
+            new_df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
     probe_keys = F.broadcast(new_bands.select("band_id", "band_key").distinct())
     matched = index_bands.join(probe_keys, ["band_id", "band_key"], "left_semi")
     w = Window.partitionBy("band_id", "band_key")
@@ -675,6 +694,23 @@ def write_minhash_index(
         "text_col": text_col,
     }
     spark = df.sparkSession
+    if mode == "append":
+        # the sidecar PINS the hash family; appending rows banded with
+        # different parameters would make legacy band_keys unmatchable —
+        # verify instead of silently un-pinning (self-review finding)
+        try:
+            existing = read_minhash_index_meta(spark, path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            if {k: str(v) for k, v in existing.items()} != {
+                k: str(v) for k, v in meta.items()
+            }:
+                raise ValueError(
+                    f"append with params {meta} != index meta {existing}; "
+                    "re-banding the whole index is the only safe migration"
+                )
+            return
     spark.createDataFrame([(json.dumps(sorted(meta.items())),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
@@ -716,16 +752,18 @@ def minhash_pairs_incremental(
     )
     id_col, text_col = meta["id_col"], meta["text_col"]
     idx = spark.read.parquet(f"{index_path}/bands")
+    # band the batch ONCE (eager checkpoint): the table is consumed up to
+    # four times (probe keys, pair join, within-batch pairs, the append)
+    # and each lazy evaluation would re-run the md5 signature build
+    nb = minhash_bands(new_df, text_col, id_col, **params).localCheckpoint(eager=True)
     vs_index = minhash_pairs_between(
-        new_df, idx, text_col, id_col, max_bucket=max_bucket, **params
+        new_df, idx, text_col, id_col, max_bucket=max_bucket, new_bands=nb, **params
     )
     within = minhash_candidate_pairs(
-        new_df, text_col, id_col, max_bucket=max_bucket, **params
+        new_df, text_col, id_col, max_bucket=max_bucket, bands_df=nb, **params
     )
     out = vs_index.union(within).distinct()
     if update_index:
         out = out.localCheckpoint(eager=True)  # pin results BEFORE the append
-        minhash_bands(new_df, text_col, id_col, **params).write.mode("append").parquet(
-            f"{index_path}/bands"
-        )
+        nb.write.mode("append").parquet(f"{index_path}/bands")
     return out

@@ -484,9 +484,12 @@ def chunk_documents(
 
     def body(t: Column) -> Column:
         n = F.size(t)
-        # chunks = 1 + ceil(max(n - max_tokens, 0) / stride), via
-        # non-negative floor-div (negative int division differs between
-        # engines; this form never goes negative)
+        # chunks = 1 + ceil(max(n - max_tokens, 0) / stride). Spark's `/`
+        # promotes to double; floor(double-div) equals integer floor-div
+        # EXACTLY while the dividend < 2^53 (any real token count), and
+        # the operands never go negative — negative truncation direction
+        # is the only way int division diverges across engines (the
+        # DECISIONS.md rule), and it cannot occur here.
         extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
         n_chunks = (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)
         n_chunks = F.floor(n_chunks).cast("int") + F.lit(1)

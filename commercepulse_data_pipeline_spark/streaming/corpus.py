@@ -30,7 +30,6 @@ partitioned by ingest batch.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,22 +59,41 @@ def clean_corpus_batch(
     )
     batch = dd.exact_dedup(scrubbed, "text", "doc_id")
 
+    # band the batch ONCE (eager checkpoint): consumed by within-batch
+    # pairs, probe keys, the pair join, and the survivors' index write —
+    # each lazy evaluation would re-run the md5 signature build
+    batch_bands = dd.minhash_bands(batch, "text", "doc_id", **p).localCheckpoint(
+        eager=True
+    )
+
     bands_root = f"{store_dir}/index/bands"
     # within-batch near-dups: lowest id wins (deterministic keep-first)
     within = dd.minhash_candidate_pairs(
-        batch, "text", "doc_id", max_bucket=max_bucket, **p
+        batch, "text", "doc_id", max_bucket=max_bucket, bands_df=batch_bands, **p
     ).select(F.col("id_b").alias("doc_id"))
     drop = within
-    if os.path.isdir(bands_root) and any(
-        e.name.startswith("ingest_batch=") for e in os.scandir(bands_root)
-    ):
+    # index detection must go through Spark's Hadoop filesystem layer —
+    # driver-local os.path would silently disable cross-batch dedup on
+    # any non-local store (hdfs://, s3a://, ...) (self-review finding)
+    try:
         idx = spark.read.parquet(bands_root)
+        have_index = True
+    except Exception:  # PATH_NOT_FOUND on the first batch
+        have_index = False
+    if have_index:
+        # REPLAY SAFETY: exclude this batch's own partition. A replayed
+        # batch otherwise sees its first attempt's bands as "indexed",
+        # every within-batch near-dup pair comes back as a cross-batch
+        # pair, BOTH members get dropped, and the overwrite erases the
+        # doc the first attempt kept (self-review finding).
+        idx = idx.where(F.col("ingest_batch") != F.lit(batch_id))
         # cross-batch: the INDEXED copy survives; the arriving dup drops.
         # Pairs come back normalized (id_a < id_b), so "the batch side"
         # is whichever member is in this batch — the other member is an
         # index-only id the anti-join below can't touch anyway.
         vs_index = dd.minhash_pairs_between(
-            batch, idx, "text", "doc_id", max_bucket=max_bucket, **p
+            batch, idx, "text", "doc_id",
+            max_bucket=max_bucket, new_bands=batch_bands, **p,
         )
         pair_ids = vs_index.selectExpr("id_a AS doc_id").union(
             vs_index.selectExpr("id_b AS doc_id")
@@ -91,16 +109,20 @@ def clean_corpus_batch(
     kept.write.mode("overwrite").parquet(
         f"{store_dir}/corpus/ingest_batch={batch_id}"
     )
-    dd.minhash_bands(kept, "text", "doc_id", **p).write.mode("overwrite").parquet(
+    kept_bands = batch_bands.join(
+        F.broadcast(kept.select("doc_id")), "doc_id", "left_semi"
+    )
+    kept_bands.write.mode("overwrite").parquet(
         f"{bands_root}/ingest_batch={batch_id}"
     )
     # same sidecar format as write_minhash_index, so {store}/index is a
-    # full-fledged index: minhash_pairs_incremental can read it directly
-    if not os.path.isdir(f"{store_dir}/index/meta"):
-        meta = dict(p, id_col="doc_id", text_col="text")
-        spark.createDataFrame(
-            [(json.dumps(sorted(meta.items())),)], "meta string"
-        ).coalesce(1).write.mode("overwrite").json(f"{store_dir}/index/meta")
+    # full-fledged index: minhash_pairs_incremental can read it directly.
+    # Written unconditionally — params are constant for a query, so the
+    # overwrite is idempotent and needs no driver-local existence check.
+    meta = dict(p, id_col="doc_id", text_col="text")
+    spark.createDataFrame(
+        [(json.dumps(sorted(meta.items())),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").json(f"{store_dir}/index/meta")
 
 
 def stream_clean_corpus(

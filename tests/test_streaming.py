@@ -484,3 +484,39 @@ def test_stream_clean_corpus_cross_batch_neardup(spark, tmp_path):
     pairs = {(r.id_a, r.id_b) for r in
              dd.minhash_pairs_incremental(batch3, spark, f"{store}/index").collect()}
     assert (1, 30) in pairs             # the persisted store IS a valid index
+
+
+def test_clean_corpus_batch_replay_idempotent(spark, tmp_path):
+    """Checkpoint-replay safety: re-running a batch under the SAME
+    batch_id must keep the same docs. Before the fix, the replay saw its
+    first attempt's bands as 'indexed', every within-batch near-dup pair
+    became a cross-batch pair, BOTH members dropped, and the overwrite
+    erased the kept doc from corpus and index permanently."""
+    from commercepulse_data_pipeline_spark.streaming.corpus import clean_corpus_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " tonight"),   # within-batch NEAR-dup pair
+         (3, "entirely unrelated content")],
+        "doc_id long, text string",
+    )
+    clean_corpus_batch(batch, 0, store, max_bucket=100000)
+    first = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert first == {1, 3}                   # keep-first: lowest id wins
+
+    clean_corpus_batch(batch, 0, store, max_bucket=100000)   # replay
+    again = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert again == first                    # no data loss on replay
+    # index mirrors the corpus (bands only for kept docs)
+    idx_ids = {r.doc_id for r in
+               spark.read.parquet(f"{store}/index/bands").select("doc_id").collect()}
+    assert idx_ids == first
+
+    # a LATER batch still dedups against batch 0's survivors
+    batch1 = spark.createDataFrame(
+        [(10, base + " tonight as well")], "doc_id long, text string"
+    )
+    clean_corpus_batch(batch1, 1, store, max_bucket=100000)
+    final = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert final == {1, 3}                   # 10 dropped as cross-batch dup
