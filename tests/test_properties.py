@@ -391,3 +391,39 @@ def test_let_binding_is_substitution(spark, texts):
     for r in got:
         assert r.a == r.b, (r.i, r.a, r.b)
         assert r.c == 10
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc \n\t", min_size=0, max_size=30), min_size=1, max_size=6
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python_model(spark, texts, max_tokens, stride):
+    """chunk_documents == a pure-Python sliding-window model for arbitrary
+    whitespace-y texts and any stride <= max_tokens (chunk count, token
+    counts, exact chunk text)."""
+    from commercepulse_data_pipeline_spark.operators.text import chunk_documents
+
+    stride = min(stride, max_tokens)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=max_tokens, stride=stride).collect()
+    }
+
+    expect = {}
+    for i, t in rows:
+        toks = [x for x in t.lower().split() if x]
+        if not toks:
+            continue
+        n_chunks = (max(len(toks) - max_tokens, 0) + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            expect[(i, c)] = (
+                min(max_tokens, len(toks) - c * stride),
+                " ".join(toks[c * stride : c * stride + max_tokens]),
+            )
+    assert got == expect
