@@ -539,10 +539,14 @@ def doc_keywords(
     rule: deterministic arithmetic only in oracle-checked outputs).
 
     Scale shape: per-doc term counts come array-side (``ngram_doc_counts``
-    — one explode of DISTINCT terms per doc), document frequency is one
-    term-keyed agg with map-side combine, the join back is term-keyed
-    (uniform — no skew: a stop-word's df row is one row), and the top-k
-    is a per-doc window over ≤ distinct-terms rows. N (corpus size) is a
+    — one explode of DISTINCT terms per doc, so the term table is built
+    ONCE), document frequency is a window count over the token partition
+    (one token-keyed exchange — an agg+join formulation would evaluate
+    the term table twice, once per consumer, since Spark shares no
+    subplans without an exchange reuse), and the top-k is a per-doc
+    window over ≤ distinct-terms rows. Token skew is bounded: a
+    stop-word's window group holds one row per document containing it,
+    counted not collected, and WindowExec spills. N (corpus size) is a
     driver scalar from ``count()`` — same precedent as the FX-bound
     scalars in plans/gold.py.
     """
@@ -552,8 +556,10 @@ def doc_keywords(
     terms = ngram_doc_counts(df, text_col, id_col, ngram_n=1).withColumnRenamed(
         "gram", "token"
     )
-    dfreq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
-    scored = terms.join(dfreq, "token").withColumn(
+    wt = Window.partitionBy("token")
+    scored = terms.withColumn(
+        "df_count", F.count(F.lit(1)).over(wt)
+    ).withColumn(
         "score",
         F.col("cnt").cast("double")
         * F.lit(float(n_docs + 1))

@@ -207,3 +207,18 @@ def test_ngram_counts_no_inferred_filter_duplication(spark):
     optimized = counts._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(lower") == 1, optimized
     assert optimized.count("array_sort") == 1, optimized
+
+
+def test_doc_keywords_single_corpus_pass(spark):
+    """doc_keywords must tokenize the corpus ONCE: the window-based
+    document frequency keeps one term-table consumer (an agg+join
+    formulation evaluated the explode/tokenization twice, once per
+    consumer — Spark shares no subplans)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from commercepulse_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])
+    out = tx.doc_keywords(df, k=2)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(lower") == 1, optimized
