@@ -635,6 +635,35 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset-card summary of the corpus: doc/token volume, mean
+    document length, language share, mean heuristic quality — the
+    headline numbers a training-data release publishes. Single scan,
+    global aggregate (map-side partials → one 1-row reduce); float means
+    cross the engine boundary through exact DECIMAL accumulation
+    (_dsum/_davg discipline)."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", "lang", "n_chars",
+        F.size(tx.tokens(F.col("text"))).alias("__tok"),
+    )
+    quality = tx.quality_score(d, "text").select("doc_id", "quality_score")
+    joined = staged.join(quality, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__tok").cast("long")).alias("total_tokens"),
+        _davg(F.col("__tok")).alias("avg_doc_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_en"),
+        F.countDistinct("lang").alias("n_langs"),
+        _davg(F.col("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_docs_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 tf·idf keywords (operators/text.py::
     doc_keywords): rational idf (N+1)/(df+1) — no transcendentals, so
@@ -1297,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunked": q_docs_chunked,
         "minhash_incremental": q_minhash_incremental,
         "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
         # -- r5 let-binding refactor touched these operators (expr.py):
         #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
         "docs_fingerprint": q_docs_fingerprint,
@@ -1337,12 +1367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_windows": q_session_windows,
         "event_daily_stats": q_event_daily_stats,
-        "docs_exact_dedup": q_docs_exact_dedup,
         # shingle-family queries stay above the driver's ~50-row cap:
         # their operators were rewritten this round (let binding)
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
@@ -1991,6 +2021,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
+        "corpus_summary": f"""
+            WITH t AS (
+                SELECT doc_id, lang, n_chars, len({_TOKS}) AS tok FROM documents
+            ), q AS ({_QUALITY_SQL})
+            SELECT count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(CAST(tok AS DECIMAL(30,8))) AS DOUBLE) / count(tok), 4)
+                       AS avg_doc_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS pct_en,
+                   count(DISTINCT lang) AS n_langs,
+                   round(CAST(sum(CAST(quality_score AS DECIMAL(30,8))) AS DOUBLE)
+                         / count(quality_score), 6) AS avg_quality
+            FROM t JOIN q USING (doc_id)
+        """,
         "docs_keywords": f"""
             WITH t AS (
                 SELECT doc_id, {_TOKS} AS toks FROM documents
