@@ -36,6 +36,12 @@ PROBE_QUERIES = [
     "docs_packed_windows",
     "docs_contamination",
     "docs_pii_scrub",
+    # round-5 additions
+    "corpus_top_ngrams",
+    "docs_chunked",
+    "docs_keywords",
+    "minhash_incremental",
+    "docs_repetition",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
