@@ -638,18 +638,23 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset-card summary of the corpus: doc/token volume, mean
     document length, language share, mean heuristic quality — the
-    headline numbers a training-data release publishes. Single scan,
-    global aggregate (map-side partials → one 1-row reduce); float means
-    cross the engine boundary through exact DECIMAL accumulation
-    (_dsum/_davg discipline)."""
+    headline numbers a training-data release publishes. ONE scan, ZERO
+    joins: quality_score appends its column as a projection, so
+    everything feeds one map-side-combined global aggregate (a join-back
+    formulation would scan + shuffle the whole corpus for a 1-row
+    result). Float means cross the engine boundary through exact DECIMAL
+    accumulation (_dsum/_davg discipline). __tok is NULL-guarded: under
+    the default non-ANSI session size(NULL) = -1, which would corrupt
+    the totals AND diverge from the oracle (NULL excluded from
+    sum/count)."""
     d = _docs(spark, sf_dir)
-    staged = d.select(
-        "doc_id", "lang", "n_chars",
-        F.size(tx.tokens(F.col("text"))).alias("__tok"),
+    staged = tx.quality_score(d, "text").select(
+        "doc_id", "lang", "n_chars", "quality_score",
+        F.when(
+            F.col("text").isNotNull(), F.size(tx.tokens(F.col("text")))
+        ).alias("__tok"),
     )
-    quality = tx.quality_score(d, "text").select("doc_id", "quality_score")
-    joined = staged.join(quality, "doc_id")
-    return joined.agg(
+    return staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("__tok").cast("long")).alias("total_tokens"),
         _davg(F.col("__tok")).alias("avg_doc_tokens"),

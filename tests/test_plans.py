@@ -214,8 +214,6 @@ def test_doc_keywords_single_corpus_pass(spark):
     document frequency keeps one term-table consumer (an agg+join
     formulation evaluated the explode/tokenization twice, once per
     consumer — Spark shares no subplans)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from commercepulse_data_pipeline_spark.operators import text as tx
 
     df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])

@@ -42,6 +42,8 @@ PROBE_QUERIES = [
     "docs_keywords",
     "minhash_incremental",
     "docs_repetition",
+    "docs_split_manifest",
+    "corpus_summary",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
