@@ -262,7 +262,11 @@ def cmd_clean_corpus(args) -> int:
             if name in fracs:
                 raise SystemExit(f"--splits: duplicate split name {name!r}")
             fracs[name] = value
-        sampled = assign_splits(sampled, "doc_id", fracs, salt=args.salt)
+        # salt MUST differ from deterministic_sample's: with the same salt,
+        # every sample survivor has bucket < rate*2^32, so the split
+        # boundaries (computed over the full [0, 2^32) range) collapse —
+        # e.g. rate 0.1 with train=0.8 would put ALL rows in the last split
+        sampled = assign_splits(sampled, "doc_id", fracs, salt=args.salt + "split:")
 
     with_tokens = sampled.withColumn("n_tokens", F.size(tx.tokens(F.col("text"))))
     # packed feeds both the corpus join and the windows write; without the

@@ -687,10 +687,6 @@ def write_minhash_index(
     dedups against it too."""
     import json
 
-    bands_df = minhash_bands(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
-    )
-    bands_df.write.mode(mode).parquet(f"{path}/bands")
     meta = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -699,10 +695,13 @@ def write_minhash_index(
         "text_col": text_col,
     }
     spark = df.sparkSession
+    existing = None
     if mode == "append":
         # the sidecar PINS the hash family; appending rows banded with
-        # different parameters would make legacy band_keys unmatchable —
-        # verify instead of silently un-pinning (self-review finding)
+        # different parameters would make legacy band_keys unmatchable.
+        # The check MUST run BEFORE the band write — if the rows landed
+        # first, a raised ValueError would leave foreign-hash-family rows
+        # already persisted and the index silently corrupted (ADVICE r5).
         try:
             existing = read_minhash_index_meta(spark, path)
         except Exception:
@@ -715,7 +714,12 @@ def write_minhash_index(
                     f"append with params {meta} != index meta {existing}; "
                     "re-banding the whole index is the only safe migration"
                 )
-            return
+    bands_df = minhash_bands(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    bands_df.write.mode(mode).parquet(f"{path}/bands")
+    if existing is not None:
+        return  # meta already pinned and verified equal — leave it
     spark.createDataFrame([(json.dumps(sorted(meta.items())),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
@@ -770,5 +774,18 @@ def minhash_pairs_incremental(
     out = vs_index.union(within).distinct()
     if update_index:
         out = out.localCheckpoint(eager=True)  # pin results BEFORE the append
-        nb.write.mode("append").parquet(f"{index_path}/bands")
+        if "ingest_batch" in idx.columns:
+            # stream-built index (streaming/corpus.py writes hive
+            # partitions bands/ingest_batch=N): flat files at the bands/
+            # root would break Spark partition discovery on later reads —
+            # land the append under its own partition value instead
+            # (ADVICE r5). -1 never collides with stream batch ids (>=0).
+            (
+                nb.withColumn("ingest_batch", F.lit(-1))
+                .write.mode("append")
+                .partitionBy("ingest_batch")
+                .parquet(f"{index_path}/bands")
+            )
+        else:
+            nb.write.mode("append").parquet(f"{index_path}/bands")
     return out

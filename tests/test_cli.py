@@ -172,6 +172,41 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     assert again == labels
 
 
+def test_clean_corpus_sample_then_split_independent_salts(spark, tmp_path):
+    """Regression (ADVICE r5, high): --sample-rate r<1 composed with
+    --splits must still distribute survivors across ALL splits. With the
+    same salt for both, every sample survivor has bucket < r*2^32, so the
+    split boundaries (laid out over the full [0, 2^32) range in sorted
+    name order: test < train < val) would put EVERY row in the lowest
+    range — all 'test', none in train/val."""
+    from commercepulse_data_pipeline_spark import cli
+
+    rows = [
+        (i, f"alpha{i} beta{2 * i + 1} gamma{3 * i + 7} delta{5 * i} "
+            f"epsilon{7 * i} zeta{11 * i} eta{13 * i} theta{17 * i}")
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--sample-rate", "0.1",
+        "--splits", "train=0.8,val=0.1,test=0.1",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "out/corpus")).select("split").collect()
+    counts: dict[str, int] = {}
+    for r in got:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert sum(counts.values()) >= 10          # ~30 of 300 at rate 0.1
+    # the buggy composition put 100% in 'test' (the lowest sorted range)
+    assert counts.get("train", 0) > counts.get("test", 0), counts
+
+
 def test_cli_stream_gold(spark, landing, tmp_path):
     """stream-gold drains the landing dir and leaves a gold parquet that
     matches the batch transform's fact_order_daily over the same events."""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -598,6 +599,34 @@ def test_minhash_incremental_index_lifecycle(spark, tmp_path):
         batch2, spark.read.parquet(f"{idx}/bands")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_index_append_param_guard_writes_nothing(spark, tmp_path):
+    """Regression (ADVICE r5, medium): an append with mismatched banding
+    params must raise BEFORE any band rows land — previously the
+    foreign-hash-family rows were persisted first, corrupting the index
+    despite the ValueError."""
+    corpus = spark.createDataFrame(
+        [(1, "one document with enough words to shingle properly here")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_idx")
+    dd.write_minhash_index(corpus, idx, num_hashes=8, bands=4, shingle_n=3)
+    n_before = spark.read.parquet(f"{idx}/bands").count()
+    batch = spark.createDataFrame(
+        [(2, "a second document also with plenty of words to band")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="index meta"):
+        dd.write_minhash_index(
+            batch, idx, num_hashes=16, bands=8, shingle_n=3, mode="append"
+        )
+    assert spark.read.parquet(f"{idx}/bands").count() == n_before
+    # matching params still append fine
+    dd.write_minhash_index(
+        batch, idx, num_hashes=8, bands=4, shingle_n=3, mode="append"
+    )
+    assert spark.read.parquet(f"{idx}/bands").count() > n_before
 
 
 def test_doc_keywords_tfidf_ranking(spark):

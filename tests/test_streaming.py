@@ -485,6 +485,21 @@ def test_stream_clean_corpus_cross_batch_neardup(spark, tmp_path):
              dd.minhash_pairs_incremental(batch3, spark, f"{store}/index").collect()}
     assert (1, 30) in pairs             # the persisted store IS a valid index
 
+    # update_index=True against the STREAM-BUILT (hive-partitioned) index
+    # must land under a partition value, not as flat root files — mixed
+    # layout breaks Spark partition discovery on later reads (ADVICE r5)
+    dd.minhash_pairs_incremental(
+        batch3, spark, f"{store}/index", update_index=True
+    ).collect()
+    reread = spark.read.parquet(f"{store}/index/bands")   # discovery still works
+    assert "ingest_batch" in reread.columns
+    batch4 = spark.createDataFrame(
+        [(40, base + " tonight indeed")], "doc_id long, text string"
+    )
+    pairs4 = {(r.id_a, r.id_b) for r in
+              dd.minhash_pairs_incremental(batch4, spark, f"{store}/index").collect()}
+    assert (30, 40) in pairs4           # batch-3 doc findable only via the append
+
 
 def test_clean_corpus_batch_replay_idempotent(spark, tmp_path):
     """Checkpoint-replay safety: re-running a batch under the SAME
