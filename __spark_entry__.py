@@ -1210,6 +1210,144 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path of ``order_value_percentiles``: t-digest-style
+    ``approx_percentile`` — a mergeable sketch built map-side, so no group
+    ever needs its values co-located and fully sorted (the exact twin's
+    per-group sort is the one declared scale-weak plan, VERDICT r5 item 2).
+
+    Rows-only by design: the sketch's picks are engine-specific, so there
+    is no bit-exact DuckDB twin; ``tests/test_approx_parity.py`` pins the
+    approx values against the exact percentiles with a rank-error-derived
+    tolerance instead. Cross-link: exact twin ``q_order_value_percentiles``.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pc = F.expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(pc[0], 4).alias("p50"),
+        F.round(pc[1], 4).alias("p90"),
+        F.round(pc[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_fx_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization through the backward as-of rate lookup
+    (``plans.gold.normalize_currency`` — the Q7 fix; reference ships
+    data/fx_rates_2023.csv but never reads it, SURVEY §1.4). The sparse
+    FX table is DERIVED deterministically from the orders table itself
+    (rates published only on days where day-of-month % 7 == 1, value a
+    pure function of the date), so both engines construct the identical
+    input; gap days forward-fill from the latest earlier rate.
+
+    Scale shape (see normalize_currency docstring): the tiny rate table
+    densifies onto a calendar driver-side-bounded by two scalar aggs,
+    then BROADCASTS — the 100 TB fact side never shuffles."""
+    from commercepulse_data_pipeline_spark.plans.gold import normalize_currency
+
+    o = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    rates = (
+        o.select(od.alias("fx_date"))
+        .where(F.dayofmonth("fx_date") % 7 == 1)
+        .distinct()
+        .withColumn(
+            "usd_ngn", F.lit(1500.0) + (F.dayofyear("fx_date") % 50).cast("double")
+        )
+    )
+    facts = o.withColumn(
+        "currency", F.when(F.col("o_orderkey") % 3 == 0, "USD").otherwise("NGN")
+    )
+    norm = normalize_currency(
+        facts, rates, amount_col="o_totalprice", date_col="o_orderdate"
+    )
+    return norm.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice_ngn")).alias("revenue_ngn"),
+        F.count("fx_rate_applied").alias("usd_with_rate"),
+        _davg(F.col("fx_rate_applied")).alias("avg_usd_rate"),
+    )
+
+
+def q_last_touch_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed backward as-of join (``operators.joins.asof_join``): last-touch
+    attribution — each purchase event takes the most recent click/view by
+    the same user at-or-before it (the reference has no as-of operator;
+    its late-arrival check is a plain equi-join, SURVEY §2.6).
+
+    Scale shape: union + forward-fill window — both sides shuffle ONCE on
+    user_id, one ordered sweep per partition, no (purchase × candidate)
+    intermediate. Right side pre-deduped to one row per (user_id, ts)
+    (max event_id) so the as-of pick is deterministic in both engines."""
+    from commercepulse_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+        )
+    )
+    attributed = asof_join(
+        purchases, touches, ["user_id"], "ts", "ts",
+        value_cols=["touch_ts", "touch_type"],
+    )
+    mins = (F.unix_micros("ts") - F.unix_micros("touch_ts")) / F.lit(60000000.0)
+    return attributed.groupBy(
+        F.coalesce("touch_type", F.lit("none")).alias("attributed_touch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum(F.col("value")).alias("total_value"),
+        _davg(mins).alias("avg_mins_to_purchase"),
+    )
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history + point-in-time view (``plans.scd.scd2_history`` /
+    ``as_of``): the event log becomes type-2 version rows (valid_from /
+    valid_to / is_current, one window pass, one shuffle on the key), then
+    the ``as_of`` slice counts versions in effect at a fixed instant.
+    Emulates the reference's Mongo row-level upsert history on plain
+    parquet (K1, SURVEY §2.2)."""
+    from commercepulse_data_pipeline_spark.plans.scd import as_of, scd2_history
+
+    ev = _events(spark, sf_dir)
+    # ties on (user_id, ts) would make lead() nondeterministic — keep the
+    # max event_id per instant (same guard in the oracle)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ded = ev.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    hist = scd2_history(ded, ["user_id"], "ts")
+    t0 = "2024-01-15 00:00:00"
+    hours = (F.unix_micros("valid_to") - F.unix_micros("valid_from")) / F.lit(
+        3600000000.0
+    )
+    full = hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).cast("long").alias("n_current"),
+        _davg(hours).alias("avg_version_hours"),
+    )
+    at_t = as_of(hist, t0).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_valid_at_t")
+    )
+    return (
+        full.join(at_t, "event_type", "left")
+        .withColumn("n_valid_at_t", F.coalesce("n_valid_at_t", F.lit(0)))
+        .select("event_type", "n_versions", "n_current", "n_valid_at_t",
+                "avg_version_hours")
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: revenue by (year, month) + yearly subtotals +
     grand total in ONE pass — Spark expands grouping sets map-side, so the
@@ -1312,32 +1450,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (r4 recorded exactly the first 50 of 55).
-    # So: (a) queries whose operators changed most recently come FIRST, so a
-    # cap can never silently drop a query that needs re-verification; (b) all
-    # 53 oracle-backed entries precede the 2 rows-only ones; (c) the tail of
-    # the oracle-backed block holds only queries green in BOTH r3 and r4
-    # whose operator code is untouched since.
+    # the number of rows it records (~50; r5 recorded exactly the first 50 of
+    # 62). So: (a) oracle-backed queries with the OLDEST driver verification
+    # come FIRST — r6 rotates in the 10 entries whose last driver row was r4
+    # (VERDICT r5 item 1); (b) then queries whose operators changed this
+    # round; (c) then the r5-green block, freshest-verified last; (d) the two
+    # rows-only entries close the list.
     return {
-        # -- re-verify first: operators touched after their last driver check
+        # -- driver-verification debt: last green row r4, rotate in first
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        # -- r6-new: as-of join / SCD2 get their first oracle rows
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        # -- operators touched in r6 (incremental-index append path)
+        "minhash_incremental": q_minhash_incremental,
+        "docs_split_manifest": q_docs_split_manifest,
+        # -- r5-new extension tier (green r5)
+        "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_chunked": q_docs_chunked,
+        "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "docs_lang_detect": q_docs_lang_detect,
         "docs_pii_scrub": q_docs_pii_scrub,
-        # -- r5-new extension tier
-        "docs_repetition": q_docs_repetition,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "docs_split_manifest": q_docs_split_manifest,
-        "docs_chunked": q_docs_chunked,
-        "minhash_incremental": q_minhash_incremental,
-        "docs_keywords": q_docs_keywords,
-        "corpus_summary": q_corpus_summary,
-        # -- r5 let-binding refactor touched these operators (expr.py):
-        #    shingle/pair/fingerprint builders and the selfknn/LSH explodes
-        "docs_fingerprint": q_docs_fingerprint,
-        "embedding_selfknn": q_embedding_selfknn,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        # -- r4-new extension tier
+        # -- r4-new extension tier (green r5)
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -1372,25 +1523,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_windows": q_session_windows,
         "event_daily_stats": q_event_daily_stats,
-        # shingle-family queries stay above the driver's ~50-row cap:
-        # their operators were rewritten this round (let binding)
+        # -- stable tail: green in r5, operators untouched since
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        # -- stable tail: green in r3 AND r4, operators untouched since
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
         # -- rows-only (no oracle): engine-specific by design
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
     }
 
 
@@ -1606,6 +1746,92 @@ def _lang_detect_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fx_normalized_revenue": """
+            WITH rates AS (
+                SELECT DISTINCT CAST(o_orderdate AS DATE) AS fx_date,
+                       CAST(1500 AS DOUBLE)
+                         + CAST(dayofyear(CAST(o_orderdate AS DATE)) % 50 AS DOUBLE) AS usd_ngn
+                FROM orders
+                WHERE day(CAST(o_orderdate AS DATE)) % 7 = 1
+            ), facts AS (
+                SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS fd,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 'USD' ELSE 'NGN' END AS currency
+                FROM orders
+            ), joined AS (
+                SELECT f.*, r.usd_ngn
+                FROM facts f ASOF LEFT JOIN rates r ON f.fd >= r.fx_date
+            ), conv AS (
+                SELECT fd,
+                       CAST(round(CAST(CASE WHEN currency = 'USD' AND usd_ngn IS NOT NULL
+                                            THEN o_totalprice * usd_ngn
+                                            ELSE o_totalprice END AS DECIMAL(30,8)), 2)
+                            AS DOUBLE) AS amt_ngn,
+                       CASE WHEN currency = 'USD' THEN usd_ngn END AS fx_rate_applied
+                FROM joined
+            )
+            SELECT strftime(fd, '%Y-%m') AS order_month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(amt_ngn AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue_ngn,
+                   count(fx_rate_applied) AS usd_with_rate,
+                   round(CAST(sum(CAST(fx_rate_applied AS DECIMAL(30,8))) AS DOUBLE)
+                         / count(fx_rate_applied), 4) AS avg_usd_rate
+            FROM conv GROUP BY 1
+        """,
+        "last_touch_asof": """
+            WITH ev AS (
+                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events
+            ), purchases AS (
+                SELECT * FROM ev WHERE event_type = 'purchase'
+            ), touches AS (
+                SELECT user_id, ts, ts AS touch_ts, event_type AS touch_type FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                    FROM ev WHERE event_type IN ('click', 'view')
+                ) WHERE rn = 1
+            ), attributed AS (
+                SELECT p.ts, p.value, t.touch_ts, t.touch_type
+                FROM purchases p
+                ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+            )
+            SELECT coalesce(touch_type, 'none') AS attributed_touch,
+                   count(*) AS n_purchases,
+                   CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value,
+                   round(CAST(sum(CAST((epoch_us(ts) - epoch_us(touch_ts))
+                                       / CAST(60000000 AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)
+                         / count(touch_ts), 4) AS avg_mins_to_purchase
+            FROM attributed GROUP BY 1
+        """,
+        "scd2_asof": """
+            WITH ded AS (
+                SELECT * FROM (
+                    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                           row_number() OVER (
+                               PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ), hist AS (
+                SELECT user_id, event_type, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to
+                FROM ded
+            ), fullh AS (
+                SELECT event_type,
+                       count(*) AS n_versions,
+                       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+                       round(CAST(sum(CAST((epoch_us(valid_to) - epoch_us(valid_from))
+                                           / CAST(3600000000 AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)
+                             / count(valid_to), 4) AS avg_version_hours
+                FROM hist GROUP BY 1
+            ), at_t AS (
+                SELECT event_type, count(*) AS n_valid_at_t FROM hist
+                WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+                  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+                GROUP BY 1
+            )
+            SELECT f.event_type, f.n_versions, f.n_current,
+                   coalesce(a.n_valid_at_t, 0) AS n_valid_at_t, f.avg_version_hours
+            FROM fullh f LEFT JOIN at_t a USING (event_type)
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty,

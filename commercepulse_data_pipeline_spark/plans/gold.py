@@ -144,9 +144,9 @@ def normalize_currency(
     ).first()
     out_amount = f"{amount_col}_{base_currency.lower()}"
     if bounds["lo"] is None:  # no rates at all → everything passes through
-        return facts.withColumn(out_amount, F.round(F.col(amount_col), 2)).withColumn(
-            "fx_rate_applied", F.lit(None).cast("double")
-        )
+        return facts.withColumn(
+            out_amount, _dec_round2(F.col(amount_col))
+        ).withColumn("fx_rate_applied", F.lit(None).cast("double"))
     fact_hi = facts.agg(F.max(fact_date).alias("hi")).first()["hi"]
     hi = max(d for d in (bounds["hi"], fact_hi) if d is not None)
     calendar = facts.sparkSession.sql(
@@ -172,7 +172,16 @@ def normalize_currency(
         F.col(amount_col) * F.col("usd_ngn"),
     ).otherwise(F.col(amount_col))
     return (
-        with_rate.withColumn(out_amount, F.round(converted, 2))
+        with_rate.withColumn(out_amount, _dec_round2(converted))
         .withColumn("fx_rate_applied", F.when(cur == "USD", F.col("usd_ngn")))
         .drop("usd_ngn", "__fx_date")
     )
+
+
+def _dec_round2(col: F.Column) -> F.Column:
+    """Row-level 2-decimal round through DECIMAL space (DECISIONS.md
+    decimal-determinism rule): round(double, 2) directly would depend on
+    the engine's double-rounding implementation at representability
+    boundaries; double → decimal(30,8) → round(2) replays identically in
+    the DuckDB oracle (same IEEE product, same decimal quantization)."""
+    return F.round(col.cast("decimal(30,8)"), 2).cast("double")

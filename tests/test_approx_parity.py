@@ -52,3 +52,25 @@ def test_approx_stats_within_tolerance(spark, exact):
         for name, approx_v, exact_v in (("p50", g.p50, e.p50), ("p95", g.p95, e.p95)):
             denom = max(abs(exact_v), 1.0)
             assert abs(approx_v - exact_v) / denom <= 0.02, (et, name, approx_v, exact_v)
+
+
+def test_order_value_percentiles_approx_within_tolerance(spark):
+    """The approx twin of order_value_percentiles (VERDICT r5 item 3):
+    driver records it rows-only, so pin its values against the exact
+    percentile query here. Both sides group on o_orderpriority; at
+    accuracy=10000 with ~3k rows per group the sketch is near-exact, so a
+    2% relative band is generous."""
+    import __spark_entry__ as E
+
+    exact = {r.o_orderpriority: r
+             for r in E.q_order_value_percentiles(spark, SF_DIR).collect()}
+    approx = {r.o_orderpriority: r
+              for r in E.q_order_value_percentiles_approx(spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for pri, e in exact.items():
+        a = approx[pri]
+        assert a.n_orders == e.n_orders, pri
+        for name in ("p50", "p90", "p99"):
+            av, ev = getattr(a, name), getattr(e, name)
+            denom = max(abs(ev), 1.0)
+            assert abs(av - ev) / denom <= 0.02, (pri, name, av, ev)
