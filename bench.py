@@ -150,6 +150,7 @@ def main() -> None:
     # min-of-3 after the full warm-up sweep keeps the recorded number
     # representative of the plan, not the noise.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
@@ -160,6 +161,10 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         dt = round(min(runs), 3)
         timings[name] = dt
+        # all three runs go into the artifact so a loaded-box outlier is
+        # self-diagnosing (r5 shipped a 4.7s min whose culprit — concurrent
+        # pytest load — was invisible with min-only recording)
+        all_runs[name] = [round(r, 3) for r in runs]
         total += dt
 
     print(
@@ -169,6 +174,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
