@@ -164,15 +164,111 @@ def _decode_ppm(content: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette-index, 4 gray+A, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Invert PNG per-scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). Each scanline is 1 filter-type byte + ``stride`` data bytes;
+    reconstruction references the previous (already reconstructed) line."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG raster")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub: left neighbor
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(content: bytes) -> dict:
+    """PNG (RFC 2083 / W3C spec), pure stdlib: chunk walk → IHDR dims,
+    IDAT concat → zlib inflate → per-scanline un-filter. Handles all five
+    filter types, bit depths 1/2/4/8/16, color types 0/2/3/4/6.
+    Adam7-interlaced files raise ValueError (rare on the web; a full
+    deinterlacer is not worth the hot-path complexity — route those to a
+    codec library build). The feature summarizes the RECONSTRUCTED raster,
+    so identical images stored with different filter choices featurize
+    identically — which raw-IDAT hashing would not give you."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        clen, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated IHDR")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", body, 0)
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + payload-implied CRC
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported by the stdlib decoder")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    # filtering operates on bytes: bpp = bytes per complete pixel, min 1
+    bpp = max(1, (channels * bit_depth) // 8)
+    stride = (width * channels * bit_depth + 7) // 8
+    raster = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, bpp)
+    return {
+        "width": width,
+        "height": height,
+        "duration_sec": None,
+        "feature": _feature_from_bytes(raster),
+    }
+
+
 def real_decode(content: bytes, modality: str) -> dict:
-    """Production decode hook: REAL pure-Python decoders for uncompressed
-    container formats — BMP and PPM/P6 images, RIFF/PCM WAV audio —
+    """Production decode hook: REAL pure-Python decoders — PNG (zlib
+    inflate + un-filter), BMP and PPM/P6 images, RIFF/PCM WAV audio —
     dispatched on magic bytes, so real bytes flow through the distributed
-    path end to end (tested in tests/test_multimodal.py). Compressed
-    formats (JPEG/PNG/MP3/MP4…) need codec libraries this container
-    doesn't have and raise NotImplementedError — wire PIL/ffmpeg/
-    torchaudio here on a cluster image that has them."""
+    path end to end (tested in tests/test_multimodal.py). Formats needing
+    codec libraries this container doesn't have (JPEG/MP3/MP4…) raise
+    NotImplementedError — wire PIL/ffmpeg/torchaudio here on a cluster
+    image that has them."""
     content = content or b""
+    if content[:8] == _PNG_MAGIC:
+        return _decode_png(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
