@@ -44,6 +44,11 @@ PROBE_QUERIES = [
     "docs_repetition",
     "docs_split_manifest",
     "corpus_summary",
+    # round-6 additions
+    "fx_normalized_revenue",
+    "last_touch_asof",
+    "scd2_asof",
+    "order_value_percentiles_approx",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
