@@ -750,6 +750,11 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical LSH tables).
 _SELFKNN = dict(k=3, n_planes=6, n_tables=4, seed=42, max_bucket=200, dim=64)
 
+# SemDeDup cosine threshold — calibrated to the synthetic embedding
+# corpus (max pairwise cosine ≈ 0.51; real web-scale SemDeDup runs ~0.95+
+# on model embeddings). Applied to knn_join_self's ROUNDED cosine_sim.
+_SEMDEDUP_TAU = 0.4
+
 
 def q_embedding_selfknn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe self-kNN (embedding-cosine near-dup, VERDICT r1 #4):
@@ -774,8 +779,11 @@ def _duck_plane_dot(vec_expr: str, plane: list[float]) -> str:
     )
 
 
-def _selfknn_oracle_sql() -> str:
-    """DuckDB twin of q_embedding_selfknn, planes inlined as literals."""
+def _selfknn_cte_body() -> str:
+    """Shared CTE chain replaying knn_join_self in DuckDB (planes inlined
+    as literals): keyed -> sized -> pairs -> scored -> directed -> topk.
+    Used by both the selfknn oracle and the semantic-dedup oracle, so the
+    two stay banding-identical by construction."""
     p = _SELFKNN
 
     def bucket_expr(table: int) -> str:
@@ -790,8 +798,7 @@ def _selfknn_oracle_sql() -> str:
         f"SELECT e.vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM embeddings e"
         for t in range(p["n_tables"])
     )
-    return f"""
-        WITH keyed AS ({keyed}),
+    return f"""keyed AS ({keyed}),
         sized AS (
             SELECT table_id, bucket FROM keyed
             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {p["max_bucket"]}
@@ -818,13 +825,105 @@ def _selfknn_oracle_sql() -> str:
             SELECT id_a AS query_id, id_b AS neighbor_id, cos FROM scored
             UNION ALL
             SELECT id_b AS query_id, id_a AS neighbor_id, cos FROM scored
-        )
-        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rank FROM (
+        ),
+        topk AS (
             SELECT query_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM directed
-        ) WHERE rank <= {p["k"]}
+        )"""
+
+
+def _selfknn_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_selfknn."""
+    return f"""
+        WITH {_selfknn_cte_body()}
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rank
+        FROM topk WHERE rank <= {_SELFKNN["k"]}
     """
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup: the selfknn CTE chain (identical
+    banding) -> threshold on the ROUNDED cosine (the Spark side filters
+    knn_join_self's rounded output) -> undirected pairs -> recursive-CTE
+    connected components -> keep the max-norm member per cluster."""
+    return f"""
+        WITH RECURSIVE {_selfknn_cte_body()},
+        tpairs AS (
+            SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+                            greatest(query_id, neighbor_id) AS id_b
+            FROM topk
+            WHERE rank <= {_SELFKNN["k"]} AND round(cos, 6) >= {_SEMDEDUP_TAU}
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM tpairs
+            UNION ALL SELECT id_b, id_a FROM tpairs
+        ),
+        reach(node, m) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+        ),
+        cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+        csizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component),
+        norms AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT cc.node, cc.component, s.cluster_size, n.norm,
+                   row_number() OVER (
+                       PARTITION BY cc.component ORDER BY n.norm DESC, cc.node ASC
+                   ) AS rn
+            FROM cc
+            JOIN csizes s USING (component)
+            JOIN norms n ON n.vec_id = cc.node
+        )
+        SELECT component AS cluster_id, node AS kept_vec_id,
+               round(norm, 6) AS kept_norm, cluster_size,
+               cluster_size - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
+    """
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023 shape):
+    embedding-cosine near-dup pairs from the LSH-blocked self-kNN
+    (``operators/similarity.py::knn_join_self`` — no corpus broadcast, no
+    O(n²)), thresholded at ``_SEMDEDUP_TAU``, closed into clusters by
+    O(log n)-round connected components (``operators/graph.py``), keeping
+    the MAX-NORM member per cluster (norm as the stand-in for the
+    "closest to centroid" retention rule; ties → lowest id).
+
+    Scale shape: pairs are posting-list generated with width caps; CC is
+    the checkpointed large-star/hash-to-min family; the norms join is
+    id-keyed (bucket the embedding table by id at 100 TB and it
+    co-locates). The oracle replays the identical hyperplane banding via
+    the shared selfknn CTE, then closes the hull with a recursive CTE."""
+    from commercepulse_data_pipeline_spark.operators import graph
+    from commercepulse_data_pipeline_spark.operators.similarity import _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    knn = sim.knn_join_self(e, **{**_SELFKNN, "id_col": "vec_id", "vec_col": "embedding"})
+    pairs = (
+        knn.where(F.col("cosine_sim") >= _SEMDEDUP_TAU)
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    clusters = graph.dedup_clusters(pairs)  # (doc_id, cluster_id, cluster_size)
+    norms = e.select(F.col("vec_id").alias("doc_id"), _norm(F.col("embedding")).alias("norm"))
+    kept = graph.keep_best_per_cluster(clusters, norms, score_col="norm")
+    return kept.select(
+        "cluster_id",
+        F.col("kept_doc_id").alias("kept_vec_id"),
+        F.round("kept_score", 6).alias("kept_norm"),
+        "cluster_size",
+        "n_dropped",
+    )
 
 
 def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,6 +1518,56 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval DECONTAMINATION report: does any val/test document share
+    an 8-token passage fingerprint with the training split? Audits the
+    SAME deterministic split assignment `docs_split_manifest` ships
+    (operators/sampling.py::assign_splits, salt 'split-v1:'), using the
+    same rolling fingerprints as `docs_shared_passages` — the leak report
+    a training pipeline runs before an eval set is trusted.
+
+    Scale shape: fingerprints explode once; the train-side fingerprint
+    set reduces to DISTINCT hashes (uniform shuffle), and eval
+    fingerprints LEFT-SEMI join it on the hash — no doc×doc pair space,
+    no broadcast of anything corpus-sized. Output: one row per
+    contaminated eval split."""
+    from commercepulse_data_pipeline_spark.operators.sampling import assign_splits
+
+    d = _docs(spark, sf_dir)
+    labeled = assign_splits(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1:"
+    )
+    fps = (
+        labeled.select(
+            "doc_id",
+            "split",
+            F.explode_outer(tx.rolling_fingerprints(F.col("text"), 8)).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    train_fps = fps.where(F.col("split") == "train").select("fp").distinct()
+    leaks = fps.where(F.col("split") != "train").join(train_fps, "fp", "left_semi")
+    counts = labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        leaks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated_docs"),
+            F.countDistinct("fp").alias("n_leaked_fingerprints"),
+        )
+        .join(counts, "split")
+        .select(
+            "split",
+            "n_docs",
+            "n_contaminated_docs",
+            "n_leaked_fingerprints",
+            F.round(
+                F.col("n_contaminated_docs") / F.col("n_docs").cast("double"), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget estimation per source: whitespace tokens vs BPE-ish
     sub-word tokens (boundary-split regex) — the corpus-sizing query run
@@ -1468,10 +1617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
         "unpivot_daily": q_unpivot_daily,
-        # -- r6-new: as-of join / SCD2 get their first oracle rows
+        # -- r6-new: as-of join / SCD2 / semantic dedup get their first oracle rows
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
         "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "split_leakage": q_split_leakage,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -1676,6 +1827,43 @@ def _split_manifest_oracle_sql() -> str:
             WHEN {bucket} < {t_train} THEN 'train'
             ELSE 'val' END AS split
         FROM documents
+    """
+
+
+def _split_leakage_oracle_sql() -> str:
+    """DuckDB twin of q_split_leakage: same split CASE as the manifest
+    oracle, same 8-token md5 fingerprints as docs_shared_passages."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("COALESCE(CAST(doc_id AS VARCHAR), '')", "split-v1:")
+    t_test = threshold_for(0.1)
+    t_train = t_test + threshold_for(0.8)
+    return f"""
+        WITH labeled AS (
+            SELECT doc_id, {_TOKS} AS t, CASE
+                WHEN {bucket} < {t_test} THEN 'test'
+                WHEN {bucket} < {t_train} THEN 'train'
+                ELSE 'val' END AS split
+            FROM documents
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, split,
+                   unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                          i -> md5(array_to_string(t[i:i+7], ' ')))) AS fp
+            FROM labeled WHERE len(t) >= 8
+        ),
+        train_fps AS (SELECT DISTINCT fp FROM fps WHERE split = 'train'),
+        leaks AS (
+            SELECT e.split, e.doc_id, e.fp FROM fps e
+            WHERE e.split <> 'train' AND e.fp IN (SELECT fp FROM train_fps)
+        ),
+        counts AS (SELECT split, count(*) AS n_docs FROM labeled GROUP BY 1)
+        SELECT l.split, c.n_docs,
+               count(DISTINCT l.doc_id) AS n_contaminated_docs,
+               count(DISTINCT l.fp) AS n_leaked_fingerprints,
+               round(count(DISTINCT l.doc_id) / CAST(c.n_docs AS DOUBLE), 4) AS contamination_rate
+        FROM leaks l JOIN counts c USING (split)
+        GROUP BY 1, 2
     """
 
 
@@ -2479,6 +2667,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "embedding_selfknn": _selfknn_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "split_leakage": _split_leakage_oracle_sql(),
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
