@@ -1518,6 +1518,16 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/text.py::
+    unigram_cross_entropy): per-doc bits-per-token under the corpus's own
+    add-1 unigram LM — low = fluent/corpus-typical, high = rare-word soup.
+    One token explode feeds both the LM build and the scoring join; the
+    oracle replays the identical integer-ratio probabilities."""
+    d = _docs(spark, sf_dir)
+    return tx.unigram_cross_entropy(d, "text", "doc_id")
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→eval DECONTAMINATION report: does any val/test document share
     an 8-token passage fingerprint with the training split? Audits the
@@ -1623,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": q_scd2_asof,
         "semantic_dedup": q_semantic_dedup,
         "split_leakage": q_split_leakage,
+        "docs_unigram_ce": q_docs_unigram_ce,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2669,6 +2680,23 @@ def oracle_sql() -> dict[str, str]:
         "embedding_selfknn": _selfknn_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "split_leakage": _split_leakage_oracle_sql(),
+        "docs_unigram_ce": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+            scored AS (
+                SELECT t.doc_id,
+                       -log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE)) AS bits
+                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(CAST(bits AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)
+                       AS bits_per_token
+            FROM scored GROUP BY 1
+        """,
+
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),

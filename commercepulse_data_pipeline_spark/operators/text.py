@@ -580,3 +580,53 @@ def doc_keywords(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def unigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bits-per-token under the corpus's own add-1-smoothed
+    unigram LM — the CCNet-style fluency/quality proxy (docs made of
+    corpus-typical words score low; rare-word soup and boilerplate of
+    out-of-distribution tokens score high). The reference has no LM
+    scoring; this is the extension-tier quality signal a training
+    pipeline ranks/filters on when no external LM is available.
+
+        p(tok) = (count(tok) + 1) / (N + V)
+        score(doc) = mean over tokens of -log2 p(tok)
+
+    Scale shape: one token explode feeding BOTH the LM build and the
+    scoring join; counts reduce with map-side combine on the token
+    (uniform Zipf-hash shuffle); (N, V) is a 1-row aggregate combined by
+    a 1x1 cross join (same pattern as plans/quality.py); the scoring join
+    is token-keyed — the vocab side broadcasts when it fits, else it is a
+    uniform hash join; per-doc mean is one more combine-friendly shuffle.
+    No driver collect, no pair space.
+
+    Cross-engine determinism: the per-token bits go through
+    DECIMAL(30,8) before the per-doc mean (DECISIONS.md decimal rule);
+    the probability is an integer ratio divided in double, so both
+    engines feed log2 the identical IEEE value.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    bits = -F.log2((F.col("__c") + 1) / (F.col("__n") + F.col("__v")).cast("double"))
+    scored = toks.join(counts, "__tok").crossJoin(F.broadcast(tot)).select(
+        F.col(id_col), bits.alias("__bits")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__bits").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("bits_per_token"),
+    )

@@ -650,3 +650,22 @@ def test_doc_keywords_tfidf_ranking(spark):
     # doc 3: 'shared' tf=2 still wins over df-1 singles (2*4/4=2.0 vs 1*4/2=2.0
     # tie -> token asc puts 'everywhere' first among the 2.0 scores)
     assert by_doc[3][0][1] in ("everywhere", "shared")
+
+
+def test_unigram_cross_entropy_ranks_rare_words_higher(spark):
+    """LM quality proxy: a doc of corpus-dominant words scores fewer
+    bits/token than a doc of corpus-unique words; values match the
+    closed-form add-1 model."""
+    import math
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rareword"),
+        (3, "unique1 unique2 unique3 unique4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in tx.unigram_cross_entropy(df).collect()}
+    assert got[1].bits_per_token < got[2].bits_per_token < got[3].bits_per_token
+    # closed form: N=12 tokens, V=6 distinct; common c=7, p=(7+1)/18
+    assert got[1].n_tokens == 4
+    assert got[1].bits_per_token == round(-math.log2(8 / 18), 4)
