@@ -49,6 +49,9 @@ PROBE_QUERIES = [
     "last_touch_asof",
     "scd2_asof",
     "order_value_percentiles_approx",
+    "semantic_dedup",
+    "split_leakage",
+    "docs_unigram_ce",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
