@@ -1613,8 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 62). So: (a) oracle-backed queries with the OLDEST driver verification
     # come FIRST — r6 rotates in the 10 entries whose last driver row was r4
     # (VERDICT r5 item 1); (b) then queries whose operators changed this
-    # round; (c) then the r5-green block, freshest-verified last; (d) the two
-    # rows-only entries close the list.
+    # round; (c) then the r5-green block, freshest-verified last; (d) the
+    # three rows-only entries close the list.
     return {
         # -- driver-verification debt: last green row r4, rotate in first
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2688,12 +2688,12 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
             scored AS (
                 SELECT t.doc_id,
-                       -log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE)) AS bits
+                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
+                            AS DECIMAL(30,4)) AS bits
                 FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
             )
             SELECT doc_id, count(*) AS n_tokens,
-                   round(CAST(sum(CAST(bits AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)
-                       AS bits_per_token
+                   round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
             FROM scored GROUP BY 1
         """,
 

@@ -717,12 +717,37 @@ def write_minhash_index(
     bands_df = minhash_bands(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
-    bands_df.write.mode(mode).parquet(f"{path}/bands")
+    _append_bands(spark, bands_df, path, mode)
     if existing is not None:
         return  # meta already pinned and verified equal — leave it
     spark.createDataFrame([(json.dumps(sorted(meta.items())),)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def _append_bands(spark, bands_df: DataFrame, path: str, mode: str) -> None:
+    """Write band rows honoring the index's on-disk layout. A stream-built
+    index (streaming/corpus.py) is hive-partitioned bands/ingest_batch=N;
+    flat part files appended at the bands/ root of such an index are
+    SILENTLY INVISIBLE to later partition-discovery reads (verified: Spark
+    keeps only the partition-dir files) — so appends must land under a
+    partition value there. -1 never collides with stream batch ids (>=0).
+    Flat indexes (write_minhash_index from batch) keep flat appends."""
+    partitioned = False
+    if mode == "append":
+        try:
+            partitioned = "ingest_batch" in spark.read.parquet(f"{path}/bands").columns
+        except Exception:
+            partitioned = False
+    if partitioned:
+        (
+            bands_df.withColumn("ingest_batch", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .parquet(f"{path}/bands")
+        )
+    else:
+        bands_df.write.mode(mode).parquet(f"{path}/bands")
 
 
 def read_minhash_index_meta(spark, path: str) -> dict:
@@ -774,18 +799,6 @@ def minhash_pairs_incremental(
     out = vs_index.union(within).distinct()
     if update_index:
         out = out.localCheckpoint(eager=True)  # pin results BEFORE the append
-        if "ingest_batch" in idx.columns:
-            # stream-built index (streaming/corpus.py writes hive
-            # partitions bands/ingest_batch=N): flat files at the bands/
-            # root would break Spark partition discovery on later reads —
-            # land the append under its own partition value instead
-            # (ADVICE r5). -1 never collides with stream batch ids (>=0).
-            (
-                nb.withColumn("ingest_batch", F.lit(-1))
-                .write.mode("append")
-                .partitionBy("ingest_batch")
-                .parquet(f"{index_path}/bands")
-            )
-        else:
-            nb.write.mode("append").parquet(f"{index_path}/bands")
+        # layout-aware append (ADVICE r5): see _append_bands
+        _append_bands(spark, nb, index_path, "append")
     return out

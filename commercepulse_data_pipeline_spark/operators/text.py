@@ -605,28 +605,42 @@ def unigram_cross_entropy(
     uniform hash join; per-doc mean is one more combine-friendly shuffle.
     No driver collect, no pair space.
 
-    Cross-engine determinism: the per-token bits go through
-    DECIMAL(30,8) before the per-doc mean (DECISIONS.md decimal rule);
-    the probability is an integer ratio divided in double, so both
-    engines feed log2 the identical IEEE value.
+    Cross-engine determinism: both engines feed log2 the identical IEEE
+    ratio, but log2 ITSELF differs by 1 ulp between JVM StrictMath and
+    libm on ~a third of inputs (measured), so the per-token bits are
+    quantized to DECIMAL(30,4) — a 1-ulp input wobble (≈4e-15 absolute)
+    flips a 1e-4 quantization boundary with ~4e-11 probability per
+    token, which the per-doc mean then absorbs entirely. The coarser
+    grid costs nothing for a quality score.
+
+    The exploded token table is localCheckpoint'ed: it feeds BOTH the LM
+    build and the scoring join, and the counts table is consumed twice
+    more (scoring join + the (N, V) scalar aggregate) — without the pin,
+    Spark would re-run the corpus tokenize+explode per consumer (no
+    subplan sharing across DataFrame branches). At 100 TB this is the
+    single most expensive pass; pin it once, disk-backed.
     """
     toks = (
         df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__tok"))
         .where(F.col("__tok").isNotNull())
+        .localCheckpoint(eager=False)
     )
-    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    counts = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     tot = counts.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
     bits = -F.log2((F.col("__c") + 1) / (F.col("__n") + F.col("__v")).cast("double"))
     scored = toks.join(counts, "__tok").crossJoin(F.broadcast(tot)).select(
-        F.col(id_col), bits.alias("__bits")
+        F.col(id_col), bits.cast("decimal(30,4)").alias("__bits")
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
-            F.sum(F.col("__bits").cast("decimal(30,8)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(F.col("__bits")).cast("double") / F.count(F.lit(1)),
             4,
         ).alias("bits_per_token"),
     )

@@ -500,6 +500,25 @@ def test_stream_clean_corpus_cross_batch_neardup(spark, tmp_path):
               dd.minhash_pairs_incremental(batch4, spark, f"{store}/index").collect()}
     assert (30, 40) in pairs4           # batch-3 doc findable only via the append
 
+    # write_minhash_index(mode=append) must take the SAME layout-aware
+    # path (r6 self-review: it previously flat-appended, and Spark's
+    # partition discovery silently DROPS flat root files — the appended
+    # batch would vanish from every later dedup with no error)
+    n_before = spark.read.parquet(f"{store}/index/bands").count()
+    meta = dd.read_minhash_index_meta(spark, f"{store}/index")
+    dd.write_minhash_index(
+        batch4, f"{store}/index", mode="append",
+        num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
+        shingle_n=int(meta["shingle_n"]),
+    )
+    assert spark.read.parquet(f"{store}/index/bands").count() > n_before
+    batch5 = spark.createDataFrame(
+        [(50, base + " tonight indeed truly")], "doc_id long, text string"
+    )
+    pairs5 = {(r.id_a, r.id_b) for r in
+              dd.minhash_pairs_incremental(batch5, spark, f"{store}/index").collect()}
+    assert (40, 50) in pairs5           # batch-4 doc visible only if the append landed
+
 
 def test_clean_corpus_batch_replay_idempotent(spark, tmp_path):
     """Checkpoint-replay safety: re-running a batch under the SAME

@@ -58,8 +58,16 @@ TAIL_KEYS = 100_000
 def build(spark, n: int, outdir: str) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(f"{outdir}/_DONE"):
-        return
+    marker = f"{outdir}/_DONE"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == str(n):
+                return
+        # stale layout from a different row count: rebuild, else the
+        # report's "rows" field would misstate what was measured
+        import shutil
+
+        shutil.rmtree(outdir, ignore_errors=True)
     ids = spark.range(n, numPartitions=64).withColumnRenamed("id", "row_id")
     h = F.pmod(F.hash("row_id"), F.lit(100))
     key = (
@@ -82,7 +90,7 @@ def build(spark, n: int, outdir: str) -> None:
     )
     dim.write.mode("overwrite").parquet(f"{outdir}/dim.parquet")
     with open(f"{outdir}/_DONE", "w") as fh:
-        fh.write("ok\n")
+        fh.write(f"{n}\n")
 
 
 def main() -> None:
