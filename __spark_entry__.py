@@ -1518,6 +1518,48 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXING planner: given per-source mixture weights (derived
+    deterministically from the source name so both engines agree), compute
+    the largest total token budget T whose per-source demand T*frac stays
+    within each source's available tokens, and the per-source sampling
+    rate that realizes it — the table a trainer feeds into
+    ``deterministic_sample`` per source. The binding (scarcest-relative)
+    source gets rate 1.0; everything else downsamples.
+
+    Scale shape: one map-side-combined rollup per source (the token count
+    is the only corpus-sized pass), then two 1-row aggregates combined by
+    broadcast cross joins (plans/quality.py pattern) — the plan is
+    O(corpus scan) + driver-trivial arithmetic, no shuffle beyond the
+    20-row source rollup."""
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select("source", F.size(tx.tokens(F.col("text"))).alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").alias("available_tokens"))
+    )
+    weight = (
+        F.regexp_replace("source", "^src", "").cast("int") % 4 + 1
+    ).cast("double")
+    w = per.withColumn("weight", weight)
+    tot = w.agg(F.sum("weight").alias("__W"))
+    fr = w.crossJoin(F.broadcast(tot)).withColumn(
+        "target_fraction", F.col("weight") / F.col("__W")
+    )
+    tmax = fr.agg(
+        F.min(F.col("available_tokens") / F.col("target_fraction")).alias("__T")
+    )
+    out = fr.crossJoin(F.broadcast(tmax))
+    demand = F.col("__T") * F.col("target_fraction")
+    return out.select(
+        "source",
+        "available_tokens",
+        F.round("target_fraction", 6).alias("target_fraction"),
+        F.round(demand / F.col("available_tokens"), 6).alias("sampling_rate"),
+        F.round(demand, 2).alias("target_tokens"),
+    )
+
+
 def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     unigram_cross_entropy): per-doc bits-per-token under the corpus's own
@@ -1634,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "split_leakage": q_split_leakage,
         "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2680,6 +2723,28 @@ def oracle_sql() -> dict[str, str]:
         "embedding_selfknn": _selfknn_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "split_leakage": _split_leakage_oracle_sql(),
+        "corpus_mixture_plan": f"""
+            WITH per AS (
+                SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT *, CAST(CAST(regexp_replace(source, '^src', '') AS INT) % 4 + 1
+                               AS DOUBLE) AS weight
+                FROM per
+            ),
+            tot AS (SELECT sum(weight) AS W FROM w),
+            fr AS (
+                SELECT w.*, weight / tot.W AS frac FROM w CROSS JOIN tot
+            ),
+            tmax AS (SELECT min(available_tokens / frac) AS T FROM fr)
+            SELECT source, available_tokens,
+                   round(frac, 6) AS target_fraction,
+                   round((tmax.T * frac) / available_tokens, 6) AS sampling_rate,
+                   round(tmax.T * frac, 2) AS target_tokens
+            FROM fr CROSS JOIN tmax
+        """,
+
         "docs_unigram_ce": f"""
             WITH toks AS (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

@@ -383,6 +383,48 @@ def ivf_topk_indexed(
     return cosine_topk(lists, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_append(
+    new_df: DataFrame,
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF ingest: assign a NEW batch of vectors to the
+    persisted index's EXISTING centroids (the quantizer stays frozen —
+    re-clustering would reshuffle every already-written list, and the
+    standard IVF ingest contract is 'assign to nearest, retrain offline
+    when drift warrants'), then append each vector into its inverted
+    list's partition directory. Per-ingest cost is O(batch): one pass of
+    literal-centroid argmin (no shuffle) + a partitioned append; probes
+    keep being served by partition pruning with no index rebuild —
+    the ANN mirror of ``dedup.minhash_pairs_incremental``.
+
+    Returns the number of rows appended."""
+    cents = [
+        (int(r.centroid_id), [float(v) for v in r.centroid])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    if not cents:
+        raise ValueError(f"no centroids at {path}/centroids — not an IVF index")
+    dists = [
+        F.struct(
+            _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, c in cents
+    ]
+    assigned = new_df.withColumn("centroid_id", F.array_min(F.array(*dists))["cid"])
+    # pin the count BEFORE the append so the returned number can't
+    # double-read the new files (same discipline as
+    # minhash_pairs_incremental's checkpoint-before-append)
+    assigned = assigned.localCheckpoint(eager=True)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/lists")
+    return n
+
+
 def knn_join_self(
     corpus: DataFrame,
     k: int = 5,

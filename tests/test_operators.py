@@ -465,6 +465,39 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in final and "centroid_id" in final.split("PartitionFilters")[1][:120], plan
 
 
+def test_ivf_append_incremental_ingest(spark, tmp_path):
+    """Incremental IVF ingest: a new batch assigns to the FROZEN centroids
+    and lands in the partitioned lists; a probe then finds the appended
+    near-duplicate vector through the same partition-pruned read, with no
+    index rebuild. Appending must not disturb pre-existing rows."""
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = sim.ivf_assign(e, n_centroids=4, iters=1)
+    idx = str(tmp_path / "ivf")
+    sim.write_ivf_index(assigned, idx, centroids=cents)
+    n_before = spark.read.parquet(f"{idx}/lists").count()
+
+    # query direction OFF the corpus lattice (the mod-13 rows contain
+    # exact duplicates that would crowd a lattice-near plant out of top-k)
+    q = [41.0, -7.0, 18.5, 3.3, -12.0, 9.9, 0.5, 25.0]
+    near = [v * 1.001 for v in q]            # planted near-dup of the query
+    batch = spark.createDataFrame([(1000, near), (1001, [-v for v in q])],
+                                  ["vec_id", "embedding"])
+    n = sim.ivf_append(batch, spark, idx)
+    assert n == 2
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == n_before + 2     # old rows untouched, both landed
+    got = sim.ivf_topk_indexed(spark, idx, q, k=3, nprobe=2).collect()
+    assert got[0].vec_id == 1000              # the appended near-dup tops the probe
+    assert 1001 not in [r.vec_id for r in got]  # opposite direction never ranks
+
+    # frozen quantizer: appended rows carry valid centroid ids
+    valid = {cid for cid, _ in cents}
+    batch_cids = {r.centroid_id for r in
+                  lists.where(F.col("vec_id") >= 1000).select("centroid_id").collect()}
+    assert batch_cids <= valid
+
+
 def test_rle_counts_matches_counter(spark):
     """Array-side run-length counting over sorted arrays equals a Python
     Counter, including empty and all-equal arrays."""
