@@ -1518,6 +1518,83 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE emulation (plans/scd.py::merge_upsert — the reference's
+    Mongo row-level upsert K1 on plain parquet): a derived update batch
+    (every 7th order re-priced +10%, duplicated per-batch with a later
+    sequence so last-writer-wins must pick the right copy) merges into the
+    orders table; the query aggregates the post-merge state so the whole
+    anti-join + union + LWW result is hash-checked. Oracle replays the
+    same two-branch union in SQL."""
+    from commercepulse_data_pipeline_spark.plans.scd import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit(0).alias("seq"),
+    )
+    upd1 = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("P").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    # second copy of every other update with a LATER seq and a different
+    # price — merge_upsert's within-batch LWW must keep exactly this one
+    upd2 = (
+        upd1.where(F.col("o_orderkey") % 14 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    merged = merge_upsert(o, upd1.unionByName(upd2), ["o_orderkey"], "seq")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+        F.sum((F.col("seq") > 0).cast("long")).alias("n_updated"),
+    )
+
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tooling correctness on the driver scoreboard: the two-phase
+    ``operators/skew.py::salted_agg`` (content-hash salt → partial
+    aggregate per (key, salt) → merge) must equal the PLAIN group-by —
+    so its oracle IS the plain SQL aggregate. Decimal partials keep the
+    sum order-independent across the extra phase."""
+    from commercepulse_data_pipeline_spark.operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    staged = l.select(
+        "l_returnflag",
+        F.col("l_quantity"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,8)")
+        .alias("__rev"),
+    )
+    out = salted_agg(
+        staged,
+        ["l_returnflag"],
+        {
+            "revenue_dec": ("__rev", F.sum, F.sum),
+            "n_items": ("l_quantity", F.count, F.sum),
+            "max_qty": ("l_quantity", F.max, F.max),
+        },
+        salt_buckets=16,
+        salt_cols=["l_quantity", "__rev"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("revenue_dec"), 2).cast("double").alias("revenue"),
+        "n_items",
+        "max_qty",
+    )
+
+
 def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-MIXING planner: given per-source mixture weights (derived
     deterministically from the source name so both engines agree), compute
@@ -1677,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "docs_unigram_ce": q_docs_unigram_ce,
         "corpus_mixture_plan": q_corpus_mixture_plan,
+        "merge_upsert_state": q_merge_upsert_state,
+        "salted_revenue": q_salted_revenue,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2723,6 +2802,46 @@ def oracle_sql() -> dict[str, str]:
         "embedding_selfknn": _selfknn_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "split_leakage": _split_leakage_oracle_sql(),
+        "merge_upsert_state": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq FROM orders
+            ),
+            upd1 AS (
+                SELECT o_orderkey, 'P' AS o_orderstatus,
+                       o_totalprice * 1.1 AS o_totalprice, 1 AS seq
+                FROM base WHERE o_orderkey % 7 = 0
+            ),
+            upd2 AS (
+                SELECT o_orderkey, 'F' AS o_orderstatus,
+                       o_totalprice * 2 AS o_totalprice, 2 AS seq
+                FROM upd1 WHERE o_orderkey % 14 = 0
+            ),
+            updates AS (SELECT * FROM upd1 UNION ALL SELECT * FROM upd2),
+            deduped AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice, seq FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY o_orderkey ORDER BY seq DESC NULLS LAST) AS rn
+                    FROM updates
+                ) WHERE rn = 1
+            ),
+            merged AS (
+                SELECT b.* FROM base b
+                WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM deduped)
+                UNION ALL SELECT * FROM deduped
+            )
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_price,
+                   CAST(sum(CASE WHEN seq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+            FROM merged GROUP BY 1
+        """,
+        "salted_revenue": """
+            SELECT l_returnflag,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+                   count(l_quantity) AS n_items,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY 1
+        """,
+
         "corpus_mixture_plan": f"""
             WITH per AS (
                 SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
