@@ -1426,7 +1426,9 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max event_id per instant (same guard in the oracle)
     w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     ded = ev.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
-    hist = scd2_history(ded, ["user_id"], "ts")
+    # hist feeds two branches (full-history agg + the as_of slice) —
+    # pin it so the scan + dedup + lead window run once, not per branch
+    hist = scd2_history(ded, ["user_id"], "ts").localCheckpoint(eager=False)
     t0 = "2024-01-15 00:00:00"
     hours = (F.unix_micros("valid_to") - F.unix_micros("valid_from")) / F.lit(
         3600000000.0
@@ -1614,6 +1616,9 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.size(tx.tokens(F.col("text"))).alias("__t"))
         .groupBy("source")
         .agg(F.sum("__t").alias("available_tokens"))
+        # the source-count-sized rollup feeds three branches (W, T, and
+        # the final projection) — pin it so the CORPUS pass runs once
+        .localCheckpoint(eager=False)
     )
     weight = (
         F.regexp_replace("source", "^src", "").cast("int") % 4 + 1

@@ -220,3 +220,49 @@ def test_doc_keywords_single_corpus_pass(spark):
     out = tx.doc_keywords(df, k=2)
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(lower") == 1, optimized
+
+
+def test_fx_normalization_fact_side_never_shuffles_for_rates(spark):
+    """fx_normalized_revenue: the densified daily-rate table BROADCASTS
+    onto the fact scan — no sort-merge join, no fact-side exchange for
+    the rate lookup (the as-of is precomputed on the calendar)."""
+    plan = _plan(E.q_fx_normalized_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_last_touch_asof_single_fill_window_no_join(spark):
+    """last_touch_asof: union + forward-fill — the as-of must NOT plan as
+    any join (range or otherwise); one window does the fill."""
+    plan = _plan(E.q_last_touch_asof(spark, SF_DIR))
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "last(__asof_row" in plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """semantic_dedup composes selfknn pairs + CC + keep-best: no stage
+    may degenerate into a cartesian/nested-loop product."""
+    plan = _plan(E.q_semantic_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_plan_scalar_combines_broadcast(spark):
+    """corpus_mixture_plan: the two 1-row aggregate combines must be
+    broadcast nested-loop (1x1) joins, never a shuffle join."""
+    plan = _plan(E.q_corpus_mixture_plan(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the corpus-sized pass is pinned: every branch reads the checkpointed
+    # rollup RDD, never the parquet scan again
+    assert "Scan parquet" not in plan.split("BroadcastNestedLoopJoin")[1]
+
+
+def test_salted_agg_two_hash_aggregate_phases(spark):
+    """salted_revenue: phase-1 (key, salt) partials and the phase-2 merge
+    are hash aggregates (each with its own map-side partial) — the salt
+    must not force a sort-based aggregate."""
+    plan = _plan(E.q_salted_revenue(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4   # 2 phases x (partial + final)
+    assert "CartesianProduct" not in plan
