@@ -52,6 +52,9 @@ PROBE_QUERIES = [
     "semantic_dedup",
     "split_leakage",
     "docs_unigram_ce",
+    "merge_upsert_state",
+    "salted_revenue",
+    "corpus_mixture_plan",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
