@@ -554,3 +554,71 @@ def test_clean_corpus_batch_replay_idempotent(spark, tmp_path):
     clean_corpus_batch(batch1, 1, store, max_bucket=100000)
     final = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
     assert final == {1, 3}                   # 10 dropped as cross-batch dup
+
+
+def test_stream_dedup_embeddings_cross_batch(spark, tmp_path):
+    """Streaming embedding curation: batch 2's near-dup of an indexed
+    batch-1 vector drops (keep-first), within-batch dups collapse to the
+    lowest id, the persisted store is a queryable LSH index, and batch
+    replay under the same id is idempotent."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+    from commercepulse_data_pipeline_spark.streaming.embeddings import (
+        dedup_embeddings_batch,
+        stream_dedup_embeddings,
+    )
+
+    A = [1.0, 0.2, -0.5, 3.0]
+    B = [-2.0, 1.0, 0.7, 0.1]
+    C = [0.3, -4.0, 1.5, 0.9]
+    emb = pa.list_(pa.float32())
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    f1, f2 = str(drops / "b1.parquet"), str(drops / "b2.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([A, B], type=emb)}), f1)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([10, 11, 12], type=pa.int64()),
+        "embedding": pa.array(
+            [[v * 1.001 for v in A],   # near-dup of indexed vector 1
+             C,                         # fresh direction
+             [v * 0.999 for v in C]],   # within-batch dup of 11
+            type=emb)}), f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    store = str(tmp_path / "store")
+    q = stream_dedup_embeddings(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        tau=0.99, n_planes=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{store}/vectors").select("vec_id").collect()}
+    assert kept == {1, 2, 11}, kept
+
+    # the persisted store IS a valid LSH index: a probe in direction A
+    # is served the surviving copy (vector 1), not the dropped near-dup
+    got = sim.lsh_topk_indexed(spark, f"{store}/index", A, k=1, probes=1).collect()
+    assert got and got[0].vec_id == 1
+
+    # replay idempotency: re-running batch 1 (the second file) under its
+    # original batch id must keep the same rows — the index read excludes
+    # the batch's own partition, so 11 never dedups against its own
+    # first-attempt copy
+    batch2 = spark.createDataFrame(
+        [(10, [v * 1.001 for v in A]), (11, C), (12, [v * 0.999 for v in C])],
+        "vec_id long, embedding array<float>",
+    )
+    dedup_embeddings_batch(batch2, 1, store, tau=0.99, n_planes=4)
+    kept2 = {r.vec_id for r in
+             spark.read.parquet(f"{store}/vectors").select("vec_id").collect()}
+    assert kept2 == {1, 2, 11}, kept2
