@@ -326,6 +326,25 @@ def cmd_stream_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_stream_dedup_embeddings(args) -> int:
+    """Continuous EMBEDDING curation: tail a directory of vector parquet
+    drops and maintain a semantically-deduplicated store + sign-LSH index
+    (the vector twin of ``stream-clean-corpus``; keep-first across
+    batches, replay-idempotent). ``--follow`` keeps the query alive."""
+    from commercepulse_data_pipeline_spark.streaming.embeddings import (
+        stream_dedup_embeddings,
+    )
+
+    spark = _spark()
+    q = stream_dedup_embeddings(
+        spark, args.vectors, args.store, args.checkpoint,
+        tau=args.tau, n_planes=args.n_planes, trigger_once=not args.follow,
+    )
+    q.awaitTermination()
+    print(f"stream-dedup-embeddings: vector store maintained at {args.store}/vectors")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -399,6 +418,19 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--follow", action="store_true",
                     help="keep running for new files (default: drain once)")
     sc.set_defaults(fn=cmd_stream_clean_corpus)
+
+    se = sub.add_parser(
+        "stream-dedup-embeddings",
+        help="continuously maintain a semantically-deduplicated vector store from embedding drops",
+    )
+    se.add_argument("--vectors", required=True, help="directory of embedding parquet files")
+    se.add_argument("--store", required=True, help="state dir: vectors + LSH index")
+    se.add_argument("--checkpoint", required=True)
+    se.add_argument("--tau", type=float, default=0.95, help="cosine near-dup threshold")
+    se.add_argument("--n-planes", type=int, default=8, dest="n_planes")
+    se.add_argument("--follow", action="store_true",
+                    help="keep running for new files (default: drain once)")
+    se.set_defaults(fn=cmd_stream_dedup_embeddings)
 
     args = p.parse_args(argv)
     return args.fn(args)
