@@ -1412,6 +1412,42 @@ def q_last_touch_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incident_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (``operators.joins.range_join``): global
+    point-in-interval attribution with NO equi key — each error event opens
+    a 10-minute incident window and collects the purchases landing inside
+    it. The reference has no range operator (nearest: same-day equi-join,
+    src/transformer.py:140).
+
+    Scale shape: a keyless ``BETWEEN`` join is a nested-loop O(points ×
+    intervals) plan in Spark; ``range_join`` bins both sides at the window
+    width (600 s → each interval explodes to ≤2 bins) so the pairing is a
+    plain sort-merge equi-join on bin + residual filter. Incidents with
+    zero purchases survive via the final broadcast-left-join (incident
+    list is small relative to the event stream)."""
+    from commercepulse_data_pipeline_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("inc_end"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("value")
+    )
+    pairs = range_join(pur, inc, "p_ts", "inc_start", "inc_end", bin_seconds=600)
+    per_inc = pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum(F.col("value")).alias("purchase_value"),
+    )
+    return inc.select("incident_id").join(per_inc, "incident_id", "left").select(
+        "incident_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history + point-in-time view (``plans.scd.scd2_history`` /
     ``as_of``): the event log becomes type-2 version rows (valid_from /
@@ -1761,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_plan": q_corpus_mixture_plan,
         "merge_upsert_state": q_merge_upsert_state,
         "salted_revenue": q_salted_revenue,
+        "incident_impact": q_incident_impact,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2127,6 +2164,24 @@ def oracle_sql() -> dict[str, str]:
                                        / CAST(60000000 AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)
                          / count(touch_ts), 4) AS avg_mins_to_purchase
             FROM attributed GROUP BY 1
+        """,
+        "incident_impact": """
+            WITH ev AS (
+                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+            ), inc AS (
+                SELECT event_id AS incident_id, ts AS inc_start,
+                       ts + INTERVAL 10 MINUTE AS inc_end
+                FROM ev WHERE event_type = 'error'
+            ), pur AS (
+                SELECT ts AS p_ts, value FROM ev WHERE event_type = 'purchase'
+            )
+            SELECT i.incident_id,
+                   count(p.p_ts) AS n_purchases,
+                   CAST(coalesce(round(sum(CAST(p.value AS DECIMAL(30,8))), 2), 0)
+                        AS DOUBLE) AS purchase_value
+            FROM inc i LEFT JOIN pur p
+              ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
+            GROUP BY 1
         """,
         "scd2_asof": """
             WITH ded AS (

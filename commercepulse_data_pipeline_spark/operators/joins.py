@@ -42,6 +42,69 @@ def enrich(
     return fact.join(F.broadcast(dim) if broadcast_dim else dim, on=on, how=how)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    *,
+    bin_seconds: int,
+    key_cols: list[str] | None = None,
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Binned point-in-interval join: each ``points`` row pairs with every
+    ``intervals`` row whose ``[start_ts, end_ts)`` contains ``point_ts``
+    (``inclusive_end=True`` closes the right edge). The reference has no
+    range operator at all — its nearest is a same-day equi-join
+    (src/transformer.py:140) — but time-window attribution over an events
+    stream needs the real thing.
+
+    Scale shape: WITHOUT equi keys Spark plans ``p.ts BETWEEN i.s AND i.e``
+    as a nested-loop join — O(points × intervals), dead at 100 TB. Here
+    both sides are assigned fixed-width time bins (``bin_seconds``): a
+    point lands in exactly one bin, an interval is exploded to every bin it
+    overlaps, and the join becomes a plain equi-join on (keys…, bin) that
+    sort-merges/AQE-coalesces like any other. Each qualifying (point,
+    interval) pair meets in exactly one bin — the point's — so no
+    post-join dedup is needed. Pick ``bin_seconds`` on the order of the
+    typical interval length: an interval spans ``len/bin + 1`` bins, so a
+    too-small bin multiplies the exploded side, a too-large bin widens the
+    residual filter's false-candidate band. Sub-second timestamp fractions
+    only affect the exact residual predicate, never bin assignment
+    (bins floor via unix seconds), so ``bin_seconds >= 1`` is exact.
+
+    Returns point columns + interval columns (caller resolves name clashes
+    by renaming beforehand; a clash raises).
+    """
+    key_cols = key_cols or []
+    clash = (set(points.columns) & set(intervals.columns)) - set(key_cols)
+    if clash:
+        raise ValueError(f"range_join column clash (rename first): {sorted(clash)}")
+    if bin_seconds < 1:
+        raise ValueError("bin_seconds must be >= 1")
+    w = F.lit(int(bin_seconds))
+    p = points.withColumn("__bin", F.floor(F.unix_timestamp(F.col(point_ts)) / w))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / w),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / w),
+            )
+        ),
+    )
+    end_pred = (
+        F.col(point_ts) <= F.col(end_ts)
+        if inclusive_end
+        else F.col(point_ts) < F.col(end_ts)
+    )
+    joined = p.join(i, on=key_cols + ["__bin"], how="inner").where(
+        (F.col(point_ts) >= F.col(start_ts)) & end_pred
+    )
+    return joined.drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -179,6 +179,38 @@ def test_minhash_exact_duplicates_always_pair(spark, texts):
 
 
 @given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 200)), min_size=1, max_size=8
+    ),
+    points=st.lists(st.integers(0, 500), min_size=1, max_size=10),
+    bin_seconds=st.sampled_from([1, 7, 60]),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, intervals, points, bin_seconds):
+    """Binned range join == brute-force [s, e) membership for every bin
+    width (bin choice affects cost only, never the result set)."""
+    from commercepulse_data_pipeline_spark.operators.joins import range_join
+
+    ivl = [(i, s, s + ln) for i, (s, ln) in enumerate(intervals)]
+    idf = spark.createDataFrame(ivl, "iid long, s_e long, e_e long").select(
+        "iid",
+        F.timestamp_seconds("s_e").alias("s"),
+        F.timestamp_seconds("e_e").alias("e"),
+    )
+    pdf = spark.createDataFrame(
+        [(p,) for p in set(points)], "p_e long"
+    ).select(F.col("p_e").alias("pid"), F.timestamp_seconds("p_e").alias("pt"))
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "pt", "s", "e", bin_seconds=bin_seconds).collect()
+    }
+    expected = {
+        (p, i) for p in set(points) for i, s, e in ivl if s <= p < e
+    }
+    assert got == expected
+
+
+@given(
     quotes=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 99)), min_size=1, max_size=10),
     trades=st.lists(st.integers(0, 25), min_size=1, max_size=10),
 )

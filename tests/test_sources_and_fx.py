@@ -9,7 +9,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from commercepulse_data_pipeline_spark.operators.joins import asof_join
+from commercepulse_data_pipeline_spark.operators.joins import asof_join, range_join
 from commercepulse_data_pipeline_spark.plans.gold import normalize_currency
 from commercepulse_data_pipeline_spark.sources.readers import (
     read_bronze,
@@ -58,6 +58,87 @@ def test_asof_join_rejects_column_collision(spark):
     df = spark.createDataFrame([("A", 1, 1.0)], ["sym", "t", "px"])
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, ["sym"], "t", "t", ["px"])
+
+
+# --------------------------------------------------------------------------
+# binned range join
+# --------------------------------------------------------------------------
+
+def _ts_df(spark, name_ts_cols, rows):
+    df = spark.createDataFrame(rows, [c for c, _ in name_ts_cols])
+    for c, is_ts in name_ts_cols:
+        if is_ts:
+            df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+def test_range_join_boundaries_and_multibin(spark):
+    # interval spans 3 bins at bin_seconds=60 — each matching pair must
+    # still appear exactly once (pairs meet only in the point's bin).
+    intervals = _ts_df(
+        spark,
+        [("iid", False), ("s", True), ("e", True)],
+        [(1, "2026-01-01 10:00:30", "2026-01-01 10:02:30")],
+    )
+    points = _ts_df(
+        spark,
+        [("pid", False), ("pt", True)],
+        [
+            (1, "2026-01-01 10:00:29"),  # before start — out
+            (2, "2026-01-01 10:00:30"),  # == start — in (inclusive)
+            (3, "2026-01-01 10:01:30"),  # middle bin — in
+            (4, "2026-01-01 10:02:30"),  # == end — out (half-open)
+            (5, "2026-01-01 10:02:29"),  # last bin — in
+        ],
+    )
+    got = sorted(
+        r.pid for r in range_join(points, intervals, "pt", "s", "e", bin_seconds=60).collect()
+    )
+    assert got == [2, 3, 5]
+    closed = sorted(
+        r.pid
+        for r in range_join(
+            points, intervals, "pt", "s", "e", bin_seconds=60, inclusive_end=True
+        ).collect()
+    )
+    assert closed == [2, 3, 4, 5]
+
+
+def test_range_join_keyed_and_clash(spark):
+    intervals = _ts_df(
+        spark,
+        [("k", False), ("iid", False), ("s", True), ("e", True)],
+        [
+            ("a", 1, "2026-01-01 10:00:00", "2026-01-01 11:00:00"),
+            ("b", 2, "2026-01-01 10:00:00", "2026-01-01 11:00:00"),
+        ],
+    )
+    points = _ts_df(
+        spark,
+        [("k", False), ("pid", False), ("pt", True)],
+        [("a", 10, "2026-01-01 10:30:00"), ("c", 11, "2026-01-01 10:30:00")],
+    )
+    out = range_join(
+        points, intervals, "pt", "s", "e", bin_seconds=3600, key_cols=["k"]
+    ).collect()
+    assert [(r.pid, r.iid) for r in out] == [(10, 1)]
+    with pytest.raises(ValueError, match="clash"):
+        range_join(points, points.withColumnRenamed("pid", "qid"), "pt", "pt", "qt", bin_seconds=60)
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The point of the operator: the physical plan must be an equi-join
+    on the bin, never a nested-loop/cartesian pairing."""
+    intervals = _ts_df(
+        spark,
+        [("iid", False), ("s", True), ("e", True)],
+        [(1, "2026-01-01 10:00:00", "2026-01-01 10:10:00")],
+    )
+    points = _ts_df(spark, [("pid", False), ("pt", True)], [(1, "2026-01-01 10:05:00")])
+    plan = range_join(
+        points, intervals, "pt", "s", "e", bin_seconds=600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 # --------------------------------------------------------------------------
