@@ -542,6 +542,61 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: the stage-by-stage survivor scoreboard
+    a training pipeline publishes with every corpus drop — raw → exact
+    dedup (canonical per content hash) → quality gate → language gate →
+    deterministic sample. One row per stage with surviving docs + tokens.
+
+    Scale shape: ONE corpus pass. Every stage is a boolean flag computed
+    in the same projection (canonical needs the only shuffle — a window
+    over md5(text), the exact-dedup partitioning); the five cumulative
+    stage counts come out of a single global aggregate via conditional
+    sums, then unpivot to rows with stack(). No per-stage rescans, no
+    per-stage jobs — at 100 TB this costs the same as one groupBy."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold_for,
+    )
+
+    d = _docs(spark, sf_dir)
+    scored = tx.quality_score(d, "text")
+    w = Window.partitionBy(F.md5("text"))
+    flagged = scored.select(
+        F.size(tx.tokens(F.col("text"))).alias("n_tokens"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("f2"),
+        (F.col("quality_score") >= 0.8).alias("q_ok"),
+        (F.col("lang") == "en").alias("l_ok"),
+        (hash_bucket(F.col("doc_id"), "funnel-v1:") < F.lit(threshold_for(0.5))).alias(
+            "s_ok"
+        ),
+    ).select(
+        "n_tokens",
+        "f2",
+        (F.col("f2") & F.col("q_ok")).alias("f3"),
+        (F.col("f2") & F.col("q_ok") & F.col("l_ok")).alias("f4"),
+        (F.col("f2") & F.col("q_ok") & F.col("l_ok") & F.col("s_ok")).alias("f5"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.sum("n_tokens").alias("t1"),
+        *[F.sum(F.col(f"f{i}").cast("long")).alias(f"c{i}") for i in (2, 3, 4, 5)],
+        *[
+            F.sum(F.when(F.col(f"f{i}"), F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
+            for i in (2, 3, 4, 5)
+        ],
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 1, 'raw', c1, t1,"
+        " 2, 'exact_dedup', c2, t2,"
+        " 3, 'quality_gate', c3, t3,"
+        " 4, 'lang_en', c4, t4,"
+        " 5, 'sampled', c5, t5"
+        ") as (stage_idx, stage, n_docs, surviving_tokens)"
+    )
+
+
 def q_docs_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-window manifest via sharded next-fit sequence packing
     (operators/packing.py): docs shard by md5 bucket, pack in id order
@@ -1798,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_state": q_merge_upsert_state,
         "salted_revenue": q_salted_revenue,
         "incident_impact": q_incident_impact,
+        "docs_curation_funnel": q_docs_curation_funnel,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -1939,6 +1995,51 @@ def _stratified_sample_oracle_sql() -> str:
             WHEN lang = 'es' THEN {threshold_for(0.5)}
             WHEN lang = 'en' THEN {threshold_for(0.25)}
             ELSE {threshold_for(0.9)} END)
+    """
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """DuckDB twin of q_docs_curation_funnel: same quality twin
+    (_QUALITY_SQL — its rounded values are hash-identical to Spark's, so
+    threshold comparisons agree), same md5 canonical window, same
+    hex-digit sample bucket, same cumulative stage conjunctions."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("doc_id", "funnel-v1:")
+    thr = threshold_for(0.5)
+    return f"""
+        WITH q AS ({_QUALITY_SQL}),
+        b AS (
+            SELECT doc_id, lang, len({_TOKS}) AS tok,
+                   (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS f2,
+                   {bucket} AS bucket
+            FROM documents
+        ),
+        f AS (
+            SELECT b.tok, b.f2,
+                   b.f2 AND q.quality_score >= 0.8 AS f3,
+                   b.f2 AND q.quality_score >= 0.8 AND b.lang = 'en' AS f4,
+                   b.f2 AND q.quality_score >= 0.8 AND b.lang = 'en'
+                        AND b.bucket < {thr} AS f5
+            FROM b JOIN q USING (doc_id)
+        ),
+        a AS (
+            SELECT count(*) AS c1, CAST(sum(tok) AS BIGINT) AS t1,
+                   CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(sum(CASE WHEN f2 THEN tok ELSE 0 END) AS BIGINT) AS t2,
+                   CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                   CAST(sum(CASE WHEN f3 THEN tok ELSE 0 END) AS BIGINT) AS t3,
+                   CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                   CAST(sum(CASE WHEN f4 THEN tok ELSE 0 END) AS BIGINT) AS t4,
+                   CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                   CAST(sum(CASE WHEN f5 THEN tok ELSE 0 END) AS BIGINT) AS t5
+            FROM f
+        )
+        SELECT 1 AS stage_idx, 'raw' AS stage, c1 AS n_docs, t1 AS surviving_tokens FROM a
+        UNION ALL SELECT 2, 'exact_dedup', c2, t2 FROM a
+        UNION ALL SELECT 3, 'quality_gate', c3, t3 FROM a
+        UNION ALL SELECT 4, 'lang_en', c4, t4 FROM a
+        UNION ALL SELECT 5, 'sampled', c5, t5 FROM a
     """
 
 
@@ -2632,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
+        "docs_curation_funnel": _curation_funnel_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
         "corpus_summary": f"""
             WITH t AS (

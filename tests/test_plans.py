@@ -259,6 +259,23 @@ def test_mixture_plan_scalar_combines_broadcast(spark):
     assert "Scan parquet" not in plan.split("BroadcastNestedLoopJoin")[1]
 
 
+def test_curation_funnel_single_corpus_pass(spark):
+    """docs_curation_funnel: five cumulative stage counts must come from
+    ONE documents scan (flags in one projection, conditional sums in one
+    aggregate) — per-stage rescans would be 5× the cost at 100 TB."""
+    plan = _plan(E.q_docs_curation_funnel(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_incident_impact_range_join_stays_equi(spark):
+    """incident_impact: the keyless point-in-interval pairing must plan
+    as an equi-join on the time bin, never a nested-loop join."""
+    plan = _plan(E.q_incident_impact(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_agg_two_hash_aggregate_phases(spark):
     """salted_revenue: phase-1 (key, salt) partials and the phase-2 merge
     are hash aggregates (each with its own map-side partial) — the salt
