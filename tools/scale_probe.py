@@ -55,6 +55,8 @@ PROBE_QUERIES = [
     "merge_upsert_state",
     "salted_revenue",
     "corpus_mixture_plan",
+    "incident_impact",
+    "docs_curation_funnel",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -78,6 +80,18 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
             parts = []
             for i in range(n):
                 p = src_df.withColumn(key, F.col(key) + F.lit(i * step))
+                if t == "events" and i > 0:
+                    # Shift each copy's clock past the base span (30 days):
+                    # overlapping replicas would make every time-window
+                    # query's TRUE output grow quadratically by construction
+                    # (N× windows × N× co-window events), measuring output
+                    # inflation, not plan scaling — the same reasoning as
+                    # the documents vocabulary prefixing below. N× data now
+                    # means N× history, the realistic growth axis.
+                    if dict(src_df.dtypes).get("ts") == "bigint":  # nanos-as-long era
+                        p = p.withColumn("ts", F.col("ts") + F.lit(i * 35 * 86400 * 10**9))
+                    else:
+                        p = p.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 35} DAYS"))
                 if t == "embeddings" and i > 0:
                     # Rotate each copy's vector by i positions: identical
                     # replicas would land in the SAME sign-LSH buckets, so
