@@ -1503,6 +1503,41 @@ def q_incident_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incident_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap self-join (``operators.joins.overlap_join``):
+    for each 10-minute incident window, how many OTHER incidents were open
+    at any point during it — the alert-storm / blast-radius metric. Keyless
+    interval×interval overlap, the shape Spark would otherwise plan as a
+    nested-loop self-join.
+
+    Scale shape: both interval sets bin at the window width; a pair is
+    emitted only in the bin containing its overlap's start, so the
+    self-join is one sort-merge equi-join on bin with no dedup pass.
+    Incidents with zero concurrency survive via the final left join."""
+    from commercepulse_data_pipeline_spark.operators.joins import overlap_join
+
+    ev = _events(spark, sf_dir)
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    other = inc.select(
+        F.col("incident_id").alias("other_id"),
+        F.col("s").alias("os"),
+        F.col("e").alias("oe"),
+    )
+    pairs = overlap_join(inc, other, "s", "e", "os", "oe", bin_seconds=600).where(
+        F.col("incident_id") != F.col("other_id")
+    )
+    per_inc = pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return inc.select("incident_id").join(per_inc, "incident_id", "left").select(
+        "incident_id", F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent")
+    )
+
+
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history + point-in-time view (``plans.scd.scd2_history`` /
     ``as_of``): the event log becomes type-2 version rows (valid_from /
@@ -1854,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_revenue": q_salted_revenue,
         "incident_impact": q_incident_impact,
         "docs_curation_funnel": q_docs_curation_funnel,
+        "incident_concurrency": q_incident_concurrency,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2282,6 +2318,18 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS purchase_value
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
+            GROUP BY 1
+        """,
+        "incident_concurrency": """
+            WITH inc AS (
+                SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS s,
+                       CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT a.incident_id,
+                   CAST(count(b.incident_id) AS BIGINT) AS n_concurrent
+            FROM inc a LEFT JOIN inc b
+              ON b.incident_id <> a.incident_id AND a.s < b.e AND b.s < a.e
             GROUP BY 1
         """,
         "scd2_asof": """

@@ -105,6 +105,62 @@ def range_join(
     return joined.drop("__bin")
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    *,
+    bin_seconds: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Binned interval-overlap join: each left row pairs with every right
+    row whose half-open interval overlaps it — ``l.start < r.end AND
+    r.start < l.end`` (concurrency analysis, session collision, booking
+    conflicts). Same scale argument as :func:`range_join`: keyless overlap
+    predicates plan as nested-loop joins; binning turns them into one
+    equi-join on (keys…, bin).
+
+    Interval×interval needs one extra trick vs point-in-interval: both
+    sides explode to every bin they touch, so an overlapping pair shares
+    EVERY bin their overlap spans. Emitting on the single bin that
+    contains the overlap's start — ``floor(greatest(l.start, r.start) /
+    w)``, which both sides' bin ranges provably cover — keeps each pair
+    exactly once with no post-join dedup shuffle.
+    """
+    key_cols = key_cols or []
+    clash = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if clash:
+        raise ValueError(f"overlap_join column clash (rename first): {sorted(clash)}")
+    if bin_seconds < 1:
+        raise ValueError("bin_seconds must be >= 1")
+    w = F.lit(int(bin_seconds))
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / w),
+                    F.floor(F.unix_timestamp(F.col(e)) / w),
+                )
+            ),
+        )
+    l = binned(left, left_start, left_end)
+    r = binned(right, right_start, right_end)
+    meet_bin = F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / w
+    )
+    joined = l.join(r, on=key_cols + ["__bin"], how="inner").where(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (F.col("__bin") == meet_bin)
+    )
+    return joined.drop("__bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

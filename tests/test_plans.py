@@ -276,6 +276,14 @@ def test_incident_impact_range_join_stays_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_incident_concurrency_self_overlap_stays_equi(spark):
+    """incident_concurrency: the keyless interval-overlap SELF-join must
+    plan as an equi-join on the time bin, never a nested-loop join."""
+    plan = _plan(E.q_incident_concurrency(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_agg_two_hash_aggregate_phases(spark):
     """salted_revenue: phase-1 (key, salt) partials and the phase-2 merge
     are hash aggregates (each with its own map-side partial) — the salt

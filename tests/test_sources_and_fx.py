@@ -9,7 +9,11 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from commercepulse_data_pipeline_spark.operators.joins import asof_join, range_join
+from commercepulse_data_pipeline_spark.operators.joins import (
+    asof_join,
+    overlap_join,
+    range_join,
+)
 from commercepulse_data_pipeline_spark.plans.gold import normalize_currency
 from commercepulse_data_pipeline_spark.sources.readers import (
     read_bronze,
@@ -139,6 +143,57 @@ def test_range_join_plan_is_equi_join(spark):
         points, intervals, "pt", "s", "e", bin_seconds=600
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_pairs_once_across_shared_bins(spark):
+    # two long intervals share MANY bins at bin_seconds=60 — the
+    # meet-at-overlap-start rule must emit the pair exactly once; the
+    # half-open convention makes touching intervals NOT overlap.
+    left = _ts_df(
+        spark,
+        [("lid", False), ("ls", True), ("le", True)],
+        [
+            (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00"),
+            (2, "2026-01-01 09:00:00", "2026-01-01 09:30:00"),
+        ],
+    )
+    right = _ts_df(
+        spark,
+        [("rid", False), ("rs", True), ("re", True)],
+        [
+            (1, "2026-01-01 10:05:00", "2026-01-01 10:20:00"),  # overlaps lid=1
+            (2, "2026-01-01 10:10:00", "2026-01-01 10:15:00"),  # touches lid=1 end — no
+            (3, "2026-01-01 09:59:00", "2026-01-01 10:30:00"),  # contains lid=1
+        ],
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join(left, right, "ls", "le", "rs", "re", bin_seconds=60).collect()
+    )
+    assert got == [(1, 1), (1, 3)]
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    import itertools
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate([(0, 50), (30, 10), (45, 200), (100, 1), (99, 2), (300, 60)])]
+    mk = lambda cols: spark.createDataFrame(rows, f"{cols[0]} long, s_e long, e_e long").select(
+        cols[0],
+        F.timestamp_seconds("s_e").alias(cols[1]),
+        F.timestamp_seconds("e_e").alias(cols[2]),
+    )
+    left, right = mk(["lid", "ls", "le"]), mk(["rid", "rs", "re"])
+    for bs in (1, 7, 60):
+        got = {
+            (r.lid, r.rid)
+            for r in overlap_join(left, right, "ls", "le", "rs", "re", bin_seconds=bs).collect()
+        }
+        expected = {
+            (a, b)
+            for (a, sa, ea), (b, sb, eb) in itertools.product(rows, rows)
+            if sa < eb and sb < ea
+        }
+        assert got == expected, bs
 
 
 # --------------------------------------------------------------------------

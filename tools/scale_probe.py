@@ -57,6 +57,7 @@ PROBE_QUERIES = [
     "corpus_mixture_plan",
     "incident_impact",
     "docs_curation_funnel",
+    "incident_concurrency",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
