@@ -542,6 +542,76 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-group deterministic sample: exactly k docs per
+    language (rate-based sampling can't promise a floor for tail
+    languages — eval sets and human-review batches need exact counts).
+    Rank by md5 hash bucket (then doc_id for full determinism) inside
+    each language, keep rank <= k.
+
+    Scale shape: one shuffle on lang; Spark's WindowGroupLimit pushes the
+    rank<=k filter MAP-SIDE before the shuffle (measured 6.6× in the
+    Zipf probe, SCALE.md), so a dominant language ships ~k rows per map
+    task, never its full corpus share."""
+    from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
+
+    k = 20
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), "langsample-v1:").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence conversion funnel: per signup cohort week, how many
+    users purchased within 7 days of their FIRST signup, and how fast.
+    The reference's nearest surface is the per-day event rollup
+    (src/transformer.py:88) — no sequence semantics.
+
+    Scale shape: signups pre-aggregate to one row per user BEFORE the
+    purchase join (the gold-rollup pre-agg rule), both sides shuffle once
+    on user_id, then one small groupBy on cohort week. No window over the
+    raw stream, no fan-out."""
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    j = signups.join(purchases, "user_id", "left").withColumn(
+        "conv_ts",
+        F.when(
+            (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            F.col("p_ts"),
+        ),
+    )
+    per_user = j.groupBy("user_id", "signup_ts").agg(
+        F.min("conv_ts").alias("first_conv_ts")
+    )
+    hours = (
+        F.unix_micros("first_conv_ts") - F.unix_micros("signup_ts")
+    ) / F.lit(3600000000.0)
+    return per_user.groupBy(
+        F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("first_conv_ts").alias("n_converted"),
+        F.round(
+            F.count("first_conv_ts") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+        _davg(hours).alias("avg_hours_to_convert"),
+    )
+
+
 def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: the stage-by-stage survivor scoreboard
     a training pipeline publishes with every corpus drop — raw → exact
@@ -1890,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_impact": q_incident_impact,
         "docs_curation_funnel": q_docs_curation_funnel,
         "incident_concurrency": q_incident_concurrency,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
+        "user_conversion": q_user_conversion,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2319,6 +2391,45 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "docs_per_lang_sample": f"""
+            SELECT doc_id, lang, source, sample_rank FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_sample_bucket_sql("doc_id", "langsample-v1:")} ASC,
+                                    doc_id ASC) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 20
+        """,
+        "user_conversion": """
+            WITH ev AS (
+                SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+            ), su AS (
+                SELECT user_id, min(ts) AS signup_ts FROM ev
+                WHERE event_type = 'signup' GROUP BY 1
+            ), pu AS (
+                SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'
+            ), pj AS (
+                SELECT s.user_id, s.signup_ts,
+                       CASE WHEN p.p_ts >= s.signup_ts
+                             AND p.p_ts < s.signup_ts + INTERVAL 7 DAY
+                            THEN p.p_ts END AS conv_ts
+                FROM su s LEFT JOIN pu p USING (user_id)
+            ), per_user AS (
+                SELECT user_id, signup_ts, min(conv_ts) AS first_conv_ts
+                FROM pj GROUP BY 1, 2
+            )
+            SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d') AS cohort_week,
+                   count(*) AS n_signups,
+                   count(first_conv_ts) AS n_converted,
+                   round(count(first_conv_ts) / CAST(count(*) AS DOUBLE), 6)
+                       AS conversion_rate,
+                   round(CAST(sum(CAST((epoch_us(first_conv_ts) - epoch_us(signup_ts))
+                                       / CAST(3600000000 AS DOUBLE) AS DECIMAL(30,8)))
+                              AS DOUBLE) / count(first_conv_ts), 4)
+                       AS avg_hours_to_convert
+            FROM per_user GROUP BY 1
         """,
         "incident_concurrency": """
             WITH inc AS (

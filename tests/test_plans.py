@@ -284,6 +284,22 @@ def test_incident_concurrency_self_overlap_stays_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_per_lang_sample_has_window_group_limit(spark):
+    """docs_per_lang_sample: the rank<=k filter must push map-side
+    (WindowGroupLimit) so a dominant language ships ~k rows per map task
+    instead of its full corpus share (measured 6.6× in the Zipf probe)."""
+    plan = _plan(E.q_docs_per_lang_sample(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_user_conversion_preaggregates_before_join(spark):
+    """user_conversion: signups collapse to one row per user BEFORE the
+    purchase join (no raw-stream fan-out), and nothing goes nested-loop."""
+    plan = _plan(E.q_user_conversion(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
 def test_salted_agg_two_hash_aggregate_phases(spark):
     """salted_revenue: phase-1 (key, salt) partials and the phase-2 merge
     are hash aggregates (each with its own map-side partial) — the salt
