@@ -58,6 +58,8 @@ PROBE_QUERIES = [
     "incident_impact",
     "docs_curation_funnel",
     "incident_concurrency",
+    "docs_per_lang_sample",
+    "user_conversion",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
