@@ -164,3 +164,64 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset so each output
+    file is ~``target_file_mb``. Streaming ingest (one file per
+    micro-batch per task) and fine-grained partitioning both breed
+    thousands of KB-sized files; at 100 TB the scan's file-open/footer
+    overhead and the driver's listing/memory cost dominate long before
+    the bytes do. The reference never needs this (pandas, single file) —
+    any production lakehouse does.
+
+    Mechanics: size the dataset from the file listing (cheap, no scan),
+    rewrite with ``ceil(bytes / target)`` output files — via
+    ``repartition(n)`` (round-robin, even sizes) or, when
+    ``partition_col`` is given, ``repartition(n, col)`` +
+    ``partitionBy(col)`` so each hive partition compacts to its own
+    file set and partition pruning survives. The rewrite goes to a
+    temp sibling directory first and swaps in with two renames —
+    readers never observe a half-written dataset, and the source is
+    still intact if the rewrite dies. (Rename-based swap assumes a
+    filesystem with atomic directory moves — local/HDFS; on object
+    stores use a table format's commit protocol instead.)
+
+    Returns {"files_before", "files_after", "bytes"} for ops logging.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    writer = (
+        df.repartition(n_out, partition_col).write.partitionBy(partition_col)
+        if partition_col
+        else df.repartition(n_out).write
+    )
+    writer.mode("overwrite").parquet(tmp)
+    _os.rename(path.rstrip("/"), old)
+    _os.rename(tmp, path.rstrip("/"))
+    _shutil.rmtree(old)
+    after = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    ]
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}

@@ -1,0 +1,61 @@
+"""Tests: parquet small-files compaction (storage maintenance op)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.sources.readers import compact_parquet
+
+
+def _parquet_files(path):
+    import glob
+    import os
+
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    assert len(_parquet_files(path)) == 40
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1  # 10k rows ≪ 128 MB → one file
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # no leftover temp/old directories
+    import os
+
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.range(2_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    df.repartition(12).write.partitionBy("p").parquet(path)
+    n_before = len(_parquet_files(path))
+    assert n_before >= 12
+
+    compact_parquet(spark, path, target_file_mb=128, partition_col="p")
+    back = spark.read.parquet(path)
+    assert back.count() == 2_000
+    # hive layout survives → partition pruning still works
+    plan = (
+        back.where(F.col("p") == "1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert back.where(F.col("p") == "1").count() == df.where(F.col("p") == "1").count()
+    assert "PartitionFilters: [" in plan and len(_parquet_files(path)) < n_before
