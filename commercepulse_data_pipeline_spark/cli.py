@@ -345,6 +345,25 @@ def cmd_stream_dedup_embeddings(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Storage maintenance: collapse a parquet dataset's small files to
+    ~target-size outputs (atomic directory swap; partition-aware with
+    ``--partition-col``). The chronic cost of streaming ingest at scale."""
+    from commercepulse_data_pipeline_spark.sources.readers import compact_parquet
+
+    spark = _spark()
+    stats = compact_parquet(
+        spark, args.path,
+        target_file_mb=args.target_file_mb,
+        partition_col=args.partition_col,
+    )
+    print(
+        f"compact: {args.path}: {stats['files_before']} files → "
+        f"{stats['files_after']} ({stats['bytes']} bytes)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -431,6 +450,12 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--follow", action="store_true",
                     help="keep running for new files (default: drain once)")
     se.set_defaults(fn=cmd_stream_dedup_embeddings)
+
+    cp = sub.add_parser("compact", help="collapse small parquet files in place")
+    cp.add_argument("path")
+    cp.add_argument("--target-file-mb", type=int, default=128)
+    cp.add_argument("--partition-col", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -38,6 +38,16 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     assert not os.path.exists(path + "._compact_old")
 
 
+def test_cli_compact_subcommand(spark, tmp_path, capsys):
+    from commercepulse_data_pipeline_spark.cli import main
+
+    path = str(tmp_path / "cli_many")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    assert main(["compact", path]) == 0
+    assert "8 files → 1" in capsys.readouterr().out
+    assert spark.read.parquet(path).count() == 1_000
+
+
 def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     path = str(tmp_path / "part")
     df = spark.range(2_000).select(
