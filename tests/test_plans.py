@@ -300,6 +300,47 @@ def test_user_conversion_preaggregates_before_join(spark):
     assert plan.count("Scan parquet") == 2
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB posture for a selective-but-NOT-broadcastable join side:
+    Spark's runtime bloom filter (built from the filtered dim's keys,
+    applied to the fact scan) prunes fact rows before the join shuffle.
+    Production defaults (creation side <10 MB... up to 100 MB, fact scan
+    >10 GB) fire on real volumes; test-scale thresholds are lowered here
+    only to make the plan assertable. Pinned so an upgrade or conf
+    refactor that silently loses the rewrite fails loudly."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_totalprice") > 150000
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_agg_two_hash_aggregate_phases(spark):
     """salted_revenue: phase-1 (key, salt) partials and the phase-2 merge
     are hash aggregates (each with its own map-side partial) — the salt
