@@ -216,6 +216,10 @@ def compact_parquet(
         else df.repartition(n_out).write
     )
     writer.mode("overwrite").parquet(tmp)
+    # a prior compaction that died between its renames can leave the old
+    # dir behind; clear it or our own rename fails on a non-empty target
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
     _os.rename(path.rstrip("/"), old)
     _os.rename(tmp, path.rstrip("/"))
     _shutil.rmtree(old)

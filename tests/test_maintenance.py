@@ -38,6 +38,18 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     assert not os.path.exists(path + "._compact_old")
 
 
+def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "stale")
+    spark.range(500).repartition(4).write.parquet(path)
+    os.makedirs(path + "._compact_old/leftover")  # a prior run died mid-swap
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 500
+    assert not os.path.exists(path + "._compact_old")
+
+
 def test_cli_compact_subcommand(spark, tmp_path, capsys):
     from commercepulse_data_pipeline_spark.cli import main
 
