@@ -612,6 +612,33 @@ def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version audit (``operators.dedup.corpus_diff``): diff two
+    snapshots of the documents table and count added / removed / changed /
+    unchanged. The two snapshots are synthesized DETERMINISTICALLY from
+    the shipped corpus so every status is non-empty at any SF: v1 drops
+    doc_id%10==0 (later additions) and carries an older text for
+    doc_id%7==0; v2 drops doc_id%10==3 (later removals).
+
+    Scale shape: each snapshot reduces to (id, md5) map-side — the text
+    never shuffles — then one full-outer join on id and a 4-group count."""
+    from commercepulse_data_pipeline_spark.operators.dedup import corpus_diff
+
+    d = _docs(spark, sf_dir)
+    v1 = d.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v2 = d.where(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    return (
+        corpus_diff(v1, v2)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: the stage-by-stage survivor scoreboard
     a training pipeline publishes with every corpus drop — raw → exact
@@ -1962,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_concurrency": q_incident_concurrency,
         "docs_per_lang_sample": q_docs_per_lang_sample,
         "user_conversion": q_user_conversion,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2391,6 +2419,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "corpus_snapshot_diff": """
+            WITH v1 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+            ), v2 AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+            ), d AS (
+                SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                       CASE WHEN a.doc_id IS NULL THEN 'added'
+                            WHEN b.doc_id IS NULL THEN 'removed'
+                            WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+            )
+            SELECT status, count(*) AS n_docs FROM d GROUP BY 1
         """,
         "docs_per_lang_sample": f"""
             SELECT doc_id, lang, source, sample_rank FROM (

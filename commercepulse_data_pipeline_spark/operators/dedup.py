@@ -110,6 +110,35 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc id with
+    status ``added`` (only in new) / ``removed`` (only in old) /
+    ``changed`` (both, different content) / ``unchanged``. The audit
+    primitive for corpus drops: what actually moved between v1 and v2.
+
+    Scale shape: each side reduces to (id, content md5) map-side — the
+    raw text never shuffles — then ONE full-outer sort-merge join on id.
+    The reference has no versioning surface at all (it truncates and
+    reloads, src/transformer.py:230)."""
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__h_new"))
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .select(F.col(id_col), status.alias("status"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by the near-dup family)
 # ---------------------------------------------------------------------------

@@ -702,3 +702,14 @@ def test_unigram_cross_entropy_ranks_rare_words_higher(spark):
     # closed form: N=12 tokens, V=6 distinct; common c=7, p=(7+1)/18
     assert got[1].n_tokens == 4
     assert got[1].bits_per_token == round(-math.log2(8 / 18), 4)
+
+
+def test_corpus_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.status for r in dd.corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
