@@ -60,6 +60,7 @@ PROBE_QUERIES = [
     "incident_concurrency",
     "docs_per_lang_sample",
     "user_conversion",
+    "corpus_snapshot_diff",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
