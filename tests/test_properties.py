@@ -211,6 +211,67 @@ def test_range_join_matches_bruteforce(spark, intervals, points, bin_seconds):
 
 
 @given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 150)), min_size=1, max_size=6
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 150)), min_size=1, max_size=6
+    ),
+    bin_seconds=st.sampled_from([1, 13, 60]),
+)
+@settings(**_SETTINGS)
+def test_overlap_join_matches_bruteforce(spark, lefts, rights, bin_seconds):
+    """Binned overlap join == brute-force half-open overlap for every bin
+    width (the meet-at-overlap-start rule emits each pair exactly once)."""
+    from commercepulse_data_pipeline_spark.operators.joins import overlap_join
+
+    lv = [(i, s, s + ln) for i, (s, ln) in enumerate(lefts)]
+    rv = [(i, s, s + ln) for i, (s, ln) in enumerate(rights)]
+
+    def mk(rows, cols):
+        return spark.createDataFrame(rows, f"{cols[0]} long, s_e long, e_e long").select(
+            cols[0],
+            F.timestamp_seconds("s_e").alias(cols[1]),
+            F.timestamp_seconds("e_e").alias(cols[2]),
+        )
+
+    got = [
+        (r.lid, r.rid)
+        for r in overlap_join(
+            mk(lv, ["lid", "ls", "le"]), mk(rv, ["rid", "rs", "re"]),
+            "ls", "le", "rs", "re", bin_seconds=bin_seconds,
+        ).collect()
+    ]
+    expected = {
+        (a, b) for a, sa, ea in lv for b, sb, eb in rv if sa < eb and sb < ea
+    }
+    assert len(got) == len(set(got)), "pair emitted twice"
+    assert set(got) == expected
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.sampled_from("abc"), max_size=10),
+    new=st.dictionaries(st.integers(0, 15), st.sampled_from("abc"), max_size=10),
+)
+@settings(**_SETTINGS)
+def test_corpus_diff_matches_dict_model(spark, old, new):
+    if not old and not new:
+        return
+    odf = spark.createDataFrame(list(old.items()) or [(None, None)], "doc_id int, text string").dropna()
+    ndf = spark.createDataFrame(list(new.items()) or [(None, None)], "doc_id int, text string").dropna()
+    got = {r.doc_id: r.status for r in dd.corpus_diff(odf, ndf).collect()}
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        else:
+            expected[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == expected
+
+
+@given(
     quotes=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 99)), min_size=1, max_size=10),
     trades=st.lists(st.integers(0, 25), min_size=1, max_size=10),
 )
