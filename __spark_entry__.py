@@ -612,6 +612,46 @@ def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: for each pair of corpus sources, how many
+    distinct 8-token passage fingerprints they share — the cross-source
+    contamination/syndication map that tells a curation pipeline which
+    feeds are redistributing each other's content.
+
+    Scale shape: (source, fingerprint) distinct pairs reduce map-side;
+    one shuffle on fingerprint; source pairs expand INSIDE the aggregate
+    from each fingerprint's sorted source set (sources are few — the
+    array is tiny even when the corpus is 100 TB); final count groups on
+    the pair key. No self-join of the exploded fingerprint table."""
+    d = _docs(spark, sf_dir)
+    fps = d.select(
+        "source",
+        F.explode_outer(tx.rolling_fingerprints(F.col("text"), 8)).alias("fp"),
+    ).where(F.col("fp").isNotNull())
+    # no dropDuplicates pre-pass: collect_set dedups sources per fp inside
+    # the ONE fp-keyed aggregate — a (source, fp) distinct would add a
+    # second full shuffle for nothing
+    srcs = F.sort_array(F.collect_set("source"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(srcs.alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus version audit (``operators.dedup.corpus_diff``): diff two
     snapshots of the documents table and count added / removed / changed /
@@ -1990,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_lang_sample": q_docs_per_lang_sample,
         "user_conversion": q_user_conversion,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "source_overlap": q_source_overlap,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2419,6 +2460,19 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "source_overlap": f"""
+            WITH t AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+            fps AS (
+                SELECT DISTINCT source,
+                       unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+7], ' ')))) AS fp
+                FROM t WHERE len(t) >= 8
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_fps
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "corpus_snapshot_diff": """
             WITH v1 AS (

@@ -300,6 +300,16 @@ def test_user_conversion_preaggregates_before_join(spark):
     assert plan.count("Scan parquet") == 2
 
 
+def test_source_overlap_single_scan_no_self_join(spark):
+    """source_overlap: one documents scan, pairs expand inside the
+    fp-keyed aggregate (no self-join of the exploded fingerprint table),
+    and only two exchanges (fp agg + tiny pair-key agg)."""
+    plan = _plan(E.q_source_overlap(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """100 TB posture for a selective-but-NOT-broadcastable join side:
     Spark's runtime bloom filter (built from the filtered dim's keys,
