@@ -61,6 +61,7 @@ PROBE_QUERIES = [
     "docs_per_lang_sample",
     "user_conversion",
     "corpus_snapshot_diff",
+    "source_overlap",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
