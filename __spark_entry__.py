@@ -652,6 +652,25 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (``operators.text.build_vocab``): top-500
+    tokens dense-ranked (count desc, token asc), ids 1..N, 0 reserved for
+    OOV. One count shuffle + TakeOrdered — never a global sort of the
+    full token space."""
+    d = _docs(spark, sf_dir)
+    return tx.build_vocab(d, "text", size=500).select("vocab_id", "token", "n")
+
+
+def q_docs_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize→ids training prep (``operators.text.encode_documents``):
+    each doc encoded against the corpus top-500 vocab — token count, OOV
+    count, first-8-ids prefix. One broadcast join + one per-doc aggregate
+    with a collect buffer bounded at 8 structs per doc by construction."""
+    d = _docs(spark, sf_dir)
+    vocab = tx.build_vocab(d, "text", size=500)
+    return tx.encode_documents(d, vocab, "text", "doc_id", prefix=8)
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus version audit (``operators.dedup.corpus_diff``): diff two
     snapshots of the documents table and count added / removed / changed /
@@ -2031,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_conversion": q_user_conversion,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "source_overlap": q_source_overlap,
+        "corpus_vocab": q_corpus_vocab,
+        "docs_encoded": q_docs_encoded,
         # -- operators touched in r6 (incremental-index append path)
         "minhash_incremental": q_minhash_incremental,
         "docs_split_manifest": q_docs_split_manifest,
@@ -2460,6 +2481,45 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "corpus_vocab": f"""
+            WITH u AS (
+                SELECT unnest({_TOKS}) AS token FROM documents
+            ), c AS (
+                SELECT token, count(*) AS n FROM u GROUP BY 1
+                ORDER BY n DESC, token ASC LIMIT 500
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS vocab_id,
+                   token, n
+            FROM c
+        """,
+        "docs_encoded": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            u AS (SELECT unnest(t) AS token FROM t),
+            c AS (
+                SELECT token, count(*) AS n FROM u GROUP BY 1
+                ORDER BY n DESC, token ASC LIMIT 500
+            ),
+            vocab AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY n DESC, token ASC) AS vocab_id
+                FROM c
+            ),
+            ex AS (
+                SELECT doc_id, unnest(t) AS token,
+                       generate_subscripts(t, 1) AS pos
+                FROM t
+            ),
+            enc AS (
+                SELECT e.doc_id, e.pos, coalesce(v.vocab_id, 0) AS vid
+                FROM ex e LEFT JOIN vocab v USING (token)
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   array_to_string(list(vid ORDER BY pos)
+                                   FILTER (WHERE pos <= 8), '|') AS encoded_prefix
+            FROM enc GROUP BY 1
         """,
         "source_overlap": f"""
             WITH t AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),

@@ -644,3 +644,69 @@ def unigram_cross_entropy(
             4,
         ).alias("bits_per_token"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", *, size: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: the top-``size`` tokens by frequency as
+    (token, n, vocab_id), ids 1..size dense-ranked by (count desc, token
+    asc) — deterministic across engines and runs; id 0 is reserved for
+    OOV by convention (see :func:`encode_documents`).
+
+    Scale shape: one explode + count with map-side combine, then
+    TakeOrdered top-``size`` (never a global sort of the full vocabulary),
+    then a rank window over the ``size``-row result — the unpartitioned
+    window is safe ONLY because its input is already capped at ``size``
+    driver-bounded rows."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("vocab_id", F.row_number().over(w))
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    prefix: int = 8,
+) -> DataFrame:
+    """Encode each document against a vocabulary: per-doc token count,
+    OOV count (tokens absent from the vocab → id 0), and the first
+    ``prefix`` token ids pipe-joined — the tokenize→ids step of training
+    prep, with the full-sequence form being the same plan minus the
+    prefix filter.
+
+    Scale shape: posexplode → ONE broadcast join against the (small)
+    vocab → one groupBy per doc. The per-group collect buffer holds at
+    most ``prefix`` structs because the when()-guard nulls out later
+    positions BEFORE collect_list (which skips nulls) — bounded state per
+    doc regardless of document length."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "token"),
+    ).where(F.col("token").isNotNull())
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "vocab_id")), on="token", how="left"
+    ).withColumn("vid", F.coalesce(F.col("vocab_id"), F.lit(0)))
+    head = F.when(F.col("pos") < prefix, F.struct("pos", "vid"))
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("vid") == 0).cast("long")).alias("n_oov"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(head)),
+                lambda x: x["vid"].cast("string"),
+            ),
+        ).alias("encoded_prefix"),
+    )

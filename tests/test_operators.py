@@ -713,3 +713,27 @@ def test_corpus_diff_all_statuses(spark):
     )
     got = {r.doc_id: r.status for r in dd.corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_build_vocab_and_encode_documents(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "zebra"),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab capped at 3: 'the'(3) -> 1, 'sat'(2) -> 2, then count-1 ties
+    # break lexicographically: 'cat' -> 3; dog/mat/on/zebra are OOV.
+    vocab = {r.token: r.vocab_id for r in tx.build_vocab(docs, size=3).collect()}
+    assert vocab == {"the": 1, "sat": 2, "cat": 3}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.encoded_prefix)
+        for r in tx.encode_documents(
+            docs, tx.build_vocab(docs, size=3), prefix=4
+        ).collect()
+    }
+    assert got[1] == (6, 2, "1|3|2|0")   # the cat sat on -> 1 3 2 OOV; on+mat OOV
+    assert got[2] == (3, 1, "1|0|2")     # the dog sat
+    assert got[3] == (1, 1, "0")         # zebra alone, all OOV
