@@ -62,6 +62,7 @@ PROBE_QUERIES = [
     "user_conversion",
     "corpus_snapshot_diff",
     "source_overlap",
+    "docs_encoded",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
