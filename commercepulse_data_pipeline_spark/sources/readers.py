@@ -166,6 +166,23 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def _swap_in(path: str, tmp: str, old: str) -> None:
+    """Replace ``path`` with ``tmp`` via two renames: readers never
+    observe a half-written dataset, and the source stays intact if the
+    rewrite died before this point. A stale old-dir from a prior crashed
+    swap is cleared first (rename onto a non-empty target fails).
+    Rename-swap assumes atomic directory moves — local/HDFS; on object
+    stores use a table format's commit protocol instead."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    _os.rename(path.rstrip("/"), old)
+    _os.rename(tmp, path.rstrip("/"))
+    _shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -198,7 +215,6 @@ def compact_parquet(
     import glob as _glob
     import math
     import os as _os
-    import shutil as _shutil
 
     files = [
         f
@@ -216,16 +232,48 @@ def compact_parquet(
         else df.repartition(n_out).write
     )
     writer.mode("overwrite").parquet(tmp)
-    # a prior compaction that died between its renames can leave the old
-    # dir behind; clear it or our own rename fails on a non-empty target
-    if _os.path.exists(old):
-        _shutil.rmtree(old)
-    _os.rename(path.rstrip("/"), old)
-    _os.rename(tmp, path.rstrip("/"))
-    _shutil.rmtree(old)
+    _swap_in(path, tmp, old)
     after = [
         f
         for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
         if _os.path.isfile(f)
     ]
     return {"files_before": len(files), "files_after": len(after), "bytes": total}
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list | DataFrame,
+    *,
+    partition_col: str | None = None,
+) -> dict:
+    """Right-to-erasure propagation: remove every row whose ``key_col``
+    is in ``keys`` from a parquet dataset, atomically (same rename-swap
+    as :func:`compact_parquet`). Run it per table to propagate a deletion
+    request through bronze/silver/gold — the reference's truncate-and-
+    reload has no targeted-delete story at all.
+
+    ``keys`` may be a Python list (small requests) or a DataFrame with a
+    ``key_col`` column (bulk requests); either way the purge is one
+    broadcast LEFT-ANTI join — the dataset shuffles nothing and is read
+    once for the rewrite. Returns {"rows_before", "rows_removed"} (the
+    counts cost one extra scan; erasure jobs audit their work).
+    """
+    df = spark.read.parquet(path)
+    if isinstance(keys, DataFrame):
+        keys_df = keys.select(key_col).dropDuplicates([key_col])
+    else:
+        keys_df = spark.createDataFrame(
+            [(k,) for k in keys], df.select(key_col).schema
+        )
+    kept = df.join(F.broadcast(keys_df), on=key_col, how="left_anti")
+    before = df.count()
+    tmp = path.rstrip("/") + "._purge_tmp"
+    old = path.rstrip("/") + "._purge_old"
+    writer = kept.write.partitionBy(partition_col) if partition_col else kept.write
+    writer.mode("overwrite").parquet(tmp)
+    _swap_in(path, tmp, old)
+    after = spark.read.parquet(path).count()
+    return {"rows_before": before, "rows_removed": before - after}

@@ -81,3 +81,38 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     )
     assert back.where(F.col("p") == "1").count() == df.where(F.col("p") == "1").count()
     assert "PartitionFilters: [" in plan and len(_parquet_files(path)) < n_before
+
+
+def test_purge_keys_removes_only_targets(spark, tmp_path):
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    path = str(tmp_path / "erase")
+    spark.range(100).selectExpr("id AS user_id", "id * 2 AS v").write.parquet(path)
+    stats = purge_keys(spark, path, "user_id", [3, 7, 7, 999])
+    assert stats == {"rows_before": 100, "rows_removed": 2}
+    back = spark.read.parquet(path)
+    assert back.count() == 98
+    assert back.where("user_id IN (3, 7)").count() == 0
+    assert back.where("user_id = 4").count() == 1
+    import os
+
+    assert not os.path.exists(path + "._purge_tmp")
+    assert not os.path.exists(path + "._purge_old")
+
+
+def test_purge_keys_dataframe_request_and_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F2
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    path = str(tmp_path / "erase_part")
+    spark.range(60).select(
+        F2.col("id").alias("user_id"), (F2.col("id") % 3).cast("string").alias("p")
+    ).write.partitionBy("p").parquet(path)
+    req = spark.range(10).select(F2.col("id").alias("user_id"))
+    stats = purge_keys(spark, path, "user_id", req, partition_col="p")
+    assert stats["rows_removed"] == 10
+    back = spark.read.parquet(path)
+    assert back.count() == 50 and back.where("user_id < 10").count() == 0
+    # hive layout survives
+    plan = back.where(F2.col("p") == "1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
