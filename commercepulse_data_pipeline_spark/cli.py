@@ -364,6 +364,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    """Right-to-erasure: delete rows matching the given keys from a
+    parquet dataset (atomic swap; run per table to propagate a request
+    through bronze/silver/gold)."""
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    spark = _spark()
+    stats = purge_keys(
+        spark, args.path, args.key_col, args.keys,
+        partition_col=args.partition_col,
+    )
+    print(
+        f"purge: {args.path}: removed {stats['rows_removed']} of "
+        f"{stats['rows_before']} rows ({args.key_col} in {args.keys})"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -456,6 +474,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--target-file-mb", type=int, default=128)
     cp.add_argument("--partition-col", default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    pg = sub.add_parser("purge", help="delete rows by key from a parquet dataset")
+    pg.add_argument("path")
+    pg.add_argument("key_col")
+    pg.add_argument("keys", nargs="+")
+    pg.add_argument("--partition-col", default=None)
+    pg.set_defaults(fn=cmd_purge)
 
     args = p.parse_args(argv)
     return args.fn(args)

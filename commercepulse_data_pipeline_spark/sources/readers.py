@@ -262,12 +262,17 @@ def purge_keys(
     counts cost one extra scan; erasure jobs audit their work).
     """
     df = spark.read.parquet(path)
+    key_type = df.schema[key_col].dataType
     if isinstance(keys, DataFrame):
-        keys_df = keys.select(key_col).dropDuplicates([key_col])
+        keys_df = keys.select(
+            F.col(key_col).cast(key_type).alias(key_col)
+        ).dropDuplicates([key_col])
     else:
+        # accept heterogeneous callers (CLI strings, Python ints) by
+        # round-tripping through string → the dataset's key type
         keys_df = spark.createDataFrame(
-            [(k,) for k in keys], df.select(key_col).schema
-        )
+            [(str(k),) for k in keys], f"{key_col} string"
+        ).select(F.col(key_col).cast(key_type).alias(key_col))
     kept = df.join(F.broadcast(keys_df), on=key_col, how="left_anti")
     before = df.count()
     tmp = path.rstrip("/") + "._purge_tmp"

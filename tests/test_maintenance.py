@@ -116,3 +116,13 @@ def test_purge_keys_dataframe_request_and_partitions(spark, tmp_path):
     # hive layout survives
     plan = back.where(F2.col("p") == "1")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_cli_purge_subcommand(spark, tmp_path, capsys):
+    from commercepulse_data_pipeline_spark.cli import main
+
+    path = str(tmp_path / "cli_erase")
+    spark.range(20).selectExpr("id AS user_id").write.parquet(path)
+    assert main(["purge", path, "user_id", "5", "11"]) == 0
+    assert "removed 2 of 20" in capsys.readouterr().out
+    assert spark.read.parquet(path).where("user_id IN (5, 11)").count() == 0
