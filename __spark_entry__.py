@@ -698,6 +698,30 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-signup week, then
+    for each week offset since signup, how many were active (any event).
+    The classic product-analytics triangle; the reference's nearest
+    surface is the flat per-day rollup (src/transformer.py:88).
+
+    Scale shape: first-signup pre-aggregates per user; activity reduces
+    to distinct (user, week) BEFORE the join (so a user's 10⁶ events
+    collapse map-side); both shuffle once on user_id; the final matrix
+    groupBy is tiny. No windows, no fan-out."""
+    ev = _events(spark, sf_dir)
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    j = su.join(act, "user_id").withColumn(
+        "week_offset", (F.datediff("wk", "cohort_wk") / 7).cast("int")
+    ).where(F.col("week_offset") >= 0)
+    return j.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
 def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: the stage-by-stage survivor scoreboard
     a training pipeline publishes with every corpus drop — raw → exact
@@ -2050,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_conversion": q_user_conversion,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "source_overlap": q_source_overlap,
+        "retention_cohorts": q_retention_cohorts,
         "corpus_vocab": q_corpus_vocab,
         "docs_encoded": q_docs_encoded,
         # -- operators touched in r6 (incremental-index append path)
@@ -2481,6 +2506,22 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "retention_cohorts": """
+            WITH ev AS (
+                SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+            ), su AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+                FROM ev WHERE event_type = 'signup' GROUP BY 1
+            ), act AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM ev
+            )
+            SELECT strftime(s.cohort_wk, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', s.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+                   count(DISTINCT s.user_id) AS n_active
+            FROM su s JOIN act a USING (user_id)
+            WHERE date_diff('day', s.cohort_wk, a.wk) >= 0
+            GROUP BY 1, 2
         """,
         "corpus_vocab": f"""
             WITH u AS (
