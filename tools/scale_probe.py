@@ -63,6 +63,7 @@ PROBE_QUERIES = [
     "corpus_snapshot_diff",
     "source_overlap",
     "docs_encoded",
+    "retention_cohorts",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
