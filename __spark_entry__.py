@@ -698,6 +698,31 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_revenue_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving revenue via a RANGE window frame (interval-bounded,
+    gap-correct: a missing calendar day still bounds the frame by VALUE,
+    where a rows-frame would silently widen to 7 arbitrary rows). The one
+    frame kind the surface didn't yet exercise.
+
+    Scale shape: the fact table pre-aggregates to one row per DAY before
+    the window, so the unpartitioned ordered frame runs over #days rows
+    (thousands for a decade) — bounded by calendar time, not data volume.
+    Decimal accumulation keeps the windowed sum order-independent."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date(F.col("o_orderdate").cast("timestamp")).alias("day"),
+        F.col("o_totalprice"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev_dec", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev_dec").over(w), 2).cast("double").alias("revenue_7d"),
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-signup week, then
     for each week offset since signup, how many were active (any event).
@@ -2075,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "source_overlap": q_source_overlap,
         "retention_cohorts": q_retention_cohorts,
+        "daily_revenue_7dma": q_daily_revenue_7dma,
         "corpus_vocab": q_corpus_vocab,
         "docs_encoded": q_docs_encoded,
         # -- operators touched in r6 (incremental-index append path)
@@ -2506,6 +2532,20 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "daily_revenue_7dma": """
+            WITH daily AS (
+                SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+                       sum(CAST(o_totalprice AS DECIMAL(30,8))) AS rev_dec
+                FROM orders GROUP BY 1
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(round(rev_dec, 2) AS DOUBLE) AS revenue,
+                   CAST(round(sum(rev_dec) OVER (
+                       ORDER BY day
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+                   ), 2) AS DOUBLE) AS revenue_7d
+            FROM daily
         """,
         "retention_cohorts": """
             WITH ev AS (
