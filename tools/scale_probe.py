@@ -64,6 +64,7 @@ PROBE_QUERIES = [
     "source_overlap",
     "docs_encoded",
     "retention_cohorts",
+    "daily_revenue_7dma",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
