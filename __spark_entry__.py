@@ -698,6 +698,22 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: detected language vs the table's
+    metadata language, with counts — the audit that tells a curation
+    pipeline where the heuristic classifier disagrees with upstream
+    labels (and which side to trust per cell).
+
+    Scale shape: detection is a pure per-row projection; the matrix
+    groupBy has ≤ |langs|² groups — map-side combine collapses
+    everything before one tiny shuffle."""
+    d = _docs(spark, sf_dir)
+    det = tx.detect_language(d, "text")
+    return det.groupBy(
+        F.col("lang").alias("label_lang"), "detected_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_daily_revenue_7dma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving revenue via a RANGE window frame (interval-bounded,
     gap-correct: a missing calendar day still bounds the frame by VALUE,
@@ -2101,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "retention_cohorts": q_retention_cohorts,
         "daily_revenue_7dma": q_daily_revenue_7dma,
+        "lang_confusion": q_lang_confusion,
         "corpus_vocab": q_corpus_vocab,
         "docs_encoded": q_docs_encoded,
         # -- operators touched in r6 (incremental-index append path)
@@ -2532,6 +2549,13 @@ def oracle_sql() -> dict[str, str]:
             FROM inc i LEFT JOIN pur p
               ON p.p_ts >= i.inc_start AND p.p_ts < i.inc_end
             GROUP BY 1
+        """,
+        "lang_confusion": f"""
+            WITH det AS ({_lang_detect_oracle_sql()})
+            SELECT d.lang AS label_lang, det.detected_lang,
+                   count(*) AS n_docs
+            FROM documents d JOIN det USING (doc_id)
+            GROUP BY 1, 2
         """,
         "daily_revenue_7dma": """
             WITH daily AS (
