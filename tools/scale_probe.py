@@ -65,6 +65,7 @@ PROBE_QUERIES = [
     "docs_encoded",
     "retention_cohorts",
     "daily_revenue_7dma",
+    "lang_confusion",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
