@@ -1608,6 +1608,156 @@ def q_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _sketch_percentile_checks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    names: list[str],
+    extra_aggs: list = (),
+    *,
+    accuracy: int = 10000,
+):
+    """Shared envelope check for quantile sketches: per group, the
+    ``approx_percentile`` value must lie between the exact order
+    statistics at rank ``ceil(q·n) ± (ceil(n/accuracy) + 1)`` — the
+    sketch's published rank-error guarantee (±n/accuracy) plus one rank of
+    definition slack (ceil-vs-floor). Rank-based, so the verdict is
+    distribution-proof AND quantile-definition-proof (a relative value
+    band falsely fails on small groups where interpolated and discrete
+    percentiles sit an order-stat gap apart — observed at sf0.001).
+
+    The exact side is a per-group window sort — same cost as an exact
+    percentile; this is a parity *check* query, not a production shape
+    (the production shape is the sketch itself, `q_approx_stats`).
+
+    Returns (aggregated_df, [ok_int_column ...] aliased per ``names``).
+    """
+    arr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    d = (
+        df.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    n = F.col("__n").cast("long")
+    delta = (F.ceil(n / F.lit(accuracy)) + F.lit(1)).cast("long")
+    aggs = [
+        F.expr(f"approx_percentile({value_col}, {arr}, {accuracy})").alias("__ap"),
+    ]
+    for i, q in enumerate(qs):
+        k = F.ceil(F.lit(q) * n).cast("long")
+        lo_k = F.greatest(k - delta, F.lit(1).cast("long"))
+        hi_k = F.least(k + delta, n)
+        aggs.append(
+            F.min(F.when(F.col("__r") == lo_k, F.col(value_col))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("__r") == hi_k, F.col(value_col))).alias(f"__hi{i}")
+        )
+    agg = d.groupBy(group_col).agg(*aggs, *extra_aggs)
+    oks = [
+        (
+            (F.element_at("__ap", i + 1) >= F.col(f"__lo{i}"))
+            & (F.element_at("__ap", i + 1) <= F.col(f"__hi{i}"))
+        )
+        .cast("int")
+        .alias(names[i])
+        for i in range(len(qs))
+    ]
+    return agg, oks
+
+
+def q_approx_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of ``q_approx_stats`` (VERDICT r6 item 2): the
+    sketch outputs themselves are estimator-specific, but the *claim* that
+    they sit within their error envelopes is a deterministic 0/1 —
+    computed Spark-side against exact aggregates in the SAME aggregation,
+    so the oracle (which asserts the envelope holds, plus the exact
+    counts) hash-checks it. Envelopes: HLL++ at rsd=0.02 within 5
+    standard errors (2-count floor, per ``tests/test_approx_parity.py``);
+    quantile sketches via the rank-error bound in
+    ``_sketch_percentile_checks``. Booleans are cast to int on both
+    driver sides so the value-hash never depends on an engine's bool
+    repr."""
+    e = _events(spark, sf_dir)
+    agg, oks = _sketch_percentile_checks(
+        e,
+        "event_type",
+        "value",
+        [0.5, 0.95],
+        ["p50_ok", "p95_ok"],
+        [
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+    users_tol = F.greatest(F.lit(5 * 0.02) * F.col("exact_users"), F.lit(2.0))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= users_tol)
+        .cast("int")
+        .alias("users_ok"),
+        *oks,
+    )
+
+
+def q_order_value_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of ``q_order_value_percentiles_approx`` (VERDICT
+    r6 item 2): per-priority 0/1 verdicts that each sketch percentile sits
+    within its rank-error envelope of the exact order statistics (see
+    ``_sketch_percentile_checks``)."""
+    o = _t(spark, sf_dir, "orders")
+    agg, oks = _sketch_percentile_checks(
+        o.select("o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        [0.5, 0.9, 0.99],
+        ["p50_ok", "p90_ok", "p99_ok"],
+        [F.count(F.lit(1)).alias("n_orders")],
+    )
+    return agg.select("o_orderpriority", "n_orders", *oks)
+
+
+def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure end-to-end through the REAL purge path (VERDICT r6
+    item 8): copy orders to a scratch dataset, run
+    ``sources.readers.purge_keys`` (broadcast left-anti + rename-swap
+    rewrite) on a deterministic key set (o_orderkey divisible by 97), then
+    roll up what physically survived on disk. Oracle replays the anti-join
+    as plain SQL. The 5-row result is collected so the scratch dir can be
+    deleted before returning (bounded-small by construction)."""
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    scratch = tempfile.mkdtemp(prefix="cp_purge_audit_")
+    path = os.path.join(scratch, "orders")
+    try:
+        o = _t(spark, sf_dir, "orders")
+        o.write.mode("overwrite").parquet(path)
+        keys = o.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+        audit = purge_keys(spark, path, "o_orderkey", keys)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("rows_removed", F.lit(audit["rows_removed"]).cast("long"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_fx_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency normalization through the backward as-of rate lookup
     (``plans.gold.normalize_currency`` — the Q7 fix; reference ships
@@ -2080,69 +2230,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r5 recorded exactly the first 50 of
-    # 62). So: (a) oracle-backed queries with the OLDEST driver verification
-    # come FIRST — r6 rotates in the 10 entries whose last driver row was r4
-    # (VERDICT r5 item 1); (b) then queries whose operators changed this
-    # round; (c) then the r5-green block, freshest-verified last; (d) the
+    # the number of rows it records (~50). So: (a) oracle-backed queries
+    # with the OLDEST driver verification come FIRST — r7 rotates in the
+    # 31-query tail whose last driver row was r5 (VERDICT r6 item 1);
+    # (b) then r7-new queries and queries whose operators changed this
+    # round; (c) then the r6-green block, freshest-verified last; (d) the
     # three rows-only entries close the list.
     return {
-        # -- driver-verification debt: last green row r4, rotate in first
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
-        # -- r6-new: as-of join / SCD2 / semantic dedup get their first oracle rows
-        "fx_normalized_revenue": q_fx_normalized_revenue,
-        "last_touch_asof": q_last_touch_asof,
-        "scd2_asof": q_scd2_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "split_leakage": q_split_leakage,
-        "docs_unigram_ce": q_docs_unigram_ce,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
-        "merge_upsert_state": q_merge_upsert_state,
-        "salted_revenue": q_salted_revenue,
-        "incident_impact": q_incident_impact,
-        "docs_curation_funnel": q_docs_curation_funnel,
-        "incident_concurrency": q_incident_concurrency,
-        "docs_per_lang_sample": q_docs_per_lang_sample,
-        "user_conversion": q_user_conversion,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "source_overlap": q_source_overlap,
-        "retention_cohorts": q_retention_cohorts,
-        "daily_revenue_7dma": q_daily_revenue_7dma,
-        "lang_confusion": q_lang_confusion,
-        "corpus_vocab": q_corpus_vocab,
-        "docs_encoded": q_docs_encoded,
-        # -- operators touched in r6 (incremental-index append path)
-        "minhash_incremental": q_minhash_incremental,
-        "docs_split_manifest": q_docs_split_manifest,
-        # -- r5-new extension tier (green r5)
-        "docs_repetition": q_docs_repetition,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "docs_chunked": q_docs_chunked,
-        "docs_keywords": q_docs_keywords,
-        "corpus_summary": q_corpus_summary,
-        "docs_fingerprint": q_docs_fingerprint,
-        "embedding_selfknn": q_embedding_selfknn,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "docs_lang_detect": q_docs_lang_detect,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        # -- r4-new extension tier (green r5)
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_packed_windows": q_docs_packed_windows,
-        "docs_contamination": q_docs_contamination,
-        # -- headline reference queries
+        # -- driver-verification debt: last green row r5, rotate in first
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
         "order_daily_rollup": q_order_daily_rollup,
@@ -2171,10 +2266,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_windows": q_session_windows,
         "event_daily_stats": q_event_daily_stats,
-        # -- stable tail: green in r5, operators untouched since
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        # -- r7-new: approx tier made hash-checkable + purge path audited
+        "approx_stats_check": q_approx_stats_check,
+        "order_value_percentiles_check": q_order_value_percentiles_check,
+        "purge_audit": q_purge_audit,
+        # -- operators touched in r7 (corpus_diff presence-marker fix)
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        # -- r6-green block (freshest driver rows), oldest-listed rechecked
+        #    first as the ~50-row cap allows
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "split_leakage": q_split_leakage,
+        "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        "merge_upsert_state": q_merge_upsert_state,
+        "salted_revenue": q_salted_revenue,
+        "incident_impact": q_incident_impact,
+        "docs_curation_funnel": q_docs_curation_funnel,
+        "incident_concurrency": q_incident_concurrency,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
+        "user_conversion": q_user_conversion,
+        "source_overlap": q_source_overlap,
+        "retention_cohorts": q_retention_cohorts,
+        "daily_revenue_7dma": q_daily_revenue_7dma,
+        "lang_confusion": q_lang_confusion,
+        "corpus_vocab": q_corpus_vocab,
+        "docs_encoded": q_docs_encoded,
+        "minhash_incremental": q_minhash_incremental,
+        "docs_split_manifest": q_docs_split_manifest,
+        "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_chunked": q_docs_chunked,
+        "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_lang_detect": q_docs_lang_detect,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
         # -- rows-only (no oracle): engine-specific by design
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
@@ -2655,6 +2806,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
             )
             SELECT status, count(*) AS n_docs FROM d GROUP BY 1
+        """,
+        # The *_check oracles assert the sketch error envelopes HOLD (the
+        # booleans are claims about Spark's own estimators, so the oracle's
+        # job is the exact aggregates + the all-ones envelope verdict; a
+        # sketch drifting out of envelope → hash mismatch → red driver row).
+        "approx_stats_check": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS exact_users,
+                   CAST(1 AS INT) AS users_ok,
+                   CAST(1 AS INT) AS p50_ok,
+                   CAST(1 AS INT) AS p95_ok
+            FROM events GROUP BY 1
+        """,
+        "order_value_percentiles_check": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(1 AS INT) AS p50_ok,
+                   CAST(1 AS INT) AS p90_ok,
+                   CAST(1 AS INT) AS p99_ok
+            FROM orders GROUP BY 1
+        """,
+        "purge_audit": """
+            WITH kept AS (
+                SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+            )
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_price,
+                   (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0) AS rows_removed
+            FROM kept GROUP BY 1
         """,
         "docs_per_lang_sample": f"""
             SELECT doc_id, lang, source, sample_rank FROM (

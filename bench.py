@@ -145,27 +145,29 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
 
-    # Each query runs three times; we report the min (steady-state).
-    # Per-query run-to-run variance on this box is ±30% (GC, scheduling);
-    # min-of-3 after the full warm-up sweep keeps the recorded number
-    # representative of the plan, not the noise.
-    timings: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        runs = []
-        for _ in range(3):
+    # Each query runs N_SWEEPS times; we report the min (steady-state).
+    # Per-query run-to-run variance on this box is ±30% (GC, scheduling).
+    # The measurements are INTERLEAVED — full sweeps over the suite, each
+    # sweep starting at a rotated offset — rather than back-to-back runs
+    # of one query: a transient load spike then inflates ONE measurement
+    # of many queries instead of every measurement of one query, so no
+    # single noisy window can skew a query's min (VERDICT r6 item 7:
+    # pricing_summary's [0.84, 0.515, 1.343] triplet was all three runs
+    # landing inside the same busy window). Four sweeps instead of three
+    # gives sub-second queries one more draw for the same reason.
+    N_SWEEPS = 4
+    all_runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for sweep in range(N_SWEEPS):
+        off = (sweep * 7) % len(HEADLINE)  # rotate start; 7 coprime-ish to 20
+        for name in HEADLINE[off:] + HEADLINE[:off]:
             t0 = time.monotonic()
-            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.monotonic() - t0)
-        dt = round(min(runs), 3)
-        timings[name] = dt
-        # all three runs go into the artifact so a loaded-box outlier is
-        # self-diagnosing (r5 shipped a 4.7s min whose culprit — concurrent
-        # pytest load — was invisible with min-only recording)
-        all_runs[name] = [round(r, 3) for r in runs]
-        total += dt
+            qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
+            all_runs[name].append(round(time.monotonic() - t0, 3))
+    # all runs go into the artifact so a loaded-box outlier is
+    # self-diagnosing (r5 shipped a 4.7s min whose culprit — concurrent
+    # pytest load — was invisible with min-only recording)
+    timings = {name: round(min(runs), 3) for name, runs in all_runs.items()}
+    total = sum(timings.values())
 
     print(
         json.dumps(

@@ -124,13 +124,28 @@ def corpus_diff(
     Scale shape: each side reduces to (id, content md5) map-side — the
     raw text never shuffles — then ONE full-outer sort-merge join on id.
     The reference has no versioning surface at all (it truncates and
-    reloads, src/transformer.py:230)."""
-    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__h_new"))
+    reloads, src/transformer.py:230).
+
+    Presence is carried by explicit markers, NOT by hash nullity: a doc
+    that exists in a snapshot with NULL content still counts as present
+    (added/removed go by id-presence, matching the oracle's
+    ``a.doc_id IS NULL`` test), and NULL-content rows compare null-safely
+    for changed/unchanged (NULL vs NULL → unchanged, NULL vs text →
+    changed)."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("__h_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("__h_new"),
+        F.lit(True).alias("__in_new"),
+    )
     status = (
-        F.when(F.col("__h_old").isNull(), F.lit("added"))
-        .when(F.col("__h_new").isNull(), F.lit("removed"))
-        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__h_old").eqNullSafe(F.col("__h_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (

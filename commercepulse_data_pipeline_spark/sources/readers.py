@@ -167,12 +167,19 @@ def write_bucketed(
 
 
 def _swap_in(path: str, tmp: str, old: str) -> None:
-    """Replace ``path`` with ``tmp`` via two renames: readers never
-    observe a half-written dataset, and the source stays intact if the
+    """Replace ``path`` with ``tmp`` via two renames. NOT atomic as a
+    whole: between the two renames ``path`` does not exist, so a reader
+    racing the swap can observe a missing directory for an instant, and a
+    crash in that window strands the only copy at ``old`` —
+    :func:`_recover_swap` (called at the top of every rewrite op) adopts
+    it back automatically on the next run. The source stays intact if the
     rewrite died before this point. A stale old-dir from a prior crashed
     swap is cleared first (rename onto a non-empty target fails).
-    Rename-swap assumes atomic directory moves — local/HDFS; on object
-    stores use a table format's commit protocol instead."""
+
+    Local-filesystem only (``os.rename``/``glob``/``shutil``): each
+    individual rename is atomic on POSIX, but the helpers don't speak
+    HDFS/object-store URIs — there, use a table format's commit protocol
+    (Delta/Iceberg/Hudi) instead of directory swaps."""
     import os as _os
     import shutil as _shutil
 
@@ -181,6 +188,24 @@ def _swap_in(path: str, tmp: str, old: str) -> None:
     _os.rename(path.rstrip("/"), old)
     _os.rename(tmp, path.rstrip("/"))
     _shutil.rmtree(old)
+
+
+def _recover_swap(path: str) -> bool:
+    """Crash recovery for :func:`_swap_in`: if a prior swap died between
+    its two renames, ``path`` is missing and the only copy sits at
+    ``<path>._compact_old`` / ``<path>._purge_old``. Adopt it back so the
+    dataset is readable again; returns True if a recovery happened.
+    Leftover ``._*_tmp`` dirs (crash before the first rename) are inert —
+    the next rewrite overwrites them."""
+    import os as _os
+
+    p = path.rstrip("/")
+    if not _os.path.exists(p):
+        for suffix in ("._compact_old", "._purge_old"):
+            if _os.path.exists(p + suffix):
+                _os.rename(p + suffix, p)
+                return True
+    return False
 
 
 def compact_parquet(
@@ -199,38 +224,73 @@ def compact_parquet(
     any production lakehouse does.
 
     Mechanics: size the dataset from the file listing (cheap, no scan),
-    rewrite with ``ceil(bytes / target)`` output files — via
-    ``repartition(n)`` (round-robin, even sizes) or, when
-    ``partition_col`` is given, ``repartition(n, col)`` +
-    ``partitionBy(col)`` so each hive partition compacts to its own
-    file set and partition pruning survives. The rewrite goes to a
-    temp sibling directory first and swaps in with two renames —
-    readers never observe a half-written dataset, and the source is
-    still intact if the rewrite dies. (Rename-based swap assumes a
-    filesystem with atomic directory moves — local/HDFS; on object
-    stores use a table format's commit protocol instead.)
+    rewrite with ``ceil(bytes / target)`` output files. Unpartitioned:
+    ``repartition(n)`` (round-robin, even sizes). With ``partition_col``:
+    hashing on the partition column alone would collapse every hive
+    partition to ONE file written by one task — a multi-GB partition
+    becomes a straggler/OOM-prone write — so rows are salted WITHIN each
+    hive partition: the salt width per partition is derived from that
+    partition's input bytes (read off the hive directory listing), and
+    ``repartition(n, col, pmod(hash(id), width))`` + ``partitionBy(col)``
+    gives each partition ``ceil(its bytes / target)`` write tasks while
+    partition pruning survives. If the input isn't hive-laid-out yet
+    (first compaction), widths fall back to a uniform
+    ``ceil(n_out / n_partitions)``. The rewrite goes to a temp sibling
+    directory first and swaps in with two renames (see
+    :func:`_swap_in` for the non-atomicity window and the local-FS-only
+    caveat; a prior crashed swap is auto-recovered first).
 
     Returns {"files_before", "files_after", "bytes"} for ops logging.
     """
     import glob as _glob
     import math
     import os as _os
+    import urllib.parse as _uparse
 
+    _recover_swap(path)
     files = [
         f
         for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
         if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
     ]
     total = sum(_os.path.getsize(f) for f in files)
-    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
-    writer = (
-        df.repartition(n_out, partition_col).write.partitionBy(partition_col)
-        if partition_col
-        else df.repartition(n_out).write
-    )
+    if partition_col:
+        # Per-partition salt widths from the hive listing (no extra scan).
+        part_bytes: dict[str, int] = {}
+        hive = True
+        prefix = partition_col + "="
+        for f in files:
+            seg = next((s for s in f.split(_os.sep) if s.startswith(prefix)), None)
+            if seg is None:
+                hive = False
+                break
+            val = _uparse.unquote(seg[len(prefix):])
+            part_bytes[val] = part_bytes.get(val, 0) + _os.path.getsize(f)
+        if hive and part_bytes and len(part_bytes) <= 10_000:
+            widths = {v: max(1, math.ceil(b / target_bytes)) for v, b in part_bytes.items()}
+            width_map = F.create_map(
+                *[x for v, w in widths.items() for x in (F.lit(v), F.lit(w))]
+            )
+            width = F.coalesce(
+                width_map[F.col(partition_col).cast("string")], F.lit(1)
+            )
+            n_tasks = max(n_out, sum(widths.values()))
+        else:
+            n_parts = max(1, df.select(partition_col).distinct().count())
+            width = F.lit(max(1, math.ceil(n_out / n_parts)))
+            n_tasks = n_out
+        salt = F.pmod(F.hash(F.monotonically_increasing_id()), width)
+        writer = (
+            df.repartition(n_tasks, F.col(partition_col), salt)
+            .write.partitionBy(partition_col)
+        )
+    else:
+        writer = df.repartition(n_out).write
     writer.mode("overwrite").parquet(tmp)
     _swap_in(path, tmp, old)
     after = [
@@ -260,19 +320,45 @@ def purge_keys(
     broadcast LEFT-ANTI join — the dataset shuffles nothing and is read
     once for the rewrite. Returns {"rows_before", "rows_removed"} (the
     counts cost one extra scan; erasure jobs audit their work).
+
+    Keys that fail the cast to the dataset's key type raise ValueError
+    up front: a cast-to-NULL key would silently match nothing in the
+    anti-join, so a mistyped right-to-erasure request would report
+    ``rows_removed=0`` instead of erroring — unacceptable for a
+    compliance tool. (The validation job runs over the keys only —
+    bounded-small by construction.)
     """
+    _recover_swap(path)
     df = spark.read.parquet(path)
     key_type = df.schema[key_col].dataType
+    # try_cast, not cast: under ANSI mode a malformed key would throw an
+    # opaque NumberFormatException mid-job; under legacy mode it would
+    # silently become NULL and match nothing. try_cast pins the
+    # NULL-on-failure behavior so the validation below raises ONE clean
+    # ValueError naming the offending keys in both modes.
     if isinstance(keys, DataFrame):
-        keys_df = keys.select(
-            F.col(key_col).cast(key_type).alias(key_col)
-        ).dropDuplicates([key_col])
+        typed = keys.select(
+            F.col(key_col).cast("string").alias("__raw"),
+            F.col(key_col).try_cast(key_type).alias(key_col),
+        )
     else:
         # accept heterogeneous callers (CLI strings, Python ints) by
         # round-tripping through string → the dataset's key type
-        keys_df = spark.createDataFrame(
-            [(str(k),) for k in keys], f"{key_col} string"
-        ).select(F.col(key_col).cast(key_type).alias(key_col))
+        typed = spark.createDataFrame(
+            [(str(k),) for k in keys], "__raw string"
+        ).select("__raw", F.col("__raw").try_cast(key_type).alias(key_col))
+    bad = [
+        r["__raw"]
+        for r in typed.where(
+            F.col(key_col).isNull() & F.col("__raw").isNotNull()
+        ).select("__raw").limit(20).collect()
+    ]
+    if bad:
+        raise ValueError(
+            f"purge_keys: {len(bad)}+ deletion key(s) failed the cast to "
+            f"{key_type.simpleString()} and would silently match nothing: {bad}"
+        )
+    keys_df = typed.select(key_col).dropDuplicates([key_col])
     kept = df.join(F.broadcast(keys_df), on=key_col, how="left_anti")
     before = df.count()
     tmp = path.rstrip("/") + "._purge_tmp"

@@ -74,3 +74,17 @@ def test_order_value_percentiles_approx_within_tolerance(spark):
             av, ev = getattr(a, name), getattr(e, name)
             denom = max(abs(ev), 1.0)
             assert abs(av - ev) / denom <= 0.02, (pri, name, av, ev)
+
+
+def test_sketch_check_queries_all_pass(spark):
+    """The r7 hash-checkable twins (VERDICT r6 item 2): every per-group
+    envelope verdict must be 1 — the oracle asserts all-ones, so a sketch
+    drifting out of envelope turns the driver row red. Pinned here at the
+    small sf too (where the rank-based bound must absorb the
+    discrete-vs-interpolated definition gap that a value band does not)."""
+    import __spark_entry__ as E
+
+    for r in E.q_approx_stats_check(spark, SF_DIR).collect():
+        assert (r.users_ok, r.p50_ok, r.p95_ok) == (1, 1, 1), r
+    for r in E.q_order_value_percentiles_check(spark, SF_DIR).collect():
+        assert (r.p50_ok, r.p90_ok, r.p99_ok) == (1, 1, 1), r

@@ -83,6 +83,80 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan and len(_parquet_files(path)) < n_before
 
 
+def test_compact_parquet_salts_big_hive_partition(spark, tmp_path):
+    """ADVICE r6: a multi-GB hive partition must NOT collapse to one file
+    written by one straggler task — the salt width per partition is derived
+    from that partition's input bytes, so a hot partition gets multiple
+    write tasks/files while pruning survives."""
+    import os
+
+    path = str(tmp_path / "skewed")
+    # hot partition: ~3 MB of incompressible-ish sha2 text; cold: tiny
+    payload = F.concat(
+        *[
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(i))), 512)
+            for i in range(4)
+        ]
+    )
+    hot = spark.range(12_000).select(
+        F.col("id"), F.lit("hot").alias("p"), payload.alias("t")
+    )
+    cold = spark.range(50).select(
+        F.col("id"), F.lit("cold").alias("p"), payload.alias("t")
+    )
+    hot.unionAll(cold).repartition(8).write.partitionBy("p").parquet(path)
+    hot_bytes = sum(
+        os.path.getsize(f) for f in _parquet_files(os.path.join(path, "p=hot"))
+    )
+    assert hot_bytes > 2 * 1024 * 1024  # precondition: hot really is multi-MB
+
+    compact_parquet(spark, path, target_file_mb=1, partition_col="p")
+    hot_files = _parquet_files(os.path.join(path, "p=hot"))
+    cold_files = _parquet_files(os.path.join(path, "p=cold"))
+    assert len(hot_files) >= 2, "hot partition compacted to a single giant file"
+    assert len(cold_files) == 1, "cold partition should stay one small file"
+    back = spark.read.parquet(path)
+    assert back.count() == 12_050
+    plan = back.where(F.col("p") == "cold")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_recover_swap_adopts_stranded_dataset(spark, tmp_path):
+    """ADVICE r6: a crash between _swap_in's two renames strands the only
+    copy at <path>._purge_old; the next rewrite op adopts it back instead
+    of failing at spark.read."""
+    import os
+
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    path = str(tmp_path / "stranded")
+    spark.range(30).selectExpr("id AS user_id").write.parquet(path)
+    os.rename(path, path + "._purge_old")  # crash window: path gone
+    stats = purge_keys(spark, path, "user_id", [1])
+    assert stats == {"rows_before": 30, "rows_removed": 1}
+    assert spark.read.parquet(path).count() == 29
+
+
+def test_purge_keys_rejects_uncastable_keys(spark, tmp_path):
+    """ADVICE r6: a deletion key that casts to NULL would silently match
+    nothing (rows_removed=0 for a compliance request) — must raise, and
+    must leave the dataset untouched."""
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.sources.readers import purge_keys
+
+    path = str(tmp_path / "typed")
+    spark.range(20).selectExpr("id AS user_id").write.parquet(path)
+    with _pytest.raises(ValueError, match="abc"):
+        purge_keys(spark, path, "user_id", ["5", "abc"])
+    assert spark.read.parquet(path).count() == 20  # nothing was purged
+
+    bad_df = spark.createDataFrame([("7",), ("not-a-key",)], ["user_id"])
+    with _pytest.raises(ValueError, match="not-a-key"):
+        purge_keys(spark, path, "user_id", bad_df)
+    assert spark.read.parquet(path).count() == 20
+
+
 def test_purge_keys_removes_only_targets(spark, tmp_path):
     from commercepulse_data_pipeline_spark.sources.readers import purge_keys
 

@@ -715,6 +715,21 @@ def test_corpus_diff_all_statuses(spark):
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
+def test_corpus_diff_null_content_uses_id_presence(spark):
+    """ADVICE r6: presence must be id-presence, not hash-nullity — a doc
+    present with NULL content is still present (added/removed go by id),
+    and NULL content compares null-safely (NULL vs NULL → unchanged,
+    NULL vs text → changed)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "y"), (4, None)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.status for r in dd.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
 def test_build_vocab_and_encode_documents(spark):
     docs = spark.createDataFrame(
         [
