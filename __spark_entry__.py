@@ -1470,10 +1470,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas path. This registered query uses the
     deterministic fake codec (rows-only: engine-specific by design, since
     the doc bytes aren't valid media containers); ``multimodal.real_decode``
-    additionally decodes REAL bytes pure-Python — PNG (zlib inflate +
-    all-filter un-filter), BMP, PPM/P6, RIFF/PCM WAV — exercised
-    distributed in tests/test_multimodal.py::test_real_decode_distributed.
-    Codec-library formats (JPEG/MP3/MP4) stay behind NotImplementedError."""
+    additionally decodes REAL bytes pure-Python — baseline JPEG (huffman +
+    dequant + IDCT, added r7), PNG (zlib inflate + all-filter un-filter),
+    BMP, PPM/P6, RIFF/PCM WAV — exercised distributed in
+    tests/test_multimodal.py::test_real_decode_distributed. Codec-library
+    formats (MP3/MP4) stay behind NotImplementedError."""
     from commercepulse_data_pipeline_spark import multimodal as mm
 
     d = _docs(spark, sf_dir)

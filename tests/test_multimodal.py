@@ -257,9 +257,306 @@ def test_real_decode_png_interlaced_rejected():
 
 
 def test_real_decode_compressed_is_explicit_stub():
-    """Formats needing codec libs still raise — clearly marked boundary."""
+    """Formats needing codec libs still raise — clearly marked boundary
+    (JPEG left the stub in r7; MP4/MP3 remain behind it)."""
     with pytest.raises(NotImplementedError):
+        real_decode(b"\x00\x00\x00\x18ftypmp42 fake mp4", "video")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"ID3\x03\x00 fake mp3", "audio")
+    # malformed JPEG bytes are a decode ERROR now, not a missing codec
+    with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0jpeg-ish", "image")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG encoder (test-side only): standard Annex K huffman tables,
+# all-ones quant tables (near-lossless), optional chroma subsampling and
+# restart intervals. Zigzag order is generated algorithmically here so an
+# encoder/decoder table transposition bug cannot cancel out.
+# ---------------------------------------------------------------------------
+
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = bytes(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+)
+
+
+def _zigzag_order():
+    """Natural index for each zigzag position, generated from the
+    anti-diagonal walk (odd diagonals run row-increasing)."""
+    out = []
+    for d in range(15):
+        cells = [(r, d - r) for r in range(8) if 0 <= d - r < 8]
+        if d % 2 == 0:
+            cells.reverse()
+        out.extend(r * 8 + c for r, c in cells)
+    return out
+
+
+def _enc_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits to the byte boundary
+
+
+def _fdct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _emit_block(bw, block, pred, dc_codes, ac_codes, fdct, zig):
+    import numpy as np
+
+    s = fdct @ (block - 128.0) @ fdct.T
+    q = np.rint(s).astype(int)
+    zz = [int(q.flat[zig[k]]) for k in range(64)]
+    diff = zz[0] - pred
+    t = abs(diff).bit_length()
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    nz = [k for k in range(1, 64) if zz[k] != 0]
+    last = nz[-1] if nz else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return zz[0]
+
+
+def _pad_to(plane, rows, cols):
+    import numpy as np
+
+    return np.pad(
+        plane, ((0, rows - plane.shape[0]), (0, cols - plane.shape[1])), mode="edge"
+    )
+
+
+def _jpeg_bytes(pixels, subsample=(1, 1), restart_interval=0) -> bytes:
+    """Baseline-sequential JPEG encoder: quant tables all ones
+    (near-lossless for smooth images), Annex K luminance huffman tables
+    referenced by every component, optional 4:2:x chroma subsampling and
+    DRI/RSTn restart intervals."""
+    import struct
+
+    import numpy as np
+
+    pixels = np.asarray(pixels, dtype=np.float64)
+    h_img, w_img = pixels.shape[:2]
+    gray = pixels.ndim == 2
+    sh, sv = (1, 1) if gray else subsample
+    if gray:
+        planes = [pixels]
+        samp = [(1, 1)]
+    else:
+        r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if (sh, sv) != (1, 1):
+            full = _pad_to(cb, -(-h_img // sv) * sv, -(-w_img // sh) * sh)
+            cb = full.reshape(full.shape[0] // sv, sv, full.shape[1] // sh, sh).mean(axis=(1, 3))
+            full = _pad_to(cr, -(-h_img // sv) * sv, -(-w_img // sh) * sh)
+            cr = full.reshape(full.shape[0] // sv, sv, full.shape[1] // sh, sh).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        samp = [(sh, sv), (1, 1), (1, 1)]
+    hmax, vmax = samp[0]
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    planes = [
+        _pad_to(p, mcus_y * v * 8, mcus_x * h * 8)
+        for p, (h, v) in zip(planes, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT all-ones
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
+    for i, (h, v) in enumerate(samp):
+        out += bytes([i + 1, (h << 4) | v, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + b"\x00" + bytes(_DC_BITS) + _DC_VALS
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 162) + b"\x10" + bytes(_AC_BITS) + _AC_VALS
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _enc_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _enc_codes(_AC_BITS, _AC_VALS)
+    fdct = _fdct_matrix()
+    zig = _zigzag_order()
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0] * ncomp
+            for ci, (h, v) in enumerate(samp):
+                for byi in range(v):
+                    for bxi in range(h):
+                        y0 = (my * v + byi) * 8
+                        x0 = (mx * h + bxi) * 8
+                        preds[ci] = _emit_block(
+                            bw,
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            preds[ci],
+                            dc_codes,
+                            ac_codes,
+                            fdct,
+                            zig,
+                        )
+            mcu_count += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _smooth_rgb(w, h):
+    """A smooth RGB gradient (small AC coefficients → tight round-trip)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 40 + 150 * xx / max(w - 1, 1)
+    g = 60 + 120 * yy / max(h - 1, 1)
+    b = 200 - 100 * (xx + yy) / max(w + h - 2, 1)
+    return np.stack([r, g, b], axis=-1).round()
+
+
+def test_real_decode_jpeg_solid_gray():
+    import numpy as np
+
+    img = np.full((16, 16), 99.0)
+    d = real_decode(_jpeg_bytes(img), "image")
+    assert (d["width"], d["height"], d["duration_sec"]) == (16, 16, None)
+    # solid block → DC-only; with quant=1 reconstruction is within ±2
+    for f in d["feature"]:
+        assert abs(f - 99.0 / 255.0) < 0.02, d["feature"]
+
+
+def test_real_decode_jpeg_rgb_444_matches_source_raster():
+    from commercepulse_data_pipeline_spark.multimodal import _feature_from_bytes
+
+    img = _smooth_rgb(24, 16)
+    d = real_decode(_jpeg_bytes(img), "image")
+    assert (d["width"], d["height"]) == (24, 16)
+    expected = _feature_from_bytes(
+        img.astype("uint8").tobytes()  # interleaved RGB, same layout as decoder
+    )
+    for got, exp in zip(d["feature"], expected):
+        assert abs(got - exp) < 0.02, (d["feature"], expected)
+
+
+def test_real_decode_jpeg_420_odd_dims():
+    from commercepulse_data_pipeline_spark.multimodal import _feature_from_bytes
+
+    img = _smooth_rgb(21, 13)  # forces edge padding + crop in both axes
+    d = real_decode(_jpeg_bytes(img, subsample=(2, 2)), "image")
+    assert (d["width"], d["height"]) == (21, 13)
+    expected = _feature_from_bytes(img.astype("uint8").tobytes())
+    for got, exp in zip(d["feature"], expected):
+        assert abs(got - exp) < 0.04, (d["feature"], expected)  # chroma avg loss
+
+
+def test_real_decode_jpeg_restart_markers():
+    img = _smooth_rgb(32, 24)
+    plain = real_decode(_jpeg_bytes(img), "image")
+    rst = real_decode(_jpeg_bytes(img, restart_interval=2), "image")
+    assert (rst["width"], rst["height"]) == (32, 24)
+    assert rst["feature"] == pytest.approx(plain["feature"], abs=1e-9)
+
+
+def test_real_decode_jpeg_progressive_rejected():
+    import struct
+
+    img = _smooth_rgb(8, 8)
+    buf = bytearray(_jpeg_bytes(img))
+    sof = buf.index(b"\xff\xc0")
+    buf[sof + 1] = 0xC2  # flip baseline SOF0 → progressive SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        real_decode(bytes(buf), "image")
 
 
 def test_real_decode_distributed(spark):
@@ -273,6 +570,8 @@ def test_real_decode_distributed(spark):
         ("png-1", "image", "image/png",
          _png_bytes(6, 4, bytes((i * 11) % 256 for i in range(6 * 3 * 4)),
                     filters=[0, 1, 2, 4]), 0, {}),
+        ("jpg-1", "image", "image/jpeg",
+         _jpeg_bytes(_smooth_rgb(40, 24), subsample=(2, 2)), 0, {}),
     ]
     df = spark.createDataFrame(
         rows,
@@ -286,6 +585,7 @@ def test_real_decode_distributed(spark):
     assert (out["bmp-2"].width, out["bmp-2"].height) == (64, 8)
     assert out["wav-1"].duration_sec == pytest.approx(1.25, abs=1e-3)
     assert (out["png-1"].width, out["png-1"].height) == (6, 4)
+    assert (out["jpg-1"].width, out["jpg-1"].height) == (40, 24)
     assert all(len(r.feature) == 8 for r in out.values())
 
 
