@@ -301,6 +301,150 @@ def compact_parquet(
     return {"files_before": len(files), "files_after": len(after), "bytes": total}
 
 
+def _recover_index_compact(root: str) -> None:
+    """Crash recovery for :func:`compact_streaming_index`. The marker file
+    (written at the commit decision point) lists the folded partition
+    dirs: marker present → roll FORWARD (finish placing the consolidated
+    partition from the tmp dir if needed, delete the listed folded dirs,
+    discard the set-aside state); marker absent but set-aside dir present
+    → roll BACK (adopt set-aside partitions back, discard the tmp)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    p = root.rstrip("/")
+    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
+    marker = _os.path.join(old_root, "_FOLDED.json")
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            m = _json.load(fh)
+        dst = _os.path.join(p, m["consolidated"])
+        src = _os.path.join(tmp_root, m["consolidated"])
+        if not _os.path.exists(dst) and _os.path.exists(src):
+            _os.rename(src, dst)
+        for name in m["folded"]:
+            d = _os.path.join(p, name)
+            if _os.path.exists(d):
+                _shutil.rmtree(d)
+        _shutil.rmtree(old_root, ignore_errors=True)
+    elif _os.path.isdir(old_root):
+        for entry in _os.listdir(old_root):
+            dst = _os.path.join(p, entry)
+            if not _os.path.exists(dst):
+                _os.rename(_os.path.join(old_root, entry), dst)
+        _shutil.rmtree(old_root, ignore_errors=True)
+    if _os.path.isdir(tmp_root):
+        _shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def compact_streaming_index(
+    spark: SparkSession,
+    root: str,
+    *,
+    partition_col: str = "ingest_batch",
+    consolidated_value: int = -1,
+    keep_latest: int = 2,
+    target_file_mb: int = 128,
+    sub_partition_col: str | None = None,
+) -> dict:
+    """Retention/compaction for append-mode streaming index stores
+    (``streaming/corpus.py`` bands, ``streaming/embeddings.py`` lists):
+    every micro-batch appends its own ``ingest_batch=N`` partition, so a
+    long-lived stream grows one small directory per batch with no bound.
+    This folds all but the ``keep_latest`` newest batch partitions into a
+    single consolidated partition (``ingest_batch=-1``, a value no real
+    batch id takes), rewritten at ~``target_file_mb`` per file.
+
+    Replay safety: the foreachBatch sinks exclude ``ingest_batch ==
+    batch_id`` when probing the index, and a checkpoint restart replays
+    only the single uncommitted batch — so ``keep_latest >= 2`` guarantees
+    a replayed batch's own partition is never folded out from under it.
+    ``sub_partition_col`` preserves an inner layout (the embedding lists'
+    ``lsh_bucket``) through the rewrite.
+
+    Crash safety (local-FS rename model, same as :func:`_swap_in`): the
+    consolidated rewrite lands in a hidden tmp sibling; a marker file
+    written at the commit point lists the folded dirs, and
+    :func:`_recover_index_compact` (run first, every call) rolls an
+    interrupted fold forward past the marker or back before it. Readers
+    racing the swap can transiently see the index without the consolidated
+    rows (a near-dup admitted once) or with folded rows duplicated
+    (harmless: candidate pairs are distinct, width caps momentarily
+    tighter) — a transactional table format is the cluster-grade answer,
+    the protocol here is the plain-parquet equivalent.
+
+    Returns {"folded", "partitions_after", "files_after"}.
+    """
+    import glob as _glob
+    import json as _json
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    p = root.rstrip("/")
+    _recover_index_compact(p)
+    prefix = partition_col + "="
+    parts: dict[int, str] = {}
+    for entry in _os.listdir(p):
+        if entry.startswith(prefix) and _os.path.isdir(_os.path.join(p, entry)):
+            parts[int(entry[len(prefix):])] = entry
+    real = sorted(v for v in parts if v != consolidated_value)
+    fold = real[: len(real) - keep_latest] if keep_latest else real
+    if not fold:
+        return {"folded": 0, "partitions_after": len(parts), "files_after": None}
+    fold_vals = fold + ([consolidated_value] if consolidated_value in parts else [])
+    fold_names = [parts[v] for v in fold_vals]
+    fold_bytes = sum(
+        _os.path.getsize(f)
+        for name in fold_names
+        for f in _glob.glob(_os.path.join(p, name, "**", "*"), recursive=True)
+        if _os.path.isfile(f)
+    )
+    n_out = max(1, math.ceil(fold_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = (
+        spark.read.parquet(p)
+        .where(F.col(partition_col).isin(fold_vals))
+        .drop(partition_col)
+    )
+    cons_name = f"{prefix}{consolidated_value}"
+    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
+    target = _os.path.join(tmp_root, cons_name)
+    if sub_partition_col:
+        writer = df.repartition(n_out, sub_partition_col).write.partitionBy(
+            sub_partition_col
+        )
+    else:
+        writer = df.repartition(n_out).write
+    writer.mode("overwrite").parquet(target)
+
+    _os.makedirs(old_root, exist_ok=True)
+    if consolidated_value in parts:  # set the old consolidated aside (pre-commit)
+        _os.rename(_os.path.join(p, cons_name), _os.path.join(old_root, cons_name))
+    # COMMIT POINT: from here recovery rolls forward, not back
+    with open(_os.path.join(old_root, "_FOLDED.json"), "w") as fh:
+        _json.dump({"consolidated": cons_name, "folded": fold_names}, fh)
+    _os.rename(target, _os.path.join(p, cons_name))
+    for name in fold_names:
+        d = _os.path.join(p, name)
+        if _os.path.exists(d) and name != cons_name:
+            _shutil.rmtree(d)
+    _shutil.rmtree(old_root, ignore_errors=True)
+    _shutil.rmtree(tmp_root, ignore_errors=True)
+    files_after = len(
+        [
+            f
+            for f in _glob.glob(_os.path.join(p, "**", "*"), recursive=True)
+            if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+    return {
+        "folded": len(fold),
+        "partitions_after": len(parts) - len(fold_vals) + 1,
+        "files_after": files_after,
+    }
+
+
 def purge_keys(
     spark: SparkSession,
     path: str,

@@ -73,6 +73,14 @@ def upsert_gold_batch(
     paths = {t: os.path.join(store_dir, t) for t in _TABLES}
 
     def load(t: str) -> DataFrame | None:
+        # crash recovery: a prior batch that died between its two swap
+        # renames leaves the table reachable only at <path>.old — adopt it
+        # back (the replayed batch then re-folds against the OLD snapshot,
+        # which the union + re-dedup fold converges from). Without this, a
+        # missing path would read as "first batch ever" and silently
+        # rebuild the table from the new batch alone — data loss.
+        if not os.path.exists(paths[t]) and os.path.exists(paths[t] + ".old"):
+            os.replace(paths[t] + ".old", paths[t])
         return spark.read.parquet(paths[t]) if os.path.exists(paths[t]) else None
 
     batch = batch_df.where(F.col("event_id").isNotNull())
@@ -147,10 +155,22 @@ def upsert_gold_batch(
         tmp = f"{paths[t]}.tmp"
         df.write.mode("overwrite").parquet(tmp)
         tmps[t] = tmp
+    # swap by RENAME-aside, never rmtree-then-rename: a crash between a
+    # delete and a rename would leave no live copy of the table at all
+    # (the replay would then misread the missing path as "first batch" and
+    # rebuild it from the new batch alone — silent data loss, caught by
+    # tests/test_streaming.py::test_gold_upsert_mid_swap_crash_*). With
+    # renames the table is always reachable at <path> or <path>.old, and
+    # load() adopts a stranded .old back before the next fold.
     for t, tmp in tmps.items():
+        old = paths[t] + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)  # stale backup from a prior crash; path is live
         if os.path.exists(paths[t]):
-            shutil.rmtree(paths[t])
+            os.replace(paths[t], old)
         os.replace(tmp, paths[t])
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def maintain_gold_daily_stream(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.sources.readers import compact_parquet
@@ -200,3 +201,162 @@ def test_cli_purge_subcommand(spark, tmp_path, capsys):
     assert main(["purge", path, "user_id", "5", "11"]) == 0
     assert "removed 2 of 20" in capsys.readouterr().out
     assert spark.read.parquet(path).where("user_id IN (5, 11)").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming index retention/compaction (VERDICT r6 item 6): the append-mode
+# MinHash/LSH index dirs grow one partition per micro-batch; folding them
+# must keep the store queryable and dedup-correct MID-STREAM.
+# ---------------------------------------------------------------------------
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _corpus_store(spark, tmp_path, n_batches=4):
+    from commercepulse_data_pipeline_spark.streaming.corpus import clean_corpus_batch
+
+    store = str(tmp_path / "store")
+    batches = [[(1, _BASE), (2, "unique first-batch content here")]] + [
+        [(10 * b, f"totally unrelated content number {b} with words")]
+        for b in range(1, n_batches)
+    ]
+    for bid, rows in enumerate(batches):
+        clean_corpus_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bid, store, max_bucket=100000,
+        )
+    return store
+
+
+def test_compact_streaming_index_corpus_stays_live(spark, tmp_path):
+    import os
+
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+    from commercepulse_data_pipeline_spark.streaming.corpus import clean_corpus_batch
+
+    store = _corpus_store(spark, tmp_path)
+    bands_root = f"{store}/index/bands"
+    rows_before = spark.read.parquet(bands_root).count()
+    stats = compact_streaming_index(spark, bands_root, keep_latest=1)
+    assert stats["folded"] == 3
+    parts = {e.name for e in os.scandir(bands_root) if e.is_dir()}
+    assert parts == {"ingest_batch=-1", "ingest_batch=3"}
+    assert spark.read.parquet(bands_root).count() == rows_before  # nothing lost
+
+    # the store is still a live index: a probe near-dup of a FOLDED
+    # batch-0 doc is found by the incremental pair query ...
+    probe = spark.createDataFrame(
+        [(100, _BASE + " tonight")], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_pairs_incremental(probe, spark, f"{store}/index").collect()}
+    assert (1, 100) in pairs
+    # ... and the STREAM keeps deduping against folded history: the next
+    # micro-batch's near-dup of doc 1 is dropped
+    clean_corpus_batch(
+        spark.createDataFrame([(50, _BASE + " tonight")], "doc_id long, text string"),
+        4, store, max_bucket=100000,
+    )
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{store}/corpus").select("doc_id").collect()}
+    assert 50 not in kept and 1 in kept
+
+    # idempotent: a second compaction folds the new tail, still lossless
+    compact_streaming_index(spark, bands_root, keep_latest=1)
+    assert spark.read.parquet(bands_root).count() > 0
+    pairs2 = {(r.id_a, r.id_b) for r in
+              dd.minhash_pairs_incremental(probe, spark, f"{store}/index").collect()}
+    assert (1, 100) in pairs2
+
+
+def test_compact_streaming_index_embeddings_sub_partitions(spark, tmp_path):
+    import os
+
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+    from commercepulse_data_pipeline_spark.streaming.embeddings import (
+        dedup_embeddings_batch,
+    )
+
+    A = [1.0, 0.2, -0.5, 3.0]
+    B = [-2.0, 1.0, 0.7, 0.1]
+    C = [0.3, -4.0, 1.5, 0.9]
+    store = str(tmp_path / "estore")
+    for bid, rows in enumerate([[(1, A)], [(2, B)], [(3, C)]]):
+        dedup_embeddings_batch(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            bid, store, tau=0.99, n_planes=4,
+        )
+    lists_root = f"{store}/index/lists"
+    rows_before = spark.read.parquet(lists_root).count()
+    stats = compact_streaming_index(
+        spark, lists_root, keep_latest=1, sub_partition_col="lsh_bucket"
+    )
+    assert stats["folded"] == 2
+    assert spark.read.parquet(lists_root).count() == rows_before
+    # inner lsh_bucket layout survived the fold
+    cons = os.path.join(lists_root, "ingest_batch=-1")
+    assert any(e.name.startswith("lsh_bucket=") for e in os.scandir(cons))
+
+    # the consolidated store still serves probes for FOLDED vectors ...
+    got = sim.lsh_topk_indexed(spark, f"{store}/index", A, k=1, probes=1).collect()
+    assert got and got[0].vec_id == 1
+    # ... and the stream still dedups against them
+    dedup_embeddings_batch(
+        spark.createDataFrame(
+            [(10, [v * 1.001 for v in A])], "vec_id long, embedding array<float>"
+        ),
+        3, store, tau=0.99, n_planes=4,
+    )
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{store}/vectors").select("vec_id").collect()}
+    assert 10 not in kept and kept == {1, 2, 3}
+
+
+def test_compact_streaming_index_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Kill the fold at its commit point (marker written, consolidated
+    partition not yet renamed in): the next call must roll FORWARD —
+    place the consolidated dir, drop the folded ones, lose nothing."""
+    import os
+
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+
+    store = _corpus_store(spark, tmp_path)
+    bands_root = f"{store}/index/bands"
+    rows_before = spark.read.parquet(bands_root).count()
+
+    real_rename = os.rename
+    cons_dst = os.path.join(bands_root, "ingest_batch=-1")
+
+    def crashing(src, dst):
+        if str(dst) == cons_dst:
+            raise RuntimeError("injected crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing)
+    with pytest.raises(RuntimeError, match="commit point"):
+        compact_streaming_index(spark, bands_root, keep_latest=1)
+    monkeypatch.undo()
+    # torn: marker + tmp exist, consolidated partition absent
+    assert os.path.exists(bands_root + "._fold_old/_FOLDED.json")
+    assert not os.path.exists(cons_dst)
+
+    stats = compact_streaming_index(spark, bands_root, keep_latest=1)
+    assert os.path.exists(cons_dst)
+    assert not os.path.exists(bands_root + "._fold_old")
+    assert not os.path.exists(bands_root + "._fold_tmp")
+    assert spark.read.parquet(bands_root).count() == rows_before
+    probe = spark.createDataFrame(
+        [(100, _BASE + " tonight")], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_pairs_incremental(probe, spark, f"{store}/index").collect()}
+    assert (1, 100) in pairs

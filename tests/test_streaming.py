@@ -622,3 +622,275 @@ def test_stream_dedup_embeddings_cross_batch(spark, tmp_path):
     kept2 = {r.vec_id for r in
              spark.read.parquet(f"{store}/vectors").select("vec_id").collect()}
     assert kept2 == {1, 2, 11}, kept2
+
+
+# ---------------------------------------------------------------------------
+# Crash-replay from the checkpoint (VERDICT r6 item 5): the foreachBatch
+# sinks are logically idempotent — these tests actually KILL a stream
+# mid-batch (after its writes, before the checkpoint commit: the worst
+# at-least-once window, including a torn partial write) and restart from
+# the same checkpoint, asserting the store converges to the clean result.
+# ---------------------------------------------------------------------------
+
+
+def _two_doc_drops(tmp_path):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    f1, f2 = str(drops / "b1.parquet"), str(drops / "b2.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": [base, "unique first-batch content here"]}), f1)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([10, 11, 12], type=pa.int64()),
+                  "text": [base + " tonight",            # near-dup of doc 1
+                           "fresh second-batch content",
+                           "fresh second-batch content"]}), f2)  # exact dup
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+    return str(drops)
+
+
+def test_corpus_stream_crash_replay_from_checkpoint(spark, tmp_path):
+    """Kill the clean-corpus stream AFTER batch 1 wrote its corpus
+    partition but with its bands partition torn away (crash between the
+    two sinks, before the checkpoint commit). Restarting from the same
+    checkpoint must re-deliver batch 1 and converge to the clean result —
+    including healing the missing index partition."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.streaming.corpus import (
+        clean_corpus_batch,
+        stream_clean_corpus,
+    )
+
+    drops = _two_doc_drops(tmp_path)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        clean_corpus_batch(bdf, bid, store, max_bucket=100000)
+        if bid == 1:
+            # torn write: the second sink's output vanishes with the crash
+            shutil.rmtree(f"{store}/index/bands/ingest_batch=1")
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert not os.path.exists(f"{store}/index/bands/ingest_batch=1")  # torn
+
+    # restart from the SAME checkpoint: batch 1 is re-delivered
+    q2 = stream_clean_corpus(
+        spark, drops, store, ckpt, max_files_per_trigger=1, max_bucket=100000
+    )
+    q2.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert kept == {1, 2, 11}, kept
+    idx_ids = {r.doc_id for r in
+               spark.read.parquet(f"{store}/index/bands").select("doc_id").collect()}
+    assert idx_ids == kept  # index healed to mirror the corpus
+
+
+def test_embeddings_stream_crash_replay_from_checkpoint(spark, tmp_path):
+    """Same kill-and-restart for the embedding store: batch 1's writes
+    land, the commit doesn't; the replayed batch must not dedup against
+    its own first attempt and the store converges."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.embeddings import (
+        dedup_embeddings_batch,
+        stream_dedup_embeddings,
+    )
+
+    A = [1.0, 0.2, -0.5, 3.0]
+    B = [-2.0, 1.0, 0.7, 0.1]
+    C = [0.3, -4.0, 1.5, 0.9]
+    emb = pa.list_(pa.float32())
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    f1, f2 = str(drops / "b1.parquet"), str(drops / "b2.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([A, B], type=emb)}), f1)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([10, 11, 12], type=pa.int64()),
+        "embedding": pa.array(
+            [[v * 1.001 for v in A], C, [v * 0.999 for v in C]], type=emb)}), f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        dedup_embeddings_batch(bdf, bid, store, tau=0.99, n_planes=4)
+        if bid == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    q2 = stream_dedup_embeddings(
+        spark, str(drops), store, ckpt, tau=0.99, n_planes=4, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{store}/vectors").select("vec_id").collect()}
+    assert kept == {1, 2, 11}, kept
+
+
+def test_gold_stream_crash_replay_from_checkpoint(spark, landing_dir, tmp_path):
+    """Kill the gold IVM stream after batch 1's store swap (all four
+    directories updated, checkpoint commit missing), restart from the
+    same checkpoint, and require gold to equal the batch reference — the
+    union + re-dedup fold must absorb the double-applied batch."""
+    import os
+
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+    from commercepulse_data_pipeline_spark.plans.silver import (
+        normalize_orders,
+        normalize_payments,
+        normalize_refunds,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+    from commercepulse_data_pipeline_spark.streaming.gold_upsert import (
+        maintain_gold_daily_stream,
+        upsert_gold_batch,
+    )
+
+    store = str(tmp_path / "gold_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        upsert_gold_batch(bdf, store)
+        if bid == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        read_event_stream(spark, f"{landing_dir}/*/events.jsonl", max_files_per_trigger=1)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+
+    q2 = maintain_gold_daily_stream(
+        read_event_stream(spark, f"{landing_dir}/*/events.jsonl", max_files_per_trigger=1),
+        store,
+        ckpt,
+    )
+    q2.awaitTermination(180)
+
+    batch_events = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .json(f"{landing_dir}/*/events.jsonl")
+        .where(F.col("event_id").isNotNull())
+    )
+    expect = build_fact_order_daily(
+        normalize_orders(batch_events),
+        normalize_payments(batch_events),
+        normalize_refunds(batch_events),
+    )
+    got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert got.count() > 0
+
+
+@pytest.mark.parametrize("crash_at", [2, 3])
+def test_gold_upsert_mid_swap_crash_then_replay_converges(
+    spark, landing_dir, tmp_path, monkeypatch, crash_at
+):
+    """The torn-store cases: upsert_gold_batch crashes mid-swap —
+    crash_at=2 between ONE table's two renames (the table is reachable
+    only at <path>.old), crash_at=3 after one table fully swapped with
+    the next renamed aside (mixed old/new snapshot). Replaying the same
+    batch must converge to the batch reference: load() adopts stranded
+    .old dirs back, and the union + re-dedup fold makes re-applied events
+    a no-op. Before the r7 fix the swap was rmtree-then-rename, so the
+    first window DELETED the only live copy of a silver table and the
+    replay silently rebuilt it from the new batch alone."""
+    import os as _os
+
+    from commercepulse_data_pipeline_spark.plans.gold import build_fact_order_daily
+    from commercepulse_data_pipeline_spark.plans.silver import (
+        normalize_orders,
+        normalize_payments,
+        normalize_refunds,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import ENVELOPE_SCHEMA
+    from commercepulse_data_pipeline_spark.streaming import gold_upsert as gu
+
+    days = sorted(
+        d for d in _os.listdir(landing_dir) if not d.startswith("_")
+    )
+    assert len(days) >= 2
+    read = lambda day: (  # noqa: E731
+        spark.read.schema(ENVELOPE_SCHEMA).json(f"{landing_dir}/{day}/events.jsonl")
+    )
+    store = str(tmp_path / "store")
+    gu.upsert_gold_batch(read(days[0]), store)
+
+    calls = {"n": 0}
+    real_replace = _os.replace
+
+    def flaky(src, dst):
+        if store in str(dst):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError("injected mid-swap crash")
+        return real_replace(src, dst)
+
+    batch1 = read(days[1])
+    monkeypatch.setattr(gu.os, "replace", flaky)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        gu.upsert_gold_batch(batch1, store)
+    monkeypatch.undo()
+    assert calls["n"] == crash_at  # the store really is torn
+
+    gu.upsert_gold_batch(batch1, store)  # replay against the torn state
+
+    all_events = (
+        spark.read.schema(ENVELOPE_SCHEMA)
+        .json(f"{landing_dir}/*/events.jsonl")
+        .where(F.col("event_id").isNotNull())
+    )
+    expect = build_fact_order_daily(
+        normalize_orders(all_events),
+        normalize_payments(all_events),
+        normalize_refunds(all_events),
+    )
+    got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

@@ -5,7 +5,9 @@ Near-linear growth (ratio ≈ N on a fixed-core box) is the evidence that
 plans are shuffle/partition-clean: a superlinear blowup would expose a
 hidden cross product, a driver-side collect, or a skew hotspot.
 
-Usage: python tools/scale_probe.py [N] [outdir]
+Usage: python tools/scale_probe.py [N] [outdir] [query ...]
+(query subset optional — default is the full PROBE_QUERIES list; the 100×
+decade probe runs just the heavy tier to keep wall-clock sane)
 """
 
 from __future__ import annotations
@@ -142,12 +144,12 @@ def replicate(spark, src: str, dst: str, n: int) -> None:
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+def run(spark, sf_dir: str, names=None) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
@@ -160,6 +162,7 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_sf1"
+    names = sys.argv[3:] or PROBE_QUERIES
     # Base reads the SAME many-file layout bench.py uses: comparing a
     # single-row-group base (1 scan split/table) against many-file
     # replicas would skew ratios in both directions.
@@ -195,18 +198,18 @@ def main() -> None:
     # understate the ratios)
     import __spark_entry__ as entrymod
 
-    for name in PROBE_QUERIES:
+    for name in names:
         entrymod.queries()[name](spark, src).write.format("noop").mode("overwrite").save()
 
-    base = run(spark, src)
-    big = run(spark, outdir)
+    base = run(spark, src, names)
+    big = run(spark, outdir, names)
     report = {
         "replication": n,
         "base_sf": 0.1,
         "queries": {
             q: {"base_s": base[q], "scaled_s": big[q],
                 "ratio": round(big[q] / base[q], 2) if base[q] > 0 else None}
-            for q in PROBE_QUERIES
+            for q in names
         },
     }
     print(json.dumps(report, indent=2))
