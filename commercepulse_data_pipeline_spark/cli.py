@@ -364,6 +364,31 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_compact_index(args) -> int:
+    """Streaming-store maintenance: fold a batch-partitioned index dir
+    (``{store}/index/bands`` or ``{store}/index/lists``) into its
+    consolidated partition, keeping the newest ``--keep-latest`` batch
+    partitions for replay safety. Run it on a cron beside a live stream —
+    the fold is crash-recoverable and the store stays queryable."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+
+    spark = _spark()
+    stats = compact_streaming_index(
+        spark, args.root,
+        keep_latest=args.keep_latest,
+        target_file_mb=args.target_file_mb,
+        sub_partition_col=args.sub_partition_col,
+    )
+    print(
+        f"compact-index: {args.root}: folded {stats['folded']} batch "
+        f"partitions → {stats['partitions_after']} remain "
+        f"({stats['files_after']} files)"
+    )
+    return 0
+
+
 def cmd_purge(args) -> int:
     """Right-to-erasure: delete rows matching the given keys from a
     parquet dataset (atomic swap; run per table to propagate a request
@@ -474,6 +499,15 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--target-file-mb", type=int, default=128)
     cp.add_argument("--partition-col", default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    ci = sub.add_parser(
+        "compact-index", help="fold a streaming index's per-batch partitions"
+    )
+    ci.add_argument("root", help="index dir partitioned by ingest_batch")
+    ci.add_argument("--keep-latest", type=int, default=2)
+    ci.add_argument("--target-file-mb", type=int, default=128)
+    ci.add_argument("--sub-partition-col", default=None)
+    ci.set_defaults(fn=cmd_compact_index)
 
     pg = sub.add_parser("purge", help="delete rows by key from a parquet dataset")
     pg.add_argument("path")

@@ -360,3 +360,12 @@ def test_compact_streaming_index_crash_rolls_forward(spark, tmp_path, monkeypatc
     pairs = {(r.id_a, r.id_b) for r in
              dd.minhash_pairs_incremental(probe, spark, f"{store}/index").collect()}
     assert (1, 100) in pairs
+
+
+def test_cli_compact_index_subcommand(spark, tmp_path, capsys):
+    from commercepulse_data_pipeline_spark.cli import main
+
+    store = _corpus_store(spark, tmp_path)
+    assert main(["compact-index", f"{store}/index/bands", "--keep-latest", "1"]) == 0
+    assert "folded 3 batch" in capsys.readouterr().out
+    assert spark.read.parquet(f"{store}/index/bands").count() > 0
