@@ -1759,6 +1759,59 @@ def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_sketch_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup end-to-end (``operators/sketches.py`` —
+    r7): build the per-(day, event_type) HLL sketch table in ONE pass
+    over events, persist it to scratch, then answer a 15-day range
+    distinct-users query per event type by union-merging the persisted
+    day sketches — raw events are never re-scanned for the range query.
+    The estimate is verified in the same result against the exact
+    distinct over the range (HLL at lg_k=12 ⇒ rsd ≈ 1.04/√4096; 5σ
+    envelope with a 2-count floor, emitted as 0/1 int), and ``n_rows``
+    (the summed per-day counts) is hash-checked exactly. Bounded
+    collects only: the min-day scalar and the ≤|event_types| result."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import sketches as sk
+
+    e = _events(spark, sf_dir).select(
+        _iso_date("ts").alias("day"), "event_type", "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="cp_sketch_")
+    path = os.path.join(scratch, "rollup")
+    try:
+        sk.write_sketch_rollup(
+            e, path, day_col="day", group_cols=["event_type"], key_col="user_id"
+        )
+        d0 = datetime.date.fromisoformat(e.agg(F.min("day")).first()[0])
+        start = (d0 + datetime.timedelta(days=7)).isoformat()
+        end = (d0 + datetime.timedelta(days=21)).isoformat()
+        est = sk.distinct_over_range(
+            spark, path, start, end, group_cols=["event_type"]
+        )
+        exact = (
+            e.where((F.col("day") >= start) & (F.col("day") <= end))
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        tol = F.greatest(F.lit(5 * 1.04 / 4096 ** 0.5) * F.col("exact_users"), F.lit(2.0))
+        out = exact.join(est, "event_type").select(
+            "event_type",
+            "exact_users",
+            "n_rows",
+            (F.abs(F.col("distinct_estimate") - F.col("exact_users")) <= tol)
+            .cast("int")
+            .alias("est_ok"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_fx_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency normalization through the backward as-of rate lookup
     (``plans.gold.normalize_currency`` — the Q7 fix; reference ships
@@ -2274,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_check": q_approx_stats_check,
         "order_value_percentiles_check": q_order_value_percentiles_check,
         "purge_audit": q_purge_audit,
+        "sketch_range_users": q_sketch_range_users,
         # -- operators touched in r7 (corpus_diff presence-marker fix)
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         # -- r6-green block (freshest driver rows), oldest-listed rechecked
@@ -2838,6 +2892,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_price,
                    (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0) AS rows_removed
             FROM kept GROUP BY 1
+        """,
+        "sketch_range_users": """
+            WITH ev AS (
+                SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, user_id
+                FROM events
+            ), b AS (
+                SELECT min(day) AS d0 FROM ev
+            ), r AS (
+                SELECT ev.* FROM ev, b
+                WHERE ev.day >= b.d0 + 7 AND ev.day <= b.d0 + 21
+            )
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_rows,
+                   CAST(1 AS INT) AS est_ok
+            FROM r GROUP BY 1
         """,
         "docs_per_lang_sample": f"""
             SELECT doc_id, lang, source, sample_rank FROM (

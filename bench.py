@@ -126,6 +126,12 @@ def main() -> None:
         # like production many-file layouts. Production leaves defaults.
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "4m")
+        # Interleaved sweeps visit ~20 queries x many codegen units between
+        # two runs of the same query; the default 100-entry generated-class
+        # cache evicts everything in between, so every measurement would
+        # re-pay janino compilation that steady-state production never pays
+        # (measured: uniform +0.2-0.5s on every query, 14s -> 19s total).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -369,3 +369,52 @@ def test_cli_compact_index_subcommand(spark, tmp_path, capsys):
     assert main(["compact-index", f"{store}/index/bands", "--keep-latest", "1"]) == 0
     assert "folded 3 batch" in capsys.readouterr().out
     assert spark.read.parquet(f"{store}/index/bands").count() > 0
+
+
+def test_optimize_layout_gives_disjoint_file_ranges(spark, tmp_path):
+    """Data-skipping layout (r7): after optimize_layout on a key, each
+    output file's parquet min/max statistics cover a disjoint key range —
+    a selective predicate then prunes to the files whose range intersects
+    (on the original random layout every file spans the whole domain)."""
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.sources.readers import optimize_layout
+
+    path = str(tmp_path / "layout")
+    # write deliberately shuffled: random-ish interleaving across 8 files
+    df = spark.range(30_000).select(
+        F.pmod(F.col("id") * 48271, F.lit(20011)).alias("k"),
+        F.col("id").alias("v"),
+        F.sha2(F.col("id").cast("string"), 512).alias("payload"),  # bulk
+    )
+    df.repartition(8).write.parquet(path)
+
+    def file_ranges():
+        out = []
+        for f in _parquet_files(path):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # k
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    before = file_ranges()
+    domain = max(m for _, m in before) - min(m for m, _ in before)
+    # precondition: the random layout's files each span ~the whole domain
+    assert all(hi - lo > domain * 0.8 for lo, hi in before)
+
+    stats = optimize_layout(spark, path, ["k"], target_file_mb=1)
+    assert stats["files_after"] >= 2
+    after = file_ranges()
+    assert len(after) == stats["files_after"]
+    # ranges are (near-)disjoint: each file ends before the next begins
+    # (boundary values may be shared by duplicates of the range split key)
+    for (lo1, hi1), (lo2, _hi2) in zip(after, after[1:]):
+        assert hi1 <= lo2, (after,)
+    back = spark.read.parquet(path)
+    assert back.count() == 30_000
+    plan = back.where(F.col("k") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan

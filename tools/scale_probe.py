@@ -68,6 +68,11 @@ PROBE_QUERIES = [
     "retention_cohorts",
     "daily_revenue_7dma",
     "lang_confusion",
+    # round-7 additions
+    "approx_stats_check",
+    "order_value_percentiles_check",
+    "purge_audit",
+    "sketch_range_users",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
