@@ -250,15 +250,27 @@ def test_overlap_join_matches_bruteforce(spark, lefts, rights, bin_seconds):
 
 
 @given(
-    old=st.dictionaries(st.integers(0, 15), st.sampled_from("abc"), max_size=10),
-    new=st.dictionaries(st.integers(0, 15), st.sampled_from("abc"), max_size=10),
+    old=st.dictionaries(
+        st.integers(0, 15), st.one_of(st.none(), st.sampled_from("abc")), max_size=10
+    ),
+    new=st.dictionaries(
+        st.integers(0, 15), st.one_of(st.none(), st.sampled_from("abc")), max_size=10
+    ),
 )
 @settings(**_SETTINGS)
 def test_corpus_diff_matches_dict_model(spark, old, new):
+    """Content may be NULL (ADVICE r6): a doc present with NULL content is
+    still PRESENT — added/removed go by id-presence, and NULL content
+    compares null-safely (NULL vs NULL → unchanged, NULL vs text →
+    changed). The dict model below is exactly that semantics."""
     if not old and not new:
         return
-    odf = spark.createDataFrame(list(old.items()) or [(None, None)], "doc_id int, text string").dropna()
-    ndf = spark.createDataFrame(list(new.items()) or [(None, None)], "doc_id int, text string").dropna()
+    odf = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "doc_id int, text string"
+    ).where("doc_id IS NOT NULL")
+    ndf = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "doc_id int, text string"
+    ).where("doc_id IS NOT NULL")
     got = {r.doc_id: r.status for r in dd.corpus_diff(odf, ndf).collect()}
     expected = {}
     for k in set(old) | set(new):
