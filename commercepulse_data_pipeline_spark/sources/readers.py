@@ -376,6 +376,13 @@ def _recover_index_compact(root: str) -> None:
         if not _os.path.exists(dst) and _os.path.exists(src):
             _os.rename(src, dst)
         for name in m["folded"]:
+            # the folded list INCLUDES the old consolidated dir when a
+            # re-fold subsumed it — but at roll-forward time the dir at
+            # that name is the NEW consolidated partition (the old one
+            # sits in old_root); deleting it here would destroy the fold
+            # we are completing
+            if name == m["consolidated"]:
+                continue
             d = _os.path.join(p, name)
             if _os.path.exists(d):
                 _shutil.rmtree(d)
@@ -388,6 +395,31 @@ def _recover_index_compact(root: str) -> None:
         _shutil.rmtree(old_root, ignore_errors=True)
     if _os.path.isdir(tmp_root):
         _shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def _fold_commit(p: str, cons_name: str, fold_names: list[str], had_consolidated: bool) -> None:
+    """Steps 3–7 of the fold protocol, shared by the index and sketch
+    compactors (the tmp consolidated dir must already be written): set the
+    old consolidated aside, write the marker (COMMIT POINT — recovery
+    rolls forward past it), rename the new consolidated in, delete the
+    folded dirs, clean up."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
+    _os.makedirs(old_root, exist_ok=True)
+    if had_consolidated:
+        _os.rename(_os.path.join(p, cons_name), _os.path.join(old_root, cons_name))
+    with open(_os.path.join(old_root, "_FOLDED.json"), "w") as fh:
+        _json.dump({"consolidated": cons_name, "folded": fold_names}, fh)
+    _os.rename(_os.path.join(tmp_root, cons_name), _os.path.join(p, cons_name))
+    for name in fold_names:
+        d = _os.path.join(p, name)
+        if _os.path.exists(d) and name != cons_name:
+            _shutil.rmtree(d)
+    _shutil.rmtree(old_root, ignore_errors=True)
+    _shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def compact_streaming_index(
@@ -461,8 +493,7 @@ def compact_streaming_index(
         .drop(partition_col)
     )
     cons_name = f"{prefix}{consolidated_value}"
-    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
-    target = _os.path.join(tmp_root, cons_name)
+    target = _os.path.join(p + "._fold_tmp", cons_name)
     if sub_partition_col:
         writer = df.repartition(n_out, sub_partition_col).write.partitionBy(
             sub_partition_col
@@ -471,19 +502,7 @@ def compact_streaming_index(
         writer = df.repartition(n_out).write
     writer.mode("overwrite").parquet(target)
 
-    _os.makedirs(old_root, exist_ok=True)
-    if consolidated_value in parts:  # set the old consolidated aside (pre-commit)
-        _os.rename(_os.path.join(p, cons_name), _os.path.join(old_root, cons_name))
-    # COMMIT POINT: from here recovery rolls forward, not back
-    with open(_os.path.join(old_root, "_FOLDED.json"), "w") as fh:
-        _json.dump({"consolidated": cons_name, "folded": fold_names}, fh)
-    _os.rename(target, _os.path.join(p, cons_name))
-    for name in fold_names:
-        d = _os.path.join(p, name)
-        if _os.path.exists(d) and name != cons_name:
-            _shutil.rmtree(d)
-    _shutil.rmtree(old_root, ignore_errors=True)
-    _shutil.rmtree(tmp_root, ignore_errors=True)
+    _fold_commit(p, cons_name, fold_names, consolidated_value in parts)
     files_after = len(
         [
             f

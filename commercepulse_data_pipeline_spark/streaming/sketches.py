@@ -131,26 +131,13 @@ def compact_sketch_rollup(
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    import json as _json
-    import shutil
+    from commercepulse_data_pipeline_spark.sources.readers import _fold_commit
 
-    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
     cons_name = f"{prefix}-1"
     merged.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp_root, cons_name)
+        os.path.join(p + "._fold_tmp", cons_name)
     )
-    os.makedirs(old_root, exist_ok=True)
-    if -1 in parts:
-        os.rename(os.path.join(p, cons_name), os.path.join(old_root, cons_name))
-    with open(os.path.join(old_root, "_FOLDED.json"), "w") as fh:
-        _json.dump({"consolidated": cons_name, "folded": fold_names}, fh)
-    os.rename(os.path.join(tmp_root, cons_name), os.path.join(p, cons_name))
-    for name in fold_names:
-        d = os.path.join(p, name)
-        if os.path.exists(d) and name != cons_name:
-            shutil.rmtree(d)
-    shutil.rmtree(old_root, ignore_errors=True)
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    _fold_commit(p, cons_name, fold_names, -1 in parts)
     return {
         "folded": len(fold),
         "partitions_after": len(parts) - len(fold_vals) + 1,

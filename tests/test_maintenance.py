@@ -418,3 +418,55 @@ def test_optimize_layout_gives_disjoint_file_ranges(spark, tmp_path):
     assert back.count() == 30_000
     plan = back.where(F.col("k") == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
+
+
+def test_compact_streaming_index_refold_crash_keeps_new_consolidated(
+    spark, tmp_path, monkeypatch
+):
+    """The r7 self-review bug: a SECOND compaction re-folds the existing
+    ingest_batch=-1 partition, so the marker's folded list contains the
+    consolidated NAME — a crash right after the commit rename must not
+    let recovery delete the dir at that name (it is the NEW data; the
+    old copy sits set-aside). Kill immediately after the commit rename,
+    recover, verify zero loss."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+    from commercepulse_data_pipeline_spark.streaming.corpus import clean_corpus_batch
+
+    store = _corpus_store(spark, tmp_path)
+    bands_root = f"{store}/index/bands"
+    compact_streaming_index(spark, bands_root, keep_latest=1)  # creates -1
+    # two more batches so the second fold has something + the old -1
+    for bid, doc in ((4, (40, "more unrelated content four")),
+                     (5, (50, "more unrelated content five"))):
+        clean_corpus_batch(
+            spark.createDataFrame([doc], "doc_id long, text string"),
+            bid, store, max_bucket=100000,
+        )
+    rows_before = spark.read.parquet(bands_root).count()
+
+    cons_dst = os.path.join(bands_root, "ingest_batch=-1")
+    real_rmtree = shutil.rmtree
+
+    def crashing(path, *a, **kw):
+        # first deletion AFTER the commit rename → crash before cleanup
+        if str(path).startswith(bands_root) and "ingest_batch=" in str(path):
+            raise RuntimeError("injected crash after commit rename")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing)
+    with pytest.raises(RuntimeError, match="after commit rename"):
+        compact_streaming_index(spark, bands_root, keep_latest=1)
+    monkeypatch.undo()
+    # torn: new -1 in place, old -1 set aside, folded batch dirs remain
+    assert os.path.exists(cons_dst)
+    assert os.path.exists(bands_root + "._fold_old/ingest_batch=-1")
+
+    stats = compact_streaming_index(spark, bands_root, keep_latest=1)
+    assert not os.path.exists(bands_root + "._fold_old")
+    assert spark.read.parquet(bands_root).count() == rows_before, \
+        "recovery deleted the new consolidated partition"
