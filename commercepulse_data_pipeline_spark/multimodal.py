@@ -416,6 +416,8 @@ def _decode_jpeg(content: bytes) -> dict:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
             pos += 2
             continue
+        if marker == 0xD9:  # EOI before SOS → structurally incomplete
+            break
         seg_len = struct.unpack_from(">H", content, pos + 2)[0]
         body = content[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT

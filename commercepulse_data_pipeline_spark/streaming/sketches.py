@@ -100,11 +100,10 @@ def compact_sketch_rollup(
     union-merge whatever rows exist). ``keep_latest`` batch partitions
     stay untouched for replay safety (same argument as the index stores).
     """
-    import glob
-    import math
     import os
 
     from commercepulse_data_pipeline_spark.sources.readers import (
+        _fold_commit,
         _recover_index_compact,
     )
 
@@ -131,8 +130,6 @@ def compact_sketch_rollup(
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    from commercepulse_data_pipeline_spark.sources.readers import _fold_commit
-
     cons_name = f"{prefix}-1"
     merged.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(p + "._fold_tmp", cons_name)
