@@ -1,0 +1,43 @@
+"""Driver-contract invariants for __spark_entry__.py — cheap static
+checks that catch wiring mistakes (a query registered without its oracle,
+or an oracle for a renamed query) before the driver does."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+# The declared rows-only set: engine-specific outputs with no DuckDB twin.
+# Growing this set weakens the correctness gate — every addition needs the
+# justification documented on the query's docstring (and each sketch entry
+# has a hash-checked *_check twin).
+ROWS_ONLY = {"media_features", "approx_stats", "order_value_percentiles_approx"}
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = E.queries(), E.oracle_sql()
+    orphans = set(oracles) - set(qs)
+    assert not orphans, f"oracle_sql entries without a query: {orphans}"
+
+
+def test_every_query_is_oracle_backed_or_declared_rows_only():
+    qs, oracles = E.queries(), E.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == ROWS_ONLY, (
+        "rows-only set drifted — either a new query is missing its oracle "
+        f"or the declaration here is stale: {rows_only ^ ROWS_ONLY}"
+    )
+
+
+def test_rows_only_entries_come_last():
+    """The driver caps recorded rows (~50) in dict order; rows-only
+    entries must never displace an oracle-backed query from the cap."""
+    names = list(E.queries())
+    tail = names[-len(ROWS_ONLY):]
+    assert set(tail) == ROWS_ONLY, tail
+
+
+def test_queries_are_callable_and_named():
+    qs = E.queries()
+    assert len(qs) == len(set(qs)) >= 88
+    for name, fn in qs.items():
+        assert callable(fn), name
