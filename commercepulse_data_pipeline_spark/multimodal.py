@@ -2,12 +2,13 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct; all
 Spark-side mechanics (schema, partition sizing, Arrow batch shape,
-mapInPandas signatures) are real and tested. Image/audio decode is REAL
-pure-Python for baseline JPEG, PNG, BMP, PPM/P6 and RIFF/PCM WAV
-(``real_decode``); only the codec-library formats this container can't
-host (MP3/MP4) stay behind a clearly-marked ``NotImplementedError``, and
-``DeterministicFakeDecoder`` remains the test stand-in for arbitrary
-bytes.
+mapInPandas signatures) are real and tested. Decode is REAL pure-Python
+for baseline JPEG, PNG, BMP, PPM/P6 and RIFF/PCM WAV, and MP3/MP4 get
+real metadata parsers (frame-walk / ISO-BMFF box-walk: duration, sample
+rate, track dimensions) (``real_decode``); only compressed-SAMPLE decode
+(MP3 PCM, H.264 frames, Ogg/FLAC…) stays behind a clearly-marked
+``NotImplementedError``, and ``DeterministicFakeDecoder`` remains the
+test stand-in for arbitrary bytes.
 
 Scale design:
 - media rows are big → ``repartition`` by size budget before mapInPandas
@@ -527,14 +528,169 @@ def _decode_jpeg(content: bytes) -> dict:
     }
 
 
+# MPEG audio (MP3) header tables — ISO/IEC 11172-3 / 13818-3 public spec.
+# Bitrate (kbps) by [version-class][layer][index 1..14]; index 0 = free
+# format (frame length not derivable from the header → rejected).
+_MP3_BITRATE = {
+    # MPEG1
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG2 / 2.5 (lower-sampling-frequency extensions share tables)
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# Sample rate (Hz) by version bits (00=2.5, 10=2, 11=1) and 2-bit index.
+_MP3_RATE = {
+    0b11: (44100, 48000, 32000),
+    0b10: (22050, 24000, 16000),
+    0b00: (11025, 12000, 8000),
+}
+
+
+def _decode_mp3(content: bytes) -> dict:
+    """MP3 metadata extract: skip any leading ID3v2 tag (synchsafe size),
+    then walk MPEG audio frames — each 4-byte header gives version/layer/
+    bitrate/sample-rate, the frame length follows arithmetically, and
+    duration accumulates samples_per_frame / sample_rate per frame (so VBR
+    streams are exact, no Xing header trusted). This is the metadata tier
+    a curation pipeline filters on (duration, rate, bitrate class); PCM
+    sample decode still needs a codec library."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # synchsafe 28-bit size; footer flag (bit 4 of flags) adds 10
+        size = 0
+        for b in content[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size + (10 if content[5] & 0x10 else 0)
+    duration = 0.0
+    n_frames = 0
+    payload_start = pos
+    while pos + 4 <= len(content):
+        if content[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        b1, b2, b3 = content[pos], content[pos + 1], content[pos + 2]
+        if not (b1 == 0xFF and (b2 & 0xE0) == 0xE0):
+            if n_frames:  # trailing junk after a valid stream — stop
+                break
+            pos += 1  # scan forward to the first sync word
+            continue
+        ver_bits = (b2 >> 3) & 0b11  # 00=2.5 01=reserved 10=2 11=1
+        layer_bits = (b2 >> 1) & 0b11  # 01=III 10=II 11=I
+        if ver_bits == 0b01 or layer_bits == 0b00:
+            raise ValueError("reserved MPEG version/layer bits in frame header")
+        layer = 4 - layer_bits  # 1, 2 or 3
+        vclass = 1 if ver_bits == 0b11 else 2
+        br_idx = (b3 >> 4) & 0xF
+        sr_idx = (b3 >> 2) & 0b11
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format or reserved bitrate/sample-rate index")
+        bitrate = _MP3_BITRATE[(vclass, layer)][br_idx - 1] * 1000
+        rate = _MP3_RATE[ver_bits][sr_idx]
+        padding = (b3 >> 1) & 1
+        if layer == 1:
+            samples, frame_len = 384, (12 * bitrate // rate + padding) * 4
+        else:
+            samples = 1152 if (layer == 2 or vclass == 1) else 576
+            frame_len = samples // 8 * bitrate // rate + padding
+        duration += samples / float(rate)
+        n_frames += 1
+        pos += max(frame_len, 4)
+    if not n_frames:
+        raise ValueError("no MPEG audio frame found")
+    return {
+        "width": None,
+        "height": None,
+        "duration_sec": duration,
+        "feature": _feature_from_bytes(content[payload_start:]),
+    }
+
+
+def _mp4_boxes(content: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) over an ISO-BMFF box list.
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", content, pos)[0]
+        btype = content[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            size = struct.unpack_from(">Q", content, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos:
+            raise ValueError("malformed ISO-BMFF box size")
+        yield btype, body, min(pos + size, end)
+        pos += size
+
+
+def _decode_mp4(content: bytes) -> dict:
+    """MP4/ISO-BMFF metadata extract (ISO/IEC 14496-12 public spec): walk
+    the box tree — mvhd gives timescale+duration, the first video trak's
+    tkhd gives 16.16-fixed width/height, hdlr tells track kinds. Sample
+    decode (H.264/AAC) still needs a codec library; this tier is what a
+    corpus pipeline filters/partitions on."""
+    import struct
+
+    duration_sec = None
+    width = height = None
+    has_video = False
+    for btype, b0, b1 in _mp4_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(content, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                ver = content[c0]
+                if ver == 1:
+                    timescale = struct.unpack_from(">I", content, c0 + 20)[0]
+                    dur = struct.unpack_from(">Q", content, c0 + 24)[0]
+                else:
+                    timescale = struct.unpack_from(">I", content, c0 + 12)[0]
+                    dur = struct.unpack_from(">I", content, c0 + 16)[0]
+                if timescale:
+                    duration_sec = dur / float(timescale)
+            elif ctype == b"trak":
+                t_w = t_h = None
+                t_video = False
+                for ttype, t0, t1 in _mp4_boxes(content, c0, c1):
+                    if ttype == b"tkhd":
+                        off = t0 + (88 if content[t0] == 1 else 76)
+                        if off + 8 <= t1:
+                            w_fx, h_fx = struct.unpack_from(">II", content, off)
+                            t_w, t_h = w_fx >> 16, h_fx >> 16
+                    elif ttype == b"mdia":
+                        for mtype, m0, m1 in _mp4_boxes(content, t0, t1):
+                            if mtype == b"hdlr" and m1 - m0 >= 12:
+                                t_video = content[m0 + 8 : m0 + 12] == b"vide"
+                if t_video and not has_video:
+                    has_video, width, height = True, t_w, t_h
+    if duration_sec is None:
+        raise ValueError("ISO-BMFF container without a moov/mvhd box")
+    return {
+        "width": width,
+        "height": height,
+        "duration_sec": duration_sec,
+        "feature": _feature_from_bytes(content),
+    }
+
+
 def real_decode(content: bytes, modality: str) -> dict:
-    """Production decode hook: REAL pure-Python decoders — baseline JPEG
-    (huffman + dequant + IDCT), PNG (zlib inflate + un-filter), BMP and
-    PPM/P6 images, RIFF/PCM WAV audio — dispatched on magic bytes, so real
-    bytes flow through the distributed path end to end (tested in
-    tests/test_multimodal.py). Formats needing codec libraries this
-    container doesn't have (MP3/MP4…) raise NotImplementedError — wire
-    ffmpeg/torchaudio here on a cluster image that has them."""
+    """Production decode hook: REAL pure-Python decoders/parsers —
+    baseline JPEG (huffman + dequant + IDCT), PNG (zlib inflate +
+    un-filter), BMP and PPM/P6 images, RIFF/PCM WAV audio, MP3 frame-walk
+    and MP4/ISO-BMFF box-walk metadata (duration / sample rate / track
+    dimensions — the fields curation filters on) — dispatched on magic
+    bytes, so real bytes flow through the distributed path end to end
+    (tested in tests/test_multimodal.py). Compressed-SAMPLE decode for
+    MP3/MP4 (PCM / raster frames) and other codec formats (Ogg, FLAC…)
+    raise NotImplementedError — wire ffmpeg/torchaudio here on a cluster
+    image that has them."""
     content = content or b""
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg(content)
@@ -546,6 +702,12 @@ def real_decode(content: bytes, modality: str) -> dict:
         return _decode_wav(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[4:8] == b"ftyp":
+        return _decode_mp4(content)
+    if content[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):
+        return _decode_mp3(content)
     raise NotImplementedError(
         f"no pure-Python decoder for this payload (modality={modality}, "
         f"magic={content[:4]!r}); compressed codecs (ffmpeg/torchaudio) "

@@ -258,14 +258,125 @@ def test_real_decode_png_interlaced_rejected():
 
 def test_real_decode_compressed_is_explicit_stub():
     """Formats needing codec libs still raise — clearly marked boundary
-    (JPEG left the stub in r7; MP4/MP3 remain behind it)."""
+    (JPEG left the stub in r7; MP3/MP4 metadata parse left it too, so the
+    stub is now Ogg/FLAC-shaped). Malformed bytes of RECOGNIZED formats
+    are a decode ERROR, not a missing codec."""
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x00\x00\x00\x18ftypmp42 fake mp4", "video")
+        real_decode(b"OggS\x00\x02 fake ogg", "audio")
     with pytest.raises(NotImplementedError):
-        real_decode(b"ID3\x03\x00 fake mp3", "audio")
-    # malformed JPEG bytes are a decode ERROR now, not a missing codec
+        real_decode(b"fLaC\x00\x00\x00\x22 fake flac", "audio")
     with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0jpeg-ish", "image")
+    with pytest.raises(ValueError):  # ftyp but no moov/mvhd
+        real_decode(b"\x00\x00\x00\x18ftypmp42 fake mp4", "video")
+    with pytest.raises(ValueError):  # ID3 whose size runs past EOF
+        real_decode(b"ID3\x03\x00 fake mp3", "audio")
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 test-side generators: frames and boxes are packed by hand from
+# the public specs (ISO 11172-3 tables, ISO 14496-12 box layout) so a
+# table transposition in the parser cannot cancel out.
+
+
+def _mp3_frames(n_frames: int, version: int = 1, id3: bytes = b"") -> bytes:
+    if version == 1:  # MPEG1 L3, 128 kbps, 44100 Hz → 417-byte frames
+        hdr, frame_len = b"\xff\xfb\x90\x00", (144 * 128000) // 44100
+    else:  # MPEG2.5 L3, 64 kbps, 8000 Hz → 576-byte frames
+        hdr, frame_len = b"\xff\xe3\x88\x00", (576 // 8) * 64000 // 8000
+    payload = bytes((i * 37) % 251 for i in range(frame_len - 4))
+    return id3 + (hdr + payload) * n_frames
+
+
+def _id3v2(size: int) -> bytes:
+    """ID3v2.4 header + `size` bytes of tag body (synchsafe size)."""
+    ss = bytes(((size >> s) & 0x7F) for s in (21, 14, 7, 0))
+    return b"ID3\x04\x00\x00" + ss + bytes(size)
+
+
+def test_real_decode_mp3_frame_walk():
+    # 100 MPEG1 frames: duration = 100 * 1152 / 44100
+    d = real_decode(_mp3_frames(100), "audio")
+    assert d["duration_sec"] == pytest.approx(100 * 1152 / 44100, abs=1e-6)
+    assert d["width"] is None and len(d["feature"]) == 8
+
+    # ID3v2 tag (whose body may contain 0xFF 0xEx byte pairs) is skipped
+    # via its synchsafe size, not by sync-scanning through it
+    tag = _id3v2(64)
+    tag = tag[:12] + b"\xff\xfb\x90\x00" + tag[16:]  # fake sync inside tag
+    d2 = real_decode(_mp3_frames(100, id3=tag), "audio")
+    assert d2["duration_sec"] == pytest.approx(d["duration_sec"], abs=1e-9)
+
+    # MPEG2.5 frames: 576 samples @ 8000 Hz; ID3v1 'TAG' trailer ignored
+    d3 = real_decode(_mp3_frames(50, version=25) + b"TAG" + bytes(125), "audio")
+    assert d3["duration_sec"] == pytest.approx(50 * 576 / 8000, abs=1e-6)
+
+    # free-format bitrate index is an explicit error, not a wrong answer
+    bad = bytearray(_mp3_frames(1))
+    bad[2] = 0x00  # bitrate idx 0, rate idx 0
+    with pytest.raises(ValueError, match="free-format"):
+        real_decode(bytes(bad), "audio")
+
+
+def _mp4_box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct as _s
+
+    if largesize:
+        return _s.pack(">I", 1) + btype + _s.pack(">Q", len(body) + 16) + body
+    return _s.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4_bytes(
+    duration_sec: float,
+    width: int | None = None,
+    height: int | None = None,
+    mvhd_v1: bool = False,
+    largesize_moov: bool = False,
+) -> bytes:
+    import struct as _s
+
+    timescale = 1000
+    dur = int(round(duration_sec * timescale))
+    if mvhd_v1:
+        mvhd = b"\x01\x00\x00\x00" + _s.pack(">QQIQ", 0, 0, timescale, dur) + bytes(80)
+    else:
+        mvhd = b"\x00\x00\x00\x00" + _s.pack(">IIII", 0, 0, timescale, dur) + bytes(76)
+    traks = b""
+    if width is not None:
+        tkhd = (
+            b"\x00\x00\x00\x07"
+            + _s.pack(">IIIII", 0, 0, 1, 0, dur)
+            + bytes(16)
+            + bytes(36)  # identity matrix irrelevant to the parser
+            + _s.pack(">II", width << 16, height << 16)
+        )
+        hdlr = b"\x00\x00\x00\x00" + bytes(4) + b"vide" + bytes(12) + b"\x00"
+        mdia = _mp4_box(b"mdia", _mp4_box(b"hdlr", hdlr))
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    # an audio trak with junk-dims tkhd must NOT win over the video trak
+    tkhd_a = b"\x00\x00\x00\x07" + _s.pack(">IIIII", 0, 0, 2, 0, dur) + bytes(52) + _s.pack(">II", 0, 0)
+    hdlr_a = b"\x00\x00\x00\x00" + bytes(4) + b"soun" + bytes(12) + b"\x00"
+    traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_a) + _mp4_box(b"mdia", _mp4_box(b"hdlr", hdlr_a)))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks, largesize=largesize_moov)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    mdat = _mp4_box(b"mdat", bytes((i * 11) % 256 for i in range(256)))
+    return ftyp + moov + mdat
+
+
+def test_real_decode_mp4_box_walk():
+    d = real_decode(_mp4_bytes(12.5, 640, 360), "video")
+    assert d["duration_sec"] == pytest.approx(12.5, abs=1e-3)
+    assert (d["width"], d["height"]) == (640, 360)
+
+    # audio-only container (m4a shape): no video trak → dims stay None
+    d2 = real_decode(_mp4_bytes(3.25), "audio")
+    assert d2["duration_sec"] == pytest.approx(3.25, abs=1e-3)
+    assert d2["width"] is None and d2["height"] is None
+
+    # version-1 mvhd (64-bit times) and a largesize moov box both parse
+    d3 = real_decode(_mp4_bytes(7.0, 1920, 1080, mvhd_v1=True, largesize_moov=True), "video")
+    assert d3["duration_sec"] == pytest.approx(7.0, abs=1e-3)
+    assert (d3["width"], d3["height"]) == (1920, 1080)
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +683,8 @@ def test_real_decode_distributed(spark):
                     filters=[0, 1, 2, 4]), 0, {}),
         ("jpg-1", "image", "image/jpeg",
          _jpeg_bytes(_smooth_rgb(40, 24), subsample=(2, 2)), 0, {}),
+        ("mp3-1", "audio", "audio/mpeg", _mp3_frames(77), 0, {}),
+        ("mp4-1", "video", "video/mp4", _mp4_bytes(9.5, 320, 240), 0, {}),
     ]
     df = spark.createDataFrame(
         rows,
@@ -586,6 +699,9 @@ def test_real_decode_distributed(spark):
     assert out["wav-1"].duration_sec == pytest.approx(1.25, abs=1e-3)
     assert (out["png-1"].width, out["png-1"].height) == (6, 4)
     assert (out["jpg-1"].width, out["jpg-1"].height) == (40, 24)
+    assert out["mp3-1"].duration_sec == pytest.approx(77 * 1152 / 44100, abs=1e-4)
+    assert (out["mp4-1"].width, out["mp4-1"].height) == (320, 240)
+    assert out["mp4-1"].duration_sec == pytest.approx(9.5, abs=1e-3)
     assert all(len(r.feature) == 8 for r in out.values())
 
 
