@@ -1812,6 +1812,89 @@ def q_sketch_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training round-0 statistics (``operators/bpe.py``):
+    adjacent character-pair counts (with the ``</w>`` end-of-word marker)
+    weighted by word frequency, top-30 by (count desc, a, b) — the argmax
+    of this table is the first learned merge. The iterative trainer and
+    the Arrow-batched encoder built on the same convention are
+    pytest-verified against an independent pure-Python reference
+    (tests/test_bpe.py); this query hash-pins the distributed statistics
+    layer both of them stand on.
+
+    Scale shape: ONE corpus scan → word-freq table (Heaps-law small) →
+    pair explode → map-side-combined count → takeOrdered top-30."""
+    from commercepulse_data_pipeline_spark.operators.bpe import pair_counts
+
+    d = _docs(spark, sf_dir)
+    return (
+        pair_counts(d)
+        .orderBy(F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(30)
+    )
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source sampling (``operators/sampling.py::
+    weighted_sample_per_group``): exactly 15 docs per source, sampled
+    with odds ~proportional to token count — the "prefer substantive
+    docs, reproducibly" curation step (uniform twin:
+    ``docs_per_lang_sample``). Priority is the integer-exact u/w variant
+    of the Efraimidis–Spirakis key, so the DuckDB oracle replays the
+    ranking bit-for-bit (no ln/pow ulp skew).
+
+    Scale shape: one shuffle on source; WindowGroupLimit pushes rank<=k
+    map-side, so a dominant source ships ~k rows per map task."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark, sf_dir)
+    weighted = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(tx.tokens(F.col("text"))), F.lit(0)).alias("n_tokens"),
+    )
+    return weighted_sample_per_group(
+        weighted, "source", "doc_id", "n_tokens", k=15, salt="wsample-v1:"
+    )
+
+
+def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-decile profile via the ranking-window surface not
+    exercised elsewhere (ntile / percent_rank / cume_dist): rank docs
+    inside each source by (n_chars, doc_id) — a total order, so every
+    window verdict is deterministic — then summarize each decile. The
+    distribution-profiling step a curation pipeline runs before choosing
+    length-filter thresholds.
+
+    percent_rank/cume_dist are exact-integer ratios ((rank-1)/(n-1),
+    rows_le/n), so the doubles are correctly-rounded identical across
+    engines — safe to hash after round().
+
+    Scale shape: the window is PARTITIONED by source (no global sort).
+    For a corpus dominated by one giant source, swap the per-row window
+    for the histogram two-pass (groupBy (source, n_chars) counts →
+    cumulative sums over the far smaller histogram); at driver scale the
+    partitioned window is the simpler correct plan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
 def q_fx_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency normalization through the backward as-of rate lookup
     (``plans.gold.normalize_currency`` — the Q7 fix; reference ships
@@ -2328,6 +2411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles_check": q_order_value_percentiles_check,
         "purge_audit": q_purge_audit,
         "sketch_range_users": q_sketch_range_users,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_deciles": q_docs_length_deciles,
         # -- operators touched in r7 (corpus_diff presence-marker fix)
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         # -- r6-green block (freshest driver rows), oldest-listed rechecked
@@ -3260,6 +3346,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars_raw) AS BIGINT) AS total_chars,
                    round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 4) AS bpe_per_word
             FROM staged GROUP BY source
+        """,
+        # Adjacent-pair counts over (word chars + '</w>'), weighted by word
+        # freq; chr(31) (unit separator) keys the pair so multi-byte chars
+        # and '</w>' survive the round-trip. substr/length are
+        # character-based in both engines (verified on non-ASCII).
+        "bpe_pair_counts": rf"""
+            WITH w AS (
+                SELECT unnest({_TOKS}) AS word FROM documents
+            ), wf AS (
+                SELECT word, count(*) AS freq FROM w
+                WHERE word IS NOT NULL AND word <> '' GROUP BY word
+            ), p AS (
+                SELECT unnest(list_transform(range(1, length(word) + 1), i ->
+                    CASE WHEN i < length(word)
+                         THEN substr(word, i, 1) || chr(31) || substr(word, i + 1, 1)
+                         ELSE substr(word, i, 1) || chr(31) || '</w>' END)) AS pr,
+                       freq
+                FROM wf
+            )
+            SELECT split_part(pr, chr(31), 1) AS a,
+                   split_part(pr, chr(31), 2) AS b,
+                   CAST(sum(freq) AS BIGINT) AS n_pairs
+            FROM p GROUP BY a, b
+            ORDER BY n_pairs DESC, a ASC, b ASC LIMIT 30
+        """,
+        # Integer-exact weighted priority: (md5-bucket · 10^6) // max(w, 1)
+        # — pure int64 (DuckDB `//` = integral divide), replaying
+        # operators/sampling.py::weighted_priority bit-for-bit.
+        "docs_weighted_sample": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       coalesce(len({_TOKS}), 0) AS n_tokens,
+                       ({_sample_bucket_sql("doc_id", "wsample-v1:")} * 1000000)
+                           // greatest(coalesce(len({_TOKS}), 0), 1) AS prio
+                FROM documents
+            )
+            SELECT doc_id, source, n_tokens, wrank FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY prio ASC, doc_id ASC) AS wrank
+                FROM d
+            ) WHERE wrank <= 15
+        """,
+        "docs_length_deciles": """
+            WITH ranked AS (
+                SELECT source, n_chars,
+                       ntile(10) OVER w AS decile,
+                       percent_rank() OVER w AS pr,
+                       cume_dist() OVER w AS cd
+                FROM documents
+                WINDOW w AS (PARTITION BY source
+                             ORDER BY n_chars ASC, doc_id ASC)
+            )
+            SELECT source, decile,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(max(pr), 6) AS max_pct_rank,
+                   round(max(cd), 6) AS max_cume_dist
+            FROM ranked GROUP BY source, decile
         """,
         "running_total": """
             SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

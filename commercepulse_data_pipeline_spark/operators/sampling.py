@@ -22,7 +22,7 @@ map-side either way.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Buckets are the first 32 bits of md5(salt || key) — uniform on [0, 2^32).
@@ -69,6 +69,86 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(threshold_for(rate))).otherwise(thr)
     return df.where(hash_bucket(F.col(key_col), salt) < thr)
+
+
+# Priority scale for weighted sampling: bucket·SCALE stays < 2^63 for any
+# 32-bit bucket (2^32 · 10^6 ≈ 4.3e15), so the arithmetic is exact int64.
+PRIORITY_SCALE = 1_000_000
+
+
+def weighted_priority(key: Column, weight: Column, *, salt: str = "") -> Column:
+    """Integer sampling priority ``(bucket(key) · 10^6) div max(w, 1)`` —
+    smaller priority = more likely sampled, monotone in weight (a doc
+    with 10× the weight is ~10× as likely to win a slot).
+
+    This is the integer-exact variant of the Efraimidis–Spirakis A-ES
+    key (``u^(1/w)``, equivalently ``-ln(u)/w``): ranking by ``u/w``
+    instead of ``-ln(u)/w`` keeps the whole computation in int64, so the
+    order replays BIT-IDENTICALLY in any engine — no ``ln``/``pow``
+    last-ulp skew flipping ranks across Spark/DuckDB (the reason the
+    oracle can hash-check it). The trade: inclusion odds are monotone
+    and ~proportional in w but not the exact A-ES distribution; for
+    corpus curation (prefer longer/higher-quality docs, reproducibly)
+    that is the contract that matters. Weights must be < 2^31.
+
+    Pure codegen projection — no shuffle, no UDF.
+    """
+    b = hash_bucket(key, salt) * F.lit(PRIORITY_SCALE)
+    w = F.greatest(weight.cast("long"), F.lit(1))
+    # Exact floor division on positive int64: subtract the remainder first,
+    # so the float `/` divides an exact multiple — numerator ≤ 2^32·10^6
+    # ≈ 4.3e15 < 2^53 is exactly representable and the quotient is an
+    # exact integer, so the double round-trip cannot be off by one (a
+    # bare floor(a / b) can, at exact-quotient boundaries).
+    return ((b - (b % w)) / w).cast("long")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    rank_col: str = "wrank",
+) -> DataFrame:
+    """Exactly-k-per-group weighted sample: rank rows inside each group by
+    ``weighted_priority`` ascending (doc key tiebreak → total order),
+    keep ``rank <= k``. The weighted twin of the uniform per-group
+    sampler (``q_docs_per_lang_sample``).
+
+    Scale shape: one shuffle on ``group_col``; Spark's WindowGroupLimit
+    pushes the ``rank <= k`` filter MAP-SIDE before the shuffle (measured
+    6.6× on a hot key in SCALE.md), so a dominant group ships ~k rows per
+    map task, never its full corpus share.
+    """
+    prio = weighted_priority(F.col(key_col), F.col(weight_col), salt=salt)
+    w = Window.partitionBy(group_col).orderBy(prio.asc(), F.col(key_col).asc())
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def weighted_rate_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    max_weight: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Proportional-to-weight deterministic sampling: keep a row with
+    probability ``rate · w / max_weight`` (weights clamped to
+    ``[1, max_weight]``), decided by exact integer comparison
+    ``bucket · max_weight < threshold(rate) · w`` — same stability and
+    oracle-replay properties as ``deterministic_sample``. Requires
+    ``max_weight < 2^31`` (int64-overflow bound on both products)."""
+    if not 1 <= max_weight < (1 << 31):
+        raise ValueError(f"max_weight must be in [1, 2^31), got {max_weight}")
+    w = F.least(F.greatest(F.col(weight_col).cast("long"), F.lit(1)), F.lit(max_weight))
+    lhs = hash_bucket(F.col(key_col), salt) * F.lit(max_weight)
+    rhs = F.lit(threshold_for(rate)) * w
+    return df.where(lhs < rhs)
 
 
 def assign_splits(

@@ -1,0 +1,154 @@
+"""BPE tokenizer training/encoding vs an independent pure-Python
+reference (the Sennrich dict-based algorithm, implemented here from the
+published description — no shared code with operators/bpe.py)."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+
+from commercepulse_data_pipeline_spark.operators.bpe import (
+    END,
+    encode_bpe,
+    pair_counts,
+    train_bpe,
+    word_freqs,
+)
+
+CORPUS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the dog barks at the quick fox again and again"),
+    ("d3", "low lower lowest newer newest wider wide widest"),
+    ("d4", "aaaa aaa aa a banana bandana ananas"),  # overlap + tie bait
+    ("d5", "héllo héllo naïve café café café"),  # multi-byte chars
+    ("d6", "the the the the and and and or"),
+    ("d7", ""),  # empty doc
+]
+
+
+# -- pure-Python reference ---------------------------------------------------
+
+
+def _ref_word_freqs(texts):
+    c = collections.Counter()
+    for t in texts:
+        c.update(w for w in t.lower().split() if w)
+    return c
+
+
+def _ref_pairs(freqs):
+    stats = collections.Counter()
+    for word, f in freqs.items():
+        syms = list(word) + [END]
+        for i in range(len(syms) - 1):
+            stats[(syms[i], syms[i + 1])] += f
+    return stats
+
+
+def _ref_merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts, n_merges):
+    freqs = {
+        tuple(list(w) + [END]): f for w, f in _ref_word_freqs(texts).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        stats = collections.Counter()
+        for syms, f in freqs.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        # max count, ties by lexicographically smallest pair
+        n = max(stats.values())
+        a, b = min(p for p, c in stats.items() if c == n)
+        merges.append((a, b, n))
+        freqs = {
+            tuple(_ref_merge_word(list(s), a, b)): f for s, f in freqs.items()
+        }
+    return merges, freqs
+
+
+def _ref_encode(word, merges):
+    syms = list(word) + [END]
+    for a, b, _ in merges:
+        syms = _ref_merge_word(syms, a, b)
+    return syms
+
+
+# -- tests -------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+
+def test_pair_counts_matches_reference(docs_df):
+    got = {
+        (r.a, r.b): r.n_pairs for r in pair_counts(docs_df).collect()
+    }
+    want = dict(_ref_pairs(_ref_word_freqs(t for _, t in CORPUS)))
+    assert got == want
+
+
+def test_word_freqs_drops_empty(docs_df):
+    wf = {r.word: r.freq for r in word_freqs(docs_df).collect()}
+    assert wf == dict(_ref_word_freqs(t for _, t in CORPUS))
+    assert "" not in wf
+
+
+def test_train_bpe_matches_reference(docs_df):
+    """20 merges — far enough to cross count ties, overlap ('aaaa'),
+    multi-byte symbols, and merges building on earlier merges."""
+    got = train_bpe(docs_df, 20, checkpoint_every=4)
+    want, _ = _ref_train([t for _, t in CORPUS], 20)
+    assert got == want
+
+
+def test_encode_matches_trainer_final_state(docs_df):
+    """Encoding the training words with the learned merges must land on
+    exactly the trainer's final symbol table (rank-priority encode ≡
+    in-order one-pass-per-merge training)."""
+    merges = train_bpe(docs_df, 12)
+    _, final = _ref_train([t for _, t in CORPUS], 12)
+    enc = encode_bpe(docs_df, merges)
+    by_doc = {r.doc_id: r for r in enc.collect()}
+    # reference final state keyed by original word
+    ref_state = {"".join(s).removesuffix(END): list(s) for s in final}
+    for doc_id, text in CORPUS:
+        want = [p for w in text.lower().split() if w for p in ref_state[w]]
+        if not want:
+            assert doc_id not in by_doc  # empty doc has no words
+            continue
+        assert list(by_doc[doc_id].pieces) == want, doc_id
+        assert by_doc[doc_id].n_pieces == len(want)
+
+
+def test_encode_roundtrip(docs_df):
+    """Pieces re-concatenate to the original words (END markers delimit)."""
+    merges = train_bpe(docs_df, 8)
+    for r in encode_bpe(docs_df, merges).collect():
+        text = dict(CORPUS)[r.doc_id]
+        rebuilt = "".join(r.pieces).replace(END, " ").split()
+        assert rebuilt == [w for w in text.lower().split() if w]
+
+
+def test_train_zero_merges_and_exhaustion(spark):
+    tiny = spark.createDataFrame([("d", "ab ab")], "doc_id string, text string")
+    assert train_bpe(tiny, 0) == []
+    # 'ab' exhausts after 2 merges (a+b, ab+</w>) — asking for 10 stops early
+    merges = train_bpe(tiny, 10)
+    assert [m[:2] for m in merges] == [("a", "b"), ("ab", END)]
+    assert all(m[2] == 2 for m in merges)

@@ -13,10 +13,14 @@ from commercepulse_data_pipeline_spark.operators.graph import (
 )
 from commercepulse_data_pipeline_spark.operators.sampling import (
     BUCKET_SPACE,
+    PRIORITY_SCALE,
     deterministic_sample,
     hash_bucket,
     stratified_sample,
     threshold_for,
+    weighted_priority,
+    weighted_rate_sample,
+    weighted_sample_per_group,
 )
 
 
@@ -139,6 +143,80 @@ def test_threshold_for_exact_int():
     assert threshold_for(0.5) == 1 << 31
     assert threshold_for(1.0) == BUCKET_SPACE
     assert threshold_for(0.0) == 0
+
+
+def _py_priority(key, weight, salt=""):
+    """Independent pure-Python replica of weighted_priority (hashlib md5,
+    exact integer floor division)."""
+    import hashlib
+
+    b = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+    return (b * PRIORITY_SCALE) // max(int(weight), 1)
+
+
+def test_weighted_priority_integer_exact(spark):
+    """The Spark priority equals the pure-Python int arithmetic exactly —
+    including weights that make the quotient land on exact boundaries
+    (w=1 and w dividing the scale), the cases where a float floor(a/b)
+    can be off by one."""
+    rows = [(f"k{i}", w) for i in range(500) for w in (1, 3, 7, 1000, PRIORITY_SCALE)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = {
+        (r.k, r.w): r.p
+        for r in df.select(
+            "k", "w", weighted_priority(F.col("k"), F.col("w")).alias("p")
+        ).collect()
+    }
+    for (k, w), p in got.items():
+        assert p == _py_priority(k, w), (k, w)
+    # monotone: heavier weight never increases the priority of the same key
+    for i in range(500):
+        ps = [got[(f"k{i}", w)] for w in (1, 3, 7, 1000)]
+        assert ps == sorted(ps, reverse=True)
+
+
+def test_weighted_sample_per_group_exact_k_and_bias(spark):
+    """Exactly k rows per group; heavy rows win slots far beyond their
+    population share (weights 50:1 at a 10% population share → expect a
+    strong majority of winners heavy)."""
+    rows = [
+        (f"d{g}_{i}", f"g{g}", 50 if i % 10 == 0 else 1)
+        for g in range(4)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = weighted_sample_per_group(df, "grp", "doc_id", "w", k=20).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) == {f"g{g}" for g in range(4)}
+    for g, picked in by_grp.items():
+        assert len(picked) == 20, g
+        assert sorted(r.wrank for r in picked) == list(range(1, 21))
+        heavy = sum(1 for r in picked if r.w == 50)
+        assert heavy >= 14, (g, heavy)  # ~83% expected under u/w priority
+    # deterministic: identical winner set on rerun
+    again = {(r.grp, r.doc_id) for r in
+             weighted_sample_per_group(df, "grp", "doc_id", "w", k=20).collect()}
+    assert again == {(r.grp, r.doc_id) for r in out}
+
+
+def test_weighted_rate_sample_proportional(spark):
+    """Empirical keep rates track rate·w/max_weight per weight class, and
+    the verdict is stable across partitionings."""
+    rows = [(i, 5 if i % 2 == 0 else 1) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    kept = weighted_rate_sample(df, "id", "w", rate=0.2, max_weight=5).collect()
+    n5 = sum(1 for r in kept if r.w == 5)
+    n1 = sum(1 for r in kept if r.w == 1)
+    assert abs(n5 / 10000 - 0.2) < 0.02
+    assert abs(n1 / 10000 - 0.04) < 0.01
+    again = {r.id for r in
+             weighted_rate_sample(df.repartition(13), "id", "w", rate=0.2,
+                                  max_weight=5).collect()}
+    assert again == {r.id for r in kept}
+    with pytest.raises(ValueError):
+        weighted_rate_sample(df, "id", "w", rate=0.2, max_weight=1 << 31)
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,9 @@ PROBE_QUERIES = [
     "order_value_percentiles_check",
     "purge_audit",
     "sketch_range_users",
+    "bpe_pair_counts",
+    "docs_weighted_sample",
+    "docs_length_deciles",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
