@@ -1812,6 +1812,62 @@ def q_sketch_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra–Gries frequent-items rollup end-to-end
+    (``operators/sketches.py`` — r7): build one bounded per-source token
+    summary (capacity 16) in a single pass, persist it, then answer the
+    corpus-wide heavy-hitter question by ADDING the per-source summaries
+    — raw text is never re-scanned for the merge. Returns every token
+    whose exact corpus count exceeds the merged error bound
+    ``total_offset`` (the MG guarantee says each must be present in the
+    merged summary) with its exact count, merged estimate, bound, and
+    envelope verdict ``est <= exact <= est + total_offset`` as 0/1.
+    Because the leaf summaries are deterministic functions of exact
+    per-shard counts (boundary ties drop by VALUE), every column — the
+    estimates included — replays bit-identically in the DuckDB oracle.
+    Bounded collect: heavy hitters only (<= vocabulary size)."""
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import sketches as sk
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    scratch = tempfile.mkdtemp(prefix="cp_mg_")
+    path = os.path.join(scratch, "mg")
+    try:
+        sk.write_mg_rollup(
+            toks, path, shard_col="source", item_col="token", capacity=16
+        )
+        hh = sk.heavy_hitters_over_shards(
+            spark, path, shard_col="source", item_col="token"
+        )
+        exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+        out = (
+            exact.join(hh, "token")
+            .where(F.col("exact_n") > F.col("total_offset"))
+            .select(
+                "token",
+                "exact_n",
+                "est",
+                "total_offset",
+                (
+                    (F.col("est") <= F.col("exact_n"))
+                    & (F.col("exact_n") <= F.col("est") + F.col("total_offset"))
+                )
+                .cast("int")
+                .alias("envelope_ok"),
+            )
+            .orderBy(F.desc("exact_n"), "token")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training round-0 statistics (``operators/bpe.py``):
     adjacent character-pair counts (with the ``</w>`` end-of-word marker)
@@ -2411,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles_check": q_order_value_percentiles_check,
         "purge_audit": q_purge_audit,
         "sketch_range_users": q_sketch_range_users,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "bpe_pair_counts": q_bpe_pair_counts,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_length_deciles": q_docs_length_deciles,
@@ -2994,6 +3051,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    CAST(1 AS INT) AS est_ok
             FROM r GROUP BY 1
+        """,
+        "token_heavy_hitters": f"""
+            WITH u AS (
+                SELECT source, unnest({_TOKS}) AS token FROM documents
+            ), c AS (
+                SELECT source, token, count(*) AS cnt FROM u GROUP BY 1, 2
+            ), r AS (
+                SELECT source, token, cnt,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY cnt DESC, token ASC
+                       ) AS rn
+                FROM c
+            ), o AS (
+                -- per-shard Misra-Gries offset: the 17th-largest count
+                -- (capacity 16), 0 when the shard has <= 16 distinct items
+                SELECT source,
+                       coalesce(max(CASE WHEN rn = 17 THEN cnt END), 0) AS c_off
+                FROM r GROUP BY 1
+            ), kept AS (
+                -- boundary ties drop by VALUE (cnt > c_off), same as Spark
+                SELECT r.source, r.token, r.cnt - o.c_off AS est
+                FROM r JOIN o USING (source)
+                WHERE r.rn <= 17 AND r.cnt > o.c_off
+            ), bounds AS (
+                SELECT CAST(sum(c_off) AS BIGINT) AS total_offset FROM o
+            ), merged AS (
+                SELECT token, CAST(sum(est) AS BIGINT) AS est FROM kept GROUP BY 1
+            ), exact AS (
+                SELECT token, count(*) AS exact_n FROM u GROUP BY 1
+            )
+            SELECT e.token, e.exact_n, m.est, b.total_offset,
+                   CAST(CASE WHEN m.est <= e.exact_n
+                              AND e.exact_n <= m.est + b.total_offset
+                        THEN 1 ELSE 0 END AS INT) AS envelope_ok
+            FROM exact e JOIN merged m USING (token) CROSS JOIN bounds b
+            WHERE e.exact_n > b.total_offset
+            ORDER BY e.exact_n DESC, e.token ASC
         """,
         "docs_per_lang_sample": f"""
             SELECT doc_id, lang, source, sample_rank FROM (

@@ -22,7 +22,9 @@ aggregates); no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +91,140 @@ def distinct_over_range(
         F.hll_sketch_estimate("merged").alias("distinct_estimate"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequent-items (Misra–Gries) rollup
+# ---------------------------------------------------------------------------
+#
+# The frequent-items twin of the HLL rollup above: one BOUNDED summary per
+# shard (a day, a source, an ingest batch …), built in one pass, mergeable
+# by plain addition — so "top tokens across any subset of shards" is
+# answered from kilobytes without re-scanning the corpus. The classic
+# Misra–Gries summary built from exact per-shard counts keeps the top
+# ``capacity`` items with the (capacity+1)-th count subtracted from each
+# (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+# Summaries", PODS 2012). Guarantees carried through any union of shards:
+#
+#   est(item) <= true(item) <= est(item) + total_offset
+#   every item with true(item) > total_offset appears in the merged summary
+#
+# where total_offset = Σ per-shard c_off. Everything is deterministic
+# (ties at the capacity boundary resolve by VALUE, not position), so the
+# whole pipeline — build, merge, envelope — replays bit-identically in a
+# SQL oracle.
+
+
+def build_mg_summary(
+    df: DataFrame,
+    *,
+    shard_col: str,
+    item_col: str,
+    capacity: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-shard Misra–Gries summaries from exact per-shard counts.
+
+    Returns ``(items, shards)``:
+
+    - ``items``: one row per (shard, kept item) with ``est`` = exact
+      count minus that shard's ``c_off``;
+    - ``shards``: one row per shard with its ``c_off`` (the subtracted
+      (capacity+1)-th largest count, 0 when the shard has <= capacity
+      distinct items) and exact ``n_items`` total. Kept separate because
+      a shard whose counts are all tied at ``c_off`` keeps NO items —
+      its offset must still contribute to the merged error bound.
+
+    Scale shape: the raw data collapses to (shard, item) counts with
+    map-side combine first; the per-shard ranking then runs over DISTINCT
+    items only, and the ``rank <= capacity+1`` filter is pushed map-side
+    by WindowGroupLimit (plan-asserted in tests) — so a hot shard never
+    sorts its full item set on one task beyond the group-limit k-heap.
+
+    Boundary ties resolve by value: every item whose count equals
+    ``c_off`` is dropped (est would be 0), so the kept set and every est
+    are independent of tie ordering — the property the DuckDB oracle
+    relies on.
+    """
+    counts = df.groupBy(shard_col, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(shard_col).orderBy(F.desc("cnt"), F.col(item_col))
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= capacity + 1
+    )
+    coff = top.where(F.col("rn") == capacity + 1).select(
+        shard_col, F.col("cnt").alias("c_off")
+    )
+    totals = df.groupBy(shard_col).agg(F.count(F.lit(1)).alias("n_items"))
+    shards = totals.join(coff, shard_col, "left").select(
+        shard_col,
+        F.coalesce(F.col("c_off"), F.lit(0)).cast("long").alias("c_off"),
+        "n_items",
+    )
+    items = (
+        top.join(shards.select(shard_col, "c_off"), shard_col)
+        .where(F.col("cnt") > F.col("c_off"))
+        .select(
+            shard_col,
+            item_col,
+            (F.col("cnt") - F.col("c_off")).cast("long").alias("est"),
+        )
+    )
+    return items, shards
+
+
+def write_mg_rollup(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str,
+    item_col: str,
+    capacity: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the per-shard summaries as two parquet tables under
+    ``path/items`` and ``path/shards``. Append mode supports incremental
+    per-shard builds (a new day / ingest batch appends its own rows);
+    re-appending the SAME shard would double-count — pair appends with
+    the idempotent upsert path if reruns are possible."""
+    items, shards = build_mg_summary(
+        df, shard_col=shard_col, item_col=item_col, capacity=capacity
+    )
+    items.write.mode(mode).parquet(os.path.join(path, "items"))
+    shards.write.mode(mode).parquet(os.path.join(path, "shards"))
+
+
+def merge_mg_summaries(
+    items: DataFrame, shards: DataFrame, *, item_col: str
+) -> DataFrame:
+    """Core Misra–Gries union: merged ``est`` per item (sum — absent
+    shards contribute 0) with the error bound columns ``total_offset``
+    (Σ c_off of the given shards) and ``n_total`` (Σ exact shard sizes).
+
+    Every returned row satisfies est <= true <= est + total_offset, and
+    any item whose true merged count exceeds ``total_offset`` is
+    guaranteed present."""
+    bounds = shards.agg(
+        F.sum("c_off").alias("total_offset"), F.sum("n_items").alias("n_total")
+    )
+    merged = items.groupBy(item_col).agg(F.sum("est").alias("est"))
+    return merged.crossJoin(F.broadcast(bounds))
+
+
+def heavy_hitters_over_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    shard_col: str,
+    item_col: str,
+    shard_filter=None,
+) -> DataFrame:
+    """:func:`merge_mg_summaries` over a persisted two-table rollup
+    (:func:`write_mg_rollup`) for any shard subset. Touches only the
+    summary tables, never raw data. ``shard_filter`` is an optional
+    Column predicate on ``shard_col`` (pushed down to both summary
+    scans)."""
+    items = spark.read.parquet(os.path.join(path, "items"))
+    shards = spark.read.parquet(os.path.join(path, "shards"))
+    if shard_filter is not None:
+        items = items.where(shard_filter)
+        shards = shards.where(shard_filter)
+    return merge_mg_summaries(items, shards, item_col=item_col)

@@ -85,6 +85,206 @@ def test_sketch_range_query_prunes_to_rollup_scan(spark, tmp_path):
     assert plan.count("FileScan") == 1  # rollup only; no raw-event scan
 
 
+def _zipf_docs(spark):
+    """Deterministic Zipf-ish token stream across 4 source shards: token
+    t appears ~1/(t+1) as often as token 0, with per-shard jitter so
+    shard summaries genuinely disagree."""
+    rows = []
+    for s in range(4):
+        for t in range(60):
+            reps = max(1, (400 // (t + 1)) + (7 * s * t) % 5 - 2)
+            rows += [(f"src{s}", f"tok{t:02d}")] * reps
+    return spark.createDataFrame(rows, "source string, token string")
+
+
+def test_mg_summary_guarantees_and_merge(spark, tmp_path):
+    """The two Misra–Gries invariants survive the shard merge: for every
+    item, est <= true <= est + total_offset; and every item whose true
+    merged count exceeds total_offset is present in the merged summary."""
+    df = _zipf_docs(spark)
+    path = str(tmp_path / "mg")
+    sk.write_mg_rollup(df, path, shard_col="source", item_col="token", capacity=8)
+
+    merged = {
+        r["token"]: r
+        for r in sk.heavy_hitters_over_shards(
+            spark, path, shard_col="source", item_col="token"
+        ).collect()
+    }
+    exact = {
+        r["token"]: r["n"]
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert merged, "merged summary is empty"
+    offset = next(iter(merged.values()))["total_offset"]
+    n_total = next(iter(merged.values()))["n_total"]
+    assert n_total == sum(exact.values())
+    for tok, row in merged.items():
+        assert row["est"] <= exact[tok] <= row["est"] + offset, (tok, row, exact[tok])
+    for tok, true in exact.items():
+        if true > offset:
+            assert tok in merged, (tok, true, offset)
+    # the runaway head token is identified with a tight estimate
+    assert max(merged, key=lambda t: merged[t]["est"]) == "tok00"
+
+
+def test_mg_boundary_ties_drop_by_value_and_keep_offset(spark, tmp_path):
+    """A shard whose counts are ALL tied at the boundary keeps zero items
+    (ties resolve by value, not rank position) but its c_off still feeds
+    the merged error bound — the case that motivates the separate shards
+    table."""
+    rows = [("flat", f"t{i}") for i in range(6) for _ in range(3)] + [
+        ("skewed", "t0")
+    ] * 10 + [("skewed", "t1")] * 2
+    df = spark.createDataFrame(rows, "source string, token string")
+    items, shards = sk.build_mg_summary(
+        df, shard_col="source", item_col="token", capacity=3
+    )
+    flat_items = items.where(F.col("source") == "flat").collect()
+    assert flat_items == []  # every count == c_off → all dropped
+    offs = {r["source"]: r["c_off"] for r in shards.collect()}
+    assert offs["flat"] == 3 and offs["skewed"] == 0  # skewed has <= cap items
+    path = str(tmp_path / "mg")
+    sk.write_mg_rollup(df, path, shard_col="source", item_col="token", capacity=3)
+    got = {
+        r["token"]: r
+        for r in sk.heavy_hitters_over_shards(
+            spark, path, shard_col="source", item_col="token"
+        ).collect()
+    }
+    # t0 true=13 > offset=3 → guaranteed present; envelope: 10 <= 13 <= 13
+    assert got["t0"]["est"] == 10 and got["t0"]["total_offset"] == 3
+
+
+def test_mg_incremental_append_and_shard_filter(spark, tmp_path):
+    """Shards append independently (the incremental build path); a shard
+    filter prunes both summary scans and tightens the bound to the
+    selected shards only."""
+    df = _zipf_docs(spark)
+    path = str(tmp_path / "mg")
+    for s in range(4):
+        sk.write_mg_rollup(
+            df.where(F.col("source") == f"src{s}"), path,
+            shard_col="source", item_col="token", capacity=8, mode="append",
+        )
+    sub = sk.heavy_hitters_over_shards(
+        spark, path, shard_col="source", item_col="token",
+        shard_filter=F.col("source").isin("src0", "src1"),
+    )
+    ref = df.where(F.col("source").isin("src0", "src1"))
+    exact = {
+        r["token"]: r["n"]
+        for r in ref.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = sub.collect()
+    offset = rows[0]["total_offset"]
+    assert rows[0]["n_total"] == ref.count()
+    for r in rows:
+        assert r["est"] <= exact[r["token"]] <= r["est"] + offset
+
+
+def test_mg_plans_are_scale_shaped(spark, tmp_path):
+    """Build plan pushes the per-shard top-(capacity+1) map-side via
+    WindowGroupLimit (a hot shard never full-sorts its item set on one
+    task); the merge plan touches ONLY the two summary tables."""
+    df = _zipf_docs(spark)
+    items, _shards = sk.build_mg_summary(
+        df, shard_col="source", item_col="token", capacity=8
+    )
+    build_plan = items._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in build_plan
+    path = str(tmp_path / "mg")
+    sk.write_mg_rollup(df, path, shard_col="source", item_col="token", capacity=8)
+    q = sk.heavy_hitters_over_shards(
+        spark, path, shard_col="source", item_col="token"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2  # items + shards; raw data nowhere
+
+
+def test_stream_mg_rollup_and_retruncating_compaction(spark, tmp_path):
+    """Streaming frequent-items: per-batch MG partials append under their
+    own ingest_batch partition; the merged envelope holds across batches,
+    survives the RE-TRUNCATING compaction (new_off folded into the
+    consolidated offset), and the compacted store keeps accepting
+    appends + further re-folds with the bound intact."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.frequent_items import (
+        compact_mg_rollup,
+        heavy_hitters_from_store,
+        mg_rollup_batch,
+        stream_mg_rollup,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def batch_tokens(seed):
+        # token t ~ Zipf with per-batch jitter; 'hot' dominates every batch
+        out = ["hot"] * (80 + 13 * seed)
+        for t in range(30):
+            out += [f"tok{t:02d}"] * max(1, (60 // (t + 1) + (seed * t) % 3) - 1)
+        return out
+
+    b1, b2 = batch_tokens(1), batch_tokens(2)
+    for name, toks in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(pa.table({"token": toks}), str(drops / name))
+    now = time.time()
+    os.utime(str(drops / "b1.parquet"), (now - 60, now - 60))
+    os.utime(str(drops / "b2.parquet"), (now, now))
+
+    store = str(tmp_path / "mg_store")
+    q = stream_mg_rollup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        item_col="token", capacity=8, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    parts = {e.name for e in os.scandir(store) if e.is_dir()}
+    assert parts == {"ingest_batch=0", "ingest_batch=1"}
+
+    from collections import Counter
+
+    def check_envelope(all_toks):
+        exact = Counter(all_toks)
+        rows = heavy_hitters_from_store(spark, store, item_col="token").collect()
+        got = {r["token"]: r for r in rows}
+        off = rows[0]["total_offset"]
+        assert rows[0]["n_total"] == len(all_toks)
+        for tok, r in got.items():
+            assert r["est"] <= exact[tok] <= r["est"] + off, (tok, r, exact[tok])
+        for tok, true in exact.items():
+            if true > off:
+                assert tok in got, (tok, true, off)
+        assert max(got, key=lambda t: got[t]["est"]) == "hot"
+        return off
+
+    check_envelope(b1 + b2)
+
+    stats = compact_mg_rollup(spark, store, capacity=8, keep_latest=0)
+    assert stats["folded"] == 2 and stats["partitions_after"] == 1
+    # consolidated partition is bounded at capacity item rows + 1 meta row
+    cons = spark.read.parquet(os.path.join(store, "ingest_batch=-1"))
+    assert cons.where(F.col("item").isNotNull()).count() <= 8
+    check_envelope(b1 + b2)
+
+    # keeps accepting appends; a second re-fold subsumes the old
+    # consolidated partition and the envelope still holds
+    b3 = batch_tokens(3)
+    mg_rollup_batch(
+        spark.createDataFrame([(t,) for t in b3], "token string"),
+        2, store, item_col="token", capacity=8,
+    )
+    check_envelope(b1 + b2 + b3)
+    stats2 = compact_mg_rollup(spark, store, capacity=8, keep_latest=0)
+    assert stats2["folded"] == 1 and stats2["partitions_after"] == 1
+    check_envelope(b1 + b2 + b3)
+
+
 def test_stream_sketch_rollup_and_compaction(spark, tmp_path):
     """Streaming form: each micro-batch appends its own partial sketches
     (no cross-batch state — HLL union associativity makes duplicate
