@@ -354,6 +354,89 @@ def optimize_layout(
     return {"files_after": len(after), "bytes": total}
 
 
+def zorder_layout(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    target_file_mb: int = 128,
+    bits_per_col: int = 8,
+) -> dict:
+    """Multi-column data-skipping rewrite: cluster the dataset along a
+    Z-order (Morton) curve over ``zorder_cols`` so selective predicates
+    on ANY of the columns prune files/row-groups — where
+    :func:`optimize_layout`'s linear sort serves only its leading key
+    (a filter on the second sort column still touches every file).
+
+    Scale shape (no global sort of raw values anywhere):
+
+    1. each column is rank-normalized to ``bits_per_col`` bits through
+       its approximate quantile boundaries (``approxQuantile`` — a
+       driver-side array of 2^bits-1 values from a mergeable sketch, so
+       skewed distributions still spread across the full bucket range,
+       unlike min/max linear scaling);
+    2. the per-column bucket ids are bit-interleaved into the Morton key
+       with plain shift/mask expressions (codegen'd, no UDF);
+    3. ``repartitionByRange`` + ``sortWithinPartitions`` on the Morton
+       key give each output file a disjoint curve segment, i.e. a small
+       hyper-rectangle of the value space — parquet min/max stats on the
+       ORIGINAL columns then prune on every dimension.
+
+    Same listing-based sizing and crash-safe rename-swap as
+    :func:`compact_parquet`. NULLs sort to bucket 0 (curve start).
+    Returns {"files_after", "bytes"}.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    _recover_swap(path)
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_exprs = []
+    for c in zorder_cols:
+        # sketch-based boundaries; cast to double for a uniform rank space
+        dcol = F.col(c).cast("double")
+        bnds = df.select(dcol.alias(c)).approxQuantile(c, probs, 0.001)
+        # dedupe (heavy ties collapse boundaries) while preserving order
+        uniq = sorted(set(bnds))
+        bucket_exprs.append(
+            F.size(F.filter(F.lit(uniq), lambda b: b <= dcol)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for ci, b in enumerate(bucket_exprs):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * len(zorder_cols) + ci,
+            )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    (
+        df.withColumn("__zorder", z)
+        .repartitionByRange(n_out, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_in(path, tmp, old)
+    after = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(f)
+    ]
+    return {"files_after": len(after), "bytes": total}
+
+
 def _recover_index_compact(root: str) -> None:
     """Crash recovery for :func:`compact_streaming_index`. The marker file
     (written at the commit decision point) lists the folded partition

@@ -420,6 +420,62 @@ def test_optimize_layout_gives_disjoint_file_ranges(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
 
 
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout (r7): after clustering on TWO independent keys, a
+    selective range predicate on EITHER key intersects only a strict
+    subset of files' min/max stats — where the linear sort serves only
+    its leading key (the trailing key's per-file ranges still span the
+    whole domain, so nothing prunes)."""
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        optimize_layout,
+        zorder_layout,
+    )
+
+    def build(path):
+        # x, y decorrelated via multiplicative hashing; shuffled layout
+        df = spark.range(90_000).select(
+            F.pmod(F.col("id") * 48271, F.lit(9973)).alias("x"),
+            F.pmod(F.col("id") * 16807, F.lit(9973)).alias("y"),
+            F.sha2(F.col("id").cast("string"), 512).alias("payload"),
+        )
+        df.repartition(8).write.mode("overwrite").parquet(path)
+
+    def matching_files(path, col_idx, lo, hi):
+        files = _parquet_files(path)
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit, len(files)
+
+    zpath = str(tmp_path / "zorder")
+    build(zpath)
+    stats = zorder_layout(spark, zpath, ["x", "y"], target_file_mb=1)
+    assert stats["files_after"] >= 8
+    # a 10%-of-domain window on each dimension prunes most files
+    for col_idx in (0, 1):
+        hit, n = matching_files(zpath, col_idx, 1000, 1997)
+        assert hit < n * 0.6, (col_idx, hit, n)
+    back = spark.read.parquet(zpath)
+    assert back.count() == 90_000
+    assert back.columns == ["x", "y", "payload"]  # helper column dropped
+
+    # contrast: linear sort on (x, y) leaves y unprunable
+    lpath = str(tmp_path / "linear")
+    build(lpath)
+    optimize_layout(spark, lpath, ["x", "y"], target_file_mb=1)
+    hit_y, n_l = matching_files(lpath, 1, 1000, 1997)
+    assert hit_y == n_l  # every file's y-range spans the domain
+
+
 def test_compact_streaming_index_refold_crash_keeps_new_consolidated(
     spark, tmp_path, monkeypatch
 ):
