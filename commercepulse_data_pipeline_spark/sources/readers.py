@@ -284,7 +284,15 @@ def compact_parquet(
             n_parts = max(1, df.select(partition_col).distinct().count())
             width = F.lit(max(1, math.ceil(n_out / n_parts)))
             n_tasks = n_out
-        salt = F.pmod(F.hash(F.monotonically_increasing_id()), width)
+        # Deterministic content-derived salt: a nondeterministic salt
+        # (e.g. hash(monotonically_increasing_id)) re-routes rows to
+        # DIFFERENT reducers when a map task re-executes under stage retry
+        # or speculation, duplicating/dropping rows (the SPARK-23207
+        # failure class). Hashing row content keeps re-executions
+        # byte-identical. Map columns are not hashable — excluded; a table
+        # of ONLY maps degrades to an unsalted (still correct) write.
+        hashable = [F.col(c) for c, t in df.dtypes if not t.startswith("map<")]
+        salt = F.pmod(F.hash(*hashable) if hashable else F.lit(0), width)
         writer = (
             df.repartition(n_tasks, F.col(partition_col), salt)
             .write.partitionBy(partition_col)
@@ -451,9 +459,19 @@ def _recover_index_compact(root: str) -> None:
     p = root.rstrip("/")
     old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
     marker = _os.path.join(old_root, "_FOLDED.json")
+    m = None
     if _os.path.exists(marker):
-        with open(marker) as fh:
-            m = _json.load(fh)
+        # The marker is written via tmp-file + rename, so a torn file here
+        # means a pre-atomic-write store or exotic FS corruption; either
+        # way an unparseable marker is treated as ABSENT (the commit never
+        # happened) and we fall through to the roll-back branch below.
+        try:
+            with open(marker) as fh:
+                m = _json.load(fh)
+        except (ValueError, OSError):
+            _os.remove(marker)
+            m = None
+    if m is not None:
         dst = _os.path.join(p, m["consolidated"])
         src = _os.path.join(tmp_root, m["consolidated"])
         if not _os.path.exists(dst) and _os.path.exists(src):
@@ -472,6 +490,8 @@ def _recover_index_compact(root: str) -> None:
         _shutil.rmtree(old_root, ignore_errors=True)
     elif _os.path.isdir(old_root):
         for entry in _os.listdir(old_root):
+            if entry.startswith("_FOLDED.json"):  # torn/partial marker
+                continue
             dst = _os.path.join(p, entry)
             if not _os.path.exists(dst):
                 _os.rename(_os.path.join(old_root, entry), dst)
@@ -494,8 +514,16 @@ def _fold_commit(p: str, cons_name: str, fold_names: list[str], had_consolidated
     _os.makedirs(old_root, exist_ok=True)
     if had_consolidated:
         _os.rename(_os.path.join(p, cons_name), _os.path.join(old_root, cons_name))
-    with open(_os.path.join(old_root, "_FOLDED.json"), "w") as fh:
+    # Marker write must be atomic: a crash mid-dump would otherwise leave a
+    # torn JSON file AFTER the old consolidated dir was set aside, and
+    # recovery would raise on it forever instead of rolling back. Write to
+    # a tmp name and rename in (atomic on POSIX).
+    marker = _os.path.join(old_root, "_FOLDED.json")
+    with open(marker + ".tmp", "w") as fh:
         _json.dump({"consolidated": cons_name, "folded": fold_names}, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.rename(marker + ".tmp", marker)
     _os.rename(_os.path.join(tmp_root, cons_name), _os.path.join(p, cons_name))
     for name in fold_names:
         d = _os.path.join(p, name)

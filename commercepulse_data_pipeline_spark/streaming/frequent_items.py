@@ -12,9 +12,13 @@ per-partial offsets into the error bound — no cross-batch state, no
 read-modify-write.
 
 Store layout: ONE table per store, partitioned by ``ingest_batch``. Each
-partition holds the batch's item rows (``item``/``est``, meta columns
-NULL) plus exactly one META row (``item`` NULL, carrying that summary's
-``c_off`` and exact ``n_items``). A single table keeps the fold protocol
+partition holds the batch's item rows (``is_meta = false``, ``item``/
+``est`` set, meta columns NULL) plus exactly one META row (``is_meta =
+true``, carrying that summary's ``c_off`` and exact ``n_items``). The
+explicit ``is_meta`` discriminator — not item nullity — means a genuine
+NULL item value in the stream is counted like any other item, matching
+the batch MG path in ``operators/sketches.py``, which groups NULL keys
+into one countable group. A single table keeps the fold protocol
 of ``compact_mg_rollup`` atomic — items and their offset commit or roll
 back TOGETHER, which two side-by-side directories cannot guarantee
 across a crash (an offset without its ests, or vice versa, transiently
@@ -47,15 +51,18 @@ from commercepulse_data_pipeline_spark.operators.sketches import (
 
 
 def _unified(items: DataFrame, shards: DataFrame, item_col: str) -> DataFrame:
-    """Item rows + one meta row (item NULL) as a single frame."""
+    """Item rows + one meta row, discriminated by an explicit ``is_meta``
+    flag (NOT item nullity — NULL is a countable item value)."""
     item_t = dict(items.dtypes)[item_col]
     item_rows = items.select(
+        F.lit(False).alias("is_meta"),
         F.col(item_col).alias("item"),
         F.col("est"),
         F.lit(None).cast("long").alias("c_off"),
         F.lit(None).cast("long").alias("n_items"),
     )
     meta_rows = shards.select(
+        F.lit(True).alias("is_meta"),
         F.lit(None).cast(item_t).alias("item"),
         F.lit(None).cast("long").alias("est"),
         F.col("c_off"),
@@ -128,10 +135,8 @@ def heavy_hitters_from_store(
     :func:`operators.sketches.merge_mg_summaries`. Touches only the
     kilobyte summary store."""
     t = spark.read.parquet(store_dir)
-    items = t.where(F.col("item").isNotNull()).select(
-        F.col("item").alias(item_col), "est"
-    )
-    shards = t.where(F.col("item").isNull()).select("c_off", "n_items")
+    items = t.where(~F.col("is_meta")).select(F.col("item").alias(item_col), "est")
+    shards = t.where(F.col("is_meta")).select("c_off", "n_items")
     return merge_mg_summaries(items, shards, item_col=item_col)
 
 
@@ -176,7 +181,7 @@ def compact_mg_rollup(
 
     t = spark.read.parquet(p).where(F.col("ingest_batch").isin(fold_vals))
     merged = (
-        t.where(F.col("item").isNotNull())
+        t.where(~F.col("is_meta"))
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
     )
@@ -187,7 +192,7 @@ def compact_mg_rollup(
     # bounded collect: <= capacity+1 rows by construction
     top = ranked.collect()
     new_off = next((r["est"] for r in top if r["rn"] == capacity + 1), 0)
-    folded_meta = t.where(F.col("item").isNull()).agg(
+    folded_meta = t.where(F.col("is_meta")).agg(
         F.sum("c_off").alias("c_off"), F.sum("n_items").alias("n_items")
     ).first()
     item_t = dict(merged.dtypes)["item"]
@@ -196,12 +201,12 @@ def compact_mg_rollup(
         for r in top
         if r["rn"] <= capacity and r["est"] > new_off
     ]
-    rows = [(i, e, None, None) for i, e in kept] + [
-        (None, None, int(folded_meta["c_off"] or 0) + int(new_off),
+    rows = [(False, i, e, None, None) for i, e in kept] + [
+        (True, None, None, int(folded_meta["c_off"] or 0) + int(new_off),
          int(folded_meta["n_items"] or 0))
     ]
     cons = spark.createDataFrame(
-        rows, f"item {item_t}, est long, c_off long, n_items long"
+        rows, f"is_meta boolean, item {item_t}, est long, c_off long, n_items long"
     )
     cons_name = f"{prefix}-1"
     cons.coalesce(1).write.mode("overwrite").parquet(

@@ -269,7 +269,7 @@ def test_stream_mg_rollup_and_retruncating_compaction(spark, tmp_path):
     assert stats["folded"] == 2 and stats["partitions_after"] == 1
     # consolidated partition is bounded at capacity item rows + 1 meta row
     cons = spark.read.parquet(os.path.join(store, "ingest_batch=-1"))
-    assert cons.where(F.col("item").isNotNull()).count() <= 8
+    assert cons.where(~F.col("is_meta")).count() <= 8
     check_envelope(b1 + b2)
 
     # keeps accepting appends; a second re-fold subsumes the old
@@ -283,6 +283,80 @@ def test_stream_mg_rollup_and_retruncating_compaction(spark, tmp_path):
     stats2 = compact_mg_rollup(spark, store, capacity=8, keep_latest=0)
     assert stats2["folded"] == 1 and stats2["partitions_after"] == 1
     check_envelope(b1 + b2 + b3)
+
+
+def test_mg_rollup_null_items_counted(spark, tmp_path):
+    """A genuine NULL item value in the stream is a countable group (same
+    as the batch MG path's groupBy semantics), NOT a meta row: the
+    explicit is_meta discriminator keeps its counts in the estimates
+    through both the merged read and a re-truncating compaction."""
+    import os
+
+    from commercepulse_data_pipeline_spark.streaming.frequent_items import (
+        compact_mg_rollup,
+        heavy_hitters_from_store,
+        mg_rollup_batch,
+    )
+
+    store = str(tmp_path / "mg_null_store")
+    toks = [None] * 40 + ["a"] * 30 + ["b"] * 5
+    mg_rollup_batch(
+        spark.createDataFrame([(t,) for t in toks], "token string"),
+        0, store, item_col="token", capacity=4,
+    )
+    rows = heavy_hitters_from_store(spark, store, item_col="token").collect()
+    got = {r["token"]: r["est"] for r in rows}
+    assert got[None] == 40 and got["a"] == 30
+    assert rows[0]["n_total"] == 75
+
+    compact_mg_rollup(spark, store, capacity=4, keep_latest=0)
+    rows2 = heavy_hitters_from_store(spark, store, item_col="token").collect()
+    got2 = {r["token"]: r["est"] for r in rows2}
+    off = rows2[0]["total_offset"]
+    assert got2[None] <= 40 <= got2[None] + off
+    assert rows2[0]["n_total"] == 75
+    # exactly one meta row in the consolidated partition
+    cons = spark.read.parquet(os.path.join(store, "ingest_batch=-1"))
+    assert cons.where(F.col("is_meta")).count() == 1
+
+
+def test_fold_marker_torn_write_rolls_back(spark, tmp_path):
+    """Crash-recovery hardening: an unparseable _FOLDED.json (torn write
+    from a pre-atomic-rename store) is treated as 'commit never
+    happened' — recovery rolls BACK via the set-aside dir instead of
+    raising JSONDecodeError forever, and the store reads consistently."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        _recover_index_compact,
+    )
+    from commercepulse_data_pipeline_spark.streaming.frequent_items import (
+        heavy_hitters_from_store,
+        mg_rollup_batch,
+    )
+
+    store = str(tmp_path / "mg_torn")
+    for b, toks in enumerate((["x"] * 10 + ["y"] * 3, ["x"] * 7 + ["z"] * 2)):
+        mg_rollup_batch(
+            spark.createDataFrame([(t,) for t in toks], "token string"),
+            b, store, item_col="token", capacity=4,
+        )
+    # simulate a crash: batch-0 partition set aside, marker torn, no tmp
+    old_root = store + "._fold_old"
+    os.makedirs(old_root)
+    shutil.move(os.path.join(store, "ingest_batch=0"), old_root)
+    with open(os.path.join(old_root, "_FOLDED.json"), "w") as fh:
+        fh.write('{"consolidated": "ingest_batch=-1", "fol')  # torn
+    with open(os.path.join(old_root, "_FOLDED.json.tmp"), "w") as fh:
+        fh.write("{")  # crash mid-write of the atomic tmp, too
+
+    _recover_index_compact(store)
+    assert not os.path.exists(old_root)
+    assert os.path.isdir(os.path.join(store, "ingest_batch=0"))
+    rows = heavy_hitters_from_store(spark, store, item_col="token").collect()
+    got = {r["token"]: r["est"] for r in rows}
+    assert got["x"] == 17 and rows[0]["n_total"] == 22
 
 
 def test_stream_sketch_rollup_and_compaction(spark, tmp_path):
