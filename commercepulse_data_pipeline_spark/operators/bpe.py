@@ -22,15 +22,20 @@ Scale shape — the part that matters at 100 TB:
   smaller than the corpus (Heaps' law) and is what every iteration runs
   on;
 - each training round is: adjacent-pair explode → map-side-combined
-  count → ``takeOrdered(1)`` (ONE driver row, never a full collect) →
-  a JVM-side ``F.aggregate`` fold that rewrites the symbol arrays (no
-  Python in the loop). Lineage is cut with ``localCheckpoint`` every few
-  rounds so ``n_merges`` stays bounded in plan size;
+  count → a bounded top-``pool`` fetch (a few hundred driver rows, never
+  a full collect) → greedy selection of the longest merge BATCH that is
+  provably equivalent to sequential BPE (pairwise symbol-disjoint with a
+  rank-safety guard, see ``_select_disjoint_batch``) → ONE JVM-side
+  ``F.aggregate`` fold pass applying the whole batch (no Python in the
+  loop). A 32k-merge vocab therefore costs thousands, not 32k, of Spark
+  jobs. Lineage is cut with ``localCheckpoint`` every few merges so
+  ``n_merges`` stays bounded in plan size;
 - encoding dedups to DISTINCT words first, runs the (inherently
   sequential per-word) merge loop once per distinct word in an
-  Arrow-batched pandas UDF against a broadcast rank table, then
-  broadcast-joins the word→pieces map back to the corpus — UDF work is
-  O(distinct words), not O(corpus).
+  Arrow-batched pandas UDF, then joins the word→pieces map back to the
+  corpus with a HYBRID join — broadcast for the ``head_k`` hottest
+  words, unhinted shuffle for the Heaps-law tail — so UDF work is
+  O(distinct words) and no executor ever materializes the full vocab.
 """
 
 from __future__ import annotations
@@ -106,39 +111,114 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _select_disjoint_batch(
+    cands: list[tuple[int, str, str]], batch_size: int, floor: int
+) -> list[tuple[int, str, str]]:
+    """Greedy prefix of ranked pair candidates that is PROVABLY safe to
+    apply as one batch, i.e. batched training emits exactly the sequence
+    sequential BPE would.
+
+    ``cands`` is ranked (count desc, a asc, b asc); ``floor`` bounds the
+    count of any UNFETCHED pair (the last fetched count when the fetch
+    was full, else 0 — nothing was left behind).
+
+    Safety argument: applying merge (a, b) can only (1) decrease counts
+    of pairs sharing a symbol with it and (2) create pairs (x, a+b) /
+    (a+b, y) whose counts are bounded by the OLD counts of (x, a) /
+    (b, y) — both of which share a symbol with the merge. So a later
+    candidate c is still the exact sequential argmax at its turn iff NO
+    pair with count >= c's count (fetched or not, selected merges aside)
+    shares a symbol with any earlier selected merge (symbols a, b, and
+    the new a+b — the joined string can collide with a pre-existing
+    symbol). The first candidate is always the sequential argmax."""
+    if not cands:
+        return []
+    selected = [cands[0]]
+    used = {cands[0][1], cands[0][2], cands[0][1] + cands[0][2]}
+    for idx in range(1, len(cands)):
+        if len(selected) >= batch_size:
+            break
+        n, a, b = cands[idx]
+        if n <= floor or a in used or b in used:
+            break
+        # every pair ranked at-or-above this count (the contiguous tie
+        # block included) must be clean w.r.t. already-used symbols
+        tie_end = idx
+        while tie_end + 1 < len(cands) and cands[tie_end + 1][0] == n:
+            tie_end += 1
+        if any(
+            (cands[j][1] in used or cands[j][2] in used)
+            for j in range(tie_end + 1)
+            if j != idx and cands[j] not in selected
+        ):
+            break
+        selected.append((n, a, b))
+        used |= {a, b, a + b}
+    return selected
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     *,
     checkpoint_every: int = 8,
+    batch_size: int = 16,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges over the corpus; returns the ordered
-    merge list [(a, b, count), …]. Driver traffic is exactly one row per
-    round (the argmax pair); the symbol table stays distributed and its
-    lineage is cut every ``checkpoint_every`` rounds."""
+    merge list [(a, b, count), …] — bit-identical to one-merge-per-round
+    sequential BPE (tests pin this against an independent reference).
+
+    Each ROUND is one Spark job: pair counts → top-``candidate pool``
+    fetch (a few hundred driver rows) → greedy selection of the longest
+    sequentially-equivalent pairwise-disjoint merge prefix
+    (:func:`_select_disjoint_batch`) → ONE fold pass applying the whole
+    batch. On Zipf-ish corpora that packs several merges per job, so a
+    32k-merge vocab costs thousands — not 32k — of Spark jobs
+    (``stats["rounds"]`` records the realized round count;
+    ``batch_size=1`` recovers the strictly sequential trainer). The
+    symbol table stays distributed; lineage is cut via localCheckpoint
+    every ``checkpoint_every`` applied merges."""
     state = (
         word_freqs(df, text_col)
         .select(_symbols(F.col("word")).alias("syms"), "freq")
         .localCheckpoint()
     )
+    pool = max(64, 4 * batch_size)
     merges: list[tuple[str, str, int]] = []
-    for step in range(n_merges):
-        best = (
+    rounds = 0
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        fetched = (
             state.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .take(1)
+            .limit(pool)
+            .collect()
         )
-        if not best or best[0]["n"] < 1:
+        rounds += 1
+        cands = [(int(r["n"]), r["a"], r["b"]) for r in fetched]
+        if not cands or cands[0][0] < 1:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((a, b, n))
-        state = state.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq")
-        if (step + 1) % checkpoint_every == 0:
+        floor = cands[-1][0] if len(cands) == pool else 0
+        batch = _select_disjoint_batch(
+            cands, min(batch_size, n_merges - len(merges)), floor
+        )
+        col = F.col("syms")
+        for n, a, b in batch:
+            merges.append((a, b, n))
+            col = _apply_merge(col, a, b)
+        state = state.select(col.alias("syms"), "freq")
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             state = state.localCheckpoint()
+            since_ckpt = 0
     state.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     return merges
 
 
@@ -147,11 +227,25 @@ def encode_bpe(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    head_k: int = 32768,
 ) -> DataFrame:
     """Encode documents with a learned merge list → (id_col, pieces:
     array<string>, n_pieces). The merge loop is inherently sequential per
     word, so it runs in an Arrow-batched pandas UDF — but only over
-    DISTINCT words (broadcast-joined back), so UDF work is O(vocab)."""
+    DISTINCT words, so UDF work is O(vocab), not O(corpus).
+
+    Vocab-join shape (the 100 TB part): the distinct-word table follows
+    Heaps' law — hundreds of millions of rows on a web-scale corpus — so
+    force-broadcasting ALL of it would OOM every executor. Instead the
+    join is HYBRID: the ``head_k`` most frequent words (which cover the
+    overwhelming majority of corpus tokens under Zipf, and are exactly
+    the keys that would skew a shuffle) are broadcast; the long tail
+    shuffle-joins with no hint, so Catalyst/AQE picks — and a tail that
+    happens to be small still gets broadcast at runtime. Documents whose
+    text yields ZERO tokens (NULL/empty) are kept, with an empty
+    ``pieces`` array and ``n_pieces = 0``, so per-doc accounting over the
+    result never silently loses documents."""
     from pyspark.sql import types as T
 
     ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
@@ -186,10 +280,23 @@ def encode_bpe(
     words = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
     )
-    vocab = words.select("word").distinct().withColumn("pieces", bpe_word(F.col("word")))
-    return (
-        words.join(F.broadcast(vocab), "word")
-        .groupBy(id_col)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    head = (
+        wf.orderBy(F.col("wf").desc(), F.col("word").asc())
+        .limit(head_k)
+        .select("word")
+    )
+    head_pieces = head.withColumn("pieces", bpe_word(F.col("word")))
+    tail_pieces = (
+        wf.join(F.broadcast(head), "word", "left_anti")
+        .select("word")
+        .withColumn("pieces", bpe_word(F.col("word")))
+    )
+    joined = words.join(F.broadcast(head_pieces), "word").unionByName(
+        words.join(F.broadcast(head), "word", "left_anti").join(tail_pieces, "word")
+    )
+    encoded = (
+        joined.groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(
@@ -199,6 +306,16 @@ def encode_bpe(
                     lambda s: s["pieces"],
                 )
             ).alias("pieces")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("pieces"), F.array().cast("array<string>")
+            ).alias("pieces"),
         )
         .withColumn("n_pieces", F.size("pieces"))
     )

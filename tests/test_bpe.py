@@ -129,9 +129,8 @@ def test_encode_matches_trainer_final_state(docs_df):
     ref_state = {"".join(s).removesuffix(END): list(s) for s in final}
     for doc_id, text in CORPUS:
         want = [p for w in text.lower().split() if w for p in ref_state[w]]
-        if not want:
-            assert doc_id not in by_doc  # empty doc has no words
-            continue
+        # empty docs are KEPT with an empty pieces array (per-doc
+        # accounting must not silently lose them)
         assert list(by_doc[doc_id].pieces) == want, doc_id
         assert by_doc[doc_id].n_pieces == len(want)
 
@@ -143,6 +142,43 @@ def test_encode_roundtrip(docs_df):
         text = dict(CORPUS)[r.doc_id]
         rebuilt = "".join(r.pieces).replace(END, " ").split()
         assert rebuilt == [w for w in text.lower().split() if w]
+
+
+def test_train_batched_equals_sequential(docs_df):
+    """Batched rounds emit EXACTLY the sequential merge sequence on a
+    corpus dense with overlapping candidate pairs and count ties ('aaaa
+    aaa aa a', 'banana bandana ananas', repeated 'the'/'and') — the
+    disjointness + rank-safety guard must fall back to smaller batches
+    wherever a lower-ranked candidate shares a symbol with a higher one —
+    while using strictly fewer Spark rounds than merges."""
+    seq = train_bpe(docs_df, 24, batch_size=1)
+    stats: dict = {}
+    batched = train_bpe(docs_df, 24, batch_size=8, stats=stats)
+    assert batched == seq
+    want, _ = _ref_train([t for _, t in CORPUS], 24)
+    assert batched == want
+    assert stats["merges"] == len(batched)
+    assert stats["rounds"] < len(batched)  # the whole point of batching
+
+
+def test_encode_hybrid_tail_join_not_broadcast(docs_df):
+    """Above head_k the vocab tail join must NOT be a forced broadcast
+    (a Heaps-law vocab at 100 TB cannot ship to every executor): with a
+    tiny head_k the initial plan keeps an unhinted (sort-merge) join for
+    the tail pieces, while the default head_k plan is all-broadcast."""
+    merges = train_bpe(docs_df, 4)
+    forced_tail = encode_bpe(docs_df, merges, head_k=2)
+    plan = forced_tail._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized word stream hits the head map as a broadcast join
+    # and the vocab tail as an UNHINTED shuffle join (AQE may still
+    # broadcast a genuinely small tail at runtime — never the reverse)
+    assert "SortMergeJoin [word" in plan
+    assert "BroadcastHashJoin [word" in plan
+    all_head = encode_bpe(docs_df, merges)  # default head_k covers vocab
+    # both shapes produce identical encodings
+    a = {r.doc_id: list(r.pieces) for r in forced_tail.collect()}
+    b = {r.doc_id: list(r.pieces) for r in all_head.collect()}
+    assert a == b
 
 
 def test_train_zero_merges_and_exhaustion(spark):
