@@ -607,6 +607,99 @@ def _decode_mp3(content: bytes) -> dict:
     }
 
 
+def _decode_flac(content: bytes) -> dict:
+    """FLAC metadata extract (public format spec / RFC 9639): 'fLaC'
+    magic, then metadata blocks — 1-byte header (bit 7 = last, bits 0-6 =
+    type, 0 = STREAMINFO) + 24-bit big-endian length. STREAMINFO packs
+    sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and
+    total samples (36) starting at body byte 10 → duration =
+    total_samples / rate. Compressed-sample decode still needs a codec
+    library; this is the curation-filter tier."""
+    pos = 4
+    while pos + 4 <= len(content):
+        hdr = content[pos]
+        blen = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + blen]
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if len(body) < 18:
+                raise ValueError("truncated FLAC STREAMINFO block")
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            if not rate:
+                raise ValueError("FLAC STREAMINFO with zero sample rate")
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
+            return {
+                "width": None,
+                "height": None,
+                "duration_sec": total / float(rate),
+                "feature": _feature_from_bytes(content[pos + 4 + blen :]),
+            }
+        if hdr & 0x80:  # last-metadata-block flag, STREAMINFO never seen
+            break
+        pos += 4 + blen
+    raise ValueError("FLAC container without a STREAMINFO block")
+
+
+def _ogg_pages(content: bytes):
+    """Yield (header_type, granule, serial, payload) per Ogg page (RFC
+    3533): 'OggS' capture + version 0, 1-byte type flags, 64-bit LE
+    granule position, 32-bit serial, page sequence, CRC, segment count +
+    lacing table sizing the payload."""
+    import struct
+
+    pos = 0
+    while pos + 27 <= len(content):
+        if content[pos : pos + 4] != b"OggS" or content[pos + 4] != 0:
+            raise ValueError("malformed Ogg capture pattern")
+        htype = content[pos + 5]
+        granule = struct.unpack_from("<q", content, pos + 6)[0]
+        serial = struct.unpack_from("<I", content, pos + 14)[0]
+        nseg = content[pos + 26]
+        lacing = content[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("truncated Ogg lacing table")
+        body0 = pos + 27 + nseg
+        plen = sum(lacing)
+        yield htype, granule, serial, content[body0 : body0 + plen]
+        pos = body0 + plen
+
+
+def _decode_ogg(content: bytes) -> dict:
+    """Ogg container metadata extract (RFC 3533 page walk + Vorbis I /
+    Opus (RFC 7845) identification headers): the BOS page of the first
+    audio stream gives codec + rate/channels; the stream's LAST page
+    granule position gives total samples — Vorbis counts PCM frames at
+    the stream rate, Opus counts 48 kHz samples with pre-skip subtracted.
+    Compressed-sample decode still needs a codec library."""
+    import struct
+
+    rate = None
+    pre_skip = 0
+    is_opus = False
+    audio_serial = None
+    last_granule = 0
+    for htype, granule, serial, payload in _ogg_pages(content):
+        if htype & 0x02 and audio_serial is None:  # beginning-of-stream
+            if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+                rate = struct.unpack_from("<I", payload, 12)[0]
+                audio_serial = serial
+            elif payload[:8] == b"OpusHead" and len(payload) >= 12:
+                pre_skip = struct.unpack_from("<H", payload, 10)[0]
+                rate = 48000  # Opus granule positions are ALWAYS 48 kHz
+                is_opus = True
+                audio_serial = serial
+        if serial == audio_serial and granule >= 0:
+            last_granule = max(last_granule, granule)
+    if rate is None:
+        raise ValueError("Ogg container without a Vorbis/Opus id header")
+    samples = max(0, last_granule - (pre_skip if is_opus else 0))
+    return {
+        "width": None,
+        "height": None,
+        "duration_sec": samples / float(rate),
+        "feature": _feature_from_bytes(content),
+    }
+
+
 def _mp4_boxes(content: bytes, start: int, end: int):
     """Yield (box_type, body_start, body_end) over an ISO-BMFF box list.
     Handles 64-bit largesize (size==1) and to-end boxes (size==0)."""
@@ -683,13 +776,14 @@ def _decode_mp4(content: bytes) -> dict:
 def real_decode(content: bytes, modality: str) -> dict:
     """Production decode hook: REAL pure-Python decoders/parsers —
     baseline JPEG (huffman + dequant + IDCT), PNG (zlib inflate +
-    un-filter), BMP and PPM/P6 images, RIFF/PCM WAV audio, MP3 frame-walk
-    and MP4/ISO-BMFF box-walk metadata (duration / sample rate / track
+    un-filter), BMP and PPM/P6 images, RIFF/PCM WAV audio, MP3
+    frame-walk, MP4/ISO-BMFF box-walk, FLAC STREAMINFO and Ogg
+    (Vorbis/Opus) page-walk metadata (duration / sample rate / track
     dimensions — the fields curation filters on) — dispatched on magic
     bytes, so real bytes flow through the distributed path end to end
-    (tested in tests/test_multimodal.py). Compressed-SAMPLE decode for
-    MP3/MP4 (PCM / raster frames) and other codec formats (Ogg, FLAC…)
-    raise NotImplementedError — wire ffmpeg/torchaudio here on a cluster
+    (tested in tests/test_multimodal.py). Compressed-SAMPLE decode
+    (PCM / raster frames out of MP3/MP4/FLAC/Ogg) raises
+    NotImplementedError — wire ffmpeg/torchaudio here on a cluster
     image that has them."""
     content = content or b""
     if content[:2] == b"\xff\xd8":
@@ -702,6 +796,10 @@ def real_decode(content: bytes, modality: str) -> dict:
         return _decode_wav(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:4] == b"fLaC":
+        return _decode_flac(content)
+    if content[:4] == b"OggS":
+        return _decode_ogg(content)
     if content[4:8] == b"ftyp":
         return _decode_mp4(content)
     if content[:3] == b"ID3" or (

@@ -258,13 +258,15 @@ def test_real_decode_png_interlaced_rejected():
 
 def test_real_decode_compressed_is_explicit_stub():
     """Formats needing codec libs still raise — clearly marked boundary
-    (JPEG left the stub in r7; MP3/MP4 metadata parse left it too, so the
-    stub is now Ogg/FLAC-shaped). Malformed bytes of RECOGNIZED formats
-    are a decode ERROR, not a missing codec."""
+    (JPEG left the stub in r7, MP3/MP4 in r7, FLAC/Ogg metadata in r8, so
+    the stub is now Matroska/WebM-and-beyond-shaped). Malformed bytes of
+    RECOGNIZED formats are a decode ERROR, not a missing codec."""
     with pytest.raises(NotImplementedError):
-        real_decode(b"OggS\x00\x02 fake ogg", "audio")
-    with pytest.raises(NotImplementedError):
+        real_decode(b"\x1a\x45\xdf\xa3 fake matroska", "video")
+    with pytest.raises(ValueError):  # truncated STREAMINFO
         real_decode(b"fLaC\x00\x00\x00\x22 fake flac", "audio")
+    with pytest.raises(ValueError):  # no id header in any page
+        real_decode(b"OggS\x00\x02 fake ogg", "audio")
     with pytest.raises(ValueError):
         real_decode(b"\xff\xd8\xff\xe0jpeg-ish", "image")
     with pytest.raises(ValueError):  # ftyp but no moov/mvhd
@@ -377,6 +379,98 @@ def test_real_decode_mp4_box_walk():
     d3 = real_decode(_mp4_bytes(7.0, 1920, 1080, mvhd_v1=True, largesize_moov=True), "video")
     assert d3["duration_sec"] == pytest.approx(7.0, abs=1e-3)
     assert (d3["width"], d3["height"]) == (1920, 1080)
+
+
+# ---------------------------------------------------------------------------
+# FLAC / Ogg test-side generators, hand-packed from the public specs
+# (RFC 9639 STREAMINFO bit layout, RFC 3533 page layout, Vorbis I and
+# RFC 7845 Opus id headers) so a parser bit-offset bug cannot cancel out.
+
+
+def _flac_bytes(total_samples: int, rate: int = 44100, channels: int = 2,
+                bps: int = 16) -> bytes:
+    import struct as _s
+
+    body = bytearray(34)
+    _s.pack_into(">HH", body, 0, 4096, 4096)  # min/max blocksize
+    body[10] = (rate >> 12) & 0xFF
+    body[11] = (rate >> 4) & 0xFF
+    body[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | (((bps - 1) >> 4) & 1)
+    body[13] = (((bps - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    body[14:18] = _s.pack(">I", total_samples & 0xFFFFFFFF)
+    streaminfo = bytes([0x00]) + (34).to_bytes(3, "big") + bytes(body)
+    padding = bytes([0x81]) + (12).to_bytes(3, "big") + bytes(12)  # last
+    frames = bytes((i * 29) % 256 for i in range(96))  # fake audio frames
+    return b"fLaC" + streaminfo + padding + frames
+
+
+def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
+              htype: int = 0) -> bytes:
+    import struct as _s
+
+    lacing = [255] * (len(payload) // 255) + [len(payload) % 255]
+    return (
+        b"OggS" + bytes([0, htype]) + _s.pack("<q", granule)
+        + _s.pack("<III", serial, seq, 0)  # serial, page seq, CRC
+        + bytes([len(lacing)]) + bytes(lacing) + payload
+    )
+
+
+def _ogg_vorbis_bytes(total_samples: int, rate: int = 44100) -> bytes:
+    import struct as _s
+
+    idh = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+           + _s.pack("<I", rate) + _s.pack("<III", 0, 0, 0)
+           + bytes([0xB8, 0x01]))
+    audio = bytes((i * 17) % 256 for i in range(300))
+    return (
+        _ogg_page(7, 0, 0, idh, htype=0x02)            # BOS: id header
+        + _ogg_page(7, 1, 0, b"\x03vorbis headers")    # comment/setup
+        + _ogg_page(7, 2, total_samples // 2, audio)
+        + _ogg_page(7, 3, total_samples, audio, htype=0x04)  # EOS
+    )
+
+
+def _ogg_opus_bytes(granule_48k: int, pre_skip: int = 312) -> bytes:
+    import struct as _s
+
+    idh = (b"OpusHead" + bytes([1, 2]) + _s.pack("<H", pre_skip)
+           + _s.pack("<I", 48000) + _s.pack("<h", 0) + bytes([0]))
+    audio = bytes((i * 23) % 256 for i in range(300))
+    return (
+        _ogg_page(9, 0, 0, idh, htype=0x02)
+        + _ogg_page(9, 1, 0, b"OpusTags")
+        + _ogg_page(9, 2, granule_48k, audio, htype=0x04)
+    )
+
+
+def test_real_decode_flac_streaminfo():
+    d = real_decode(_flac_bytes(441_000), "audio")
+    assert d["duration_sec"] == pytest.approx(10.0, abs=1e-9)
+    assert d["width"] is None and len(d["feature"]) == 8
+
+    # 36-bit total-samples field: a >2^32 sample count keeps its high bits
+    d2 = real_decode(_flac_bytes(5_000_000_000, rate=96000), "audio")
+    assert d2["duration_sec"] == pytest.approx(5_000_000_000 / 96000, rel=1e-12)
+
+    # 20-bit sample-rate packing at a non-nibble-aligned rate
+    d3 = real_decode(_flac_bytes(22050, rate=22050), "audio")
+    assert d3["duration_sec"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_real_decode_ogg_vorbis_and_opus():
+    # Vorbis: duration = last granule / id-header rate
+    d = real_decode(_ogg_vorbis_bytes(441_000), "audio")
+    assert d["duration_sec"] == pytest.approx(10.0, abs=1e-9)
+
+    # Opus: granule is ALWAYS 48 kHz and pre-skip subtracts
+    d2 = real_decode(_ogg_opus_bytes(48_000 * 3 + 312, pre_skip=312), "audio")
+    assert d2["duration_sec"] == pytest.approx(3.0, abs=1e-9)
+
+    # a multiplexed non-audio BOS stream before the audio one is skipped
+    skel = _ogg_page(3, 0, 0, b"fishead\x00 skeleton", htype=0x02)
+    d3 = real_decode(skel + _ogg_vorbis_bytes(22050), "audio")
+    assert d3["duration_sec"] == pytest.approx(0.5, abs=1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -685,6 +779,9 @@ def test_real_decode_distributed(spark):
          _jpeg_bytes(_smooth_rgb(40, 24), subsample=(2, 2)), 0, {}),
         ("mp3-1", "audio", "audio/mpeg", _mp3_frames(77), 0, {}),
         ("mp4-1", "video", "video/mp4", _mp4_bytes(9.5, 320, 240), 0, {}),
+        ("flac-1", "audio", "audio/flac", _flac_bytes(88_200), 0, {}),
+        ("ogg-1", "audio", "audio/ogg", _ogg_vorbis_bytes(66_150), 0, {}),
+        ("opus-1", "audio", "audio/opus", _ogg_opus_bytes(96_312), 0, {}),
     ]
     df = spark.createDataFrame(
         rows,
@@ -702,6 +799,9 @@ def test_real_decode_distributed(spark):
     assert out["mp3-1"].duration_sec == pytest.approx(77 * 1152 / 44100, abs=1e-4)
     assert (out["mp4-1"].width, out["mp4-1"].height) == (320, 240)
     assert out["mp4-1"].duration_sec == pytest.approx(9.5, abs=1e-3)
+    assert out["flac-1"].duration_sec == pytest.approx(2.0, abs=1e-6)
+    assert out["ogg-1"].duration_sec == pytest.approx(1.5, abs=1e-6)
+    assert out["opus-1"].duration_sec == pytest.approx(2.0, abs=1e-6)
     assert all(len(r.feature) == 8 for r in out.values())
 
 
