@@ -62,8 +62,8 @@ def read_events_with_pos(spark: SparkSession, path: str, source: str = "live_str
     ``monotonically_increasing_id`` is NOT file-ordered across files —
     Spark packs input splits sorted by size descending, so partition
     order need not follow path order (ADVICE r2). File rank therefore
-    comes from a driver-side sort of the distinct input file paths (one
-    tiny job — file listing is driver work in Spark anyway); the
+    comes from a dense_rank window over the DISTINCT input file paths —
+    a file-count-sized single-partition window, kept off the driver; the
     within-file index is a per-file window over the monotonic id, which
     follows byte order whenever each file maps to a single input split
     (files < ``spark.sql.files.maxPartitionBytes``; the reference's daily
@@ -87,10 +87,19 @@ def read_events_with_pos(spark: SparkSession, path: str, source: str = "live_str
         .withColumn("__file", F.input_file_name())
         .withColumn("__mid", F.monotonically_increasing_id())
     )
-    files = sorted(r["__file"] for r in good.select("__file").distinct().collect())
-    ranks = spark.createDataFrame(
-        [(f, i) for i, f in enumerate(files)] or [("", 0)],
-        "__file string, __file_rank int",
+    # File rank stays DISTRIBUTED: a dense_rank window over the distinct
+    # file paths (one row per input file — a single-partition window over
+    # a file-count-sized table, not a data-sized one) replaces the former
+    # driver-side collect+sort, so file-count never hits driver memory.
+    ranks = (
+        good.select("__file")
+        .distinct()
+        .withColumn(
+            "__file_rank",
+            (F.dense_rank().over(Window.orderBy(F.col("__file").asc())) - 1).cast(
+                "int"
+            ),
+        )
     )
     in_file = Window.partitionBy("__file").orderBy(F.col("__mid").asc())
     good = (
