@@ -140,32 +140,35 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Untimed warm-up: one full sweep over the headline suite. Measured on
-    # this container, the JVM's first ~25s run 5-10× slow regardless of
+    # Untimed warm-up: TWO full sweeps over the headline suite. Measured
+    # on this container, the JVM's first ~25s run 5-10× slow regardless of
     # query — tiered JIT is still compiling the parquet scan / codegen'd
     # agg loops (e.g. the same query: 5.5s, 5.5s, 0.8s, 0.8s across four
-    # back-to-back runs). A single-query warm-up doesn't cover that window,
-    # so early queries in the timed loop were charged JIT time that no
-    # long-lived production executor ever pays. Standard warm-iterations
-    # methodology (JMH-style): sweep once untimed, then measure.
-    for name in HEADLINE:
-        qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
+    # back-to-back runs). One warm sweep wasn't enough (BENCH_r07: the
+    # FIRST timed run was the slowest for 17/20 queries — C2 recompilation
+    # of the hottest loops continues past sweep one), so the first timed
+    # sweep was still charging warm-up that no long-lived production
+    # executor pays. JMH-style warm iterations: sweep twice untimed.
+    for _ in range(2):
+        for name in HEADLINE:
+            qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs N_SWEEPS times; we report the min (steady-state).
     # Per-query run-to-run variance on this box is ±30% (GC, scheduling).
     # The measurements are INTERLEAVED — full sweeps over the suite, each
-    # sweep starting at a rotated offset — rather than back-to-back runs
+    # sweep in a fixed-seed SHUFFLED order — rather than back-to-back runs
     # of one query: a transient load spike then inflates ONE measurement
-    # of many queries instead of every measurement of one query, so no
-    # single noisy window can skew a query's min (VERDICT r6 item 7:
-    # pricing_summary's [0.84, 0.515, 1.343] triplet was all three runs
-    # landing inside the same busy window). Four sweeps instead of three
-    # gives sub-second queries one more draw for the same reason.
+    # of many queries instead of every measurement of one query, and
+    # shuffling (vs the r7 rotated offset) also decorrelates each query
+    # from its suite neighbors, so no repeated adjacency can bias a min.
+    import random
+
     N_SWEEPS = 4
     all_runs: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for sweep in range(N_SWEEPS):
-        off = (sweep * 7) % len(HEADLINE)  # rotate start; 7 coprime-ish to 20
-        for name in HEADLINE[off:] + HEADLINE[:off]:
+        order = HEADLINE[:]
+        random.Random(0xBEEF + sweep).shuffle(order)
+        for name in order:
             t0 = time.monotonic()
             qs[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.monotonic() - t0, 3))
