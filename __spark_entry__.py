@@ -2424,67 +2424,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50). So: (a) oracle-backed queries
-    # with the OLDEST driver verification come FIRST — r7 rotates in the
-    # 31-query tail whose last driver row was r5 (VERDICT r6 item 1);
-    # (b) then r7-new queries and queries whose operators changed this
-    # round; (c) then the r6-green block, freshest-verified last; (d) the
-    # three rows-only entries close the list.
+    # with the OLDEST driver verification come FIRST — r8 rotates in the
+    # 39-query tail whose last driver row was r6 (VERDICT r7 item 1);
+    # (b) the three rows-only entries, whose spark_rows were last recorded
+    # r3, slot inside the first 50 once; (c) queries whose operators were
+    # touched this round and r8-new queries; (d) the r7-green block,
+    # freshest-verified, closes the list (its head re-checks as the cap
+    # allows).
     return {
-        # -- driver-verification debt: last green row r5, rotate in first
-        "pricing_summary": q_pricing_summary,
-        "daily_revenue": q_daily_revenue,
-        "order_daily_rollup": q_order_daily_rollup,
-        "dedup_last_writer": q_dedup_last_writer,
-        "dedup_keep_first": q_dedup_keep_first,
-        "drift_coalesce": q_drift_coalesce,
-        "status_canonical": q_status_canonical,
-        "timestamp_multiformat": q_timestamp_multiformat,
-        "calendar_dim": q_calendar_dim,
-        "customer_first_order": q_customer_first_order,
-        "orphan_customers": q_orphan_customers,
-        "big_spender_segments": q_big_spender_segments,
-        "ship_latency": q_ship_latency,
-        "fact_shipments_rollup": q_fact_shipments_rollup,
-        "completeness": q_completeness,
-        "top_customers": q_top_customers,
-        "status_pivot": q_status_pivot,
-        "sql_regional_revenue": q_sql_regional_revenue,
-        "order_value_percentiles": q_order_value_percentiles,
-        "revenue_rollup": q_revenue_rollup,
-        "revenue_cube": q_revenue_cube,
-        "month_over_month": q_month_over_month,
-        "docs_shared_passages": q_docs_shared_passages,
-        "token_budget": q_token_budget,
-        "running_total": q_running_total,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
-        "event_daily_stats": q_event_daily_stats,
-        "minhash_signature": q_minhash_signature,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        # -- r7-new: approx tier made hash-checkable + purge path audited
-        "approx_stats_check": q_approx_stats_check,
-        "order_value_percentiles_check": q_order_value_percentiles_check,
-        "purge_audit": q_purge_audit,
-        "sketch_range_users": q_sketch_range_users,
-        "token_heavy_hitters": q_token_heavy_hitters,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_length_deciles": q_docs_length_deciles,
-        # -- operators touched in r7 (corpus_diff presence-marker fix)
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        # -- r6-green block (freshest driver rows), oldest-listed rechecked
-        #    first as the ~50-row cap allows
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
+        # -- driver-verification debt: last green row r6, rotate in first
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
         "scd2_asof": q_scd2_asof,
@@ -2524,10 +2472,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
         "docs_contamination": q_docs_contamination,
-        # -- rows-only (no oracle): engine-specific by design
+        # -- rows-only (no oracle, engine-specific by design): spark_rows
+        #    last recorded r3 — slot inside the first 50 once
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        # -- operators touched in r8 (bpe.py: batched trainer + hybrid
+        #    encode join; pair_counts statistics re-pinned)
+        "bpe_pair_counts": q_bpe_pair_counts,
+        # -- r7-green block (freshest driver rows), oldest-listed
+        #    rechecked first as the ~50-row cap allows
+        "pricing_summary": q_pricing_summary,
+        "daily_revenue": q_daily_revenue,
+        "order_daily_rollup": q_order_daily_rollup,
+        "dedup_last_writer": q_dedup_last_writer,
+        "dedup_keep_first": q_dedup_keep_first,
+        "drift_coalesce": q_drift_coalesce,
+        "status_canonical": q_status_canonical,
+        "timestamp_multiformat": q_timestamp_multiformat,
+        "calendar_dim": q_calendar_dim,
+        "customer_first_order": q_customer_first_order,
+        "orphan_customers": q_orphan_customers,
+        "big_spender_segments": q_big_spender_segments,
+        "ship_latency": q_ship_latency,
+        "fact_shipments_rollup": q_fact_shipments_rollup,
+        "completeness": q_completeness,
+        "top_customers": q_top_customers,
+        "status_pivot": q_status_pivot,
+        "sql_regional_revenue": q_sql_regional_revenue,
+        "order_value_percentiles": q_order_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
+        "revenue_cube": q_revenue_cube,
+        "month_over_month": q_month_over_month,
+        "docs_shared_passages": q_docs_shared_passages,
+        "token_budget": q_token_budget,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "event_daily_stats": q_event_daily_stats,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "approx_stats_check": q_approx_stats_check,
+        "order_value_percentiles_check": q_order_value_percentiles_check,
+        "purge_audit": q_purge_audit,
+        "sketch_range_users": q_sketch_range_users,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_deciles": q_docs_length_deciles,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
     }
 
 
