@@ -73,6 +73,7 @@ PROBE_QUERIES = [
     "order_value_percentiles_check",
     "purge_audit",
     "sketch_range_users",
+    "token_heavy_hitters",
     "bpe_pair_counts",
     "docs_weighted_sample",
     "docs_length_deciles",
