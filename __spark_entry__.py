@@ -1868,6 +1868,105 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_order_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log₂-histogram quantile rollup end-to-end
+    (``operators/sketches.py`` — r8, the quantile member of the
+    mergeable-sketch triad next to the HLL and Misra–Gries rollups):
+    build one bounded HDR-style histogram per (day, priority) over order
+    value in DECIMAL-exact cents, persist, then answer p50/p90/p99 per
+    priority over a 15-day o_orderdate range by SUMMING the persisted
+    per-day bucket counts — raw orders are never re-scanned for the
+    range query. Binning is pure integer arithmetic (msb via base-2
+    digit count, shifts, exact rational ranks), so the ESTIMATES
+    themselves — not just an envelope — replay bit-identically in the
+    DuckDB oracle; the exact inverted-CDF quantile and the guaranteed
+    relative-error verdict (|est − exact| ≤ 2^(shift−1), i.e. rel err ≤
+    2⁻⁷ at sub_bits=6) ride along as hash-checked columns. Bounded
+    collects: the min-day scalar and the 15-row result."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import sketches as sk
+
+    probs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        _iso_date(F.col("o_orderdate").cast("timestamp")).alias("day"),
+        (F.col("o_totalprice").cast("decimal(30,8)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="cp_hist_")
+    path = os.path.join(scratch, "rollup")
+    try:
+        sk.write_hist_rollup(
+            o, path, "cents", shard_col="day", group_cols=["o_orderpriority"]
+        )
+        d0 = datetime.date.fromisoformat(o.agg(F.min("day")).first()[0])
+        start = (d0 + datetime.timedelta(days=7)).isoformat()
+        end = (d0 + datetime.timedelta(days=21)).isoformat()
+        est = sk.hist_quantiles_over_range(
+            spark, path, start, end, probs,
+            shard_col="day", group_cols=["o_orderpriority"],
+        )
+        in_range = o.where((F.col("day") >= start) & (F.col("day") <= end))
+        w = Window.partitionBy("o_orderpriority").orderBy(F.col("cents").asc())
+        wt = Window.partitionBy("o_orderpriority")
+        probs_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(lbl).alias("q_label"),
+                    F.lit(n).alias("num"),
+                    F.lit(d).alias("den"),
+                )
+                for lbl, n, d in probs
+            ]
+        )
+        exact = (
+            in_range.withColumn("rn", F.row_number().over(w))
+            .withColumn("total", F.count(F.lit(1)).over(wt))
+            .select("o_orderpriority", "cents", "rn", "total",
+                    F.explode(probs_arr).alias("q"))
+            .where(F.expr("rn = (q.num * total + q.den - 1) div q.den"))
+            .select(
+                "o_orderpriority",
+                F.col("q.q_label").alias("q_label"),
+                F.col("cents").alias("exact_cents"),
+            )
+        )
+        out = (
+            est.join(exact, ["o_orderpriority", "q_label"])
+            .withColumn(
+                "__shift",
+                F.greatest(
+                    F.length(F.conv(F.col("est"), 10, 2)) - F.lit(7), F.lit(0)
+                ),
+            )
+            .select(
+                "o_orderpriority",
+                "q_label",
+                F.col("est").alias("est_cents"),
+                "exact_cents",
+                F.col("n_total").alias("n_orders"),
+                (
+                    F.abs(F.col("est") - F.col("exact_cents"))
+                    <= F.when(
+                        F.col("__shift") > 0,
+                        F.expr("shiftleft(1L, __shift - 1)"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("int")
+                .alias("within_bound"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training round-0 statistics (``operators/bpe.py``):
     adjacent character-pair counts (with the ``</w>`` end-of-word marker)
@@ -2478,8 +2577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
         # -- operators touched in r8 (bpe.py: batched trainer + hybrid
-        #    encode join; pair_counts statistics re-pinned)
+        #    encode join; pair_counts statistics re-pinned) and r8-new
         "bpe_pair_counts": q_bpe_pair_counts,
+        "order_value_hist_quantiles": q_order_value_hist_quantiles,
         # -- r7-green block (freshest driver rows), oldest-listed
         #    rechecked first as the ~50-row cap allows
         "pricing_summary": q_pricing_summary,
@@ -3448,6 +3548,67 @@ def oracle_sql() -> dict[str, str]:
         # freq; chr(31) (unit separator) keys the pair so multi-byte chars
         # and '</w>' survive the round-trip. substr/length are
         # character-based in both engines (verified on non-ASCII).
+        # Log2-histogram quantile rollup: binning, merge, rank selection,
+        # the exact inverted-CDF twin and the error verdict are ALL pure
+        # integer arithmetic (msb via base-2 digit count, shifts, rational
+        # ceil-div ranks) — every column replays bit-identically.
+        "order_value_hist_quantiles": """
+            WITH rng AS (
+                SELECT min(CAST(o_orderdate AS DATE)) + 7 AS d_lo,
+                       min(CAST(o_orderdate AS DATE)) + 21 AS d_hi
+                FROM orders
+            ), c AS (
+                SELECT o_orderpriority AS pri,
+                       CAST(CAST(o_totalprice AS DECIMAL(30,8)) * 100 AS BIGINT) AS cents
+                FROM orders, rng
+                WHERE CAST(o_orderdate AS DATE) BETWEEN d_lo AND d_hi
+                  AND CAST(CAST(o_totalprice AS DECIMAL(30,8)) * 100 AS BIGINT) >= 0
+            ), b AS (
+                SELECT pri, (cents >> s) << s AS bin_lo, count(*) AS cnt
+                FROM (SELECT pri, cents,
+                             greatest(length(printf('%b', cents)) - 7, 0) AS s
+                      FROM c)
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT pri, bin_lo, cnt,
+                       sum(cnt) OVER (PARTITION BY pri ORDER BY bin_lo) AS cum,
+                       sum(cnt) OVER (PARTITION BY pri) AS total
+                FROM b
+            ), q(q_label, num, den) AS (
+                VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+            ), sel AS (
+                SELECT pri, q_label, total,
+                       bin_lo + CASE WHEN s2 > 0
+                                     THEN (CAST(1 AS BIGINT) << (s2 - 1)) - 1
+                                     ELSE 0 END AS est
+                FROM (
+                    SELECT cum.*, q.*,
+                           (q.num * cum.total + q.den - 1) // q.den AS rk,
+                           greatest(length(printf('%b', bin_lo)) - 7, 0) AS s2
+                    FROM cum CROSS JOIN q
+                )
+                WHERE cum >= rk AND cum - cnt < rk
+            ), ex AS (
+                SELECT pri, q_label, cents AS exact_cents
+                FROM (
+                    SELECT pri, cents,
+                           row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+                           count(*) OVER (PARTITION BY pri) AS total
+                    FROM c
+                ) CROSS JOIN q
+                WHERE rn = (num * total + den - 1) // den
+            )
+            SELECT sel.pri AS o_orderpriority, sel.q_label,
+                   sel.est AS est_cents, ex.exact_cents,
+                   CAST(sel.total AS BIGINT) AS n_orders,
+                   CASE WHEN abs(sel.est - ex.exact_cents)
+                             <= CASE WHEN greatest(length(printf('%b', sel.est)) - 7, 0) > 0
+                                     THEN CAST(1 AS BIGINT)
+                                          << (greatest(length(printf('%b', sel.est)) - 7, 0) - 1)
+                                     ELSE 0 END
+                        THEN 1 ELSE 0 END AS within_bound
+            FROM sel JOIN ex ON sel.pri = ex.pri AND sel.q_label = ex.q_label
+        """,
         "bpe_pair_counts": rf"""
             WITH w AS (
                 SELECT unnest({_TOKS}) AS word FROM documents

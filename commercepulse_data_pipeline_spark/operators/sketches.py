@@ -228,3 +228,173 @@ def heavy_hitters_over_shards(
         items = items.where(shard_filter)
         shards = shards.where(shard_filter)
     return merge_mg_summaries(items, shards, item_col=item_col)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log2 value-histogram (HDR-histogram-style) quantile rollup
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the mergeable-sketch triad (HLL distincts above,
+# Misra-Gries frequent items, and this): one BOUNDED histogram per shard
+# over a non-negative integer "tick" value (money in cents, latency in
+# micros), built in one pass, mergeable by plain count addition — so "p99
+# over any date range / shard subset" is answered from kilobytes without
+# re-scanning raw data, the way HdrHistogram answers latency quantiles in
+# production telemetry.
+#
+# Binning is HDR-style: each power-of-two decade [2^m, 2^(m+1)) splits
+# into 2^sub_bits equal linear buckets, so every bucket's relative width
+# is <= 2^-sub_bits and the midpoint estimate carries a GUARANTEED
+# relative error <= 2^-(sub_bits+1) (ticks below 2^sub_bits get exact
+# singleton buckets). Bucket count is bounded by ~64 * 2^sub_bits rows
+# per shard regardless of data volume.
+#
+# Everything is INTEGER arithmetic (msb via base-2 string length, shifts,
+# exact rational ranks ceil(num*total/den) — never float log or float
+# rank), so build, merge, selection, and the error-envelope flag replay
+# bit-identically in a SQL oracle on any engine.
+
+
+def log2_hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    shard_col: str | None = None,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 6,
+) -> DataFrame:
+    """One histogram per (shard, *group_cols): rows of (..., bin_lo,
+    cnt) where ``bin_lo`` is the bucket's inclusive lower tick. The
+    value column must be a non-negative integral tick count (convert
+    money through DECIMAL cents first — float binning would not be
+    cross-engine-deterministic); negative ticks are dropped (callers own
+    sign handling, same posture as the HLL rollup's NULL keys).
+
+    One shuffle on (shard, groups, bin) with map-side combine; the
+    bucket id needs only integer ops: msb from the base-2 digit count,
+    ``shift = max(msb - sub_bits, 0)``, ``bin_lo = (v >> shift) <<
+    shift``."""
+    v = F.col(value_col).cast("long")
+    keys = [*([shard_col] if shard_col else []), *(group_cols or [])]
+    # shift amounts are COLUMNS, so the shifts go through SQL exprs (the
+    # python shiftleft/shiftright helpers take only literal bit counts)
+    return (
+        df.where(v >= 0)
+        .select(*keys, v.alias("__v"))
+        .withColumn("__msb", F.length(F.conv(F.col("__v"), 10, 2)) - F.lit(1))
+        .withColumn("__shift", F.greatest(F.col("__msb") - F.lit(sub_bits), F.lit(0)))
+        .withColumn(
+            "bin_lo",
+            F.expr("shiftleft(shiftrightunsigned(__v, __shift), __shift)"),
+        )
+        .groupBy(*keys, "bin_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_hist_quantiles(
+    hist: DataFrame,
+    probs: list[tuple[str, int, int]],
+    *,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 6,
+) -> DataFrame:
+    """Quantile estimates per group from (a union of) histogram partials:
+    merge by summing bucket counts, then for each ``(label, num, den)``
+    probability (an exact rational — a float ``p * total`` rank would
+    round differently across engines) select the first bucket whose
+    cumulative count reaches ``rank = ceil(num * total / den)`` and
+    return its integer midpoint as ``est``.
+
+    The inverted-CDF quantile value lives in the selected bucket by
+    construction (bucket order = value order), so
+    ``|est - exact| <= 2^(shift-1)`` — relative error <= 2^-(sub_bits+1).
+    Output: (*group_cols, q_label, est, n_total)."""
+    groups = group_cols or []
+    merged = hist.groupBy(*groups, "bin_lo").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("bin_lo")
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(*[F.col(g) for g in groups]))
+    )
+    probs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("q_label"),
+                F.lit(int(num)).alias("num"),
+                F.lit(int(den)).alias("den"),
+            )
+            for lbl, num, den in probs
+        ]
+    )
+    e = (
+        cum.select(
+            *groups, "bin_lo", "cnt", "cum", "total", F.explode(probs_arr).alias("q")
+        )
+        # exact integer rank: ceil(num * total / den) without float division
+        .withColumn(
+            "__rank", F.expr("(q.num * total + q.den - 1) div q.den")
+        )
+        .withColumn("__msb", F.length(F.conv(F.col("bin_lo"), 10, 2)) - F.lit(1))
+        .withColumn("__shift", F.greatest(F.col("__msb") - F.lit(sub_bits), F.lit(0)))
+        .withColumn(
+            "__mid_off",
+            F.when(
+                F.col("__shift") > 0,
+                F.expr("shiftleft(1L, __shift - 1) - 1L"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return (
+        e.where(
+            (F.col("cum") >= F.col("__rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("__rank"))
+        )
+        .select(
+            *groups,
+            F.col("q.q_label").alias("q_label"),
+            (F.col("bin_lo") + F.col("__mid_off")).cast("long").alias("est"),
+            F.col("total").alias("n_total"),
+        )
+    )
+
+
+def write_hist_rollup(
+    df: DataFrame,
+    path: str,
+    value_col: str,
+    *,
+    shard_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Persist per-shard histogram partials as parquet (same posture as
+    :func:`write_sketch_rollup`: append mode supports incremental daily
+    builds; duplicate shard rows from reruns DOUBLE-COUNT — pair appends
+    with idempotent upsert if reruns are possible, counts are not
+    union-idempotent like HLL)."""
+    log2_hist_sketch(
+        df, value_col, shard_col=shard_col, group_cols=group_cols, sub_bits=sub_bits
+    ).write.mode(mode).parquet(path)
+
+
+def hist_quantiles_over_range(
+    spark: SparkSession,
+    path: str,
+    start_shard,
+    end_shard,
+    probs: list[tuple[str, int, int]],
+    *,
+    shard_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 6,
+) -> DataFrame:
+    """Range quantiles from the persisted rollup: filter shards
+    (partition/row-group pruning), merge bucket counts, select. Touches
+    only the kilobyte histogram table, never raw data."""
+    rollup = spark.read.parquet(path).where(
+        (F.col(shard_col) >= F.lit(start_shard)) & (F.col(shard_col) <= F.lit(end_shard))
+    )
+    return merge_hist_quantiles(
+        rollup, probs, group_cols=group_cols, sub_bits=sub_bits
+    )

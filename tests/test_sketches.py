@@ -448,3 +448,101 @@ def test_stream_sketch_rollup_and_compaction(spark, tmp_path):
     ).first()
     exact3 = exact_between("2026-03-01", "2026-03-04")
     assert abs(got3.distinct_estimate - exact3) <= _tol(exact3)
+
+
+def test_log2_hist_quantiles_error_bound_and_merge(spark):
+    """HDR-style log2 histogram rollup: (a) every quantile estimate is
+    within the guaranteed relative error 2^-(sub_bits+1) of the exact
+    inverted-CDF quantile; (b) merging per-shard partials equals building
+    one histogram over the union (mergeable-summary property); (c) small
+    ticks (< 2^sub_bits) land in exact singleton buckets so their
+    quantiles are EXACT."""
+    import random
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        log2_hist_sketch,
+        merge_hist_quantiles,
+    )
+
+    rnd = random.Random(42)
+    # heavy-tailed values across many decades + a zero + small ticks
+    vals = (
+        [0, 1, 2, 3, 63, 64, 65]
+        + [rnd.randrange(1, 100) for _ in range(400)]
+        + [int(10 ** rnd.uniform(2, 8)) for _ in range(4000)]
+    )
+    rows = [(f"s{i % 5}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "shard string, v long")
+    probs = [("p01", 1, 100), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+    hist = log2_hist_sketch(df, "v", shard_col="shard", sub_bits=6)
+    merged = {
+        r["q_label"]: r["est"]
+        for r in merge_hist_quantiles(hist, probs, sub_bits=6).collect()
+    }
+    direct = {
+        r["q_label"]: r["est"]
+        for r in merge_hist_quantiles(
+            log2_hist_sketch(df, "v", sub_bits=6), probs, sub_bits=6
+        ).collect()
+    }
+    assert merged == direct  # partial-merge == one-shot build
+
+    xs = sorted(vals)
+    for lbl, num, den in probs:
+        exact = xs[(num * len(xs) + den - 1) // den - 1]
+        est = merged[lbl]
+        assert abs(est - exact) <= max(exact, 1) * 2 ** -7, (lbl, est, exact)
+
+    # small-tick regime: every value < 2^6 has a singleton bucket
+    small = spark.createDataFrame(
+        [(v,) for v in [1, 1, 2, 5, 8, 13, 21, 34, 55]], "v long"
+    )
+    got = {
+        r["q_label"]: r["est"]
+        for r in merge_hist_quantiles(
+            log2_hist_sketch(small, "v", sub_bits=6), probs, sub_bits=6
+        ).collect()
+    }
+    ys = sorted([1, 1, 2, 5, 8, 13, 21, 34, 55])
+    for lbl, num, den in probs:
+        assert got[lbl] == ys[(num * len(ys) + den - 1) // den - 1], lbl
+
+
+def test_hist_rollup_range_query_never_rescans(spark, tmp_path):
+    """Persisted histogram rollup answers a shard-range quantile query
+    from the bucket table alone; negative ticks are dropped at build
+    (documented contract) and the range filter prunes shards."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        hist_quantiles_over_range,
+        log2_hist_sketch,
+        write_hist_rollup,
+    )
+
+    rows = [
+        (f"2024-01-{d:02d}", grp, v * (d + i))
+        for d in range(1, 11)
+        for i, (grp, v) in enumerate(
+            [("a", 100), ("a", 250), ("a", 999), ("b", 5), ("b", -7)] * 4
+        )
+    ]
+    df = spark.createDataFrame(rows, "day string, grp string, v long")
+    path = str(tmp_path / "hist_rollup")
+    write_hist_rollup(df, path, "v", shard_col="day", group_cols=["grp"])
+
+    probs = [("p50", 1, 2), ("p99", 99, 100)]
+    got = hist_quantiles_over_range(
+        spark, path, "2024-01-03", "2024-01-07", probs,
+        shard_col="day", group_cols=["grp"],
+    ).collect()
+    in_range = [
+        (g, v) for (d, g, v) in rows if "2024-01-03" <= d <= "2024-01-07" and v >= 0
+    ]
+    for r in got:
+        xs = sorted(v for g, v in in_range if g == r["grp"])
+        num, den = {"p50": (1, 2), "p99": (99, 100)}[r["q_label"]]
+        exact = xs[(num * len(xs) + den - 1) // den - 1]
+        assert r["n_total"] == len(xs)
+        assert abs(r["est"] - exact) <= max(exact, 1) * 2 ** -7, (r, exact)
