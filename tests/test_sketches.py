@@ -546,3 +546,106 @@ def test_hist_rollup_range_query_never_rescans(spark, tmp_path):
         exact = xs[(num * len(xs) + den - 1) // den - 1]
         assert r["n_total"] == len(xs)
         assert abs(r["est"] - exact) <= max(exact, 1) * 2 ** -7, (r, exact)
+
+
+def test_stream_hist_rollup_and_compaction(spark, tmp_path):
+    """Streaming histogram rollup: per-batch bucket partials append under
+    their own ingest_batch partition; quantiles from the store stay
+    within the guaranteed bound across batches; compaction by count
+    addition answers EVERY query identically (exactness asserted, not
+    just an envelope); the compacted store keeps accepting appends."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.histograms import (
+        compact_hist_rollup,
+        hist_rollup_batch,
+        quantiles_from_store,
+        stream_hist_rollup,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def batch_vals(seed):
+        return [
+            (f"2024-02-{1 + (i + seed) % 3:02d}", "g%d" % (i % 2), (i * 7919 + seed * 104729) % 3_000_000)
+            for i in range(800)
+        ]
+
+    b1, b2 = batch_vals(1), batch_vals(2)
+    for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+        pq.write_table(
+            pa.table({
+                "day": [r[0] for r in rows],
+                "grp": [r[1] for r in rows],
+                "v": [r[2] for r in rows],
+            }),
+            str(drops / name),
+        )
+    now = time.time()
+    os.utime(str(drops / "b1.parquet"), (now - 60, now - 60))
+    os.utime(str(drops / "b2.parquet"), (now, now))
+
+    store = str(tmp_path / "hist_store")
+    q = stream_hist_rollup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        schema="day string, grp string, v long",
+        value_col="v", shard_col="day", group_cols=["grp"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    parts = {e.name for e in os.scandir(store) if e.is_dir()}
+    assert parts == {"ingest_batch=0", "ingest_batch=1"}
+
+    probs = [("p50", 1, 2), ("p99", 99, 100)]
+
+    def check(all_rows):
+        got = quantiles_from_store(
+            spark, store, probs, shard_col="day", group_cols=["grp"]
+        ).collect()
+        assert len(got) == 4  # 2 groups x 2 probs
+        by = {}
+        for r in got:
+            xs = sorted(v for d, g, v in all_rows if g == r["grp"])
+            num, den = {"p50": (1, 2), "p99": (99, 100)}[r["q_label"]]
+            exact = xs[(num * len(xs) + den - 1) // den - 1]
+            assert r["n_total"] == len(xs)
+            assert abs(r["est"] - exact) <= max(exact, 1) * 2 ** -7, (r, exact)
+            by[(r["grp"], r["q_label"])] = r["est"]
+        return by
+
+    pre = check(b1 + b2)
+
+    stats = compact_hist_rollup(
+        spark, store, shard_col="day", group_cols=["grp"], keep_latest=0
+    )
+    assert stats["folded"] == 2 and stats["partitions_after"] == 1
+    assert check(b1 + b2) == pre  # compaction is EXACT, answers unchanged
+
+    # keeps accepting appends; a second re-fold subsumes the consolidated
+    b3 = batch_vals(3)
+    hist_rollup_batch(
+        spark.createDataFrame(b3, "day string, grp string, v long"),
+        2, store, value_col="v", shard_col="day", group_cols=["grp"],
+    )
+    check(b1 + b2 + b3)
+    stats2 = compact_hist_rollup(
+        spark, store, shard_col="day", group_cols=["grp"], keep_latest=0
+    )
+    assert stats2["folded"] == 1 and stats2["partitions_after"] == 1
+    post = check(b1 + b2 + b3)
+    # shard filter: restricting days changes the population it reflects
+    lo = quantiles_from_store(
+        spark, store, probs, shard_col="day", group_cols=["grp"],
+        shard_filter=F.col("day") == "2024-02-01",
+    ).collect()
+    for r in lo:
+        xs = sorted(
+            v for d, g, v in b1 + b2 + b3 if g == r["grp"] and d == "2024-02-01"
+        )
+        assert r["n_total"] == len(xs)
+    assert post  # smoke: merged answers exist after the second fold
