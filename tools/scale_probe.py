@@ -77,6 +77,8 @@ PROBE_QUERIES = [
     "bpe_pair_counts",
     "docs_weighted_sample",
     "docs_length_deciles",
+    # round-8 additions
+    "order_value_hist_quantiles",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
