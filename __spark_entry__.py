@@ -612,6 +612,46 @@ def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (``operators/windows.py::ordered_funnel``
+    — r8): view → click → purchase with greedy-from-first matching (each
+    step matches the user's earliest event of its type strictly after the
+    previous step's match), plus a completed-within-7-days tier against
+    the step-1 timestamp. The reference's nearest surface is the per-day
+    event rollup; ``user_conversion`` covers the 2-step join form — this
+    is the k-step ordered-sequence generalization.
+
+    Scale shape: per-step type filters BEFORE user-keyed joins, one
+    timestamp of state per user per step (no per-user event-list
+    collect), conditional-min aggregates map-side combined. Percentages
+    ship as integer basis points (n·10000 div n1) — exact cross-engine.
+    Bounded collect: the single funnel-totals row."""
+    from commercepulse_data_pipeline_spark.operators.windows import ordered_funnel
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    f = ordered_funnel(ev, ["view", "click", "purchase"])
+    week_us = 7 * 86400 * 10**6
+    r = f.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.count(
+            F.when(
+                F.unix_micros("t3") - F.unix_micros("t1") <= F.lit(week_us), 1
+            )
+        ).alias("n4"),
+    ).first()
+    n1, n2, n3, n4 = (int(r["n1"]), int(r["n2"]), int(r["n3"]), int(r["n4"]))
+    bps = lambda n: (n * 10000) // n1 if n1 else 0  # noqa: E731
+    rows = [
+        ("step1_view", n1, bps(n1)),
+        ("step2_click", n2, bps(n2)),
+        ("step3_purchase", n3, bps(n3)),
+        ("completed_7d", n4, bps(n4)),
+    ]
+    return spark.createDataFrame(rows, "step string, n_users long, pct_bps long")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-overlap matrix: for each pair of corpus sources, how many
     distinct 8-token passage fingerprints they share — the cross-source
@@ -2580,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    encode join; pair_counts statistics re-pinned) and r8-new
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
+        "funnel_steps": q_funnel_steps,
         # -- r7-green block (freshest driver rows), oldest-listed
         #    rechecked first as the ~50-row cap allows
         "pricing_summary": q_pricing_summary,
@@ -3201,6 +3242,43 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id ASC) AS sample_rank
                 FROM documents
             ) WHERE sample_rank <= 20
+        """,
+        # Greedy-from-first ordered funnel: each step's match is a
+        # conditional min strictly after the previous step's match; basis
+        # points are integer floor division — everything replays exactly.
+        "funnel_steps": """
+            WITH ev AS (
+                SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events
+            ), s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT s1.user_id, s1.t1,
+                       min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+                FROM s1 LEFT JOIN ev e
+                  ON e.user_id = s1.user_id AND e.event_type = 'click'
+                GROUP BY 1, 2
+            ), s3 AS (
+                SELECT s2.user_id, s2.t1, s2.t2,
+                       min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+                FROM s2 LEFT JOIN ev e
+                  ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                GROUP BY 1, 2, 3
+            ), a AS (
+                SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3,
+                       count(CASE WHEN epoch_us(t3) - epoch_us(t1)
+                                       <= 604800000000 THEN 1 END) AS n4
+                FROM s3
+            )
+            SELECT 'step1_view' AS step, n1 AS n_users,
+                   CASE WHEN n1 > 0 THEN (n1 * 10000) // n1 ELSE 0 END AS pct_bps
+            FROM a
+            UNION ALL SELECT 'step2_click', n2,
+                   CASE WHEN n1 > 0 THEN (n2 * 10000) // n1 ELSE 0 END FROM a
+            UNION ALL SELECT 'step3_purchase', n3,
+                   CASE WHEN n1 > 0 THEN (n3 * 10000) // n1 ELSE 0 END FROM a
+            UNION ALL SELECT 'completed_7d', n4,
+                   CASE WHEN n1 > 0 THEN (n4 * 10000) // n1 ELSE 0 END FROM a
         """,
         "user_conversion": """
             WITH ev AS (

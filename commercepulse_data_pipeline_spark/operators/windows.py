@@ -76,3 +76,51 @@ def session_stats(sessions: DataFrame, user_col: str = "user_id", ts_col: str = 
         .cast("long")
         .alias("duration_sec"),
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy ordered event funnel: per user, step 1 matches the EARLIEST
+    event of its type, and each later step matches the user's earliest
+    event of its type STRICTLY AFTER the previous step's match — the
+    deterministic greedy-from-first semantics funnel products default to
+    (documented choice: a later step-1 event is never revisited, so a
+    window constraint applied downstream is evaluated against the first
+    entry only). Returns one row per user who reached step 1, with
+    ``t1..tk`` timestamps, NULL from the first unreached step onward.
+
+    Scale shape: each step filters to its own (selective) event type
+    BEFORE joining, so state per user per step is one timestamp — never a
+    per-user event-list materialization (hot users/bots don't skew a
+    collect buffer). k-1 left joins + conditional-min aggregates, all
+    hash-partitioned on the user key with map-side-combined mins; no
+    window over the raw stream, no pair space.
+    """
+    if not steps:
+        raise ValueError("ordered_funnel needs at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for k in range(2, len(steps) + 1):
+        nxt = events.where(F.col(type_col) == steps[k - 1]).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        prev_cols = [user_col, *[f"t{i}" for i in range(1, k)]]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(*prev_cols)
+            .agg(
+                F.min(
+                    F.when(F.col("__ts") > F.col(f"t{k - 1}"), F.col("__ts"))
+                ).alias(f"t{k}")
+            )
+        )
+    return cur

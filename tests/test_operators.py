@@ -752,3 +752,44 @@ def test_build_vocab_and_encode_documents(spark):
     assert got[1] == (6, 2, "1|3|2|0")   # the cat sat on -> 1 3 2 OOV; on+mat OOV
     assert got[2] == (3, 1, "1|0|2")     # the dog sat
     assert got[3] == (1, 1, "0")         # zebra alone, all OOV
+
+
+def test_ordered_funnel_greedy_semantics(spark):
+    """ordered_funnel: greedy-from-first matching — step k matches the
+    earliest same-type event STRICTLY after step k-1's match. Events
+    before the previous match never count; a missing middle step leaves
+    every later step NULL; ties on the first step resolve to the min
+    timestamp; a user with only later steps never enters the funnel."""
+    from commercepulse_data_pipeline_spark.operators.windows import ordered_funnel
+
+    TS = "2024-03-01 00:00:{:02d}"
+    rows = [
+        # u1: clean completion, with a click BEFORE the view (ignored)
+        (1, TS.format(5), "click"), (1, TS.format(10), "view"),
+        (1, TS.format(20), "click"), (1, TS.format(30), "purchase"),
+        # u2: purchase arrives BETWEEN view and click → no completion
+        (2, TS.format(10), "view"), (2, TS.format(15), "purchase"),
+        (2, TS.format(20), "click"),
+        # u3: missing click entirely; purchase after view
+        (3, TS.format(10), "view"), (3, TS.format(40), "purchase"),
+        # u4: never views — not in the funnel at all
+        (4, TS.format(1), "click"), (4, TS.format(2), "purchase"),
+        # u5: two views — greedy anchors on the FIRST; click equal to the
+        # first view's timestamp does NOT match (strictly after)
+        (5, TS.format(10), "view"), (5, TS.format(12), "view"),
+        (5, TS.format(10), "click"), (5, TS.format(11), "click"),
+        (5, TS.format(13), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, k) for u, t, k in rows], "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in ordered_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    sec = lambda r: None if r is None else r.second  # noqa: E731
+    assert set(got) == {1, 2, 3, 5}
+    assert tuple(map(sec, got[1])) == (10, 20, 30)
+    assert tuple(map(sec, got[2])) == (10, 20, None)  # purchase pre-click ignored
+    assert tuple(map(sec, got[3])) == (10, None, None)
+    assert tuple(map(sec, got[5])) == (10, 11, 13)  # strictly-after: 00:11 click
