@@ -624,3 +624,53 @@ def test_bpe_batch_selection_sequentially_equivalent(texts, batch_size, pool):
             state = apply_merge(state, a, b)
 
     assert batched == seq
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.integers(min_value=0, max_value=30),    # second offset
+            st.sampled_from(["a", "b", "c", "x"]),     # type (x = noise)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_ordered_funnel_matches_greedy_model(spark, events):
+    """ordered_funnel == a pure-Python greedy matcher for arbitrary event
+    soups: duplicate timestamps, interleaved users, missing steps, noise
+    types, events at the exact previous-match timestamp (strictly-after
+    must exclude them)."""
+    from commercepulse_data_pipeline_spark.operators.windows import ordered_funnel
+
+    df = spark.createDataFrame(
+        [(u, f"2024-05-01 00:00:{s:02d}", t) for u, s, t in events],
+        "user_id long, ts string, event_type string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type")
+    got = {
+        r["user_id"]: tuple(None if x is None else x.second for x in (r["t1"], r["t2"], r["t3"]))
+        for r in ordered_funnel(df, ["a", "b", "c"]).collect()
+    }
+
+    expect = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = [(s, t) for uu, s, t in events if uu == u]
+        t_prev, ts = None, []
+        for step in ("a", "b", "c"):
+            cand = [
+                s for s, t in mine
+                if t == step and (t_prev is None or s > t_prev)
+            ]
+            if t_prev is None and step != "a":
+                pass
+            if not cand or (ts and ts[-1] is None):
+                ts.append(None)
+            else:
+                t_prev = min(cand)
+                ts.append(t_prev)
+        if ts[0] is not None:
+            expect[u] = tuple(ts)
+    assert got == expect
