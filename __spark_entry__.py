@@ -1852,6 +1852,69 @@ def q_sketch_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_bloom_range_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership rollup end-to-end
+    (``operators/sketches.py::build_bloom_rollup`` — r8, the membership
+    member of the mergeable-sketch family): build one sparse m=4096-bit,
+    k=4 filter per day over active user_ids in ONE pass over events,
+    persist it, then answer "how many days in this 10-day window was
+    each candidate user (maybe) active" by probing ONLY the kilobyte
+    filter table — raw events are never re-scanned for the probe. Bit
+    positions are md5-derived (DECISIONS.md hash rule), so the filter,
+    the probe, and the no-false-negative verdict all replay
+    bit-identically in the DuckDB oracle; ``n_days_true`` (exact) is
+    carried alongside so the Bloom guarantee ``maybe >= true`` is
+    hash-checked per user, false positives and all. Bounded collects:
+    the min-day scalar only."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import sketches as sk
+
+    e = _events(spark, sf_dir).select(
+        _iso_date("ts").alias("day"), "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="cp_bloom_")
+    path = os.path.join(scratch, "rollup")
+    try:
+        sk.write_bloom_rollup(
+            e, path, shard_col="day", key_col="user_id", m_bits=4096, k=4
+        )
+        d0 = datetime.date.fromisoformat(e.agg(F.min("day")).first()[0])
+        start = (d0 + datetime.timedelta(days=10)).isoformat()
+        end = (d0 + datetime.timedelta(days=19)).isoformat()
+        cands = e.select("user_id").where(F.col("user_id") % 5 == 0).distinct()
+        maybe = sk.membership_over_range(
+            spark, path, cands, start, end,
+            shard_col="day", key_col="user_id", m_bits=4096, k=4,
+        )
+        truth = (
+            e.where((F.col("day") >= start) & (F.col("day") <= end))
+            .where(F.col("user_id") % 5 == 0)
+            .groupBy("user_id")
+            .agg(F.countDistinct("day").alias("n_days_true"))
+        )
+        out = maybe.join(truth, "user_id", "left").select(
+            "user_id",
+            F.col("n_shards_maybe").alias("n_days_maybe"),
+            F.coalesce(F.col("n_days_true"), F.lit(0)).cast("long").alias(
+                "n_days_true"
+            ),
+            (
+                F.col("n_shards_maybe")
+                >= F.coalesce(F.col("n_days_true"), F.lit(0))
+            )
+            .cast("int")
+            .alias("no_false_neg"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Misra–Gries frequent-items rollup end-to-end
     (``operators/sketches.py`` — r7): build one bounded per-source token
@@ -2621,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
+        "bloom_range_members": q_bloom_range_members,
         # -- r7-green block (freshest driver rows), oldest-listed
         #    rechecked first as the ~50-row cap allows
         "pricing_summary": q_pricing_summary,
@@ -2937,6 +3001,66 @@ def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
     """
 
 
+def _bloom_oracle_sql(m_bits: int = 4096, k: int = 4) -> str:
+    """DuckDB twin of q_bloom_range_members: the SAME md5-derived bit
+    positions (``uint32(md5('i:' || user_id)) % m_bits``, i in 0..k-1 —
+    hex-digit arithmetic identical to operators/sampling.py::hash_bucket),
+    the same sparse per-day filter (DISTINCT (day, pos)), the same
+    all-bits-set probe, and the same exact-truth comparison — so the
+    result matches Spark's bit-for-bit, false positives included."""
+    pos_branches = "\n                UNION ALL ".join(
+        f"SELECT day, ({_sample_bucket_sql('user_id', f'{i}:')}) % {m_bits} AS pos FROM days"
+        for i in range(k)
+    )
+    probe_branches = "\n                UNION ALL ".join(
+        f"SELECT user_id, ({_sample_bucket_sql('user_id', f'{i}:')}) % {m_bits} AS pos FROM cands"
+        for i in range(k)
+    )
+    return f"""
+        WITH days AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ), b AS (
+            SELECT min(day) AS d0 FROM days
+        ), rollup AS (
+            SELECT DISTINCT day, pos FROM (
+                {pos_branches}
+            )
+        ), cands AS (
+            SELECT DISTINCT user_id FROM days WHERE user_id % 5 = 0
+        ), probes AS (
+            SELECT DISTINCT user_id, pos FROM (
+                {probe_branches}
+            )
+        ), np AS (
+            SELECT user_id, count(*) AS n_pos FROM probes GROUP BY 1
+        ), hits AS (
+            SELECT p.user_id, r.day, count(*) AS n_hit
+            FROM probes p JOIN rollup r USING (pos), b
+            WHERE r.day >= b.d0 + 10 AND r.day <= b.d0 + 19
+            GROUP BY 1, 2
+        ), maybe AS (
+            SELECT h.user_id, CAST(count(*) AS BIGINT) AS n_days_maybe
+            FROM hits h JOIN np USING (user_id)
+            WHERE h.n_hit = np.n_pos GROUP BY 1
+        ), truth AS (
+            SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS n_days_true
+            FROM days, b
+            WHERE day >= b.d0 + 10 AND day <= b.d0 + 19 AND user_id % 5 = 0
+            GROUP BY 1
+        )
+        SELECT c.user_id,
+               COALESCE(m.n_days_maybe, 0) AS n_days_maybe,
+               COALESCE(t.n_days_true, 0) AS n_days_true,
+               CAST(CASE WHEN COALESCE(m.n_days_maybe, 0)
+                              >= COALESCE(t.n_days_true, 0)
+                         THEN 1 ELSE 0 END AS INT) AS no_false_neg
+        FROM cands c
+        LEFT JOIN maybe m USING (user_id)
+        LEFT JOIN truth t USING (user_id)
+    """
+
+
 def _lang_detect_oracle_sql() -> str:
     """DuckDB twin of q_docs_lang_detect: per-language stopword-hit
     ratios, argmax with the SAME tie-break Spark's array_max over
@@ -3196,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS est_ok
             FROM r GROUP BY 1
         """,
+        "bloom_range_members": _bloom_oracle_sql(),
         "token_heavy_hitters": f"""
             WITH u AS (
                 SELECT source, unnest({_TOKS}) AS token FROM documents

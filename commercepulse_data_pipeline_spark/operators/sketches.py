@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
 
 
 def build_sketch_rollup(
@@ -376,6 +378,142 @@ def write_hist_rollup(
     log2_hist_sketch(
         df, value_col, shard_col=shard_col, group_cols=group_cols, sub_bits=sub_bits
     ).write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom-filter membership rollup
+# ---------------------------------------------------------------------------
+#
+# The membership member of the mergeable-sketch family (HLL distincts,
+# Misra-Gries frequent items, log2-histogram quantiles, and this): one
+# BOUNDED Bloom filter per shard (a day, a source, an ingest batch ...),
+# built in one pass, mergeable by bit-OR — so "was key X (maybe) active in
+# any shard of this range" is answered from kilobyte filters without
+# re-scanning raw data. Guarantees: NO false negatives ever; false
+# positives at rate ~ fill^k where fill = 1 - exp(-k*n/m).
+#
+# Representation: the m-bit filter is stored SPARSELY as its set bit
+# positions, one (shard, pos) row each — at most m rows per shard no
+# matter the data volume, and bit-OR merge is just DISTINCT over a union
+# of rows (associative, commutative, IDEMPOTENT — so replayed/duplicated
+# partials are harmless, the same property the HLL store leans on).
+# Bit positions come from md5 (uint32 of the first 8 hex chars, mod m,
+# k independent salts) — engine-reproducible per the DECISIONS.md hash
+# rule, so build, probe, and verdict replay bit-identically in the
+# DuckDB oracle.
+
+
+def bloom_positions(key: Column, *, m_bits: int, k: int) -> Column:
+    """Array of ``k`` deterministic bit positions in [0, m_bits) for a
+    key: ``uint32(md5(i || ':' || key)) % m_bits`` for i in 0..k-1. May
+    contain duplicates (hash collisions within a key) — membership
+    checks compare against the DISTINCT count."""
+    return F.array(
+        *[
+            F.pmod(hash_bucket(key, salt=f"{i}:"), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom_rollup(
+    df: DataFrame,
+    *,
+    shard_col: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """One sparse Bloom filter per shard: the DISTINCT (shard, pos) rows
+    over every key's k positions. One shuffle (the distinct) with
+    map-side partial aggregation; output is bounded by ``m_bits`` rows
+    per shard regardless of input volume. NULL keys are dropped (same
+    posture as the HLL rollup's NULL handling)."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            shard_col,
+            F.explode(
+                bloom_positions(F.col(key_col), m_bits=m_bits, k=k)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def write_bloom_rollup(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the sparse filters as parquet. Append mode supports
+    incremental per-shard builds, and — unlike the histogram rollup —
+    re-appending the SAME shard is harmless: readers de-duplicate
+    (shard, pos), and bit-OR is idempotent."""
+    build_bloom_rollup(
+        df, shard_col=shard_col, key_col=key_col, m_bits=m_bits, k=k
+    ).write.mode(mode).parquet(path)
+
+
+def membership_over_range(
+    spark: SparkSession,
+    path: str,
+    candidates: DataFrame,
+    start_shard,
+    end_shard,
+    *,
+    shard_col: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Per candidate key: on how many shards in [start_shard, end_shard]
+    the key is MAYBE present (all k of its bits set — never a false
+    negative). Touches only the kilobyte filter table, never raw data.
+
+    Output: (key_col, n_shards_maybe). Candidates absent from every
+    filter report 0 (left join back). Scale shape: the filter side is
+    <= m_bits rows per shard after pruning; the probe side is
+    |candidates| * k rows — broadcast when small, shuffle-join on
+    ``pos`` otherwise (AQE decides; no forced hint)."""
+    rollup = (
+        spark.read.parquet(path)
+        .where(
+            (F.col(shard_col) >= F.lit(start_shard))
+            & (F.col(shard_col) <= F.lit(end_shard))
+        )
+        .select(shard_col, "pos")
+        .distinct()  # partials from append/streaming merge by bit-OR here
+    )
+    probes = (
+        candidates.select(
+            key_col,
+            F.array_distinct(
+                bloom_positions(F.col(key_col), m_bits=m_bits, k=k)
+            ).alias("__ps"),
+        )
+        .withColumn("n_pos", F.size("__ps"))
+        .select(key_col, "n_pos", F.explode("__ps").alias("pos"))
+    )
+    hit_days = (
+        probes.join(rollup, "pos")
+        .groupBy(key_col, shard_col, "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_pos"))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_shards_maybe"))
+    )
+    return candidates.select(key_col).distinct().join(hit_days, key_col, "left").select(
+        key_col,
+        F.coalesce(F.col("n_shards_maybe"), F.lit(0)).cast("long").alias(
+            "n_shards_maybe"
+        ),
+    )
 
 
 def hist_quantiles_over_range(
