@@ -731,3 +731,97 @@ def test_bloom_absent_candidates_report_zero_or_fp_rate(spark, tmp_path):
     # fill ≈ 4*160/16384 ≈ 3.9% → FP rate ≈ 2e-6 per (user, day);
     # expected FPs over 600 probes ≈ 0 — allow a couple for slack
     assert sum(r.n_shards_maybe for r in got) <= 2
+
+
+def test_stream_bloom_rollup_and_compaction(spark, tmp_path):
+    """Streaming Bloom store: per-batch partial bit rows are correct by
+    construction (bit-OR idempotence), membership answers are EXACTLY
+    identical before/after compaction (no estimate slack at all), and
+    the compacted store keeps accepting appends."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.bloom import (
+        bloom_rollup_batch,
+        compact_bloom_rollup,
+        stream_bloom_rollup,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def write_drop(name, rows):
+        pq.write_table(
+            pa.table({
+                "day": [r[0] for r in rows],
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            }),
+            str(drops / name),
+        )
+
+    # day 02 spans both batches; user 150 appears in both (duplicate bits)
+    b1 = [("2026-03-01", u) for u in range(100)] + [
+        ("2026-03-02", u) for u in range(100, 200)
+    ]
+    b2 = [("2026-03-02", u) for u in range(150, 250)] + [
+        ("2026-03-03", u) for u in range(200, 300)
+    ]
+    write_drop("b1.parquet", b1)
+    write_drop("b2.parquet", b2)
+    now = time.time()
+    os.utime(str(drops / "b1.parquet"), (now - 60, now - 60))
+    os.utime(str(drops / "b2.parquet"), (now, now))
+
+    store = str(tmp_path / "bloom")
+    q = stream_bloom_rollup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        m_bits=2048, k=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    parts = {e.name for e in os.scandir(store) if e.is_dir()}
+    assert parts == {"ingest_batch=0", "ingest_batch=1"}
+
+    all_rows = b1 + b2
+    cands = spark.range(0, 400).select(F.col("id").alias("user_id"))
+
+    def probe():
+        return {
+            r.user_id: r.n_shards_maybe
+            for r in sk.membership_over_range(
+                spark, store, cands, "2026-03-01", "2026-03-03",
+                shard_col="day", key_col="user_id", m_bits=2048, k=4,
+            ).collect()
+        }
+
+    def true_days(u):
+        return len({d for d, uu in all_rows if uu == u})
+
+    before = probe()
+    assert all(before[u] >= true_days(u) for u in range(400))
+
+    stats = compact_bloom_rollup(spark, store, keep_latest=0)
+    assert stats["folded"] == 2 and stats["partitions_after"] == 1
+    # bit-OR of bit-ORs: EXACT equality across compaction
+    assert probe() == before
+
+    # compacted store keeps accepting appends
+    b3 = [("2026-03-04", u) for u in range(300, 350)]
+    bloom_rollup_batch(
+        spark.createDataFrame(b3, "day string, user_id long"),
+        2, store, m_bits=2048, k=4,
+    )
+    after = {
+        r.user_id: r.n_shards_maybe
+        for r in sk.membership_over_range(
+            spark, store, cands, "2026-03-01", "2026-03-04",
+            shard_col="day", key_col="user_id", m_bits=2048, k=4,
+        ).collect()
+    }
+    all_rows += b3
+    assert all(
+        after[u] >= len({d for d, uu in all_rows if uu == u}) for u in range(400)
+    )
+    assert all(after[u] >= before[u] for u in range(400))
