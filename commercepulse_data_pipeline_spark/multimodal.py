@@ -167,6 +167,123 @@ def _decode_ppm(content: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF's variable-width LZW (spec appendix F): codes are packed
+    LSB-first; width starts at min_code_size+1 and grows when the table
+    fills 2^width (capped at 12); CLEAR resets the table, END stops.
+    Returns the palette-index string."""
+    clear = 1 << min_code_size
+    end_code = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = accbits = ptr = 0
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        while accbits < code_size:
+            if ptr >= len(data):
+                return bytes(out)  # truncated stream: keep what we have
+            acc |= data[ptr] << accbits
+            ptr += 1
+            accbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
+        if code == end_code:
+            break
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table):  # clear/end were handled above
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+def _gif_skip_subblocks(content: bytes, pos: int) -> int:
+    """Advance past a GIF sub-block chain (len-prefixed blocks, 0 ends)."""
+    while pos < len(content) and content[pos] != 0:
+        pos += content[pos] + 1
+    return pos + 1
+
+
+def _decode_gif(content: bytes) -> dict:
+    """GIF87a/89a: logical screen descriptor → dims; block walk over
+    extensions (Graphic Control delays sum to the animation duration)
+    and image descriptors; the FIRST frame's raster is fully LZW-decoded
+    and mapped through its (local or global) palette to RGB bytes for
+    the feature histogram. Interlace only permutes row order, which the
+    byte histogram is invariant to, so no de-interlace pass is needed."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        raise ValueError("not a GIF")
+    width, height = struct.unpack_from("<HH", content, 6)
+    packed = content[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    duration_cs = 0
+    frames = 0
+    first_rgb: bytes | None = None
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(content) and content[pos] >= 4:
+                duration_cs += struct.unpack_from("<H", content, pos + 2)[0]
+            pos = _gif_skip_subblocks(content, pos)
+        elif block == 0x2C:  # image descriptor
+            fw, fh = struct.unpack_from("<HH", content, pos + 5)
+            fpacked = content[pos + 9]
+            pos += 10
+            lct = b""
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                lct = content[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                n = content[pos]
+                data += content[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            frames += 1
+            if first_rgb is None:
+                idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+                pal = lct or gct
+                first_rgb = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        else:
+            raise ValueError(f"unknown GIF block id 0x{block:02x}")
+    return {
+        "width": width,
+        "height": height,
+        # animated GIF: delays are centiseconds; single frame → no duration
+        "duration_sec": duration_cs / 100.0 if frames > 1 and duration_cs else None,
+        "feature": _feature_from_bytes(first_rgb or b""),
+    }
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: 0 gray, 2 RGB, 3 palette-index, 4 gray+A, 6 RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -776,7 +893,9 @@ def _decode_mp4(content: bytes) -> dict:
 def real_decode(content: bytes, modality: str) -> dict:
     """Production decode hook: REAL pure-Python decoders/parsers —
     baseline JPEG (huffman + dequant + IDCT), PNG (zlib inflate +
-    un-filter), BMP and PPM/P6 images, RIFF/PCM WAV audio, MP3
+    un-filter), GIF (full LZW raster decode + palette mapping +
+    animation-delay duration), BMP and PPM/P6 images, RIFF/PCM WAV
+    audio, MP3
     frame-walk, MP4/ISO-BMFF box-walk, FLAC STREAMINFO and Ogg
     (Vorbis/Opus) page-walk metadata (duration / sample rate / track
     dimensions — the fields curation filters on) — dispatched on magic
@@ -790,6 +909,8 @@ def real_decode(content: bytes, modality: str) -> dict:
         return _decode_jpeg(content)
     if content[:8] == _PNG_MAGIC:
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

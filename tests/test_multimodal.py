@@ -710,6 +710,128 @@ def _smooth_rgb(w, h):
     return np.stack([r, g, b], axis=-1).round()
 
 
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Independent test-side GIF LZW compressor (greedy longest-match,
+    variable code width). Width grows in lockstep with the DECODER's
+    table (which runs one entry behind the encoder dict): after the k-th
+    data emit the decoder's table holds clear+1+k entries, and the next
+    code must widen once that count reaches 2^width."""
+    clear = 1 << min_code_size
+    end_code = clear + 1
+    code_size = min_code_size + 1
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    emits = 0
+    acc = accbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    def emitted_data():
+        nonlocal emits, code_size
+        emits += 1
+        if clear + 1 + emits == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        c = bytes([ch])
+        if w + c in d:
+            w += c
+            continue
+        emit(d[w])
+        emitted_data()
+        d[w + c] = next_code
+        next_code += 1
+        w = c
+    if w:
+        emit(d[w])
+        emitted_data()
+    emit(end_code)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_frame(w, h, indices: bytes, min_code_size: int, delay_cs: int | None):
+    import struct
+
+    blocks = b""
+    if delay_cs is not None:  # Graphic Control Extension
+        blocks += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    blocks += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    blocks += bytes([min_code_size])
+    data = _gif_lzw_encode(min_code_size, indices)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return blocks + b"\x00"
+
+
+def _gif_bytes(w, h, frames, palette: bytes, min_code_size: int = 2,
+               delays: list[int] | None = None) -> bytes:
+    """Assemble a GIF89a file: global palette of 2^(min_code_size+?) —
+    padded to a power of two — plus one image block per frame."""
+    import struct
+
+    n = max(2, 1 << min_code_size)
+    pal = (palette + b"\x00" * (3 * n))[: 3 * n]
+    gct_bits = (n - 1).bit_length() - 1
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes(
+        [0x80 | gct_bits, 0, 0]
+    ) + pal
+    body = b"".join(
+        _gif_frame(w, h, f, min_code_size,
+                   delays[i] if delays else None)
+        for i, f in enumerate(frames)
+    )
+    return header + body + b"\x3b"
+
+
+def test_gif_lzw_roundtrip_with_width_growth():
+    """The decoder inverts an INDEPENDENT greedy LZW compressor exactly,
+    across code-width growth boundaries and the KwKwK self-reference
+    case (long runs force prev+prev[0] lookups)."""
+    from commercepulse_data_pipeline_spark.multimodal import _gif_lzw_decode
+
+    # enough distinct bigrams to grow the table past 8->16->32 entries
+    idx = bytes((i * 7 + (i * i) % 5) % 4 for i in range(4000))
+    assert _gif_lzw_decode(2, _gif_lzw_encode(2, idx), len(idx)) == idx
+
+    runs = bytes([1] * 500 + [2] * 500 + [1, 2, 3, 0] * 250)  # KwKwK
+    assert _gif_lzw_decode(2, _gif_lzw_encode(2, runs), len(runs)) == runs
+
+
+def test_real_decode_gif_static_and_animated():
+    from commercepulse_data_pipeline_spark.multimodal import (
+        _feature_from_bytes,
+        real_decode,
+    )
+
+    palette = bytes([250, 10, 10, 10, 250, 10, 10, 10, 250, 128, 128, 128])
+    idx = bytes((x // 3 + y) % 4 for y in range(9) for x in range(14))
+    d = real_decode(_gif_bytes(14, 9, [idx], palette), "image")
+    assert (d["width"], d["height"], d["duration_sec"]) == (14, 9, None)
+    # the decoded first-frame raster maps through the palette exactly
+    expected_rgb = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert d["feature"] == _feature_from_bytes(expected_rgb)
+
+    # two frames with 25cs + 50cs delays -> 0.75s animation
+    d2 = real_decode(
+        _gif_bytes(14, 9, [idx, idx[::-1]], palette, delays=[25, 50]), "image"
+    )
+    assert d2["duration_sec"] == pytest.approx(0.75)
+    assert d2["feature"] == _feature_from_bytes(expected_rgb)  # FIRST frame
+
+
 def test_real_decode_jpeg_solid_gray():
     import numpy as np
 
@@ -777,6 +899,9 @@ def test_real_decode_distributed(spark):
                     filters=[0, 1, 2, 4]), 0, {}),
         ("jpg-1", "image", "image/jpeg",
          _jpeg_bytes(_smooth_rgb(40, 24), subsample=(2, 2)), 0, {}),
+        ("gif-1", "image", "image/gif",
+         _gif_bytes(21, 11, [bytes((i * 3) % 4 for i in range(21 * 11))],
+                    bytes(range(12))), 0, {}),
         ("mp3-1", "audio", "audio/mpeg", _mp3_frames(77), 0, {}),
         ("mp4-1", "video", "video/mp4", _mp4_bytes(9.5, 320, 240), 0, {}),
         ("flac-1", "audio", "audio/flac", _flac_bytes(88_200), 0, {}),
@@ -794,6 +919,7 @@ def test_real_decode_distributed(spark):
     assert (out["bmp-1"].width, out["bmp-1"].height) == (32, 16)
     assert (out["bmp-2"].width, out["bmp-2"].height) == (64, 8)
     assert out["wav-1"].duration_sec == pytest.approx(1.25, abs=1e-3)
+    assert (out["gif-1"].width, out["gif-1"].height) == (21, 11)
     assert (out["png-1"].width, out["png-1"].height) == (6, 4)
     assert (out["jpg-1"].width, out["jpg-1"].height) == (40, 24)
     assert out["mp3-1"].duration_sec == pytest.approx(77 * 1152 / 44100, abs=1e-4)
