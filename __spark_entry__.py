@@ -1915,6 +1915,100 @@ def q_bloom_range_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV/Theta sketch set operations end-to-end
+    (``operators/sketches.py::build_kmv_rollup`` — r8, the set-operation
+    member of the mergeable-sketch family): build one k=128 sketch per
+    event_type over active user-DAY keys (``user_id || ':' || day`` — the
+    audience-overlap grain) in ONE pass over events, persist it, then
+    answer union/intersection/Jaccard for EVERY event-type pair from the
+    kilobyte sketch table alone — raw events are never re-scanned for the
+    set ops, which is the question HLL structurally cannot answer. Hashes
+    are md5-derived (DECISIONS.md rule) and the estimator is two IEEE
+    double divisions over exact integers, so n_kept/theta/n_matches AND
+    the estimates replay bit-identically in the DuckDB oracle; exact
+    union/intersection ride along with 5σ envelope verdicts
+    (rsd ≈ 1/√(k-2)) as 0/1 ints. Bounded collects: the ≤ C(|types|,2)
+    result only."""
+    import os
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import sketches as sk
+
+    k = 128
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), _iso_date("ts")
+        ).alias("ukey"),
+    ).where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    scratch = tempfile.mkdtemp(prefix="cp_kmv_")
+    path = os.path.join(scratch, "rollup")
+    try:
+        sk.write_kmv_rollup(e, path, set_col="event_type", key_col="ukey", k=k)
+        est = sk.kmv_set_overlap(spark, path, set_col="event_type", k=k)
+        ud = e.distinct()
+        a = ud.select(F.col("event_type").alias("set_a"), "ukey")
+        b = ud.select(F.col("event_type").alias("set_b"), "ukey")
+        inter = (
+            a.join(b, "ukey")
+            .where(F.col("set_a") < F.col("set_b"))
+            .groupBy("set_a", "set_b")
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+        sizes = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+        exact = (
+            inter.join(
+                sizes.select(F.col("event_type").alias("set_a"), F.col("sz").alias("sz_a")),
+                "set_a",
+            )
+            .join(
+                sizes.select(F.col("event_type").alias("set_b"), F.col("sz").alias("sz_b")),
+                "set_b",
+            )
+            .select(
+                "set_a",
+                "set_b",
+                (F.col("sz_a") + F.col("sz_b") - F.col("exact_inter")).alias(
+                    "exact_union"
+                ),
+                "exact_inter",
+            )
+        )
+        # 5σ envelopes: union rsd = 1/sqrt(k-2); the intersection adds the
+        # binomial matches/k term (<= 0.5/sqrt(k)) scaled by the union
+        u_tol = 5.0 / (k - 2) ** 0.5
+        i_tol = u_tol + 2.5 / k ** 0.5
+        out = est.join(exact, ["set_a", "set_b"]).select(
+            "set_a",
+            "set_b",
+            "n_kept",
+            "theta",
+            "n_matches",
+            "union_est",
+            "inter_est",
+            "exact_union",
+            "exact_inter",
+            (
+                F.abs(F.col("union_est") - F.col("exact_union"))
+                <= F.lit(u_tol) * F.col("exact_union") + F.lit(2.0)
+            )
+            .cast("int")
+            .alias("union_ok"),
+            (
+                F.abs(F.col("inter_est") - F.col("exact_inter"))
+                <= F.lit(i_tol) * F.col("exact_union") + F.lit(2.0)
+            )
+            .cast("int")
+            .alias("inter_ok"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Misra–Gries frequent-items rollup end-to-end
     (``operators/sketches.py`` — r7): build one bounded per-source token
@@ -2681,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
         # -- operators touched in r8 (bpe.py: batched trainer + hybrid
         #    encode join; pair_counts statistics re-pinned) and r8-new
+        "kmv_set_overlap": q_kmv_set_overlap,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -3061,6 +3156,95 @@ def _bloom_oracle_sql(m_bits: int = 4096, k: int = 4) -> str:
     """
 
 
+def _kmv_oracle_sql(k: int = 128) -> str:
+    """DuckDB twin of q_kmv_set_overlap: the SAME md5-derived 32-bit
+    hashes (hex-digit arithmetic identical to
+    operators/sampling.py::hash_bucket), per-set k-smallest truncation,
+    per-pair union re-truncation, and the SAME two IEEE double divisions
+    — so n_kept/theta/n_matches AND the rounded estimates and envelope
+    verdicts match Spark's bit-for-bit."""
+    bucket = _sample_bucket_sql("ukey", "kmv-v1:")
+    num = (k - 1) * (1 << 32)
+    u_tol = 5.0 / (k - 2) ** 0.5
+    i_tol = u_tol + 2.5 / k ** 0.5
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT event_type,
+                   CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS ukey
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), hv AS (
+            SELECT DISTINCT event_type, {bucket} AS hv FROM ud
+        ), sk AS (
+            SELECT event_type, hv FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                FROM hv
+            ) WHERE rn <= {k}
+        ), pairs AS (
+            SELECT a.event_type AS set_a, b.event_type AS set_b
+            FROM (SELECT DISTINCT event_type FROM sk) a,
+                 (SELECT DISTINCT event_type FROM sk) b
+            WHERE a.event_type < b.event_type
+        ), un AS (
+            SELECT p.set_a, p.set_b, s.hv,
+                   max(CASE WHEN s.event_type = p.set_a THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN s.event_type = p.set_b THEN 1 ELSE 0 END) AS in_b
+            FROM pairs p JOIN sk s ON s.event_type IN (p.set_a, p.set_b)
+            GROUP BY 1, 2, 3
+        ), unk AS (
+            SELECT * FROM (
+                SELECT set_a, set_b, hv, in_a, in_b,
+                       row_number() OVER (PARTITION BY set_a, set_b ORDER BY hv) AS rn
+                FROM un
+            ) WHERE rn <= {k}
+        ), agg AS (
+            SELECT set_a, set_b,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(max(hv) AS BIGINT) AS theta,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_matches
+            FROM unk GROUP BY 1, 2
+        ), est AS (
+            SELECT *,
+                   CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                        ELSE CAST({num} AS DOUBLE) / CAST(theta AS DOUBLE)
+                   END AS u_raw
+            FROM agg
+        ), est2 AS (
+            SELECT *,
+                   CASE WHEN n_kept < {k} THEN CAST(n_matches AS DOUBLE)
+                        ELSE (CAST(n_matches AS DOUBLE) / {float(k)!r}) * u_raw
+                   END AS i_raw
+            FROM est
+        ), inter AS (
+            SELECT a.event_type AS set_a, b.event_type AS set_b,
+                   CAST(count(*) AS BIGINT) AS exact_inter
+            FROM ud a JOIN ud b
+              ON a.ukey = b.ukey AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT event_type, count(*) AS sz FROM ud GROUP BY 1
+        )
+        SELECT e.set_a, e.set_b, e.n_kept, e.theta, e.n_matches,
+               round(e.u_raw, 4) AS union_est,
+               round(e.i_raw, 4) AS inter_est,
+               CAST(sa.sz + sb.sz - i.exact_inter AS BIGINT) AS exact_union,
+               i.exact_inter,
+               CAST(CASE WHEN abs(round(e.u_raw, 4)
+                                  - (sa.sz + sb.sz - i.exact_inter))
+                              <= {u_tol!r} * (sa.sz + sb.sz - i.exact_inter) + 2.0
+                         THEN 1 ELSE 0 END AS INT) AS union_ok,
+               CAST(CASE WHEN abs(round(e.i_raw, 4) - i.exact_inter)
+                              <= {i_tol!r} * (sa.sz + sb.sz - i.exact_inter) + 2.0
+                         THEN 1 ELSE 0 END AS INT) AS inter_ok
+        FROM est2 e
+        JOIN inter i ON i.set_a = e.set_a AND i.set_b = e.set_b
+        JOIN sizes sa ON sa.event_type = e.set_a
+        JOIN sizes sb ON sb.event_type = e.set_b
+    """
+
+
 def _lang_detect_oracle_sql() -> str:
     """DuckDB twin of q_docs_lang_detect: per-language stopword-hit
     ratios, argmax with the SAME tie-break Spark's array_max over
@@ -3321,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1
         """,
         "bloom_range_members": _bloom_oracle_sql(),
+        "kmv_set_overlap": _kmv_oracle_sql(),
         "token_heavy_hitters": f"""
             WITH u AS (
                 SELECT source, unnest({_TOKS}) AS token FROM documents

@@ -536,3 +536,178 @@ def hist_quantiles_over_range(
     return merge_hist_quantiles(
         rollup, probs, group_cols=group_cols, sub_bits=sub_bits
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable KMV (k-minimum-values / Theta) sketch — set INTERSECTIONS
+# ---------------------------------------------------------------------------
+#
+# The set-operation member of the mergeable-sketch family (HLL distincts,
+# Misra-Gries frequent items, log2-histogram quantiles, Bloom membership,
+# and this). HLL answers |A ∪ B| but cannot answer |A ∩ B| or Jaccard —
+# the classic audience-overlap / cohort-intersection question. A KMV
+# sketch (Bar-Yossef et al. 2002; the Theta sketch of Dasu et al. /
+# Apache DataSketches generalizes it) keeps the k SMALLEST distinct hash
+# values of a set; because "the k smallest of A ∪ B" is a subset of
+# "(k smallest of A) ∪ (k smallest of B)", sketches union losslessly, and
+# the fraction of the union sketch's entries that belong to both operands
+# estimates the Jaccard similarity directly:
+#
+#   union_est = (k-1) * 2^32 / theta      (theta = k-th smallest hash)
+#   inter_est = (matches / k) * union_est (matches = union-sketch entries
+#                                          present in BOTH operand sketches)
+#
+# with rsd(union_est) ~ 1/sqrt(k-2). Unlike HLL, every step here is a
+# deterministic function of md5-derived 32-bit integers (DECISIONS.md
+# hash rule) — distinct, order-by, count — so build, union, intersection,
+# and the estimates themselves replay bit-identically in a SQL oracle.
+# Sketch rows are plain (set, hv) integers: union-merge = DISTINCT, which
+# makes replayed/duplicated partials harmless (same idempotence the Bloom
+# store leans on), and re-truncation to k rows is one windowed rank that
+# WindowGroupLimit pushes map-side.
+
+
+def kmv_hash(key: Column) -> Column:
+    """Deterministic 32-bit hash in [0, 2^32) for KMV ordering:
+    ``uint32(md5('kmv-v1:' || key))`` — engine-reproducible per the
+    DECISIONS.md hash rule."""
+    return hash_bucket(key, salt="kmv-v1:")
+
+
+def build_kmv_rollup(
+    df: DataFrame,
+    *,
+    set_col: str,
+    key_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """One KMV sketch per set: the ``k`` smallest DISTINCT hash values of
+    ``key_col``, as plain (set, hv) rows — at most ``k`` rows per set no
+    matter the data volume. NULL keys are dropped (same posture as the
+    HLL/Bloom rollups).
+
+    Scale shape: the raw data collapses to distinct (set, hv) first (one
+    shuffle with map-side partial aggregation); the ``rank <= k`` filter
+    then runs over distinct hashes only and is pushed map-side by
+    WindowGroupLimit — a hot set never sorts its full key space on one
+    task beyond the group-limit k-heap."""
+    hv = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(set_col), kmv_hash(F.col(key_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(set_col).orderBy("hv")
+    return (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(set_col, "hv")
+    )
+
+
+def write_kmv_rollup(
+    df: DataFrame,
+    path: str,
+    *,
+    set_col: str,
+    key_col: str,
+    k: int = 128,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the sketches as parquet. Append mode supports incremental
+    per-set builds and — like the Bloom store — re-appending the SAME
+    set's rows is harmless: readers DISTINCT and re-truncate, and the k
+    smallest of a multiset union equal the k smallest of the set union."""
+    build_kmv_rollup(df, set_col=set_col, key_col=key_col, k=k).write.mode(
+        mode
+    ).parquet(path)
+
+
+def kmv_truncate(sketch: DataFrame, *, set_col: str, k: int) -> DataFrame:
+    """Re-assert the KMV invariant over (possibly duplicated / appended)
+    sketch rows: distinct hv per set, k smallest kept. This IS the
+    union-merge: feeding it the concatenation of two sets' sketch rows
+    under one set label yields the exact sketch of the union."""
+    w = Window.partitionBy(set_col).orderBy("hv")
+    return (
+        sketch.select(set_col, "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(set_col, "hv")
+    )
+
+
+def kmv_set_overlap(
+    spark: SparkSession,
+    path: str,
+    *,
+    set_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates for EVERY pair of sets
+    (set_a < set_b) from the persisted sketch table alone — raw data is
+    never re-scanned. Output per pair:
+
+    - ``n_kept``  rows in the pair's union sketch (== k unless both sets
+      are small, in which case the estimates are exact counts),
+    - ``theta``   the k-th smallest union hash (the Theta threshold),
+    - ``n_matches`` union-sketch entries present in BOTH operand sketches,
+    - ``union_est`` / ``inter_est`` the estimates, rounded to 4 dp.
+
+    Everything is integer arithmetic until the final two divisions, which
+    both engines execute as the same IEEE double ops — so the estimates
+    hash-check exactly against a SQL replay.
+
+    Scale shape: sketches are <= k rows per set, so the pair fan-out is
+    |sets|^2 * k kilobyte-rows; the per-pair re-rank is WindowGroupLimit-
+    pushed. The expensive thing — scanning raw data — happened once, at
+    build time."""
+    sk_rows = kmv_truncate(
+        spark.read.parquet(path), set_col=set_col, k=k
+    ).select(F.col(set_col).alias("__set"), "hv")
+    sets = sk_rows.select(F.col("__set").alias("set_a")).distinct()
+    pairs = sets.crossJoin(
+        sk_rows.select(F.col("__set").alias("set_b")).distinct()
+    ).where(F.col("set_a") < F.col("set_b"))
+    # tag each sketch row with which operand(s) of the pair it came from,
+    # collapse duplicate hashes (hv in both operands -> one union row with
+    # both flags), then re-truncate to the union's k smallest
+    tagged = pairs.join(
+        sk_rows,
+        (F.col("__set") == F.col("set_a")) | (F.col("__set") == F.col("set_b")),
+    ).select(
+        "set_a",
+        "set_b",
+        "hv",
+        (F.col("__set") == F.col("set_a")).cast("int").alias("in_a"),
+        (F.col("__set") == F.col("set_b")).cast("int").alias("in_b"),
+    )
+    un = tagged.groupBy("set_a", "set_b", "hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("set_a", "set_b").orderBy("hv")
+    unk = un.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = unk.groupBy("set_a", "set_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hv").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_matches"),
+    )
+    num = F.lit((k - 1) * (1 << 32)).cast("double")
+    u_raw = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(num / F.col("theta").cast("double"))
+    # exact path: n_kept < k means NO hash was discarded (both operand
+    # sets fit entirely), so the counts ARE the answers — theta never
+    # engaged and scaling by matches/k would be wrong
+    i_raw = F.when(
+        F.col("n_kept") < k, F.col("n_matches").cast("double")
+    ).otherwise((F.col("n_matches").cast("double") / F.lit(float(k))) * u_raw)
+    return agg.select(
+        "set_a",
+        "set_b",
+        "n_kept",
+        "theta",
+        "n_matches",
+        F.round(u_raw, 4).alias("union_est"),
+        F.round(i_raw, 4).alias("inter_est"),
+    )

@@ -825,3 +825,125 @@ def test_stream_bloom_rollup_and_compaction(spark, tmp_path):
         after[u] >= len({d for d, uu in all_rows if uu == u}) for u in range(400)
     )
     assert all(after[u] >= before[u] for u in range(400))
+
+
+# ---------------------------------------------------------------------------
+# KMV / Theta sketch — set operations
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_invariants_and_union_idempotence(spark):
+    """(a) at most k rows per set, and they are exactly the k smallest
+    distinct hashes; (b) kmv_truncate over DUPLICATED partial rows (the
+    append/replay case) equals the clean sketch — union-merge is
+    idempotent; (c) the union of two sets' sketch rows truncates to the
+    exact sketch of the set union (the lossless-union property the
+    estimator rests on)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        build_kmv_rollup,
+        kmv_hash,
+        kmv_truncate,
+    )
+
+    k = 16
+    rows = [("A", f"k{i}") for i in range(200)] + [
+        ("B", f"k{i}") for i in range(150, 400)
+    ]
+    df = spark.createDataFrame(rows, "s string, key string")
+    sk_rows = build_kmv_rollup(df, set_col="s", key_col="key", k=k)
+    got = {
+        s: sorted(r["hv"] for r in grp)
+        for s, grp in __import__("itertools").groupby(
+            sorted(sk_rows.collect(), key=lambda r: r["s"]), key=lambda r: r["s"]
+        )
+    }
+    hv_of = {
+        r["key"]: r["hv"]
+        for r in df.select("key", kmv_hash(F.col("key")).alias("hv"))
+        .distinct()
+        .collect()
+    }
+    for s, keys in [("A", range(200)), ("B", range(150, 400))]:
+        expect = sorted({hv_of[f"k{i}"] for i in keys})[:k]
+        assert got[s] == expect, s
+
+    doubled = kmv_truncate(sk_rows.union(sk_rows), set_col="s", k=k)
+    assert sorted(map(tuple, doubled.collect())) == sorted(
+        map(tuple, sk_rows.collect())
+    )
+
+    union_from_sketches = sorted(
+        r["hv"]
+        for r in kmv_truncate(
+            sk_rows.select(F.lit("U").alias("s"), "hv"), set_col="s", k=k
+        ).collect()
+    )
+    assert union_from_sketches == sorted({hv_of[f"k{i}"] for i in range(400)})[:k]
+
+
+def test_kmv_set_overlap_exact_path_and_estimates(spark, tmp_path):
+    """Small sets (< k distinct keys total) take the exact path: union_est
+    and inter_est ARE the exact counts. Larger sets engage theta and land
+    within the 5σ envelope. The pair query reads ONLY the persisted
+    sketch table."""
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+        write_kmv_rollup,
+    )
+
+    # exact path: 3 sets, all below k=64
+    small = (
+        [("x", f"m{i}") for i in range(20)]
+        + [("y", f"m{i}") for i in range(10, 40)]
+        + [("z", f"m{i}") for i in range(35, 50)]
+    )
+    df = spark.createDataFrame(small, "s string, key string")
+    p1 = str(tmp_path / "kmv_small")
+    write_kmv_rollup(df, p1, set_col="s", key_col="key", k=64)
+    got = {
+        (r["set_a"], r["set_b"]): r
+        for r in kmv_set_overlap(spark, p1, set_col="s", k=64).collect()
+    }
+    expect = {
+        ("x", "y"): (40, 10),  # (union, inter)
+        ("x", "z"): (35, 0),
+        ("y", "z"): (40, 5),
+    }
+    assert set(got) == set(expect)
+    for pair, (u, i) in expect.items():
+        r = got[pair]
+        assert r["n_kept"] == u and r["union_est"] == float(u), pair
+        assert r["n_matches"] == i and r["inter_est"] == float(i), pair
+
+    # estimation path: two 3000-key sets with 1500 shared
+    big = [("A", f"b{i}") for i in range(3000)] + [
+        ("B", f"b{i}") for i in range(1500, 4500)
+    ]
+    k = 256
+    p2 = str(tmp_path / "kmv_big")
+    write_kmv_rollup(
+        spark.createDataFrame(big, "s string, key string"),
+        p2, set_col="s", key_col="key", k=k,
+    )
+    (r,) = kmv_set_overlap(spark, p2, set_col="s", k=k).collect()
+    assert r["n_kept"] == k
+    u_tol = 5.0 / (k - 2) ** 0.5
+    i_tol = u_tol + 2.5 / k ** 0.5
+    assert abs(r["union_est"] - 4500) <= u_tol * 4500 + 2
+    assert abs(r["inter_est"] - 1500) <= i_tol * 4500 + 2
+
+
+def test_kmv_build_plan_pushes_group_limit_map_side(spark):
+    """The per-set rank<=k truncation compiles to WindowGroupLimit (a hot
+    set never full-sorts its distinct-hash space on one task), same
+    guarantee as the MG and sampling tiers."""
+    from commercepulse_data_pipeline_spark.operators.sketches import build_kmv_rollup
+
+    df = spark.createDataFrame(
+        [("s", f"k{i}") for i in range(100)], "s string, key string"
+    )
+    plan = build_kmv_rollup(df, set_col="s", key_col="key", k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
