@@ -947,3 +947,105 @@ def test_kmv_build_plan_pushes_group_limit_map_side(spark):
     plan = build_kmv_rollup(df, set_col="s", key_col="key", k=8)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_stream_kmv_rollup_and_compaction(spark, tmp_path):
+    """Streaming KMV store: each micro-batch appends its own per-set
+    partial sketch (per-batch truncation is lossless because the k
+    smallest of a union come from the parts' k smallest); the live store
+    answers set ops identically to a one-shot batch build, compaction
+    re-truncates to one k-row sketch per set, and the compacted store
+    keeps accepting appends."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        build_kmv_rollup,
+        kmv_truncate,
+    )
+    from commercepulse_data_pipeline_spark.streaming.kmv import (
+        compact_kmv_rollup,
+        kmv_rollup_batch,
+        kmv_sketches_from_store,
+        stream_kmv_rollup,
+    )
+
+    k = 16
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def write_drop(name, rows):
+        pq.write_table(
+            pa.table({
+                "event_type": [r[0] for r in rows],
+                "ukey": [r[1] for r in rows],
+            }),
+            str(drops / name),
+        )
+
+    # set A spans both batches (overlapping keys exercise DISTINCT merge)
+    b1 = [("A", f"k{i}") for i in range(120)] + [("B", f"k{i}") for i in range(60)]
+    b2 = [("A", f"k{i}") for i in range(80, 200)] + [
+        ("B", f"k{i}") for i in range(40, 90)
+    ]
+    write_drop("b1.parquet", b1)
+    write_drop("b2.parquet", b2)
+    now = time.time()
+    os.utime(str(drops / "b1.parquet"), (now - 60, now - 60))
+
+    store = str(tmp_path / "kmv_store")
+    q = stream_kmv_rollup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        k=k, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert {e.name for e in os.scandir(store) if e.is_dir()} == {
+        "ingest_batch=0", "ingest_batch=1"
+    }
+
+    all_df = spark.createDataFrame(b1 + b2, "event_type string, ukey string")
+    want = sorted(
+        map(tuple, build_kmv_rollup(
+            all_df, set_col="event_type", key_col="ukey", k=k
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, kmv_sketches_from_store(
+            spark, store, set_col="event_type", k=k
+        ).collect())
+    )
+    assert got == want  # streaming partials == one-shot batch sketch
+
+    stats = compact_kmv_rollup(spark, store, set_col="event_type", k=k, keep_latest=0)
+    assert stats["folded"] == 2 and stats["partitions_after"] == 1
+    # consolidated store: exactly k rows per set, same sketch
+    cons = spark.read.parquet(store)
+    assert cons.groupBy("event_type").count().rdd.map(
+        lambda r: r["count"]
+    ).collect() == [k, k]
+    got2 = sorted(
+        map(tuple, kmv_truncate(cons, set_col="event_type", k=k).collect())
+    )
+    assert got2 == want
+
+    # post-compaction append still merges correctly
+    b3 = [("B", f"z{i}") for i in range(50)]
+    kmv_rollup_batch(
+        spark.createDataFrame(b3, "event_type string, ukey string"),
+        2, store, set_col="event_type", key_col="ukey", k=k,
+    )
+    want3 = sorted(
+        map(tuple, build_kmv_rollup(
+            spark.createDataFrame(b1 + b2 + b3, "event_type string, ukey string"),
+            set_col="event_type", key_col="ukey", k=k,
+        ).collect())
+    )
+    got3 = sorted(
+        map(tuple, kmv_sketches_from_store(
+            spark, store, set_col="event_type", k=k
+        ).collect())
+    )
+    assert got3 == want3
