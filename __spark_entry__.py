@@ -1040,6 +1040,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs ≥ 0.6
+    (``operators/dedup.py::containment_pairs`` — r8): the asymmetric
+    near-dup measure |src∩dst|/|src| that catches a short doc quoted
+    inside a long one, which Jaccard's union denominator hides. Same
+    inverted-index shape as ngram_jaccard (cap disabled at test SF for
+    oracle parity; production caps stop-shingles)."""
+    d = _docs(spark, sf_dir)
+    return dd.containment_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.6, max_shingle_freq=1000000
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: top-10 by cosine to the vec_id=0
     embedding. Double-precision sequential fold → engine-reproducible."""
@@ -2776,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operators touched in r8 (bpe.py: batched trainer + hybrid
         #    encode join; pair_counts statistics re-pinned) and r8-new
         "kmv_set_overlap": q_kmv_set_overlap,
+        "containment_pairs": q_containment_pairs,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -4392,6 +4406,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON s.id_a = sa.doc_id
             JOIN sizes sb ON s.id_b = sb.doc_id
             WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "containment_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), directed AS (
+                SELECT id_a AS id_src, id_b AS id_dst, shared FROM shared
+                UNION ALL
+                SELECT id_b AS id_src, id_a AS id_dst, shared FROM shared
+            )
+            SELECT d.id_src, d.id_dst,
+                   round(d.shared / CAST(ss.set_size AS DOUBLE), 6) AS containment
+            FROM directed d
+            JOIN sizes ss ON d.id_src = ss.doc_id
+            WHERE d.shared / CAST(ss.set_size AS DOUBLE) >= 0.6
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

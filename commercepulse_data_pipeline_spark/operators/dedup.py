@@ -457,6 +457,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """DIRECTED containment-similar pairs: ``containment(src→dst) =
+    |src ∩ dst| / |src| >= threshold`` over distinct n-word shingles
+    (Broder's containment measure). The asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a short document quoted wholesale inside
+    a much longer one has low Jaccard (the union is dominated by the long
+    doc) but containment ≈ 1 in the short→long direction — the shape
+    quote-dedup and boilerplate-extraction filters need.
+
+    Same distributed shape as the Jaccard path (posting lists per
+    shingle, cap-before-collect, never O(n²)); the undirected
+    shared-shingle counts are computed ONCE and both directions are
+    emitted by a union — no second pass. Output: (id_src, id_dst,
+    containment) with containment rounded to 6 dp.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        ).where(F.col("shingle").isNotNull())
+    )
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), shingle_n)).alias("set_size")
+    ).where(F.col("set_size") > 0)
+    posting = capped_posting_lists(
+        sh, ["shingle"], F.col(id_col), max_bucket=max_shingle_freq
+    )
+    shared = (
+        posting.select(F.explode_outer(_pairs_in_group(F.col("__ids"))).alias("p"))
+        .where(F.col("p").isNotNull())
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    directed = shared.select(
+        F.col("id_a").alias("id_src"), F.col("id_b").alias("id_dst"), "shared"
+    ).unionAll(
+        shared.select(
+            F.col("id_b").alias("id_src"), F.col("id_a").alias("id_dst"), "shared"
+        )
+    )
+    ssz = sizes.select(F.col(id_col).alias("id_src"), F.col("set_size").alias("size_src"))
+    return (
+        directed.join(ssz, "id_src")
+        .withColumn("containment", F.col("shared") / F.col("size_src"))
+        .where(F.col("containment") >= threshold)
+        .select("id_src", "id_dst", F.round("containment", 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -84,6 +84,37 @@ def test_ngram_jaccard_pairs_threshold(spark):
     assert rows == [(1, 2, 1.0)]
 
 
+def test_containment_pairs_directed_asymmetry(spark):
+    """A short doc fully quoted inside a long one: containment short→long
+    is 1.0 (caught) while Jaccard stays below any useful threshold
+    (missed) — the asymmetric case the operator exists for. Directions
+    are independent: long→short only passes a low threshold."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "entirely different words here now")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dd.containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.05
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # short fully contained in long
+    assert 0 < out[(2, 1)] < 0.1  # reverse direction is weak
+    assert (1, 3) not in out and (3, 1) not in out
+    # Jaccard misses the pair at the same 0.5 bar containment clears
+    jac = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=3, threshold=0.5
+    ).collect()
+    assert jac == []
+    high = dd.containment_pairs(
+        df, "text", "doc_id", shingle_n=3, threshold=0.5
+    ).collect()
+    assert [(r.id_src, r.id_dst) for r in high] == [(1, 2)]
+
+
 def test_simhash_near_dup(spark):
     df = spark.createDataFrame(
         [(1, "spark is a unified analytics engine for large scale data"),
