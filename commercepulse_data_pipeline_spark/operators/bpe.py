@@ -123,23 +123,51 @@ def _select_disjoint_batch(
     was full, else 0 — nothing was left behind).
 
     Safety argument: applying merge (a, b) can only (1) decrease counts
-    of pairs sharing a symbol with it and (2) create pairs (x, a+b) /
-    (a+b, y) whose counts are bounded by the OLD counts of (x, a) /
-    (b, y) — both of which share a symbol with the merge. So a later
-    candidate c is still the exact sequential argmax at its turn iff NO
-    pair with count >= c's count (fetched or not, selected merges aside)
-    shares a symbol with any earlier selected merge (symbols a, b, and
-    the new a+b — the joined string can collide with a pre-existing
-    symbol). The first candidate is always the sequential argmax."""
+    of pairs sharing a symbol with it and (2) CREATE pairs (x, a+b) /
+    (a+b, y) whose counts are bounded by the current counts of (x, a) /
+    (b, y) at apply time — themselves bounded by those pairs' OLD counts
+    if fetched, by ``floor`` if unfetched, or (if they were created by an
+    earlier merge of this batch, transitively) by the running
+    ``created_bound``. A later candidate c = (n_c, ...) is therefore the
+    exact sequential argmax at its turn when:
+
+    - n_c > floor (no unfetched pair can rank above it),
+    - n_c > created_bound, STRICTLY (no created pair can reach n_c — a
+      created pair that merely TIED could still win the lexicographic
+      tie-break, the bbb/bbbc counter-example hypothesis found in r8:
+      merging (b,b) creates (bb,b) whose count ties the next candidate
+      and whose name sorts first),
+    - c shares no symbol with earlier merges (its own count is then
+      unchanged), and no fetched pair ranked at-or-above c's tie block
+      shares one either (their counts may have decreased, but a decrease
+      cannot promote anything past c; an un-decreased dirty pair above c
+      would mean c was never the argmax). Earlier SELECTED merges are
+      exempt from that last check — their counts are consumed to ~0 by
+      application — but NOT from the created_bound, which is exactly
+      where the pre-fix exemption was unsound.
+
+    The first candidate is always the sequential argmax."""
     if not cands:
         return []
+
+    def creation_bound(a: str, b: str) -> int:
+        # max old count of any fetched (x, a) / (b, y) — each bounds one
+        # pair the merge (a, b) can create; unfetched such pairs are
+        # bounded by floor
+        m = floor
+        for n, x, y in cands:
+            if y == a or x == b:
+                m = max(m, n)
+        return m
+
     selected = [cands[0]]
     used = {cands[0][1], cands[0][2], cands[0][1] + cands[0][2]}
+    created_bound = creation_bound(cands[0][1], cands[0][2])
     for idx in range(1, len(cands)):
         if len(selected) >= batch_size:
             break
         n, a, b = cands[idx]
-        if n <= floor or a in used or b in used:
+        if n <= floor or n <= created_bound or a in used or b in used:
             break
         # every pair ranked at-or-above this count (the contiguous tie
         # block included) must be clean w.r.t. already-used symbols
@@ -154,6 +182,7 @@ def _select_disjoint_batch(
             break
         selected.append((n, a, b))
         used |= {a, b, a + b}
+        created_bound = max(created_bound, creation_bound(a, b))
     return selected
 
 
