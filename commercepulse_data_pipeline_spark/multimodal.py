@@ -3,12 +3,14 @@
 Media are opaque ``binary`` columns with a typed metadata struct; all
 Spark-side mechanics (schema, partition sizing, Arrow batch shape,
 mapInPandas signatures) are real and tested. Decode is REAL pure-Python
-for baseline JPEG, PNG, BMP, PPM/P6 and RIFF/PCM WAV, and MP3/MP4 get
-real metadata parsers (frame-walk / ISO-BMFF box-walk: duration, sample
-rate, track dimensions) (``real_decode``); only compressed-SAMPLE decode
-(MP3 PCM, H.264 frames, Ogg/FLAC…) stays behind a clearly-marked
-``NotImplementedError``, and ``DeterministicFakeDecoder`` remains the
-test stand-in for arbitrary bytes.
+for baseline JPEG, PNG, GIF, BMP, PPM/P6, RIFF/PCM WAV and FLAC —
+including FLAC's compressed SAMPLES (fixed/LPC prediction + rice
+residuals, bit-exact, CRC-verified) — and MP3/MP4/Ogg get real metadata
+parsers (frame-walk / ISO-BMFF box-walk / page-walk: duration, sample
+rate, track dimensions) (``real_decode``); only LOSSY-codec sample
+decode (MP3 PCM, H.264 frames, Vorbis/Opus…) stays behind a
+clearly-marked ``NotImplementedError``, and ``DeterministicFakeDecoder``
+remains the test stand-in for arbitrary bytes.
 
 Scale design:
 - media rows are big → ``repartition`` by size budget before mapInPandas
@@ -724,36 +726,321 @@ def _decode_mp3(content: bytes) -> dict:
     }
 
 
+class _FlacBits:
+    """Plain MSB-first bit reader (no byte-unstuffing — FLAC streams are
+    raw), with byte-position tracking so frame CRC spans are sliceable."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC frame")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (frame-header checksum per RFC 9639)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (whole-frame checksum per RFC 9639)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# frame-header lookup tables (RFC 9639 §9.1): index = the 4-bit field
+_FLAC_BLOCKSIZE = (
+    None, 192, 576, 1152, 2304, 4608, "u8", "u16",
+    256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+)
+_FLAC_RATE = (
+    "si", 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000, "u8k", "u16", "u16x10", None,
+)
+_FLAC_BPS = ("si", 8, 12, None, 16, 20, 24, 32)
+# fixed-predictor coefficients by order (RFC 9639 §9.2.2)
+_FLAC_FIXED = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_utf8_num(bits: "_FlacBits") -> int:
+    """UTF-8-style variable-length frame/sample number (up to 36 bits)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("malformed FLAC coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = bits.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("malformed FLAC coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(bits: "_FlacBits", block_size: int, order: int) -> list[int]:
+    """Rice-coded residual section (RFC 9639 §9.2.7): 2-bit method picks
+    4- or 5-bit rice parameters, 4-bit partition order; the all-ones
+    parameter escapes to raw two's-complement residuals."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if block_size % nparts:
+        raise ValueError("FLAC partition order does not divide block size")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (block_size >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = bits.read(pbits)
+        if param == escape:
+            raw = bits.read(5)
+            for _ in range(n):
+                out.append(bits.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                v = (q << param) | bits.read(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(bits: "_FlacBits", block_size: int, bps: int) -> list[int]:
+    """One subframe (RFC 9639 §9.2): constant / verbatim / fixed-order /
+    LPC, each with optional wasted-bits shift."""
+    if bits.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if ftype == 0:  # constant
+        v = bits.read_signed(eff)
+        samples = [v] * block_size
+    elif ftype == 1:  # verbatim
+        samples = [bits.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= ftype <= 12:  # fixed predictor, order 0-4
+        order = ftype - 8
+        samples = [bits.read_signed(eff) for _ in range(order)]
+        resid = _flac_residual(bits, block_size, order)
+        coefs = _FLAC_FIXED[order]
+        for r in resid:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        samples = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(bits, block_size, order)
+        for r in resid:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
+            samples.append(r + pred)
+    else:
+        raise ValueError("reserved FLAC subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _flac_pcm(
+    content: bytes, frames_start: int, si_rate: int, si_bps: int
+) -> tuple[int, list[list[int]]]:
+    """Decode every FLAC audio frame from ``frames_start``: returns
+    (rate, per-channel sample lists) with bit-exact integers — FLAC is
+    lossless. Verifies the CRC-8 header and CRC-16 frame checksums.
+    Stereo decorrelation (left/side, right/side, mid/side) is undone per
+    RFC 9639 §9.2.1 (the side channel carries one extra bit)."""
+    bits = _FlacBits(content, frames_start)
+    channels_out: list[list[int]] = []
+    rate_out = si_rate
+    while bits.pos < len(content):
+        frame_head = bits.pos
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        if bits.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        bits.read(1)  # blocking strategy (fixed/variable) — parse only
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        bps_code = bits.read(3)
+        if bits.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        _flac_utf8_num(bits)  # frame/sample number
+        bs = _FLAC_BLOCKSIZE[bs_code]
+        if bs is None:
+            raise ValueError("reserved FLAC block-size code")
+        if bs == "u8":
+            bs = bits.read(8) + 1
+        elif bs == "u16":
+            bs = bits.read(16) + 1
+        sr = _FLAC_RATE[sr_code]
+        if sr is None:
+            raise ValueError("invalid FLAC sample-rate code")
+        if sr == "si":
+            sr = si_rate
+        elif sr == "u8k":
+            sr = bits.read(8) * 1000
+        elif sr == "u16":
+            sr = bits.read(16)
+        elif sr == "u16x10":
+            sr = bits.read(16) * 10
+        rate_out = sr
+        bps = _FLAC_BPS[bps_code]
+        if bps is None:
+            raise ValueError("reserved FLAC sample-size code")
+        if bps == "si":
+            bps = si_bps
+        crc8 = bits.read(8)
+        if crc8 != _flac_crc8(content[frame_head : bits.pos - 1]):
+            raise ValueError("FLAC frame-header CRC-8 mismatch")
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [_flac_subframe(bits, bs, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # side channel is the 2nd except right/side, and carries +1 bit
+            extra = (0, 1) if ch_code in (8, 10) else (1, 0)
+            a = _flac_subframe(bits, bs, bps + extra[0])
+            b = _flac_subframe(bits, bs, bps + extra[1])
+            if ch_code == 8:  # left/side: right = left - side
+                subs = [a, [l - s for l, s in zip(a, b)]]
+            elif ch_code == 9:  # right/side: left = side + right
+                subs = [[s + r for s, r in zip(a, b)], b]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(a, b):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        bits.align()
+        crc16 = int.from_bytes(content[bits.pos : bits.pos + 2], "big")
+        if len(content) < bits.pos + 2:
+            raise ValueError("truncated FLAC frame footer")
+        if crc16 != _flac_crc16(content[frame_head : bits.pos]):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        bits.pos += 2
+        if not channels_out:
+            channels_out = [[] for _ in range(nch)]
+        if len(channels_out) != nch:
+            raise ValueError("FLAC channel count changed mid-stream")
+        for ch, samples in zip(channels_out, subs):
+            ch.extend(samples)
+    return rate_out, channels_out
+
+
 def _decode_flac(content: bytes) -> dict:
-    """FLAC metadata extract (public format spec / RFC 9639): 'fLaC'
-    magic, then metadata blocks — 1-byte header (bit 7 = last, bits 0-6 =
-    type, 0 = STREAMINFO) + 24-bit big-endian length. STREAMINFO packs
-    sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and
-    total samples (36) starting at body byte 10 → duration =
-    total_samples / rate. Compressed-sample decode still needs a codec
-    library; this is the curation-filter tier."""
+    """FLAC decode (public format spec / RFC 9639): 'fLaC' magic, then
+    metadata blocks — 1-byte header (bit 7 = last, bits 0-6 = type, 0 =
+    STREAMINFO) + 24-bit big-endian length. STREAMINFO packs sample rate
+    (20 bits), channels-1 (3), bits-per-sample-1 (5) and total samples
+    (36). When audio frames follow the metadata, the SAMPLES are decoded
+    too (:func:`_flac_pcm` — constant/verbatim/fixed/LPC subframes, rice
+    residuals, stereo decorrelation, CRC-verified; bit-exact, FLAC is
+    lossless) and the feature summarizes the reconstructed PCM; a
+    metadata-only payload falls back to the STREAMINFO duration."""
     pos = 4
+    info = None
     while pos + 4 <= len(content):
         hdr = content[pos]
         blen = int.from_bytes(content[pos + 1 : pos + 4], "big")
         body = content[pos + 4 : pos + 4 + blen]
-        if (hdr & 0x7F) == 0:  # STREAMINFO
+        if (hdr & 0x7F) == 0 and info is None:  # STREAMINFO
             if len(body) < 18:
                 raise ValueError("truncated FLAC STREAMINFO block")
             rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
             if not rate:
                 raise ValueError("FLAC STREAMINFO with zero sample rate")
+            bps = (((body[12] >> 0) & 0x01) << 4 | (body[13] >> 4)) + 1
             total = ((body[13] & 0x0F) << 32) | int.from_bytes(body[14:18], "big")
-            return {
-                "width": None,
-                "height": None,
-                "duration_sec": total / float(rate),
-                "feature": _feature_from_bytes(content[pos + 4 + blen :]),
-            }
-        if hdr & 0x80:  # last-metadata-block flag, STREAMINFO never seen
-            break
+            info = (rate, bps, total)
         pos += 4 + blen
-    raise ValueError("FLAC container without a STREAMINFO block")
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC container without a STREAMINFO block")
+    rate, bps, total = info
+    frames_start = min(pos, len(content))
+    has_frames = (
+        frames_start + 2 <= len(content)
+        and content[frames_start] == 0xFF
+        and (content[frames_start + 1] & 0xFC) == 0xF8
+    )
+    if not has_frames:
+        return {
+            "width": None,
+            "height": None,
+            "duration_sec": total / float(rate),
+            "feature": _feature_from_bytes(content[frames_start:]),
+        }
+    pcm_rate, channels = _flac_pcm(content, frames_start, rate, bps)
+    n = len(channels[0]) if channels else 0
+    nbytes = (bps + 7) // 8
+    pcm = bytearray()
+    for i in range(n):
+        for ch in channels:
+            pcm += int(ch[i]).to_bytes(nbytes, "little", signed=True)
+    return {
+        "width": None,
+        "height": None,
+        "duration_sec": (total or n) / float(rate),
+        "feature": _feature_from_bytes(bytes(pcm)),
+    }
 
 
 def _ogg_pages(content: bytes):
@@ -895,13 +1182,14 @@ def real_decode(content: bytes, modality: str) -> dict:
     baseline JPEG (huffman + dequant + IDCT), PNG (zlib inflate +
     un-filter), GIF (full LZW raster decode + palette mapping +
     animation-delay duration), BMP and PPM/P6 images, RIFF/PCM WAV
-    audio, MP3
-    frame-walk, MP4/ISO-BMFF box-walk, FLAC STREAMINFO and Ogg
-    (Vorbis/Opus) page-walk metadata (duration / sample rate / track
-    dimensions — the fields curation filters on) — dispatched on magic
-    bytes, so real bytes flow through the distributed path end to end
-    (tested in tests/test_multimodal.py). Compressed-SAMPLE decode
-    (PCM / raster frames out of MP3/MP4/FLAC/Ogg) raises
+    audio, FLAC with full SAMPLE decode (fixed/LPC prediction + rice
+    residuals + stereo decorrelation, bit-exact and CRC-verified —
+    lossless, so no codec library is needed), MP3 frame-walk,
+    MP4/ISO-BMFF box-walk and Ogg (Vorbis/Opus) page-walk metadata
+    (duration / sample rate / track dimensions — the fields curation
+    filters on) — dispatched on magic bytes, so real bytes flow through
+    the distributed path end to end (tested in tests/test_multimodal.py).
+    LOSSY-codec sample decode (MP3 PCM, H.264 frames, Vorbis/Opus) raises
     NotImplementedError — wire ffmpeg/torchaudio here on a cluster
     image that has them."""
     content = content or b""

@@ -404,6 +404,185 @@ def _flac_bytes(total_samples: int, rate: int = 44100, channels: int = 2,
     return b"fLaC" + streaminfo + padding + frames
 
 
+class _FlacWriter:
+    """Independent test-side MSB-first bit writer for building real FLAC
+    frames (kept free of the engine's reader so round-trips are a true
+    cross-implementation check)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int):
+        self.write(0, q) if q else None
+        self.write(1, 1)
+
+    def align(self):
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _tcrc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _tcrc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _rice_encode(w: "_FlacWriter", resid: list, param: int):
+    for v in resid:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+        w.write_unary(u >> param)
+        w.write(u & ((1 << param) - 1), param)
+
+
+def _flac_subframe_enc(w: "_FlacWriter", kind: str, samples: list, bps: int,
+                       rice_param: int = 2, porder: int = 0,
+                       lpc=(None, None)):
+    """Encode one subframe. kind: constant | verbatim | fixed<k> |
+    lpc<k> | escape (verbatim-size raw residual on a fixed-0)."""
+    w.write(0, 1)  # padding
+    if kind == "constant":
+        w.write(0, 6)
+        w.write(0, 1)  # no wasted bits
+        w.write(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.write(1, 6)
+        w.write(0, 1)
+        for s in samples:
+            w.write(s, bps)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[5:])
+        coefs = [(), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1)][order]
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for s in samples[:order]:
+            w.write(s, bps)
+        resid = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+        w.write(0, 2)  # rice method 0 (4-bit params)
+        w.write(porder, 4)
+        nparts = 1 << porder
+        bs = len(samples)
+        done = 0
+        for p in range(nparts):
+            n = (bs >> porder) - (order if p == 0 else 0)
+            w.write(rice_param, 4)
+            _rice_encode(w, resid[done : done + n], rice_param)
+            done += n
+        return
+    if kind == "escape":
+        # fixed order 0 with an escape-coded (raw two's complement) partition
+        w.write(8, 6)
+        w.write(0, 1)
+        w.write(0, 2)
+        w.write(0, 4)  # one partition
+        w.write(0xF, 4)  # escape
+        raw = bps
+        w.write(raw, 5)
+        for s in samples:
+            w.write(s, raw)
+        return
+    if kind.startswith("lpc"):
+        order = int(kind[3:])
+        coefs, shift = lpc
+        assert len(coefs) == order
+        w.write(32 + order - 1, 6)
+        w.write(0, 1)
+        for s in samples[:order]:
+            w.write(s, bps)
+        prec = 15
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c, prec)
+        resid = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(samples))
+        ]
+        w.write(0, 2)
+        w.write(0, 4)
+        w.write(rice_param + 2, 4)
+        _rice_encode(w, resid, rice_param + 2)
+        return
+    raise AssertionError(kind)
+
+
+def _flac_frame_enc(channels: list, bps: int, frame_no: int, kinds,
+                    ch_mode=None, **sub_kw) -> bytes:
+    """One complete FLAC frame: header (blocksize as the 16-bit 0b0111
+    form, rate from STREAMINFO, CRC-8), per-channel subframes, CRC-16
+    footer. ch_mode None = independent; 8/9/10 = left-side / right-side /
+    mid-side (``channels`` is then the DECODED [left, right] pair and the
+    encoder derives the coded channels; the side channel gets +1 bit)."""
+    bs = len(channels[0])
+    w = _FlacWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed-blocksize strategy
+    w.write(0b0111, 4)  # blocksize: (u16 - 1) at header end
+    w.write(0, 4)  # rate: from STREAMINFO
+    ch_code = (len(channels) - 1) if ch_mode is None else ch_mode
+    w.write(ch_code, 4)
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    w.write(0, 1)  # reserved
+    assert frame_no < 128
+    w.write(frame_no, 8)  # UTF-8 coded number, single-byte form
+    w.write(bs - 1, 16)
+    w.align()
+    w.write(_tcrc8(bytes(w.buf)), 8)
+    if ch_mode is None:
+        coded = [(ch, bps) for ch in channels]
+    else:
+        left, right = channels
+        side = [l - r for l, r in zip(left, right)]
+        if ch_mode == 8:  # left/side
+            coded = [(left, bps), (side, bps + 1)]
+        elif ch_mode == 9:  # right/side
+            coded = [(side, bps + 1), (right, bps)]
+        else:  # mid/side: mid = (l + r) >> 1 (floor), side carries l-r
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            coded = [(mid, bps), (side, bps + 1)]
+    for (samples, sub_bps), kind in zip(coded, kinds):
+        _flac_subframe_enc(w, kind, samples, sub_bps, **sub_kw)
+    w.align()
+    w.write(_tcrc16(bytes(w.buf)), 16)
+    return bytes(w.buf)
+
+
+def _flac_full(channels: list, bps: int, rate: int, frames: list) -> bytes:
+    """STREAMINFO (via _flac_bytes' packing) + the given encoded frames."""
+    total = sum(1 for _ in channels[0])
+    meta = _flac_bytes(total, rate=rate, channels=len(channels), bps=bps)
+    meta = meta[: len(meta) - 96]  # drop _flac_bytes' fake frame tail
+    return meta + b"".join(frames)
+
+
 def _ogg_page(serial: int, seq: int, granule: int, payload: bytes,
               htype: int = 0) -> bytes:
     import struct as _s
@@ -456,6 +635,97 @@ def test_real_decode_flac_streaminfo():
     # 20-bit sample-rate packing at a non-nibble-aligned rate
     d3 = real_decode(_flac_bytes(22050, rate=22050), "audio")
     assert d3["duration_sec"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_real_decode_flac_samples_verbatim_and_constant():
+    """Real FLAC frames decode to BIT-EXACT PCM (lossless): verbatim +
+    constant subframes, two frames, stereo independent channels; the
+    feature summarizes the reconstructed samples and duration comes from
+    the decoded count."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        _feature_from_bytes,
+        _flac_pcm,
+    )
+
+    left = [((i * 37) % 4001) - 2000 for i in range(64)]
+    right = [777] * 32 + [-12345] * 32
+    f1 = _flac_frame_enc([left[:32], right[:32]], 16, 0, ["verbatim", "constant"])
+    f2 = _flac_frame_enc([left[32:], right[32:]], 16, 1, ["verbatim", "constant"])
+    blob = _flac_full([left, right], 16, 8000, [f1, f2])
+
+    rate, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 8000, 16)
+    assert rate == 8000 and chans == [left, right]
+
+    d = real_decode(blob, "audio")
+    assert d["duration_sec"] == pytest.approx(64 / 8000.0)
+    pcm = bytearray()
+    for i in range(64):
+        pcm += int(left[i]).to_bytes(2, "little", signed=True)
+        pcm += int(right[i]).to_bytes(2, "little", signed=True)
+    assert d["feature"] == _feature_from_bytes(bytes(pcm))
+
+
+def test_real_decode_flac_fixed_lpc_and_escape():
+    """Fixed-order-2 prediction with 4-partition rice residuals, an LPC
+    subframe with explicit coefficients/shift, and an escape-coded raw
+    partition all reconstruct exactly."""
+    from commercepulse_data_pipeline_spark.multimodal import _flac_pcm
+
+    # smooth-ish signal → small order-2 residuals (rice-friendly)
+    sig = [0, 3]
+    for i in range(2, 64):
+        sig.append(2 * sig[-1] - sig[-2] + ((i * 7) % 5 - 2))
+    fr = _flac_frame_enc([sig], 16, 0, ["fixed2"], rice_param=2, porder=2)
+    blob = _flac_full([sig], 16, 16000, [fr])
+    _, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 16000, 16)
+    assert chans == [sig]
+
+    # LPC: s[i] = r + (3*s[i-1] - 1*s[i-2]) >> 1
+    lpc_sig = [100, 90]
+    coefs, shift = [3, -1], 1
+    for i in range(2, 48):
+        pred = (coefs[0] * lpc_sig[-1] + coefs[1] * lpc_sig[-2]) >> shift
+        lpc_sig.append(pred + ((i % 7) - 3))
+    fr2 = _flac_frame_enc([lpc_sig], 16, 0, ["lpc2"], lpc=(coefs, shift))
+    blob2 = _flac_full([lpc_sig], 16, 16000, [fr2])
+    _, chans2 = _flac_pcm(blob2, blob2.index(b"\xff\xf8"), 16000, 16)
+    assert chans2 == [lpc_sig]
+
+    # escape partition: raw two's-complement residuals, incompressible
+    noisy = [((i * 40503) % 65536) - 32768 for i in range(32)]
+    fr3 = _flac_frame_enc([noisy], 16, 0, ["escape"])
+    blob3 = _flac_full([noisy], 16, 16000, [fr3])
+    _, chans3 = _flac_pcm(blob3, blob3.index(b"\xff\xf8"), 16000, 16)
+    assert chans3 == [noisy]
+
+
+def test_real_decode_flac_stereo_decorrelation():
+    """left/side, right/side and mid/side channel assignments all undo to
+    the original stereo pair (side channel carries the +1 bit)."""
+    from commercepulse_data_pipeline_spark.multimodal import _flac_pcm
+
+    left = [((i * 97) % 30001) - 15000 for i in range(32)]
+    right = [((i * 57) % 30011) - 15005 for i in range(32)]
+    for mode in (8, 9, 10):
+        fr = _flac_frame_enc(
+            [left, right], 16, 0, ["verbatim", "verbatim"], ch_mode=mode
+        )
+        blob = _flac_full([left, right], 16, 44100, [fr])
+        _, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 44100, 16)
+        assert chans == [left, right], mode
+
+
+def test_real_decode_flac_crc_mismatch_raises():
+    from commercepulse_data_pipeline_spark.multimodal import _flac_pcm
+
+    sig = [1, 2, 3, 4] * 8
+    fr = _flac_frame_enc([sig], 16, 0, ["verbatim"])
+    blob = _flac_full([sig], 16, 8000, [fr])
+    start = blob.index(b"\xff\xf8")
+    corrupt = bytearray(blob)
+    corrupt[-3] ^= 0x40  # flip a sample bit → CRC-16 must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        _flac_pcm(bytes(corrupt), start, 8000, 16)
 
 
 def test_real_decode_ogg_vorbis_and_opus():
