@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "docs_length_deciles",
     # round-8 additions
     "order_value_hist_quantiles",
+    "kmv_set_overlap",
+    "containment_pairs",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
