@@ -1040,6 +1040,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 training order
+    (``operators/sampling.py::epoch_shuffle`` — r8): a reproducible
+    global permutation of the corpus as (shard, pos) with NO global sort
+    (positions are windowed per shard; writing is repartition(shard) +
+    sortWithinPartitions). md5-derived order/shard keys (DECISIONS.md
+    rule) make the entire permutation — every position — hash-replayable
+    in the DuckDB oracle; (epoch, shard, pos) is the durable cursor a
+    resumable training job needs, which orderBy(rand(seed)) cannot give
+    (per-partition seeding reorders under retry/repartition)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return epoch_shuffle(d, "doc_id", epoch=2, n_shards=8)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment pairs ≥ 0.6
     (``operators/dedup.py::containment_pairs`` — r8): the asymmetric
@@ -2790,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    encode join; pair_counts statistics re-pinned) and r8-new
         "kmv_set_overlap": q_kmv_set_overlap,
         "containment_pairs": q_containment_pairs,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -4406,6 +4423,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON s.id_a = sa.doc_id
             JOIN sizes sb ON s.id_b = sb.doc_id
             WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "docs_epoch_shuffle": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       {_sample_bucket_sql("COALESCE(CAST(doc_id AS VARCHAR), '')", "epoch-v1:2:")} AS okey,
+                       {_sample_bucket_sql("COALESCE(CAST(doc_id AS VARCHAR), '')", "epoch-v1-shard:2:")} % 8 AS shard
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(shard AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+                        AS BIGINT) AS pos
+            FROM b
         """,
         "containment_pairs": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),

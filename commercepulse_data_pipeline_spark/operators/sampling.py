@@ -192,3 +192,55 @@ def assign_splits(
         cond = bucket < F.lit(upper)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch-v1",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-epoch training order: a reproducible global
+    permutation of the corpus, materialized as (shard, position-within-
+    shard) so a training job can stream shard files in order with NO
+    global sort anywhere.
+
+    Every epoch is an independent permutation (the epoch number is folded
+    into the hash salt), yet fully reproducible across runs, engines,
+    partitionings and cluster sizes — the property ``orderBy(rand(seed))``
+    does NOT have (rand is seeded per-partition; a repartition or task
+    retry reorders the epoch, so a resumed training run would see
+    different data). This is the data-ordering half of resumable
+    training: (epoch, shard, pos) is a durable cursor.
+
+    Scale shape: shard assignment and the order key are one codegen'd
+    projection; positions are a ``row_number`` windowed BY SHARD — the
+    sort parallelizes across ``n_shards`` (pick shards so a shard's rows
+    fit a task's spill budget; at 100 TB that's thousands of shards, the
+    same granularity the training job wants for files anyway). Writing is
+    then ``repartition(shard).sortWithinPartitions(pos)`` — never a
+    single-machine global sort. Ties are impossible: the order key ends
+    with the unique ``key_col``.
+    """
+    okey = hash_bucket(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        salt=f"{salt}:{epoch}:",
+    )
+    shard = F.pmod(
+        hash_bucket(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            salt=f"{salt}-shard:{epoch}:",
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy(F.col("__okey"), F.col(key_col))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("__okey", okey)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__okey")
+    )

@@ -477,3 +477,37 @@ def test_assign_splits_disjoint_exhaustive_stable(spark):
 
     with _pytest.raises(ValueError):
         assign_splits(small, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_epoch_shuffle_permutation_and_reproducibility(spark):
+    """(a) each key appears exactly once with contiguous per-shard
+    positions 1..n (a true permutation, no row lost or duplicated);
+    (b) the permutation is identical across repartitionings (the
+    property orderBy(rand) lacks); (c) different epochs give different
+    orders; (d) shards are roughly balanced."""
+    from commercepulse_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()
+    assert len(out) == 2000
+    assert len({r["doc_id"] for r in out}) == 2000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        assert len(poss) > 2000 // 4 // 2  # no badly starved shard
+
+    # reproducible under a different physical partitioning
+    again = epoch_shuffle(
+        df.repartition(13), "doc_id", epoch=1, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # a different epoch is a different permutation of the same corpus
+    e2 = epoch_shuffle(df, "doc_id", epoch=2, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in e2) == sorted(r["doc_id"] for r in out)
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in e2} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
