@@ -1040,6 +1040,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics (``operators/skew.py::skew_report``
+    — r8): exact group-size quantiles at integer inverted-CDF ranks,
+    max/p50 skew ratio, the recommended salt width, and the top-3
+    heaviest keys, for lineitem's order and part keys — the MEASURE step
+    that justifies (or spares) salted_agg/salted_join at 100 TB. All
+    integer/4-dp-double arithmetic over distinct keys → replays exactly
+    in the DuckDB oracle."""
+    from commercepulse_data_pipeline_spark.operators import skew as sk_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sk_ops.skew_report(li, ["l_orderkey", "l_partkey"], top_n=3)
+
+
 def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-2 training order
     (``operators/sampling.py::epoch_shuffle`` — r8): a reproducible
@@ -2807,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_overlap": q_kmv_set_overlap,
         "containment_pairs": q_containment_pairs,
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "skew_report": q_skew_report,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -4423,6 +4438,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON s.id_a = sa.doc_id
             JOIN sizes sb ON s.id_b = sb.doc_id
             WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "skew_report": """
+            WITH """ + ",\n            ".join(
+        f"""c_{k} AS (
+                SELECT {k} AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+            ), r_{k} AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt ASC, key ASC) AS rnk,
+                       count(*) OVER () AS nk
+                FROM c_{k}
+            ), q_{k} AS (
+                SELECT max(CASE WHEN rnk = (50 * nk + 99) // 100 THEN cnt END) AS p50_cnt,
+                       max(CASE WHEN rnk = (99 * nk + 99) // 100 THEN cnt END) AS p99_cnt
+                FROM r_{k}
+            ), b_{k} AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(max(cnt) AS BIGINT) AS max_cnt
+                FROM c_{k}
+            ), t_{k} AS (
+                SELECT string_agg(CAST(key AS VARCHAR), ',' ORDER BY rn) AS top_keys
+                FROM (
+                    SELECT key, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+                    FROM c_{k}
+                ) WHERE rn <= 3
+            )"""
+        for k in ("l_orderkey", "l_partkey")
+    ) + """
+            """ + "\n            UNION ALL\n            ".join(
+        f"""SELECT '{k}' AS key_col, b.n_rows, b.n_keys, b.max_cnt,
+                   CAST(q.p50_cnt AS BIGINT) AS p50_cnt,
+                   CAST(q.p99_cnt AS BIGINT) AS p99_cnt,
+                   round(CAST(b.max_cnt AS DOUBLE) / CAST(q.p50_cnt AS DOUBLE), 4) AS skew_ratio,
+                   CAST((b.max_cnt + q.p99_cnt - 1) // q.p99_cnt AS BIGINT) AS rec_salt_buckets,
+                   t.top_keys
+            FROM b_{k} b, q_{k} q, t_{k} t"""
+        for k in ("l_orderkey", "l_partkey")
+    ) + """
         """,
         "docs_epoch_shuffle": f"""
             WITH b AS (

@@ -119,3 +119,115 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return big_s.join(small_r, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_n: int = 3,
+) -> DataFrame:
+    """Key-distribution diagnostics — the MEASURE step that decides
+    whether :func:`salted_agg` / :func:`salted_join` / AQE skew handling
+    is needed at all, and with what width. One row per profiled key
+    column:
+
+    - ``n_rows`` / ``n_keys`` — volume and cardinality;
+    - ``max_cnt`` / ``p50_cnt`` / ``p99_cnt`` — exact group-size
+      quantiles (inverted CDF over the per-key counts at integer ranks
+      ceil(q·n_keys) — no float percentile, so every value replays
+      exactly cross-engine);
+    - ``skew_ratio`` = max/p50 — >> 1 means one reducer owns a key;
+    - ``rec_salt_buckets`` = ceil(max_cnt / p99_cnt), the salt width
+      that levels the hottest key down to a p99-sized task (1 = don't
+      salt);
+    - ``top_keys`` — the ``top_n`` heaviest key values (count desc, key
+      asc — deterministic), comma-joined for schema stability.
+
+    Scale shape: one map-side-combined count per key column; every later
+    stage runs over DISTINCT KEYS only. The top-n rank is
+    WindowGroupLimit-pushed; the quantile is an exact rank filter over
+    the ordered counts (the rank thresholds are COLUMNS derived from a
+    window count, so no scalar ever hits the driver). Profiling K key
+    columns scans the table K times map-only — a diagnostic posture;
+    pass one column in the hot path.
+    """
+    from pyspark.sql import Window
+
+    outs = []
+    for key in key_cols:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        w_top = Window.orderBy(F.desc("cnt"), F.col(key).asc())
+        # order inside the aggregate (array_sort over (rn, key) structs):
+        # collect_list after an orderBy does NOT guarantee encounter order
+        top = (
+            counts.withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") <= top_n)
+            .select(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("rn"),
+                                    F.col(key).cast("string").alias("k"),
+                                )
+                            )
+                        ),
+                        lambda s: s["k"],
+                    ),
+                ).alias("top_keys")
+            )
+        )
+        w_ord = Window.orderBy(F.col("cnt").asc(), F.col(key).asc())
+        w_all = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = counts.select(
+            "cnt",
+            F.row_number().over(w_ord).alias("rnk"),
+            F.count(F.lit(1)).over(w_all).alias("nk"),
+        )
+        quant = ranked.select(
+            "cnt",
+            "rnk",
+            F.expr("(50 * nk + 99) div 100").cast("long").alias("r50"),
+            F.expr("(99 * nk + 99) div 100").cast("long").alias("r99"),
+        ).agg(
+            F.max(F.when(F.col("rnk") == F.col("r50"), F.col("cnt")))
+            .cast("long")
+            .alias("p50_cnt"),
+            F.max(F.when(F.col("rnk") == F.col("r99"), F.col("cnt")))
+            .cast("long")
+            .alias("p99_cnt"),
+        )
+        base = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+        )
+        outs.append(
+            base.crossJoin(quant)
+            .crossJoin(top)
+            .select(
+                F.lit(key).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                "p50_cnt",
+                "p99_cnt",
+                F.round(
+                    F.col("max_cnt").cast("double") / F.col("p50_cnt").cast("double"),
+                    4,
+                ).alias("skew_ratio"),
+                F.expr("(max_cnt + p99_cnt - 1) div p99_cnt")
+                .cast("long")
+                .alias("rec_salt_buckets"),
+                "top_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -824,3 +824,35 @@ def test_ordered_funnel_greedy_semantics(spark):
     assert tuple(map(sec, got[2])) == (10, 20, None)  # purchase pre-click ignored
     assert tuple(map(sec, got[3])) == (10, None, None)
     assert tuple(map(sec, got[5])) == (10, 11, 13)  # strictly-after: 00:11 click
+
+
+def test_skew_report_exact_stats_and_salt_recommendation(spark):
+    """Constructed skew: 99 singleton keys + one 300-row hot key. The
+    quantiles are exact inverted-CDF values at integer ranks, the ratio
+    and salt width follow, and top_keys lists the heaviest first with a
+    deterministic count-then-key tiebreak."""
+    from commercepulse_data_pipeline_spark.operators.skew import skew_report
+
+    rows = [(f"k{i:02d}",) for i in range(99)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "k string")
+    (r,) = skew_report(df, ["k"], top_n=3).collect()
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"]) == (399, 100, 300)
+    # ranks: r50 = ceil(50*100/100) = 50 → cnt 1; r99 = 99 → cnt 1
+    assert (r["p50_cnt"], r["p99_cnt"]) == (1, 1)
+    assert r["skew_ratio"] == 300.0
+    assert r["rec_salt_buckets"] == 300
+    assert r["top_keys"] == "hot,k00,k01"  # count desc, then key asc
+
+    # uniform control: ratio 1, no salt needed
+    uni = spark.createDataFrame([(i % 10,) for i in range(1000)], "k int")
+    (u,) = skew_report(uni, ["k"]).collect()
+    assert (u["p50_cnt"], u["max_cnt"], u["rec_salt_buckets"]) == (100, 100, 1)
+    assert u["skew_ratio"] == 1.0
+
+    # two key columns → two rows, labeled
+    two = skew_report(
+        spark.createDataFrame([(1, "a"), (1, "b"), (2, "a")], "x int, y string"),
+        ["x", "y"],
+    ).collect()
+    assert [t["key_col"] for t in two] == ["x", "y"]
+    assert [t["max_cnt"] for t in two] == [2, 2]
