@@ -358,3 +358,23 @@ def test_salted_agg_two_hash_aggregate_phases(spark):
     plan = _plan(E.q_salted_revenue(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4   # 2 phases x (partial + final)
     assert "CartesianProduct" not in plan
+
+
+def test_skew_report_topn_is_take_ordered(spark):
+    """skew_report's heaviest-keys rank compiles to TakeOrderedAndProject
+    (a distributed top-k heap over the distinct-key counts — no task ever
+    sorts the full key space), and the per-key count is a two-phase hash
+    aggregate."""
+    plan = _plan(E.q_skew_report(spark, SF_DIR))
+    assert "TakeOrderedAndProject(limit=3" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark):
+    """epoch_shuffle: exactly one hash exchange (by shard) and the
+    position sort runs WITHIN shard partitions — a global sort would
+    show a rangepartitioning exchange."""
+    plan = _plan(E.q_docs_epoch_shuffle(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
