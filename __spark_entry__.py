@@ -1040,6 +1040,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by lift
+    (``operators/text.py::collocations`` — r8): PMI without the log
+    (rank-equivalent, and bit-replayable cross-engine because every
+    operand is an exact integer count and the three IEEE divisions are
+    order-pinned). min_count=5 prunes before the vocabulary joins;
+    deterministic (lift, n_ab, gram) order makes the k-boundary
+    hash-stable."""
+    d = _docs(spark, sf_dir)
+    return tx.collocations(d, "text", "doc_id", min_count=5, k=30)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution diagnostics (``operators/skew.py::skew_report``
     — r8): exact group-size quantiles at integer inverted-CDF ranks,
@@ -2822,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
         "skew_report": q_skew_report,
+        "corpus_collocations": q_corpus_collocations,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -4438,6 +4451,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON s.id_a = sa.doc_id
             JOIN sizes sb ON s.id_b = sb.doc_id
             WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "corpus_collocations": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bi AS (
+                SELECT unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)),
+                                               i -> array_to_string(t[i:i+1], ' '))
+                           ELSE [] END) AS gram
+                FROM t
+            ), uni AS (
+                SELECT unnest(t) AS gram FROM t
+            ), ab AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS n_ab FROM bi GROUP BY 1
+            ), w AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY 1
+            ), tot AS (
+                SELECT (SELECT sum(n_ab) FROM ab) AS m_bigrams,
+                       (SELECT sum(n_w) FROM w) AS n_tokens
+            ), cand AS (
+                SELECT a.gram, a.n_ab,
+                       string_split(a.gram, ' ')[1] AS w1,
+                       string_split(a.gram, ' ')[2] AS w2
+                FROM ab a WHERE a.n_ab >= 5
+            )
+            SELECT c.gram, c.n_ab,
+                   wa.n_w AS n_a, wb.n_w AS n_b,
+                   round((CAST(c.n_ab AS DOUBLE) / CAST(t2.m_bigrams AS DOUBLE))
+                         / ((CAST(wa.n_w AS DOUBLE) / CAST(t2.n_tokens AS DOUBLE))
+                            * (CAST(wb.n_w AS DOUBLE) / CAST(t2.n_tokens AS DOUBLE))),
+                         6) AS lift
+            FROM cand c
+            JOIN w wa ON wa.gram = c.w1
+            JOIN w wb ON wb.gram = c.w2
+            CROSS JOIN tot t2
+            ORDER BY lift DESC, c.n_ab DESC, c.gram ASC
+            LIMIT 30
         """,
         "skew_report": """
             WITH """ + ",\n            ".join(

@@ -710,3 +710,69 @@ def encode_documents(
             ),
         ).alias("encoded_prefix"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by LIFT — the corpus-analysis step that
+    finds multi-word units ("new york", "machine learning") worth
+    protecting in tokenizer training or n-gram features:
+
+        lift(a b) = p(ab) / (p(a)·p(b))
+                  = (n_ab / M) / ((n_a / N) · (n_b / N))
+
+    with M = total bigram occurrences, N = total tokens. Lift is PMI
+    without the log (rank-equivalent, and exactly reproducible
+    cross-engine: every operand is an exact int64 count < 2^53, so the
+    three IEEE divisions replay bit-identically — a float ``log`` would
+    not, per the DECISIONS.md determinism rules).
+
+    Scale shape: per-doc gram counts are array-side (``ngram_doc_counts``
+    — what shuffles is distinct grams per doc); corpus totals are two
+    scalar aggregates broadcast back; the unigram joins run over the
+    VOCABULARY, not occurrences (AQE picks broadcast when it fits); the
+    ``min_count`` filter prunes the join input; top-k is a TakeOrdered
+    heap with a deterministic (lift, n_ab, gram) order."""
+    bi = ngram_doc_counts(df, text_col, id_col, ngram_n=2)
+    uni = ngram_doc_counts(df, text_col, id_col, ngram_n=1)
+    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab"))
+    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w"))
+    totals = ab.agg(F.sum("n_ab").cast("long").alias("m_bigrams")).crossJoin(
+        w.agg(F.sum("n_w").cast("long").alias("n_tokens"))
+    )
+    cand = (
+        ab.where(F.col("n_ab") >= min_count)
+        .withColumn("__w", F.split(F.col("gram"), " "))
+        .select(
+            "gram",
+            "n_ab",
+            F.element_at("__w", 1).alias("__w1"),
+            F.element_at("__w", 2).alias("__w2"),
+        )
+        .join(w.select(F.col("gram").alias("__w1"), F.col("n_w").alias("n_a")), "__w1")
+        .join(w.select(F.col("gram").alias("__w2"), F.col("n_w").alias("n_b")), "__w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = (
+        F.col("n_ab").cast("double") / F.col("m_bigrams").cast("double")
+    ) / (
+        (F.col("n_a").cast("double") / F.col("n_tokens").cast("double"))
+        * (F.col("n_b").cast("double") / F.col("n_tokens").cast("double"))
+    )
+    return (
+        cand.select(
+            "gram",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("n_ab").desc(), F.col("gram").asc())
+        .limit(k)
+    )

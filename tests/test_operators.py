@@ -856,3 +856,30 @@ def test_skew_report_exact_stats_and_salt_recommendation(spark):
     ).collect()
     assert [t["key_col"] for t in two] == ["x", "y"]
     assert [t["max_cnt"] for t in two] == [2, 2]
+
+
+def test_collocations_lift_exact_and_ranking(spark):
+    """A planted collocation ("new york": its words appear ONLY together)
+    gets the maximal lift; a frequent-but-independent pair ranks below
+    it; the lift value is the exact closed-form ratio."""
+    from commercepulse_data_pipeline_spark.operators.text import collocations
+
+    # 10 docs: each has "new york" once plus filler where "the" and "cat"
+    # co-occur sometimes but also appear apart
+    docs = []
+    for i in range(10):
+        filler = "the cat" if i % 2 == 0 else "the dog cat mouse"
+        docs.append((i, f"new york {filler}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = collocations(df, "text", "doc_id", min_count=5, k=10).collect()
+    by_gram = {r["gram"]: r for r in out}
+
+    ny = by_gram["new york"]
+    # totals: tokens N = 10*2 + 5*2 + 5*4 = 50; bigrams M = sum(len-1) =
+    # 5*3 + 5*5 = 40; n_ab=10, n_a=n_b=10
+    assert (ny["n_ab"], ny["n_a"], ny["n_b"]) == (10, 10, 10)
+    expect = (10 / 40) / ((10 / 50) * (10 / 50))
+    assert ny["lift"] == round(expect, 6)
+    # "the cat" occurs 5 times but its words also appear apart → lower lift
+    assert by_gram["the cat"]["lift"] < ny["lift"]
+    assert out[0]["gram"] in ("new york", "york the")  # top by lift
