@@ -81,6 +81,9 @@ PROBE_QUERIES = [
     "order_value_hist_quantiles",
     "kmv_set_overlap",
     "containment_pairs",
+    "docs_epoch_shuffle",
+    "skew_report",
+    "corpus_collocations",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
