@@ -1230,3 +1230,48 @@ def test_sample_frames_fanout(media_df):
     assert 1 <= len(out) <= 5
     assert [r.frame_index for r in sorted(out, key=lambda r: r.frame_index)] == list(range(len(out)))
     assert all(r.frame_ts_sec == r.frame_index / 1.0 for r in out)
+
+
+def test_real_decode_flac_roundtrip_fuzz():
+    """Randomized (seeded) round-trips across subframe kinds, rice
+    parameters, partition orders, bit depths and channel modes — every
+    decode must be bit-exact (FLAC is lossless)."""
+    import random
+
+    from commercepulse_data_pipeline_spark.multimodal import _flac_pcm
+
+    rnd = random.Random(20260815)
+    for trial in range(25):
+        bps = rnd.choice([8, 12, 16, 20])
+        lim = 1 << (bps - 1)
+        n = rnd.choice([16, 32, 64])
+        kind = rnd.choice(["verbatim", "constant", "fixed0", "fixed1",
+                           "fixed2", "fixed3", "escape"])
+        if kind == "constant":
+            ch = [rnd.randrange(-lim, lim)] * n
+        elif kind.startswith("fixed") and kind != "fixed0":
+            # smooth signal keeps fixed-predictor residuals rice-sized
+            ch = [rnd.randrange(-64, 64)]
+            for _ in range(n - 1):
+                ch.append(max(-lim, min(lim - 1, ch[-1] + rnd.randrange(-8, 8))))
+        else:
+            ch = [rnd.randrange(-lim, lim) for _ in range(n)]
+        stereo = rnd.random() < 0.5
+        if stereo and kind not in ("escape",):
+            other = [max(-(lim >> 1), min((lim >> 1) - 1, v - rnd.randrange(0, 4)))
+                     for v in ch]
+            ch = [max(-(lim >> 1), min((lim >> 1) - 1, v)) for v in ch]
+            mode = rnd.choice([None, 8, 9, 10])
+            kinds = [kind, kind]
+            frames = [_flac_frame_enc([ch, other], bps, 0, kinds, ch_mode=mode,
+                                      rice_param=rnd.choice([1, 2, 4]),
+                                      porder=rnd.choice([0, 0, 2]) if kind.startswith("fixed") and n % 4 == 0 else 0)]
+            chans_src = [ch, other]
+        else:
+            frames = [_flac_frame_enc([ch], bps, 0, [kind],
+                                      rice_param=rnd.choice([1, 2, 4]),
+                                      porder=0)]
+            chans_src = [ch]
+        blob = _flac_full(chans_src, bps, 8000, frames)
+        _, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 8000, bps)
+        assert chans == chans_src, (trial, kind, bps, stereo)

@@ -674,3 +674,96 @@ def test_ordered_funnel_matches_greedy_model(spark, events):
         if ts[0] is not None:
             expect[u] = tuple(ts)
     assert got == expect
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_containment_matches_bruteforce(spark, corpus, threshold):
+    """Distributed directed containment ≡ brute-force |src∩dst|/|src| on
+    the same 3-shingle sets, both directions, at any threshold."""
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dd.containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=threshold,
+            max_shingle_freq=10**6,
+        ).collect()
+    }
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.permutations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb or not sa & sb:
+            continue
+        c = len(sa & sb) / len(sa)
+        if c >= threshold:
+            expected[(ia, ib)] = round(c, 6)
+    assert got == expected
+
+
+@given(
+    sets=st.dictionaries(
+        st.sampled_from(["A", "B", "C"]),
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+        min_size=2,
+        max_size=3,
+    ),
+    k=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_kmv_overlap_matches_python_model(spark, tmp_path_factory, sets, k):
+    """kmv_set_overlap ≡ a pure-Python KMV model (same md5 hashes, same
+    k-smallest truncation, same estimator arithmetic) for every set pair
+    — sketches, matches, theta and the estimates themselves."""
+    import hashlib
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+        write_kmv_rollup,
+    )
+
+    rows = [(s, f"key{v}") for s, vals in sets.items() for v in vals]
+    df = spark.createDataFrame(rows, "s string, key string")
+    path = str(tmp_path_factory.mktemp("kmv") / "rollup")
+    write_kmv_rollup(df, path, set_col="s", key_col="key", k=k)
+    got = {
+        (r["set_a"], r["set_b"]): (
+            r["n_kept"], r["theta"], r["n_matches"], r["union_est"], r["inter_est"]
+        )
+        for r in kmv_set_overlap(spark, path, set_col="s", k=k).collect()
+    }
+
+    def hv(key):
+        return int(hashlib.md5(f"kmv-v1:{key}".encode()).hexdigest()[:8], 16)
+
+    sk = {
+        s: sorted({hv(f"key{v}") for v in vals})[:k]
+        for s, vals in sets.items()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        un = sorted(set(sk[a]) | set(sk[b]))[:k]
+        n_kept = len(un)
+        theta = max(un)
+        matches = sum(1 for h in un if h in set(sk[a]) and h in set(sk[b]))
+        if n_kept < k:
+            u_est, i_est = float(n_kept), float(matches)
+        else:
+            u_est = float((k - 1) * (1 << 32)) / float(theta)
+            i_est = (float(matches) / float(k)) * u_est
+        expected[(a, b)] = (n_kept, theta, matches, round(u_est, 4), round(i_est, 4))
+    assert got == expected
