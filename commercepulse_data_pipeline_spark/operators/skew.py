@@ -145,12 +145,18 @@ def skew_report(
       asc — deterministic), comma-joined for schema stability.
 
     Scale shape: one map-side-combined count per key column; every later
-    stage runs over DISTINCT KEYS only. The top-n rank is
-    WindowGroupLimit-pushed; the quantile is an exact rank filter over
-    the ordered counts (the rank thresholds are COLUMNS derived from a
-    window count, so no scalar ever hits the driver). Profiling K key
-    columns scans the table K times map-only — a diagnostic posture;
-    pass one column in the hot path.
+    stage collapses further. The top-n rank over an unpartitioned window
+    compiles to TakeOrderedAndProject (a distributed top-k heap — no
+    task ever sorts the key space; plan-pinned). The quantiles do NOT
+    rank the distinct keys: the counts multiset collapses to its
+    DISTINCT VALUES first (group-size histograms are massively
+    degenerate — a 10^9-key table typically has 10^2-10^4 distinct group
+    sizes), the cumulative runs over that tiny table, and the rank-r
+    value is the minimum count whose cumulative coverage reaches r —
+    identical to ranking every key, without ever putting the keys
+    through a single-partition window. Profiling K key columns scans the
+    table K times map-only — a diagnostic posture; pass one column in
+    the hot path.
     """
     from pyspark.sql import Window
 
@@ -180,25 +186,31 @@ def skew_report(
                 ).alias("top_keys")
             )
         )
-        w_ord = Window.orderBy(F.col("cnt").asc(), F.col(key).asc())
+        # distinct group sizes + how many keys have each — the small table
+        dist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("nk_at"))
+        w_cum = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         w_all = Window.orderBy(F.lit(1)).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        ranked = counts.select(
+        cum = dist.select(
             "cnt",
-            F.row_number().over(w_ord).alias("rnk"),
-            F.count(F.lit(1)).over(w_all).alias("nk"),
+            F.sum("nk_at").over(w_cum).alias("cum"),
+            F.sum("nk_at").over(w_all).alias("nk"),
         )
-        quant = ranked.select(
+        # rank-r value of the counts multiset = min cnt whose cumulative
+        # key coverage reaches r (r = ceil(q * n_keys), exact int math)
+        quant = cum.select(
             "cnt",
-            "rnk",
+            "cum",
             F.expr("(50 * nk + 99) div 100").cast("long").alias("r50"),
             F.expr("(99 * nk + 99) div 100").cast("long").alias("r99"),
         ).agg(
-            F.max(F.when(F.col("rnk") == F.col("r50"), F.col("cnt")))
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("cnt")))
             .cast("long")
             .alias("p50_cnt"),
-            F.max(F.when(F.col("rnk") == F.col("r99"), F.col("cnt")))
+            F.min(F.when(F.col("cum") >= F.col("r99"), F.col("cnt")))
             .cast("long")
             .alias("p99_cnt"),
         )
