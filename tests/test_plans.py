@@ -378,3 +378,13 @@ def test_epoch_shuffle_single_exchange_no_global_sort(spark):
     plan = _plan(E.q_docs_epoch_shuffle(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    """corpus_collocations: the top-k is a TakeOrderedAndProject heap and
+    the per-doc gram counting aggregates with map-side partials; the only
+    nested-loop join is the broadcast of the 1-row totals."""
+    plan = _plan(E.q_corpus_collocations(spark, SF_DIR))
+    assert "TakeOrderedAndProject(limit=30" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
