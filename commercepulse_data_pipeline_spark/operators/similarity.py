@@ -586,3 +586,77 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding corpus: one row per
+    (i, j), i <= j, with ``gram`` = Σ over vectors of x_i·x_j — the
+    single-pass statistic PCA / whitening / covariance diagnostics need
+    (covariance = Gram/n minus the mean outer product; the mean vector is
+    one more cheap aggregate).
+
+    Determinism: each product is one IEEE double multiply; the SUM
+    accumulates in DECIMAL (exact, commutative), so the matrix is
+    independent of partition/merge order and replays exactly in a SQL
+    oracle — the float-sum discipline of DECISIONS.md.
+
+    Scale shape: the double posexplode does O(d²/2) work per vector —
+    covariance IS n·d² work — but map-side partial aggregation collapses
+    each task's rows to ≤ d²/2 partial sums before the shuffle, so the
+    exchange carries tasks × d²/2 rows regardless of corpus size. Output
+    is d(d+1)/2 rows (bounded by dimension alone)."""
+    e = df.where(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("__v"))
+    pairs = (
+        e.select(F.posexplode("__v").alias("i", "__xi"), F.col("__v"))
+        .select("i", "__xi", F.posexplode("__v").alias("j", "__xj"))
+        .where(F.col("j") >= F.col("i"))
+    )
+    prod = (
+        F.col("__xi").cast("double") * F.col("__xj").cast("double")
+    ).cast("decimal(30,8)")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.round(F.sum(prod), 6).cast("double").alias("gram"))
+        .select(F.col("i").cast("int"), F.col("j").cast("int"), "gram")
+    )
+
+
+def pca_components(
+    spark, gram_rows, dim: int, *, k: int = 8
+) -> list[list[float]]:
+    """Top-k principal directions from a collected Gram upper triangle
+    (``gram_rows``: (i, j, gram) tuples — a BOUNDED d(d+1)/2 collect; the
+    corpus itself is never collected). Driver-side numpy ``eigh`` on the
+    d×d symmetric matrix (d is the embedding width — tiny next to the
+    corpus), eigenvectors sign-normalized (largest-|component| positive)
+    so the answer is unique."""
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for i, j, g in gram_rows:
+        m[i][j] = g
+        m[j][i] = g
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        sign = 1.0 if v[int(np.argmax(np.abs(v)))] >= 0 else -1.0
+        comps.append([float(x * sign) for x in v])
+    return comps
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append the k-dim PCA projection: one sequential-fold dot product
+    per component (same deterministic fold as :func:`_dot` — literal
+    component vectors, pure codegen, no shuffle, no UDF)."""
+    projs = [
+        F.round(_dot(F.col(vec_col), F.array(*[F.lit(float(c)) for c in comp])), 6)
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*projs))

@@ -883,3 +883,47 @@ def test_collocations_lift_exact_and_ranking(spark):
     # "the cat" occurs 5 times but its words also appear apart → lower lift
     assert by_gram["the cat"]["lift"] < ny["lift"]
     assert out[0]["gram"] in ("new york", "york the")  # top by lift
+
+
+def test_embedding_gram_and_pca_match_numpy(spark):
+    """Distributed Gram ≡ numpy X.T @ X (to the decimal-accumulation
+    rounding); pca_components reproduces numpy eigh's principal
+    directions (sign-normalized) and project_embeddings projects with
+    the deterministic fold dot — variance captured by PC1 matches numpy
+    to float tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: PC1 variance dominates along a planted direction
+    base = rng.normal(size=(200, 6)) * np.array([5.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in sim.embedding_gram(df, "embedding").collect()
+    }
+    xf = base.astype(np.float32).astype(np.float64)  # the float-column view
+    expect = xf.T @ xf
+    assert len(got) == 6 * 7 // 2
+    for (i, j), g in got.items():
+        assert abs(g - expect[i][j]) < 1e-3, (i, j)
+
+    comps = sim.pca_components(
+        spark, [(i, j, g) for (i, j), g in got.items()], dim=6, k=2
+    )
+    vals, vecs = np.linalg.eigh(expect)
+    top = vecs[:, np.argsort(vals)[::-1][:2]]
+    for k_i in range(2):
+        v = top[:, k_i]
+        v = v if v[int(np.argmax(np.abs(v)))] >= 0 else -v
+        assert np.allclose(comps[k_i], v, atol=1e-4), k_i
+
+    proj = sim.project_embeddings(df, comps, "embedding").collect()
+    want0 = xf @ np.array(comps[0])
+    by_id = {r["vec_id"]: r["pca"] for r in proj}
+    for i in range(0, 200, 37):
+        assert abs(by_id[i][0] - want0[i]) < 1e-4
+    # PC1 projections carry the most variance
+    p = np.array([by_id[i] for i in range(200)])
+    assert p[:, 0].var() > p[:, 1].var() * 2
