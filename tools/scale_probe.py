@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     "docs_epoch_shuffle",
     "skew_report",
     "corpus_collocations",
+    "embedding_gram",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
