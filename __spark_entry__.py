@@ -1040,6 +1040,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flags over daily order revenue
+    (``operators/windows.py::robust_anomalies`` — r8): revenue
+    aggregates to exact integer CENTS per day (decimal sum → long), the
+    median and MAD are exact inverted-CDF ranks, and a day is anomalous
+    when |x - median| > 3·MAD — all integer arithmetic, hash-replayable.
+    The rank windows run over the calendar-bounded day series (the
+    data-sized work happened in the per-day aggregate). Returns flagged
+    days only, with the stats alongside."""
+    o = _t(spark, sf_dir, "orders").select(
+        _iso_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    daily = o.groupBy("day").agg(
+        (F.sum("__p") * 100).cast("long").alias("revenue_cents")
+    )
+    flagged = win.robust_anomalies(daily, "revenue_cents", "day", k_mad=3)
+    return flagged.where(F.col("is_anomaly") == 1).select(
+        "day",
+        "revenue_cents",
+        F.col("median_value").alias("median_cents"),
+        F.col("abs_dev").alias("abs_dev_cents"),
+        F.col("mad_value").alias("mad_cents"),
+    )
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding Gram matrix upper triangle
     (``operators/similarity.py::embedding_gram`` — r8): the one-pass
@@ -2800,7 +2826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_asof": q_last_touch_asof,
         "scd2_asof": q_scd2_asof,
         "semantic_dedup": q_semantic_dedup,
-        "split_leakage": q_split_leakage,
         "docs_unigram_ce": q_docs_unigram_ce,
         "corpus_mixture_plan": q_corpus_mixture_plan,
         "merge_upsert_state": q_merge_upsert_state,
@@ -2846,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "corpus_collocations": q_corpus_collocations,
         "embedding_gram": q_embedding_gram,
+        "revenue_anomalies": q_revenue_anomalies,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
@@ -2908,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session (VERDICT r7), and their operators are untouched since
         "ann_ivf_topk": q_ann_ivf_topk,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -4469,6 +4496,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON s.id_a = sa.doc_id
             JOIN sizes sb ON s.id_b = sb.doc_id
             WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        """,
+        "revenue_anomalies": """
+            WITH daily AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1
+            ), r1 AS (
+                SELECT revenue_cents,
+                       row_number() OVER (ORDER BY revenue_cents ASC, day ASC) AS rnk,
+                       count(*) OVER () AS n
+                FROM daily
+            ), med AS (
+                SELECT revenue_cents AS m FROM r1 WHERE rnk = (n + 1) // 2
+            ), dev AS (
+                SELECT d.day, d.revenue_cents, med.m,
+                       abs(d.revenue_cents - med.m) AS dev
+                FROM daily d, med
+            ), r2 AS (
+                SELECT dev,
+                       row_number() OVER (ORDER BY dev ASC, day ASC) AS rnk,
+                       count(*) OVER () AS n
+                FROM dev
+            ), mad AS (
+                SELECT dev AS md FROM r2 WHERE rnk = (n + 1) // 2
+            )
+            SELECT d.day, d.revenue_cents,
+                   CAST(d.m AS BIGINT) AS median_cents,
+                   CAST(d.dev AS BIGINT) AS abs_dev_cents,
+                   CAST(mad.md AS BIGINT) AS mad_cents
+            FROM dev d, mad
+            WHERE d.dev > 3 * greatest(mad.md, 1)
         """,
         "embedding_gram": """
             WITH ex AS (

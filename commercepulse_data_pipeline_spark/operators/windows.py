@@ -124,3 +124,64 @@ def ordered_funnel(
             )
         )
     return cur
+
+
+def robust_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier flags over an INTEGER-valued series — the
+    robust anomaly gate (a 10× revenue day, a collapsed-volume day) that
+    a mean/stddev z-score misses because outliers drag the mean itself.
+
+    median = exact inverted-CDF rank ceil(n/2); MAD = median of
+    |x - median|; a row is anomalous when |x - median| > k·MAD
+    (k·MAD floored at 1 tick so an all-identical series flags nothing
+    instead of everything). Every step is integer arithmetic — no float
+    percentile, no stddev — so flags replay exactly cross-engine.
+
+    Scale note: the unpartitioned rank windows run over the SERIES rows,
+    which for the daily-grain series this exists for are calendar-bounded
+    (years × 365), not data-volume-bounded — a single task sorting a few
+    thousand rows, after the upstream aggregate did the data-sized work.
+    For per-group series at scale, pre-partition by group and apply per
+    group."""
+    v = F.col(value_col).cast("long")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w1 = Window.orderBy(v.asc(), F.col(order_col).asc())
+    ranked = df.withColumn("__rnk", F.row_number().over(w1)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    med = ranked.where(
+        F.col("__rnk") == F.expr("(__n + 1) div 2")
+    ).select(v.alias("__med"))
+    with_med = df.crossJoin(F.broadcast(med)).withColumn(
+        "__dev", F.abs(v - F.col("__med"))
+    )
+    w2 = Window.orderBy(F.col("__dev").asc(), F.col(order_col).asc())
+    ranked2 = with_med.withColumn("__rnk", F.row_number().over(w2)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    mad = ranked2.where(
+        F.col("__rnk") == F.expr("(__n + 1) div 2")
+    ).select(F.col("__dev").alias("__mad"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "*",
+            (
+                F.col("__dev")
+                > F.lit(k_mad) * F.greatest(F.col("__mad"), F.lit(1))
+            )
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .withColumnRenamed("__med", "median_value")
+        .withColumnRenamed("__dev", "abs_dev")
+        .withColumnRenamed("__mad", "mad_value")
+    )

@@ -927,3 +927,26 @@ def test_embedding_gram_and_pca_match_numpy(spark):
     # PC1 projections carry the most variance
     p = np.array([by_id[i] for i in range(200)])
     assert p[:, 0].var() > p[:, 1].var() * 2
+
+
+def test_robust_anomalies_median_mad_flags(spark):
+    """Planted outliers: a flat series with two spikes — median/MAD flag
+    exactly the spikes (a mean/stddev gate would drag toward them); the
+    all-identical series flags nothing (MAD floors at 1 tick)."""
+    rows = [(f"d{i:02d}", 100) for i in range(20)]
+    rows[5] = ("d05", 1000)   # +9x spike
+    rows[11] = ("d11", 3)     # collapse
+    df = spark.createDataFrame(rows, "day string, v long")
+    out = win.robust_anomalies(df, "v", "day", k_mad=3).collect()
+    flagged = {r["day"] for r in out if r["is_anomaly"] == 1}
+    assert flagged == {"d05", "d11"}
+    r = [x for x in out if x["day"] == "d05"][0]
+    # mad_value is the RAW MAD (0 here: >=11 of 20 deviations are 0);
+    # the 1-tick floor applies only inside the flag comparison
+    assert (r["median_value"], r["mad_value"], r["abs_dev"]) == (100, 0, 900)
+    # MAD is 0 here (>=11 of 20 deviations are 0) → floored to 1 tick,
+    # so |dev| must exceed 3 to flag; constant series flags nothing
+    flat = spark.createDataFrame([(f"d{i}", 7) for i in range(9)], "day string, v long")
+    assert all(
+        x["is_anomaly"] == 0 for x in win.robust_anomalies(flat, "v", "day").collect()
+    )
