@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     "skew_report",
     "corpus_collocations",
     "embedding_gram",
+    "revenue_anomalies",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
