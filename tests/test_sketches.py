@@ -1049,3 +1049,73 @@ def test_stream_kmv_rollup_and_compaction(spark, tmp_path):
         ).collect())
     )
     assert got3 == want3
+
+
+def test_stream_kmv_crash_replay_from_checkpoint(spark, tmp_path):
+    """Kill the KMV stream AFTER batch 1's partition landed but BEFORE
+    the checkpoint commit (the replay-duplication window). The restart
+    re-delivers batch 1, which OVERWRITES its own partition — and even
+    if it had appended, readers' DISTINCT + re-truncate makes duplicate
+    partials harmless. Final store must equal the one-shot batch
+    sketch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.operators.sketches import build_kmv_rollup
+    from commercepulse_data_pipeline_spark.streaming.kmv import (
+        kmv_rollup_batch,
+        kmv_sketches_from_store,
+        stream_kmv_rollup,
+    )
+
+    k = 8
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    b1 = [("A", f"k{i}") for i in range(40)]
+    b2 = [("A", f"k{i}") for i in range(20, 80)] + [("B", f"z{i}") for i in range(30)]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        pq.write_table(
+            pa.table({"event_type": [r[0] for r in rows],
+                      "ukey": [r[1] for r in rows]}),
+            str(drops / f"{name}.parquet"),
+        )
+    import os
+    import time
+    now = time.time()
+    os.utime(str(drops / "b1.parquet"), (now - 60, now - 60))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        kmv_rollup_batch(bdf, bid, store, set_col="event_type", key_col="ukey", k=k)
+        if bid == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        spark.readStream.schema("event_type string, ukey string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # batch 1's write IS durable (landed before the crash)
+    assert os.path.isdir(f"{store}/ingest_batch=1")
+
+    q2 = stream_kmv_rollup(
+        spark, str(drops), store, ckpt, k=k, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    want = sorted(map(tuple, build_kmv_rollup(
+        spark.createDataFrame(b1 + b2, "event_type string, ukey string"),
+        set_col="event_type", key_col="ukey", k=k,
+    ).collect()))
+    got = sorted(map(tuple, kmv_sketches_from_store(
+        spark, store, set_col="event_type", k=k
+    ).collect()))
+    assert got == want
