@@ -894,3 +894,97 @@ def test_gold_upsert_mid_swap_crash_then_replay_converges(
     )
     got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path):
+    """The stateful streaming funnel (streaming/funnels.py) equals the
+    batch ordered_funnel after the stream drains — INCLUDING a
+    late-but-within-watermark step-1 event that arrives a batch later
+    and retroactively moves t1 (the case a naive advance-a-counter
+    funnel gets wrong). Heartbeat events (a type outside the step list)
+    only push the watermark."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.operators.windows import ordered_funnel
+    from commercepulse_data_pipeline_spark.streaming.funnels import streaming_funnel
+
+    def ts(sec):
+        return pd.Timestamp("2026-03-01", tz="UTC") + pd.Timedelta(seconds=sec)
+
+    steps = ["A", "B", "C"]
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    d1 = [(1, ts(100), "A"), (1, ts(105), "B"), (2, ts(100), "A")]
+    # u1's A@96 arrives one batch LATE (watermark after d1 = 105-10 = 95,
+    # so 96 is still admissible) and must become the new t1; B@105 > 96
+    # still matches; C@110 completes. u3's far-future heartbeat pushes
+    # the watermark so batch 3 can seal everything.
+    d2 = [(1, ts(96), "A"), (1, ts(110), "C"), (2, ts(103), "B"),
+          (3, ts(200), "hb")]
+    d3 = [(1, ts(300), "hb"), (2, ts(300), "hb")]
+    for i, rows in enumerate((d1, d2, d3)):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_ts": pa.array([r[1] for r in rows],
+                                     type=pa.timestamp("us", tz="UTC")),
+                "event_type": [r[2] for r in rows],
+            }),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .withWatermark("event_ts", "10 seconds")
+    )
+    out_dir = str(tmp_path / "out")
+
+    def sink(bdf, bid):
+        bdf.withColumn("b", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["b"] > latest[r["user_id"]]["b"]:
+            latest[r["user_id"]] = r
+
+    events = spark.createDataFrame(
+        [(u, t.to_pydatetime(), ty) for batch in (d1, d2, d3) for (u, t, ty) in batch],
+        "user_id long, ts timestamp, event_type string",
+    )
+    batch = {
+        r["user_id"]: r
+        for r in ordered_funnel(events, steps, ts_col="ts").collect()
+    }
+    for u in (1, 2):
+        got, want = latest[u], batch[u]
+        for i, _ in enumerate(steps, start=1):
+            want_us = (
+                None
+                if want[f"t{i}"] is None
+                else int(pd.Timestamp(want[f"t{i}"]).value // 1000)
+            )
+            assert got[f"t{i}_us"] == want_us, (u, i, got, want)
+    assert latest[1]["steps_completed"] == 3
+    assert latest[2]["steps_completed"] == 2
+    # the late A@96 really did move t1 back
+    assert latest[1]["t1_us"] == int(pd.Timestamp(ts(96)).value // 1000)
