@@ -643,6 +643,7 @@ def kmv_set_overlap(
     *,
     set_col: str,
     k: int = 128,
+    set_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Union / intersection / Jaccard estimates for EVERY pair of sets
     (set_a < set_b) from the persisted sketch table alone — raw data is
@@ -659,16 +660,25 @@ def kmv_set_overlap(
     hash-check exactly against a SQL replay.
 
     Scale shape: sketches are <= k rows per set, so the pair fan-out is
-    |sets|^2 * k kilobyte-rows; the per-pair re-rank is WindowGroupLimit-
+    |pairs| * k kilobyte-rows; the per-pair re-rank is WindowGroupLimit-
     pushed. The expensive thing — scanning raw data — happened once, at
-    build time."""
+    build time. Default pairing is EVERY pair (|sets|^2/2 — fine for
+    tens-to-hundreds of sets); with thousands of sets pass ``set_pairs``
+    (columns set_a < set_b) to restrict to the candidates a caller
+    actually needs — the sketch table itself stays |sets| * k rows either
+    way."""
     sk_rows = kmv_truncate(
         spark.read.parquet(path), set_col=set_col, k=k
     ).select(F.col(set_col).alias("__set"), "hv")
-    sets = sk_rows.select(F.col("__set").alias("set_a")).distinct()
-    pairs = sets.crossJoin(
-        sk_rows.select(F.col("__set").alias("set_b")).distinct()
-    ).where(F.col("set_a") < F.col("set_b"))
+    if set_pairs is not None:
+        pairs = set_pairs.select("set_a", "set_b").where(
+            F.col("set_a") < F.col("set_b")
+        ).distinct()
+    else:
+        sets = sk_rows.select(F.col("__set").alias("set_a")).distinct()
+        pairs = sets.crossJoin(
+            sk_rows.select(F.col("__set").alias("set_b")).distinct()
+        ).where(F.col("set_a") < F.col("set_b"))
     # tag each sketch row with which operand(s) of the pair it came from,
     # collapse duplicate hashes (hv in both operands -> one union row with
     # both flags), then re-truncate to the union's k smallest

@@ -1119,3 +1119,28 @@ def test_stream_kmv_crash_replay_from_checkpoint(spark, tmp_path):
         spark, store, set_col="event_type", k=k
     ).collect()))
     assert got == want
+
+
+def test_kmv_set_overlap_explicit_pairs(spark, tmp_path):
+    """set_pairs restricts the pair fan-out to caller-chosen candidates
+    (the thousands-of-sets escape hatch) and returns values identical to
+    the all-pairs default for the requested pairs."""
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+        write_kmv_rollup,
+    )
+
+    rows = [(s, f"{s}{i}" if s != "B" else f"A{i}")
+            for s in ("A", "B", "C") for i in range(30)]
+    df = spark.createDataFrame(rows, "s string, key string")
+    p = str(tmp_path / "kmv")
+    write_kmv_rollup(df, p, set_col="s", key_col="key", k=64)
+    full = {
+        (r["set_a"], r["set_b"]): tuple(r)
+        for r in kmv_set_overlap(spark, p, set_col="s", k=64).collect()
+    }
+    pairs = spark.createDataFrame([("A", "B")], "set_a string, set_b string")
+    got = kmv_set_overlap(spark, p, set_col="s", k=64, set_pairs=pairs).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == full[("A", "B")]
+    assert got[0]["n_matches"] == 30  # B duplicates A's keys exactly
