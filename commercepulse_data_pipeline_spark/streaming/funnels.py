@@ -94,19 +94,21 @@ def streaming_funnel(
             matches, buf = [], []
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                rts = getattr(row, ts_col, None)
-                if rts is None or pd.isna(rts):
-                    continue
-                r_us = int(pd.Timestamp(rts).value // 1000)
-                # the watermark contract: events at-or-before the current
-                # watermark may be dropped by upstream operators anyway —
-                # dropping them here keeps the fold replay-deterministic
-                # (they can never be distinguished from never-arrived)
-                if r_us <= wm_us:
-                    continue
-                buf.append((r_us, getattr(row, type_col, None)))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    rts = getattr(row, ts_col, None)
+                    if rts is None or pd.isna(rts):
+                        continue
+                    r_us = int(pd.Timestamp(rts).value // 1000)
+                    # the watermark contract: events at-or-before the
+                    # current watermark may be dropped by upstream
+                    # operators anyway — dropping them here keeps the fold
+                    # replay-deterministic (they can never be
+                    # distinguished from never-arrived)
+                    if r_us <= wm_us:
+                        continue
+                    buf.append((r_us, getattr(row, type_col, None)))
 
         # seal and fold: everything at-or-before the watermark is final
         sealed = sorted(e for e in buf if e[0] <= wm_us)
@@ -121,6 +123,16 @@ def streaming_funnel(
         state.update(
             (matches, [t for t, _ in buf], [ty for _, ty in buf])
         )
+        if buf:
+            # wake this key when the watermark passes its oldest buffered
+            # event, so idle users finalize WITHOUT needing another event
+            # of their own (no per-key heartbeat requirement). The µs→ms
+            # floor could land at-or-below the current watermark (which
+            # Spark rejects / would re-fire without progress) — clamp to
+            # watermark + 1 ms.
+            state.setTimeoutTimestamp(
+                max(min(t for t, _ in buf) // 1000, wm_us // 1000 + 1)
+            )
         row_out = {
             "user_id": key[0],
             "steps_completed": len(matches),
@@ -134,5 +146,5 @@ def streaming_funnel(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

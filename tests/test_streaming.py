@@ -922,11 +922,12 @@ def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path)
     d1 = [(1, ts(100), "A"), (1, ts(105), "B"), (2, ts(100), "A")]
     # u1's A@96 arrives one batch LATE (watermark after d1 = 105-10 = 95,
     # so 96 is still admissible) and must become the new t1; B@105 > 96
-    # still matches; C@110 completes. u3's far-future heartbeat pushes
-    # the watermark so batch 3 can seal everything.
+    # still matches; C@110 completes. u3's far-future heartbeats push the
+    # watermark GLOBALLY — u1/u2 receive NOTHING after d2 and must
+    # finalize via their EventTimeTimeout, not via events of their own.
     d2 = [(1, ts(96), "A"), (1, ts(110), "C"), (2, ts(103), "B"),
           (3, ts(200), "hb")]
-    d3 = [(1, ts(300), "hb"), (2, ts(300), "hb")]
+    d3 = [(3, ts(300), "hb")]
     for i, rows in enumerate((d1, d2, d3)):
         pq.write_table(
             pa.table({
