@@ -989,3 +989,41 @@ def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path)
     assert latest[2]["steps_completed"] == 2
     # the late A@96 really did move t1 back
     assert latest[1]["t1_us"] == int(pd.Timestamp(ts(96)).value // 1000)
+
+
+def test_deterministic_sample_is_stream_batch_unified(spark, tmp_path):
+    """Content-keyed sampling is a stateless projection, so the SAME
+    operator runs unchanged on a stream and selects the SAME rows the
+    batch form selects — the batch/stream unification the md5-bucket
+    discipline buys (per-partition-seeded df.sample could not)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(500), type=pa.int64())}),
+        str(drops / "d.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long").parquet(str(drops))
+    out = str(tmp_path / "out")
+    q = (
+        deterministic_sample(stream, "doc_id", 0.25, salt="s1:")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    want = {
+        r["doc_id"]
+        for r in deterministic_sample(batch, "doc_id", 0.25, salt="s1:").collect()
+    }
+    assert got == want and 0 < len(got) < 500
