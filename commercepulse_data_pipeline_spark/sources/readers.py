@@ -123,11 +123,30 @@ def write_bronze(events: DataFrame, path: str, mode: str = "append") -> None:
     )
 
 
-def read_bronze(spark: SparkSession, path: str, event_types: list[str] | None = None) -> DataFrame:
+def read_bronze(
+    spark: SparkSession,
+    path: str,
+    event_types: list[str] | None = None,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Bronze scan with predicate pushdown (reference S3: Mongo
     ``find({event_type: {$in: ...}})`` — Catalyst pushes the isin filter
-    into the parquet scan) and storage-level idempotency on read."""
-    df = spark.read.parquet(path)
+    into the parquet scan) and storage-level idempotency on read.
+
+    ``merge_schema=True`` handles PARQUET-level schema evolution: without
+    it Spark infers the store schema from a sampled footer, so a column a
+    vendor added mid-history silently disappears (or appears) depending
+    on which file got sampled. It costs a footer read per file at plan
+    time — at many-file scale, prefer declaring the superset schema
+    explicitly (``spark.read.schema(...)``) or registering the store as a
+    table; this flag is the ad-hoc-exploration escape hatch. (VALUE-level
+    drift — renamed/retyped fields inside the payload — is
+    ``functions/drift.py``'s job, not the reader's.)"""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if event_types:
         df = df.where(F.col("event_type").isin(event_types))
     return df.dropDuplicates(["event_id"])

@@ -292,3 +292,29 @@ def test_historical_json_bootstrap_envelope(spark, tmp_path):
     # determinism: same input → same event ids (idempotent replays collapse)
     env2 = read_historical_json(spark, str(p), "historical_order")
     assert {r.event_id for r in rows} == {r.event_id for r in env2.collect()}
+
+
+def test_bronze_merge_schema_survives_added_column(spark, tmp_path):
+    """Parquet-level schema evolution: a column added by a later vendor
+    day is visible (NULL-padded for old days) with merge_schema=True —
+    without it, Spark's sampled-footer inference can drop it silently."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from commercepulse_data_pipeline_spark.sources.readers import read_bronze
+
+    p = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [("e1", "order_created")], "event_id string, event_type string"
+    ).write.parquet(p + "/ingest_date=2026-01-01")
+    spark.createDataFrame(
+        [("e2", "order_created", "mobile")],
+        "event_id string, event_type string, channel string",
+    ).write.parquet(p + "/ingest_date=2026-01-02")
+
+    out = read_bronze(spark, p, merge_schema=True)
+    assert "channel" in out.columns
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows["e2"]["channel"] == "mobile"
+    assert rows["e1"]["channel"] is None
+    # pushdown path still composes
+    assert read_bronze(spark, p, ["order_created"], merge_schema=True).count() == 2
