@@ -969,9 +969,9 @@ def _flac_pcm(
         else:
             raise ValueError("reserved FLAC channel assignment")
         bits.align()
-        crc16 = int.from_bytes(content[bits.pos : bits.pos + 2], "big")
         if len(content) < bits.pos + 2:
             raise ValueError("truncated FLAC frame footer")
+        crc16 = int.from_bytes(content[bits.pos : bits.pos + 2], "big")
         if crc16 != _flac_crc16(content[frame_head : bits.pos]):
             raise ValueError("FLAC frame CRC-16 mismatch")
         bits.pos += 2
