@@ -1144,3 +1144,57 @@ def test_kmv_set_overlap_explicit_pairs(spark, tmp_path):
     assert len(got) == 1
     assert tuple(got[0]) == full[("A", "B")]
     assert got[0]["n_matches"] == 30  # B duplicates A's keys exactly
+
+
+def test_compact_kmv_rollup_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Kill compact_kmv_rollup at its commit point (marker written,
+    consolidated partition not yet renamed in): the next call rolls
+    FORWARD via the shared fold protocol and the sketch answers are
+    unchanged."""
+    import os
+
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.streaming.kmv import (
+        compact_kmv_rollup,
+        kmv_rollup_batch,
+        kmv_sketches_from_store,
+    )
+
+    k = 8
+    store = str(tmp_path / "kmv_store")
+    for bid in range(3):
+        kmv_rollup_batch(
+            spark.createDataFrame(
+                [("A", f"k{bid * 30 + i}") for i in range(60)],
+                "event_type string, ukey string",
+            ),
+            bid, store, set_col="event_type", key_col="ukey", k=k,
+        )
+    before = sorted(map(tuple, kmv_sketches_from_store(
+        spark, store, set_col="event_type", k=k
+    ).collect()))
+
+    real_rename = os.rename
+    cons_dst = os.path.join(store, "ingest_batch=-1")
+
+    def crashing(src, dst):
+        if str(dst) == cons_dst:
+            raise RuntimeError("injected crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing)
+    with _pytest.raises(RuntimeError, match="commit point"):
+        compact_kmv_rollup(spark, store, set_col="event_type", k=k, keep_latest=0)
+    monkeypatch.undo()
+    assert os.path.exists(store + "._fold_old/_FOLDED.json")
+    assert not os.path.exists(cons_dst)
+
+    stats = compact_kmv_rollup(spark, store, set_col="event_type", k=k, keep_latest=0)
+    assert os.path.exists(cons_dst)
+    assert not os.path.exists(store + "._fold_old")
+    after = sorted(map(tuple, kmv_sketches_from_store(
+        spark, store, set_col="event_type", k=k
+    ).collect()))
+    assert after == before
+    assert stats["partitions_after"] >= 1
