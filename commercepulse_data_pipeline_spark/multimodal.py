@@ -102,6 +102,53 @@ def _decode_bmp(content: bytes) -> dict:
     }
 
 
+def _decode_tiff(content: bytes) -> dict:
+    """TIFF metadata extract (public TIFF 6.0 spec): byte-order mark
+    ('II' little / 'MM' big) + magic 42 + first-IFD offset; IFD entries
+    are 12 bytes (tag, type, count, value-or-offset) — tags 256/257 give
+    ImageWidth/ImageLength as SHORT(3) or LONG(4), inlined in the value
+    field when they fit (the raster itself may be packed/LZW/JPEG-coded —
+    the curation-filter fields don't need it)."""
+    import struct
+
+    bo = {"II": "<", "MM": ">"}.get(content[:2].decode("latin1", "replace"))
+    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
+        raise ValueError("not a TIFF header")
+    ifd = struct.unpack_from(bo + "I", content, 4)[0]
+    width = height = None
+    seen = set()
+    while ifd and ifd not in seen and ifd + 2 <= len(content):
+        seen.add(ifd)
+        n = struct.unpack_from(bo + "H", content, ifd)[0]
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            if off + 12 > len(content):
+                break
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
+            if tag in (256, 257) and cnt == 1 and typ in (3, 4):
+                v = struct.unpack_from(
+                    bo + ("H" if typ == 3 else "I"), content, off + 8
+                )[0]
+                if tag == 256:
+                    width = v
+                else:
+                    height = v
+        if width is not None and height is not None:
+            break
+        nxt_off = ifd + 2 + 12 * n
+        if nxt_off + 4 > len(content):
+            break
+        ifd = struct.unpack_from(bo + "I", content, nxt_off)[0]
+    if width is None or height is None:
+        raise ValueError("TIFF without ImageWidth/ImageLength")
+    return {
+        "width": width,
+        "height": height,
+        "duration_sec": None,
+        "feature": _feature_from_bytes(content),
+    }
+
+
 def _decode_wav(content: bytes) -> dict:
     """WAV (RIFF/PCM): walk the chunk list; 'fmt ' gives channels/rate/
     bits, 'data' gives payload size → duration = data_bytes / byte_rate."""
@@ -1201,6 +1248,8 @@ def real_decode(content: bytes, modality: str) -> dict:
         return _decode_gif(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return _decode_wav(content)
     if content[:2] == b"P6":

@@ -1275,3 +1275,41 @@ def test_real_decode_flac_roundtrip_fuzz():
         blob = _flac_full(chans_src, bps, 8000, frames)
         _, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 8000, bps)
         assert chans == chans_src, (trial, kind, bps, stereo)
+
+
+def test_real_decode_tiff_both_byte_orders():
+    """Hand-built TIFF IFDs in both endiannesses, SHORT and LONG value
+    types, including a second IFD reached via the next-IFD chain."""
+    import struct
+
+    def tiff(bo, width, height, wtype=3, second_ifd=False):
+        e = "<" if bo == b"II" else ">"
+        entries = []
+        # tag 256 width, tag 257 height
+        for tag, v, typ in ((256, width, wtype), (257, height, 4)):
+            val = struct.pack(e + ("H2x" if typ == 3 else "I"), v)
+            entries.append(struct.pack(e + "HHI", tag, typ, 1) + val)
+        ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+        if second_ifd:
+            # first IFD has an unrelated tag only; dims live in IFD 2
+            other = struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "H2x", 1)
+            ifd1 = struct.pack(e + "H", 1) + other
+            off2 = 8 + len(ifd1) + 4
+            ifd1 += struct.pack(e + "I", off2)
+            ifd += struct.pack(e + "I", 0)
+            return bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd1 + ifd
+        ifd += struct.pack(e + "I", 0)
+        return bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd
+
+    for bo in (b"II", b"MM"):
+        d = real_decode(tiff(bo, 640, 480), "image")
+        assert (d["width"], d["height"], d["duration_sec"]) == (640, 480, None)
+    # LONG-typed width beyond 16 bits
+    d = real_decode(tiff(b"II", 70000, 2, wtype=4), "image")
+    assert (d["width"], d["height"]) == (70000, 2)
+    # dims in the SECOND IFD via the chain
+    d = real_decode(tiff(b"MM", 32, 16, second_ifd=True), "image")
+    assert (d["width"], d["height"]) == (32, 16)
+    # truncated / dim-less TIFF raises cleanly
+    with pytest.raises(ValueError):
+        real_decode(b"II*\x00\x08\x00\x00\x00\x00\x00", "image")
