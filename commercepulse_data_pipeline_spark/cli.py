@@ -407,6 +407,24 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_skew_report(args) -> int:
+    """Key-distribution diagnostics for a parquet dataset: exact group
+    quantiles, skew ratio, recommended salt width, heaviest keys — the
+    measurement that decides whether the salted paths are worth it."""
+    from commercepulse_data_pipeline_spark.operators.skew import skew_report
+
+    spark = _spark()
+    df = spark.read.parquet(args.path)
+    for r in skew_report(df, args.key_cols, top_n=args.top_n).collect():
+        print(
+            f"skew: {args.path}: key={r['key_col']} rows={r['n_rows']} "
+            f"keys={r['n_keys']} max={r['max_cnt']} p50={r['p50_cnt']} "
+            f"p99={r['p99_cnt']} ratio={r['skew_ratio']} "
+            f"rec_salt_buckets={r['rec_salt_buckets']} top=[{r['top_keys']}]"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="commercepulse", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -515,6 +533,14 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("keys", nargs="+")
     pg.add_argument("--partition-col", default=None)
     pg.set_defaults(fn=cmd_purge)
+
+    sk = sub.add_parser(
+        "skew-report", help="key-distribution / salt-width diagnostics"
+    )
+    sk.add_argument("path")
+    sk.add_argument("key_cols", nargs="+")
+    sk.add_argument("--top-n", type=int, default=3)
+    sk.set_defaults(fn=cmd_skew_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -234,3 +234,19 @@ def test_cli_stream_gold(spark, landing, tmp_path):
     got = spark.read.parquet(f"{store}/gold").select(*expect.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
     assert got.count() > 0
+
+
+def test_cli_skew_report_subcommand(spark, tmp_path, capsys):
+    from commercepulse_data_pipeline_spark import cli
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("hot",)] * 50 + [(f"k{i}",) for i in range(10)], "k string"
+    ).write.parquet(p)
+    assert cli.main(["skew-report", p, "k", "--top-n", "2"]) == 0
+    out = capsys.readouterr().out
+    # 11 keys → r99 rank = 11 → p99 IS the hot key, so the salt rec is 1
+    # (nothing to level against); the ratio still exposes the skew
+    assert "key=k" in out and "max=50" in out and "ratio=50.0" in out
+    assert "p50=1" in out and "rec_salt_buckets=1" in out
+    assert "top=[hot,k0]" in out
