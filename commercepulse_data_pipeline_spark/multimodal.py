@@ -1082,10 +1082,13 @@ def _decode_flac(content: bytes) -> dict:
     for i in range(n):
         for ch in channels:
             pcm += int(ch[i]).to_bytes(nbytes, "little", signed=True)
+    # frame headers may override the STREAMINFO rate (the u8k/u16/u16x10
+    # header codes exist for exactly that); when they do, the frames are
+    # the truth and the duration divides by the frame rate
     return {
         "width": None,
         "height": None,
-        "duration_sec": (total or n) / float(rate),
+        "duration_sec": (total or n) / float(pcm_rate or rate),
         "feature": _feature_from_bytes(bytes(pcm)),
     }
 

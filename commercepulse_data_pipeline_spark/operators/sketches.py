@@ -681,16 +681,23 @@ def kmv_set_overlap(
         ).where(F.col("set_a") < F.col("set_b"))
     # tag each sketch row with which operand(s) of the pair it came from,
     # collapse duplicate hashes (hv in both operands -> one union row with
-    # both flags), then re-truncate to the union's k smallest
-    tagged = pairs.join(
-        sk_rows,
-        (F.col("__set") == F.col("set_a")) | (F.col("__set") == F.col("set_b")),
-    ).select(
-        "set_a",
-        "set_b",
-        "hv",
-        (F.col("__set") == F.col("set_a")).cast("int").alias("in_a"),
-        (F.col("__set") == F.col("set_b")).cast("int").alias("in_b"),
+    # both flags), then re-truncate to the union's k smallest. The tag is
+    # a UNION of two equi-joins (pairs ⋈ sk on set_a, pairs ⋈ sk on
+    # set_b) — a disjunctive (__set == set_a) | (__set == set_b) predicate
+    # would plan as a nested-loop join, which is exactly the wrong shape
+    # at high pair counts; this form stays hash-join-only however many
+    # pairs the caller asks for.
+    cols = [
+        F.col("set_a"),
+        F.col("set_b"),
+        F.col("hv"),
+    ]
+    tagged = pairs.join(sk_rows, F.col("__set") == F.col("set_a")).select(
+        *cols, F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionByName(
+        pairs.join(sk_rows, F.col("__set") == F.col("set_b")).select(
+            *cols, F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
     )
     un = tagged.groupBy("set_a", "set_b", "hv").agg(
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")

@@ -37,10 +37,15 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _funnel_output_schema(steps: list[str]) -> T.StructType:
+def _funnel_output_schema(
+    steps: list[str], key_field: T.StructField
+) -> T.StructType:
+    # the key column inherits its NAME and TYPE from the input stream —
+    # a string-keyed or differently-named user column flows through
+    # unchanged instead of being coerced into a hardcoded user_id long
     return T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(key_field.name, key_field.dataType),
             T.StructField("steps_completed", T.IntegerType()),
             *[
                 T.StructField(f"t{i}_us", T.LongType())
@@ -78,8 +83,10 @@ def streaming_funnel(
     if not steps:
         raise ValueError("streaming_funnel needs at least one step")
     step_list = list(steps)
-    out_schema = _funnel_output_schema(step_list)
+    key_field = events.schema[user_col]
+    out_schema = _funnel_output_schema(step_list, key_field)
     state_schema = _funnel_state_schema(step_list)
+    key_name = key_field.name
 
     def update_fn(
         key: tuple, pdfs: Iterator[Any], state: GroupState
@@ -134,7 +141,7 @@ def streaming_funnel(
                 max(min(t for t, _ in buf) // 1000, wm_us // 1000 + 1)
             )
         row_out = {
-            "user_id": key[0],
+            key_name: key[0],
             "steps_completed": len(matches),
         }
         for i in range(1, len(step_list) + 1):

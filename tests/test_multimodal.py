@@ -534,19 +534,21 @@ def _flac_subframe_enc(w: "_FlacWriter", kind: str, samples: list, bps: int,
 
 
 def _flac_frame_enc(channels: list, bps: int, frame_no: int, kinds,
-                    ch_mode=None, **sub_kw) -> bytes:
+                    ch_mode=None, sr_override=None, **sub_kw) -> bytes:
     """One complete FLAC frame: header (blocksize as the 16-bit 0b0111
-    form, rate from STREAMINFO, CRC-8), per-channel subframes, CRC-16
-    footer. ch_mode None = independent; 8/9/10 = left-side / right-side /
-    mid-side (``channels`` is then the DECODED [left, right] pair and the
-    encoder derives the coded channels; the side channel gets +1 bit)."""
+    form, rate from STREAMINFO — or a (code, hz) ``sr_override`` using
+    the u8k/u16/u16x10 header forms — CRC-8), per-channel subframes,
+    CRC-16 footer. ch_mode None = independent; 8/9/10 = left-side /
+    right-side / mid-side (``channels`` is then the DECODED [left,
+    right] pair and the encoder derives the coded channels; the side
+    channel gets +1 bit)."""
     bs = len(channels[0])
     w = _FlacWriter()
     w.write(0x3FFE, 14)
     w.write(0, 1)  # reserved
     w.write(0, 1)  # fixed-blocksize strategy
     w.write(0b0111, 4)  # blocksize: (u16 - 1) at header end
-    w.write(0, 4)  # rate: from STREAMINFO
+    w.write(sr_override[0] if sr_override else 0, 4)  # rate code
     ch_code = (len(channels) - 1) if ch_mode is None else ch_mode
     w.write(ch_code, 4)
     w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
@@ -554,6 +556,16 @@ def _flac_frame_enc(channels: list, bps: int, frame_no: int, kinds,
     assert frame_no < 128
     w.write(frame_no, 8)  # UTF-8 coded number, single-byte form
     w.write(bs - 1, 16)
+    if sr_override:
+        code, hz = sr_override
+        if code == 12:    # u8k: rate / 1000 in 8 bits
+            w.write(hz // 1000, 8)
+        elif code == 13:  # u16: rate in Hz, 16 bits
+            w.write(hz, 16)
+        elif code == 14:  # u16x10: rate / 10 in 16 bits
+            w.write(hz // 10, 16)
+        else:
+            raise AssertionError("sr_override needs code 12/13/14")
     w.align()
     w.write(_tcrc8(bytes(w.buf)), 8)
     if ch_mode is None:
@@ -663,6 +675,34 @@ def test_real_decode_flac_samples_verbatim_and_constant():
         pcm += int(left[i]).to_bytes(2, "little", signed=True)
         pcm += int(right[i]).to_bytes(2, "little", signed=True)
     assert d["feature"] == _feature_from_bytes(bytes(pcm))
+
+
+def test_real_decode_flac_frame_rate_override_sets_duration():
+    """Frame headers that OVERRIDE the STREAMINFO rate (the u8k / u16 /
+    u16x10 header codes) are the truth for duration: 64 samples coded at
+    12 kHz in the frames must report 64/12000 s even though STREAMINFO
+    claims 8 kHz."""
+    from commercepulse_data_pipeline_spark.multimodal import _flac_pcm
+
+    left = [((i * 37) % 4001) - 2000 for i in range(64)]
+    right = [777] * 64
+    f1 = _flac_frame_enc([left[:32], right[:32]], 16, 0,
+                         ["verbatim", "constant"], sr_override=(13, 12000))
+    f2 = _flac_frame_enc([left[32:], right[32:]], 16, 1,
+                         ["verbatim", "constant"], sr_override=(13, 12000))
+    blob = _flac_full([left, right], 16, 8000, [f1, f2])
+
+    rate, chans = _flac_pcm(blob, blob.index(b"\xff\xf8"), 8000, 16)
+    assert rate == 12000 and chans == [left, right]
+    d = real_decode(blob, "audio")
+    assert d["duration_sec"] == pytest.approx(64 / 12000.0)
+
+    # the u8k form too (code 12: rate/1000 in 8 bits)
+    f3 = _flac_frame_enc([left, right], 16, 0,
+                         ["verbatim", "constant"], sr_override=(12, 32000))
+    blob2 = _flac_full([left, right], 16, 8000, [f3])
+    d2 = real_decode(blob2, "audio")
+    assert d2["duration_sec"] == pytest.approx(64 / 32000.0)
 
 
 def test_real_decode_flac_fixed_lpc_and_escape():

@@ -1146,6 +1146,30 @@ def test_kmv_set_overlap_explicit_pairs(spark, tmp_path):
     assert got[0]["n_matches"] == 30  # B duplicates A's keys exactly
 
 
+def test_kmv_set_overlap_tag_join_is_equi_only(spark, tmp_path):
+    """The sketch-row tag step is a union of two EQUI-joins, never the
+    disjunctive (__set==set_a)|(__set==set_b) predicate Spark would plan
+    as a nested-loop join: with explicit set_pairs the whole plan is
+    hash-join-only at any pair count."""
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+        write_kmv_rollup,
+    )
+
+    rows = [(s, f"{s}{i}") for s in ("A", "B", "C", "D") for i in range(20)]
+    df = spark.createDataFrame(rows, "s string, key string")
+    p = str(tmp_path / "kmv")
+    write_kmv_rollup(df, p, set_col="s", key_col="key", k=32)
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D")], "set_a string, set_b string"
+    )
+    out = kmv_set_overlap(spark, p, set_col="s", k=32, set_pairs=pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert out.count() == 3
+
+
 def test_compact_kmv_rollup_crash_rolls_forward(spark, tmp_path, monkeypatch):
     """Kill compact_kmv_rollup at its commit point (marker written,
     consolidated partition not yet renamed in): the next call rolls

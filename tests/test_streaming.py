@@ -991,6 +991,69 @@ def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path)
     assert latest[1]["t1_us"] == int(pd.Timestamp(ts(96)).value // 1000)
 
 
+def test_streaming_funnel_string_keyed_custom_column(spark, tmp_path):
+    """The output key column derives its name AND type from the input
+    stream's user_col — a string-keyed stream named something other than
+    user_id works and labels the column correctly (the hardcoded
+    user_id/LongType schema this test pins against regressing)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.funnels import streaming_funnel
+
+    def ts(sec):
+        return pd.Timestamp("2026-03-01", tz="UTC") + pd.Timedelta(seconds=sec)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    d1 = [("alice", ts(100), "A"), ("alice", ts(105), "B"),
+          ("bob", ts(100), "A"), ("hb", ts(500), "hb")]
+    d2 = [("hb", ts(900), "hb")]
+    for i, rows in enumerate((d1, d2)):
+        pq.write_table(
+            pa.table({
+                "session_key": [r[0] for r in rows],
+                "event_ts": pa.array([r[1] for r in rows],
+                                     type=pa.timestamp("us", tz="UTC")),
+                "event_type": [r[2] for r in rows],
+            }),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "session_key string, event_ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .withWatermark("event_ts", "10 seconds")
+    )
+    out = streaming_funnel(stream, ["A", "B"], user_col="session_key")
+    assert out.schema["session_key"].dataType.simpleString() == "string"
+    out_dir = str(tmp_path / "out")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.read.parquet(out_dir).collect()
+    got = {}
+    for r in rows_out:
+        if (r["session_key"] not in got
+                or r["steps_completed"] > got[r["session_key"]]["steps_completed"]):
+            got[r["session_key"]] = r
+    assert got["alice"]["steps_completed"] == 2
+    assert got["bob"]["steps_completed"] == 1
+
+
 def test_deterministic_sample_is_stream_batch_unified(spark, tmp_path):
     """Content-keyed sampling is a stateless projection, so the SAME
     operator runs unchanged on a stream and selects the SAME rows the
