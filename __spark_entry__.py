@@ -2599,6 +2599,25 @@ def q_docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup CORRECTION (operators/text.py::dedup_passages
+    — the Lee et al. 2022 pass): documents are REWRITTEN with every
+    non-canonical occurrence of a cross-doc duplicated 8-token passage
+    spliced out; the md5 of each rewritten text hash-checks the whole
+    splice. The detection twin is ``docs_shared_passages``; this acts on
+    what that query reports. Reference has detection-only shape (quirk Q9
+    family) — capability extension, full DuckDB replay as the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tx.dedup_passages(d, window_tokens=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_dup_windows",
+        F.md5("text_deduped").alias("dedup_md5"),
+    )
+
+
 def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE emulation (plans/scd.py::merge_upsert — the reference's
     Mongo row-level upsert K1 on plain parquet): a derived update batch
@@ -2812,72 +2831,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50). So: (a) oracle-backed queries
-    # with the OLDEST driver verification come FIRST — r8 rotates in the
-    # 39-query tail whose last driver row was r6 (VERDICT r7 item 1);
-    # (b) the three rows-only entries, whose spark_rows were last recorded
-    # r3, slot inside the first 50 once; (c) queries whose operators were
-    # touched this round and r8-new queries; (d) the r7-green block,
-    # freshest-verified, closes the list (its head re-checks as the cap
-    # allows).
+    # the number of rows it records (~50; r8 recorded exactly 50). r9
+    # executes the rotation written in COVERAGE.md after r8: (a) the three
+    # relocated entries whose last driver row was r6 go FIRST; (b) queries
+    # NEW this round; (c) the r7-green block (last driver rows r7); (d)
+    # the r8-verified head (all green in CORRECTNESS_r08.json) closes the
+    # list. The first 50 slots = 3 relocated + new + 45 of the r7 block;
+    # the 4 r7-block entries at positions 51+ (embedding_norms_by_label,
+    # union_actors, set_ops, unpivot_daily — the simplest set-op/agg
+    # queries, operators untouched) were re-verified this session with
+    # tools/parity_strict.py and head the r10 rotation (COVERAGE.md).
     return {
-        # -- driver-verification debt: last green row r6, rotate in first
-        "fx_normalized_revenue": q_fx_normalized_revenue,
-        "last_touch_asof": q_last_touch_asof,
-        "scd2_asof": q_scd2_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "docs_unigram_ce": q_docs_unigram_ce,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
-        "merge_upsert_state": q_merge_upsert_state,
-        "salted_revenue": q_salted_revenue,
-        "incident_impact": q_incident_impact,
-        "docs_curation_funnel": q_docs_curation_funnel,
-        "incident_concurrency": q_incident_concurrency,
-        "docs_per_lang_sample": q_docs_per_lang_sample,
-        "user_conversion": q_user_conversion,
-        "source_overlap": q_source_overlap,
-        "retention_cohorts": q_retention_cohorts,
-        "daily_revenue_7dma": q_daily_revenue_7dma,
-        "lang_confusion": q_lang_confusion,
-        "corpus_vocab": q_corpus_vocab,
-        "docs_encoded": q_docs_encoded,
-        "minhash_incremental": q_minhash_incremental,
-        "docs_split_manifest": q_docs_split_manifest,
-        "docs_repetition": q_docs_repetition,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "docs_chunked": q_docs_chunked,
-        "docs_keywords": q_docs_keywords,
-        "corpus_summary": q_corpus_summary,
-        "docs_fingerprint": q_docs_fingerprint,
-        "embedding_selfknn": q_embedding_selfknn,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "simhash_pairs": q_simhash_pairs,
-        "docs_lang_detect": q_docs_lang_detect,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_packed_windows": q_docs_packed_windows,
-        "docs_contamination": q_docs_contamination,
-        # -- rows-only (no oracle, engine-specific by design): spark_rows
-        #    last recorded r3 — slot inside the first 50 once
-        "media_features": q_media_features,
-        "approx_stats": q_approx_stats,
-        "order_value_percentiles_approx": q_order_value_percentiles_approx,
-        # -- operators touched in r8 (bpe.py: batched trainer + hybrid
-        #    encode join; pair_counts statistics re-pinned) and r8-new
-        "kmv_set_overlap": q_kmv_set_overlap,
-        "containment_pairs": q_containment_pairs,
-        "docs_epoch_shuffle": q_docs_epoch_shuffle,
-        "skew_report": q_skew_report,
-        "corpus_collocations": q_corpus_collocations,
-        "embedding_gram": q_embedding_gram,
-        "revenue_anomalies": q_revenue_anomalies,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "order_value_hist_quantiles": q_order_value_hist_quantiles,
-        "funnel_steps": q_funnel_steps,
-        "bloom_range_members": q_bloom_range_members,
-        # -- r7-green block (freshest driver rows), oldest-listed
-        #    rechecked first as the ~50-row cap allows
+        # -- driver-verification debt: last driver row r6, judge-verified
+        #    r7+r8 — rotate in first (VERDICT r8 item 1)
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "split_leakage": q_split_leakage,
+        # -- new in r9
+        "docs_passage_dedup": q_docs_passage_dedup,
+        # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
         "order_daily_rollup": q_order_daily_rollup,
@@ -2923,18 +2895,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_breakdown": q_docs_lang_breakdown,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
+        # -- positions 51+: the 4 simplest r7-block entries (operators
+        #    untouched; parity_strict-verified this session, first in r10)
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
         "unpivot_daily": q_unpivot_daily,
-        # relocated from the r6 tail so the first 50 slots (the driver's
-        # per-round cap) exactly cover tail + rows-only + every r8-new
-        # entry; these two are safe at the back — both were among the 12
-        # the judge re-verified with driver-style hashing in the r7
-        # session (VERDICT r7), and their operators are untouched since
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "split_leakage": q_split_leakage,
+        # -- r8-verified head: every entry below has a green row in
+        #    CORRECTNESS_r08.json (oracle or recorded rows-only)
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        "merge_upsert_state": q_merge_upsert_state,
+        "salted_revenue": q_salted_revenue,
+        "incident_impact": q_incident_impact,
+        "docs_curation_funnel": q_docs_curation_funnel,
+        "incident_concurrency": q_incident_concurrency,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
+        "user_conversion": q_user_conversion,
+        "source_overlap": q_source_overlap,
+        "retention_cohorts": q_retention_cohorts,
+        "daily_revenue_7dma": q_daily_revenue_7dma,
+        "lang_confusion": q_lang_confusion,
+        "corpus_vocab": q_corpus_vocab,
+        "docs_encoded": q_docs_encoded,
+        "minhash_incremental": q_minhash_incremental,
+        "docs_split_manifest": q_docs_split_manifest,
+        "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_chunked": q_docs_chunked,
+        "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "docs_lang_detect": q_docs_lang_detect,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
+        "media_features": q_media_features,
+        "approx_stats": q_approx_stats,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        "kmv_set_overlap": q_kmv_set_overlap,
+        "containment_pairs": q_containment_pairs,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "skew_report": q_skew_report,
+        "corpus_collocations": q_corpus_collocations,
+        "embedding_gram": q_embedding_gram,
+        "revenue_anomalies": q_revenue_anomalies,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "order_value_hist_quantiles": q_order_value_hist_quantiles,
+        "funnel_steps": q_funnel_steps,
+        "bloom_range_members": q_bloom_range_members,
     }
 
 
@@ -4016,6 +4034,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, count(DISTINCT doc_id) AS n_docs
             FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # Full replay of the splice: same 8-token md5 fingerprints,
+        # canonical = min (doc_id, pos) [min doc, then min pos within it],
+        # duplicated iff >= 2 distinct docs, token kept iff covered by no
+        # duplicate window; the md5 of the rewritten text hash-checks the
+        # entire token-level rewrite.
+        "docs_passage_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            occ AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(toks[i:i+7], ' ')) AS fp
+                FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+            ),
+            stats AS (
+                SELECT fp, count(DISTINCT doc_id) AS n_docs,
+                       min(doc_id) AS canon_doc
+                FROM occ GROUP BY fp
+            ),
+            canon AS (
+                SELECT o.fp, s.canon_doc, min(o.pos) AS canon_pos
+                FROM occ o JOIN stats s
+                  ON o.fp = s.fp AND o.doc_id = s.canon_doc
+                WHERE s.n_docs >= 2
+                GROUP BY o.fp, s.canon_doc
+            ),
+            dups AS (
+                SELECT DISTINCT o.doc_id, o.pos
+                FROM occ o JOIN canon c ON o.fp = c.fp
+                WHERE NOT (o.doc_id = c.canon_doc AND o.pos = c.canon_pos)
+            ),
+            dup_lists AS (
+                SELECT doc_id, list_sort(list(pos)) AS dup_pos
+                FROM dups GROUP BY doc_id
+            ),
+            spliced AS (
+                SELECT t.doc_id, t.toks,
+                       coalesce(d.dup_pos, []) AS dp,
+                       list_filter(
+                           list_transform(
+                               range(1, len(t.toks) + 1),
+                               i -> CASE WHEN len(list_filter(
+                                             coalesce(d.dup_pos, []),
+                                             p -> p <= i - 1 AND i - 1 < p + 8
+                                         )) = 0
+                                    THEN t.toks[i] END
+                           ),
+                           x -> x IS NOT NULL
+                       ) AS kept
+                FROM t LEFT JOIN dup_lists d USING (doc_id)
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(toks) - len(kept) AS n_tokens_removed,
+                   len(dp) AS n_dup_windows,
+                   -- coalesce: DuckDB's array_to_string([]) is NULL where
+                   -- Spark's array_join([]) is '' (a fully-spliced doc)
+                   md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
+            FROM spliced
         """,
         "token_budget": r"""
             WITH staged AS (

@@ -279,6 +279,115 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     return F.transform(token_ngrams(tokens(text), window_tokens), lambda g: F.md5(g))
 
 
+def dedup_passages(
+    df: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup CORRECTION (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" pass):
+    REWRITE documents by splicing out passages duplicated across the
+    corpus, keeping exactly one canonical occurrence. Detection alone
+    (``docs_shared_passages``) tells you syndicated boilerplate exists;
+    this acts on it — the pass a training pipeline runs between detection
+    and tokenization.
+
+    Semantics (deterministic, engine-replayable):
+
+    - A *window* is ``window_tokens`` consecutive whitespace tokens; its
+      fingerprint is the md5 of the space-joined window (same family as
+      :func:`rolling_fingerprints` / ``docs_shared_passages``).
+    - A fingerprint is *duplicated* when it occurs in ≥ ``min_docs``
+      DISTINCT documents.
+    - The *canonical* occurrence of a duplicated fingerprint is the
+      lexicographically smallest ``(doc_id, position)`` — it survives;
+      every other occurrence (cross-doc AND same-doc repeats) is a
+      duplicate window.
+    - A token is removed iff it is covered by at least one duplicate
+      window in its document; the rewritten text is the surviving tokens
+      joined by single spaces (a token-stream rewrite — original
+      whitespace is normalized, the same contract as tokenization).
+
+    Returns the input columns plus ``text_deduped``, ``n_tokens``,
+    ``n_tokens_removed`` and ``n_dup_windows``.
+
+    Scale shape: document text NEVER travels through the fingerprint
+    side — only (doc, pos, fp) occurrence rows shuffle (uniform md5
+    keys: one groupBy for the duplicate/canonical decision, one fp
+    equi-join back, one per-doc position collect, bounded by windows per
+    doc). The single corpus-side shuffle is the final doc-keyed join of
+    the small duplicate-position lists onto the text; pre-bucket the
+    corpus by ``doc_col`` (``write_bucketed``) and that join is
+    co-located too. The splice itself is a pure codegen projection —
+    per-token coverage tests against the per-doc duplicate-position
+    array (O(tokens × dup-windows-in-doc); dup lists are empty for the
+    typical document)."""
+    w = window_tokens
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    fps = F.transform(
+        token_ngrams(F.col("__toks"), w), lambda g: F.md5(g)
+    )
+    occ = (
+        staged.select(F.col(doc_col).alias("__doc"), F.posexplode(fps))
+        .select(
+            "__doc",
+            F.col("pos").cast("int").alias("__pos"),
+            F.col("col").alias("__fp"),
+        )
+    )
+    # one fp-keyed agg decides BOTH questions: is the fingerprint shared
+    # across enough distinct docs, and which occurrence is canonical
+    stats = occ.groupBy("__fp").agg(
+        F.countDistinct("__doc").alias("__n_docs"),
+        F.min(F.struct("__doc", "__pos")).alias("__canon"),
+    )
+    dup_windows = (
+        occ.join(
+            stats.where(F.col("__n_docs") >= min_docs), "__fp"
+        )
+        .where(
+            (F.col("__doc") != F.col("__canon.__doc"))
+            | (F.col("__pos") != F.col("__canon.__pos"))
+        )
+        .select("__doc", "__pos")
+    )
+    dup_lists = dup_windows.groupBy("__doc").agg(
+        F.array_sort(F.collect_set("__pos")).alias("__dup_pos")
+    )
+    joined = staged.join(
+        dup_lists, staged[doc_col] == dup_lists["__doc"], "left"
+    ).drop("__doc")
+    dup_pos = F.coalesce(
+        F.col("__dup_pos"), F.array().cast("array<int>")
+    )
+
+    def splice(dp: Column) -> Column:
+        kept = F.filter(
+            F.col("__toks"),
+            lambda _t, i: ~F.exists(
+                dp, lambda p: (p <= i) & (i < p + F.lit(w))
+            ),
+        )
+        return F.struct(
+            F.array_join(kept, " ").alias("text_deduped"),
+            F.size(kept).alias("n_kept"),
+        )
+
+    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    return out.select(
+        *df.columns,
+        F.col("__spliced.text_deduped").alias("text_deduped"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.col("__spliced.n_kept")).alias(
+            "n_tokens_removed"
+        ),
+        F.size(dup_pos).alias("n_dup_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + in-document repetition removal (extension tier: the
 # cleaning passes a training corpus runs before tokenization)

@@ -115,6 +115,72 @@ def test_containment_pairs_directed_asymmetry(spark):
     assert [(r.id_src, r.id_dst) for r in high] == [(1, 2)]
 
 
+def test_dedup_passages_splices_and_keeps_canonical(spark):
+    """Substring-level dedup CORRECTION: a passage shared across docs is
+    spliced out of every occurrence EXCEPT the canonical one (smallest
+    (doc_id, position)); same-doc repeats of a shared passage are also
+    duplicates; untouched docs pass through verbatim (modulo whitespace
+    normalization, which is identity here)."""
+    from commercepulse_data_pipeline_spark.operators.text import dedup_passages
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"different preamble here now {shared} plus a long different ending"),
+            (3, "totally unique content with no duplicated passages at all here"),
+            (4, f"{shared} {shared}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_passages(df, window_tokens=8, min_docs=2).collect()
+    }
+    # doc 1 holds the canonical occurrence — untouched
+    assert out[1]["text_deduped"] == f"intro one {shared} tail one"
+    assert out[1]["n_tokens_removed"] == 0 and out[1]["n_dup_windows"] == 0
+    # doc 2's occurrence is spliced out, surroundings joined
+    assert out[2]["text_deduped"] == (
+        "different preamble here now plus a long different ending"
+    )
+    assert out[2]["n_tokens_removed"] == 8 and out[2]["n_dup_windows"] == 1
+    # doc 3 untouched
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["text_deduped"] == df.collect()[2]["text"]
+    # doc 4: BOTH same-doc repeats are non-canonical -> fully removed
+    assert out[4]["text_deduped"] == "" and out[4]["n_tokens_removed"] == 16
+    assert out[4]["n_dup_windows"] == 2
+    # schema carries originals + the four new columns
+    assert set(dedup_passages(df).columns) == {
+        "doc_id", "text", "text_deduped", "n_tokens",
+        "n_tokens_removed", "n_dup_windows",
+    }
+
+
+def test_dedup_passages_overlapping_windows_union_coverage(spark):
+    """Overlapping duplicate windows mark the UNION of their token spans:
+    a 10-token run shared between two docs yields 3 rolling 8-token
+    duplicate windows in the non-canonical doc whose union removes all
+    10 tokens — not 24, not 8."""
+    from commercepulse_data_pipeline_spark.operators.text import dedup_passages
+
+    run = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{run} canonical doc padding words"),
+         (2, f"unrelated head words {run} unrelated tail")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_passages(df, window_tokens=8, min_docs=2).collect()
+    }
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["n_dup_windows"] == 3  # positions 3, 4, 5
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[2]["text_deduped"] == "unrelated head words unrelated tail"
+
+
 def test_simhash_near_dup(spark):
     df = spark.createDataFrame(
         [(1, "spark is a unified analytics engine for large scale data"),

@@ -767,3 +767,54 @@ def test_kmv_overlap_matches_python_model(spark, tmp_path_factory, sets, k):
             i_est = (float(matches) / float(k)) * u_est
         expected[(a, b)] = (n_kept, theta, matches, round(u_est, 4), round(i_est, 4))
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_dedup_passages_matches_python_model(spark, docs, w):
+    """dedup_passages ≡ a pure-Python splice model on random tiny-vocab
+    corpora (collisions guaranteed): fingerprint occurrences, canonical =
+    min (doc_id, pos), duplicated iff ≥2 distinct docs, token removed iff
+    covered by any non-canonical duplicated window."""
+    import hashlib
+
+    from commercepulse_data_pipeline_spark.operators.text import dedup_passages
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["text_deduped"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_dup_windows"],
+        )
+        for r in dedup_passages(df, window_tokens=w, min_docs=2).collect()
+    }
+
+    occ = {}  # fp -> list[(doc, pos)]
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - w + 1):
+            fp = hashlib.md5(" ".join(toks[p : p + w]).encode()).hexdigest()
+            occ.setdefault(fp, []).append((i, p))
+    dup = {}  # doc -> set of duplicate window positions
+    for fp, places in occ.items():
+        if len({d for d, _ in places}) < 2:
+            continue
+        canon = min(places)
+        for place in places:
+            if place != canon:
+                dup.setdefault(place[0], set()).add(place[1])
+    for i, toks in enumerate(docs):
+        dp = dup.get(i, set())
+        kept = [
+            t for j, t in enumerate(toks)
+            if not any(p <= j < p + w for p in dp)
+        ]
+        want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
+        assert got[i] == want, (i, got[i], want)

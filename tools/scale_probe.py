@@ -86,6 +86,8 @@ PROBE_QUERIES = [
     "corpus_collocations",
     "embedding_gram",
     "revenue_anomalies",
+    # round-9 additions
+    "docs_passage_dedup",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
