@@ -1629,6 +1629,71 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIXTURE_MODALITY = {
+    "jpeg": "image", "png": "image", "gif": "video", "bmp": "image",
+    "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
+    "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
+    "ogg_opus": "audio",
+}
+
+
+def q_media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decoder regression pin, oracle-backed: the checked-in fixture
+    bytes (`fixtures/media/*.bin`, generated deterministically by
+    `tools/make_media_fixtures.py` from the INDEPENDENT test-side
+    encoders) flow through the distributed Arrow decode path
+    (`multimodal.extract_features(decoder=real_decode)` — baseline JPEG,
+    PNG, GIF LZW, BMP, TIFF, PPM, WAV, FLAC sample decode, MP3/MP4/Ogg
+    metadata walks), and the STABLE extracted fields — dimensions,
+    duration_ms, and a feature-vector pin (md5 over exact float32→int
+    mantissa images, engine-independent arithmetic) — hash-check against
+    a DuckDB literal table of the independently computed expected values.
+    Converts the decode tier's former rows-only status into hard hash
+    signal; `media_features` (deterministic fake codec over testdata
+    bytes) remains the rows-only volume check."""
+    import os
+
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "media"
+    )
+    rows = []
+    for fn in sorted(os.listdir(fdir)):
+        if not fn.endswith(".bin"):
+            continue
+        name = fn[:-4]
+        with open(os.path.join(fdir, fn), "rb") as f:
+            rows.append((name, _FIXTURE_MODALITY[name], f.read()))
+    media = spark.createDataFrame(
+        rows, "media_id string, modality string, content binary"
+    )
+    feats = mm.extract_features(media, decoder=mm.real_decode)
+    # float32 -> double widening is exact and *2^24 shifts the exponent
+    # only, so the truncating long cast is bit-identical cross-engine
+    pin = F.md5(
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: (x.cast("double") * F.lit(16777216.0))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        "width",
+        "height",
+        F.round(F.col("duration_sec") * 1000, 0).cast("long").alias(
+            "duration_ms"
+        ),
+        pin.alias("feat_pin"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT set semantics (§2.8 — the reference only has
     isin membership): users who both purchased AND errored, minus users
@@ -2849,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         # -- new in r9
         "docs_passage_dedup": q_docs_passage_dedup,
+        "media_features_check": q_media_features_check,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -4034,6 +4100,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, count(DISTINCT doc_id) AS n_docs
             FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # Literal-table pin of the real-decoder tier: expected values are
+        # computed INDEPENDENTLY by tools/make_media_fixtures.py (driver-
+        # side real_decode over the checked-in fixture bytes, which the
+        # test-side encoders produced); the Spark query runs the same
+        # decoders through the distributed Arrow path. Every field is
+        # deterministic integer/md5 arithmetic (float32 mantissa-image
+        # pins), so the hash must match bit-for-bit across rounds.
+        "media_features_check": """
+            SELECT * FROM (VALUES
+                ('bmp', 'image', 9, 7, NULL, '098faf4664544ecef0be879d69aabdd9'),
+                ('flac', 'audio', NULL, NULL, 8, '70bd28d560bf6a3daba6c0fbf43239bc'),
+                ('gif', 'video', 10, 5, 500, 'f7beb2ada8ef1fe8e72315a2fa2359d7'),
+                ('jpeg', 'image', 16, 8, NULL, '108a3da9c716d2c0d0bd71a2d3bdbf1e'),
+                ('mp3', 'audio', NULL, NULL, 2612, '5c48c7c549045a63456fb97c43bb3ae8'),
+                ('mp4', 'video', 640, 360, 12500, '44a377f6557b0116ff9e31822580c8ee'),
+                ('ogg_opus', 'audio', NULL, NULL, 2000, 'f1ecddab42e59abb2eaf53b3d0f61bcf'),
+                ('ogg_vorbis', 'audio', NULL, NULL, 1000, '176b55e767eb9bdcfaebfa0d04be71f7'),
+                ('png', 'image', 12, 6, NULL, '47f8a5105e5075324fac0a926b2e256d'),
+                ('ppm', 'image', 4, 3, NULL, '9981a58cad9b91140565b0e2ef7871b9'),
+                ('tiff', 'image', 640, 480, NULL, 'f5c0710dcce3ce01e4f858860fbc3cce'),
+                ('wav', 'audio', NULL, NULL, 1500, 'b51922a8435de891c1e896e6451b044a')
+            ) AS t(media_id, modality, width, height, duration_ms, feat_pin)
         """,
         # Full replay of the splice: same 8-token md5 fingerprints,
         # canonical = min (doc_id, pos) [min doc, then min pos within it],

@@ -1353,3 +1353,28 @@ def test_real_decode_tiff_both_byte_orders():
     # truncated / dim-less TIFF raises cleanly
     with pytest.raises(ValueError):
         real_decode(b"II*\x00\x08\x00\x00\x00\x00\x00", "image")
+
+
+def test_checked_in_media_fixtures_reproducible():
+    """fixtures/media/*.bin must equal what tools/make_media_fixtures.py
+    deterministically regenerates — guards accidental fixture drift that
+    would silently invalidate the media_features_check literal oracle."""
+    import importlib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        mk = importlib.import_module("make_media_fixtures")
+    finally:
+        sys.path.pop(0)
+    built = mk.build()
+    fdir = os.path.join(repo, "fixtures", "media")
+    on_disk = {
+        fn[:-4]: open(os.path.join(fdir, fn), "rb").read()
+        for fn in os.listdir(fdir) if fn.endswith(".bin")
+    }
+    assert set(on_disk) == set(built)
+    for name, blob in built.items():
+        assert on_disk[name] == blob, f"fixture drift: {name}"

@@ -1,0 +1,144 @@
+"""Generate the checked-in media fixture files for the
+``media_features_check`` driver query, plus the expected decode rows its
+DuckDB literal-table oracle pins.
+
+The fixture bytes are produced by the INDEPENDENT test-side encoders in
+``tests/test_multimodal.py`` (the same encoders the decode round-trip
+tests verify against), entirely deterministic — re-running this script
+must reproduce byte-identical files. The expected rows are computed by
+driver-side ``real_decode`` here, so the driver query (which runs the
+SAME decoders through the distributed Arrow path) checks that the
+distributed path returns exactly the local answer AND that decoder
+output stays stable across rounds.
+
+Usage: python tools/make_media_fixtures.py   (writes fixtures/media/ and
+prints the oracle VALUES rows to paste into __spark_entry__.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np  # noqa: E402
+
+import test_multimodal as tm  # noqa: E402  (the independent encoders)
+
+from commercepulse_data_pipeline_spark.multimodal import real_decode  # noqa: E402
+
+# modality per fixture (mirrors _FIXTURE_MODALITY in __spark_entry__.py)
+MODALITY = {
+    "jpeg": "image", "png": "image", "gif": "video", "bmp": "image",
+    "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
+    "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
+    "ogg_opus": "audio",
+}
+
+
+def _tiff_bytes(bo: bytes, width: int, height: int) -> bytes:
+    import struct
+
+    e = "<" if bo == b"II" else ">"
+    entries = []
+    for tag, v in ((256, width), (257, height)):
+        entries.append(
+            struct.pack(e + "HHI", tag, 3, 1) + struct.pack(e + "H2x", v)
+        )
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(e + "I", 0)
+    return bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd
+
+
+def build() -> dict[str, bytes]:
+    fixtures: dict[str, bytes] = {}
+
+    # JPEG: 16x8 RGB deterministic gradient, 4:2:0 subsampling
+    px = np.zeros((8, 16, 3), dtype=np.float64)
+    for r in range(8):
+        for c in range(16):
+            px[r, c] = ((r * 16 + c) % 256, (c * 13) % 256, (r * 29) % 256)
+    fixtures["jpeg"] = tm._jpeg_bytes(px, subsample=(2, 2))
+
+    # PNG: 12x6 RGB, one of each filter type across rows
+    raster = bytes((r * 37 + c * 11) % 256 for r in range(6) for c in range(36))
+    fixtures["png"] = tm._png_bytes(12, 6, raster, filters=[0, 1, 2, 3, 4, 1])
+
+    # GIF: 10x5, two frames with 20cs + 30cs delays -> 0.5 s animation
+    f1 = bytes((i * 3) % 4 for i in range(50))
+    f2 = bytes((i * 7 + 1) % 4 for i in range(50))
+    fixtures["gif"] = tm._gif_bytes(
+        10, 5, [f1, f2], bytes(range(12)), min_code_size=2, delays=[20, 30]
+    )
+
+    fixtures["bmp"] = tm._bmp_bytes(9, 7)
+    fixtures["tiff"] = _tiff_bytes(b"MM", 640, 480)
+    fixtures["ppm"] = b"P6\n4 3\n255\n" + bytes(
+        (i * 19) % 256 for i in range(36)
+    )
+    fixtures["wav"] = tm._wav_bytes(1.5, rate=8000)
+
+    # FLAC: 64 stereo samples at 8 kHz, real frames (verbatim + constant)
+    left = [((i * 37) % 4001) - 2000 for i in range(64)]
+    right = [777] * 32 + [-12345] * 32
+    fr1 = tm._flac_frame_enc([left[:32], right[:32]], 16, 0,
+                             ["verbatim", "constant"])
+    fr2 = tm._flac_frame_enc([left[32:], right[32:]], 16, 1,
+                             ["verbatim", "constant"])
+    fixtures["flac"] = tm._flac_full([left, right], 16, 8000, [fr1, fr2])
+
+    fixtures["mp3"] = tm._mp3_frames(100, version=1, id3=tm._id3v2(64))
+    fixtures["mp4"] = tm._mp4_bytes(12.5, 640, 360)
+    fixtures["ogg_vorbis"] = tm._ogg_vorbis_bytes(44100, rate=44100)
+    fixtures["ogg_opus"] = tm._ogg_opus_bytes(96312, pre_skip=312)
+    return fixtures
+
+
+def expected_row(name: str, content: bytes) -> tuple:
+    d = real_decode(content, MODALITY[name])
+    dur = d.get("duration_sec")
+    if dur is None:
+        dur_ms = None
+    else:
+        # Spark-side: cast(round(duration_sec * 1000, 0) as long) — round
+        # HALF_UP on the shortest-repr decimal, like BigDecimal.valueOf
+        from decimal import ROUND_HALF_UP, Decimal
+
+        dur_ms = int(Decimal(repr(dur * 1000.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+    # Spark-side: md5(array_join(transform(feature,
+    #   x -> cast(cast(x as double) * 16777216 as long) cast to string), ','))
+    # feature is float32 in FEATURE_SCHEMA; float32 -> double is exact and
+    # *2^24 only shifts the exponent, so both engines see identical longs
+    pins = ",".join(
+        str(int(float(np.float32(v)) * 16777216.0)) for v in d["feature"]
+    )
+    feat_pin = hashlib.md5(pins.encode()).hexdigest()
+    return (name, MODALITY[name], d.get("width"), d.get("height"),
+            dur_ms, feat_pin)
+
+
+def main() -> None:
+    outdir = os.path.join(REPO, "fixtures", "media")
+    os.makedirs(outdir, exist_ok=True)
+    fixtures = build()
+    rows = []
+    for name in sorted(fixtures):
+        path = os.path.join(outdir, f"{name}.bin")
+        with open(path, "wb") as f:
+            f.write(fixtures[name])
+        rows.append(expected_row(name, fixtures[name]))
+    print("-- paste into the media_features_check oracle:")
+    for r in rows:
+        w = "NULL" if r[2] is None else r[2]
+        h = "NULL" if r[3] is None else r[3]
+        dm = "NULL" if r[4] is None else r[4]
+        print(f"    ('{r[0]}', '{r[1]}', {w}, {h}, {dm}, '{r[5]}'),")
+
+
+if __name__ == "__main__":
+    main()
