@@ -79,8 +79,14 @@ def distinct_over_range(
     """Distinct-key estimate per group over [start_day, end_day]: filters
     the rollup (partition/row-group pruning — days are the sort key) and
     union-merges the day sketches. Touches only kilobytes per group, no
-    raw data."""
-    rollup = spark.read.parquet(path).where(
+    raw data. Fold-aware read (``fold_consistent_read``): pointing this
+    at a live streaming store mid-compaction still reads a consistent
+    view; on a plain batch rollup it is a normal partitioned read."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    rollup = fold_consistent_read(spark, path).where(
         (F.col(day_col) >= F.lit(start_day)) & (F.col(day_col) <= F.lit(end_day))
     )
     groups = group_cols or []
@@ -480,9 +486,17 @@ def membership_over_range(
     filter report 0 (left join back). Scale shape: the filter side is
     <= m_bits rows per shard after pruning; the probe side is
     |candidates| * k rows — broadcast when small, shuffle-join on
-    ``pos`` otherwise (AQE decides; no forced hint)."""
+    ``pos`` otherwise (AQE decides; no forced hint). Fold-aware read for
+    live streaming stores (the bit-OR DISTINCT makes duplicates harmless,
+    but the pre-commit window would otherwise HIDE the set-aside
+    consolidated partition's bits — a false negative, the one error class
+    a Bloom filter must never produce)."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
     rollup = (
-        spark.read.parquet(path)
+        fold_consistent_read(spark, path)
         .where(
             (F.col(shard_col) >= F.lit(start_shard))
             & (F.col(shard_col) <= F.lit(end_shard))
@@ -529,8 +543,14 @@ def hist_quantiles_over_range(
 ) -> DataFrame:
     """Range quantiles from the persisted rollup: filter shards
     (partition/row-group pruning), merge bucket counts, select. Touches
-    only the kilobyte histogram table, never raw data."""
-    rollup = spark.read.parquet(path).where(
+    only the kilobyte histogram table, never raw data. Fold-aware read:
+    counts are not duplicate-idempotent, so probing a live streaming
+    store mid-compaction needs the consistent view."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    rollup = fold_consistent_read(spark, path).where(
         (F.col(shard_col) >= F.lit(start_shard)) & (F.col(shard_col) <= F.lit(end_shard))
     )
     return merge_hist_quantiles(
@@ -666,9 +686,14 @@ def kmv_set_overlap(
     tens-to-hundreds of sets); with thousands of sets pass ``set_pairs``
     (columns set_a < set_b) to restrict to the candidates a caller
     actually needs — the sketch table itself stays |sets| * k rows either
-    way."""
+    way. Fold-aware read: works against a live streaming KMV store
+    mid-compaction (plain partitioned read on a batch rollup)."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
     sk_rows = kmv_truncate(
-        spark.read.parquet(path), set_col=set_col, k=k
+        fold_consistent_read(spark, path), set_col=set_col, k=k
     ).select(F.col(set_col).alias("__set"), "hv")
     if set_pairs is not None:
         pairs = set_pairs.select("set_a", "set_b").where(

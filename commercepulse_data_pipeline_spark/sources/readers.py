@@ -519,6 +519,108 @@ def _recover_index_compact(root: str) -> None:
         _shutil.rmtree(tmp_root, ignore_errors=True)
 
 
+def fold_consistent_read(
+    spark: SparkSession,
+    root: str,
+    *,
+    partition_col: str = "ingest_batch",
+    consolidated_value: int = -1,
+) -> DataFrame:
+    """READ-SIDE contract for the streaming sketch/index stores: return a
+    CONSISTENT view of the store at every resting point of the fold
+    protocol, so a monitoring job can probe concurrently with compaction
+    (and after a mid-fold crash, BEFORE any recovery runs — this function
+    never mutates the store).
+
+    The fold protocol (:func:`_fold_commit`) has two windows where a
+    naive ``spark.read.parquet(root)`` reads a WRONG store:
+
+    - pre-commit (old consolidated set aside, marker not yet written):
+      the old consolidated's rows are invisible → under-count. This
+      reader rolls BACK: root partitions + the set-aside consolidated.
+    - post-commit (marker written; new consolidated possibly not yet
+      renamed in, folded dirs possibly not yet deleted): folded partials
+      and the new consolidated can coexist → double-count for the
+      count-summing sketches (MG, histogram). This reader rolls FORWARD:
+      the new consolidated (from root, or from the tmp dir if the rename
+      hasn't happened) + only the partitions NOT in the marker's folded
+      list — exactly the post-fold store, which every compactor
+      guarantees answers like the pre-fold one.
+
+    With no fold in flight this is a plain partitioned read. Guarantee
+    scope: any RESTING state (crash-consistent). Against a compactor
+    advancing concurrently mid-call, a rename can still win the race
+    with the file listing — retry on FileNotFound, as with any
+    concurrently-rewritten path."""
+    import json as _json
+    import os as _os
+
+    p = root.rstrip("/")
+    old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
+    cons_name = f"{partition_col}={consolidated_value}"
+    marker = _os.path.join(old_root, "_FOLDED.json")
+    m = None
+    if _os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                m = _json.load(fh)
+        except (ValueError, OSError):  # torn marker = commit never happened
+            m = None
+
+    def _part_df(path: str, value: int) -> DataFrame:
+        return spark.read.parquet(path).withColumn(
+            partition_col, F.lit(value).cast("int")
+        )
+
+    def _union(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+
+    prefix = partition_col + "="
+    if m is not None:
+        # post-commit: roll-forward view
+        folded = set(m["folded"])
+        cons_at_root = _os.path.join(p, m["consolidated"])
+        cons_path = (
+            cons_at_root
+            if _os.path.isdir(cons_at_root)
+            else _os.path.join(tmp_root, m["consolidated"])
+        )
+        parts = [_part_df(cons_path, consolidated_value)]
+        for entry in sorted(_os.listdir(p)):
+            if (
+                entry.startswith(prefix)
+                and entry not in folded
+                and entry != m["consolidated"]
+                and _os.path.isdir(_os.path.join(p, entry))
+            ):
+                parts.append(
+                    _part_df(
+                        _os.path.join(p, entry), int(entry[len(prefix):])
+                    )
+                )
+        return _union(parts)
+    if _os.path.isdir(_os.path.join(old_root, cons_name)):
+        # pre-commit: roll-back view (set-aside consolidated + everything
+        # still at root)
+        parts = [
+            _part_df(_os.path.join(old_root, cons_name), consolidated_value)
+        ]
+        for entry in sorted(_os.listdir(p)):
+            if entry.startswith(prefix) and _os.path.isdir(
+                _os.path.join(p, entry)
+            ):
+                parts.append(
+                    _part_df(
+                        _os.path.join(p, entry), int(entry[len(prefix):])
+                    )
+                )
+        return _union(parts)
+    return spark.read.parquet(p)
+
+
 def _fold_commit(p: str, cons_name: str, fold_names: list[str], had_consolidated: bool) -> None:
     """Steps 3–7 of the fold protocol, shared by the index and sketch
     compactors (the tmp consolidated dir must already be written): set the

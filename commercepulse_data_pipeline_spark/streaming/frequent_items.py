@@ -133,8 +133,14 @@ def heavy_hitters_from_store(
     (consolidated partition included): est per item + ``total_offset`` /
     ``n_total`` bound columns, same contract as
     :func:`operators.sketches.merge_mg_summaries`. Touches only the
-    kilobyte summary store."""
-    t = spark.read.parquet(store_dir)
+    kilobyte summary store. Fold-aware read: MG ests/offsets are NOT
+    duplicate-idempotent, so the fold windows need the consistent view
+    (:func:`sources.readers.fold_consistent_read`)."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    t = fold_consistent_read(spark, store_dir)
     items = t.where(~F.col("is_meta")).select(F.col("item").alias(item_col), "est")
     shards = t.where(F.col("is_meta")).select("c_off", "n_items")
     return merge_mg_summaries(items, shards, item_col=item_col)

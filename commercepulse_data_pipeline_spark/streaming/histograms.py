@@ -114,7 +114,14 @@ def quantiles_from_store(
     :func:`operators.sketches.merge_hist_quantiles`. ``shard_filter`` is
     an optional Column predicate on ``shard_col`` (pushed to the bucket
     scan). Touches only the kilobyte bucket store."""
-    hist = spark.read.parquet(store_dir).drop("ingest_batch")
+    # fold-aware read: counts are NOT duplicate-idempotent, so the
+    # post-commit fold window (new consolidated + not-yet-deleted folded
+    # partials both visible) would double-count under a naive read
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    hist = fold_consistent_read(spark, store_dir).drop("ingest_batch")
     if shard_filter is not None:
         hist = hist.where(shard_filter)
     return merge_hist_quantiles(

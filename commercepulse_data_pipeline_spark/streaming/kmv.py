@@ -92,8 +92,17 @@ def kmv_sketches_from_store(
     """The current sketch per set: re-truncate across every partial row.
     This is what :func:`operators.sketches.kmv_set_overlap` does to a
     batch store; exposed here so callers can run set ops against the
-    live streaming store the same way."""
-    return kmv_truncate(spark.read.parquet(store_dir), set_col=set_col, k=k)
+    live streaming store the same way. Fold-aware read
+    (:func:`sources.readers.fold_consistent_read`): probing concurrently
+    with — or after a crash of — :func:`compact_kmv_rollup` returns the
+    exact pre-fold answer at every resting point."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    return kmv_truncate(
+        fold_consistent_read(spark, store_dir), set_col=set_col, k=k
+    )
 
 
 def compact_kmv_rollup(

@@ -1222,3 +1222,190 @@ def test_compact_kmv_rollup_crash_rolls_forward(spark, tmp_path, monkeypatch):
     ).collect()))
     assert after == before
     assert stats["partitions_after"] >= 1
+
+
+def _hist_probe(spark, store):
+    from commercepulse_data_pipeline_spark.streaming.histograms import (
+        quantiles_from_store,
+    )
+
+    return sorted(map(tuple, quantiles_from_store(
+        spark, store, [("p50", 1, 2), ("p99", 99, 100)],
+        shard_col="day", group_cols=["grp"],
+    ).collect()))
+
+
+def test_probe_during_in_flight_hist_fold_exact(spark, tmp_path, monkeypatch):
+    """A monitoring job probing the histogram store CONCURRENTLY with (or
+    after a crash of) compaction reads the exact pre-fold answer at every
+    resting point of the fold protocol — including the two windows where
+    a naive read is provably wrong for count-summing sketches:
+
+    - pre-commit (old consolidated set aside, no marker): naive read
+      UNDER-counts (the consolidated rows are invisible);
+    - post-commit after rename-in, folded dirs not yet deleted: naive
+      read DOUBLE-counts (consolidated + partials both visible).
+    """
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.streaming.histograms import (
+        compact_hist_rollup,
+        hist_rollup_batch,
+    )
+
+    store = str(tmp_path / "hist_store")
+    for bid in range(3):
+        rows = [("2024-02-%02d" % (1 + i % 3), "g%d" % (i % 2),
+                 (i * 7919 + bid * 104729) % 3_000_000) for i in range(400)]
+        hist_rollup_batch(
+            spark.createDataFrame(rows, "day string, grp string, v long"),
+            bid, store, value_col="v", shard_col="day", group_cols=["grp"],
+        )
+    # fold #1 completes: store now has a consolidated partition
+    compact_hist_rollup(spark, store, shard_col="day", group_cols=["grp"],
+                        keep_latest=1)
+    rows4 = [("2024-02-01", "g0", i * 13) for i in range(200)]
+    hist_rollup_batch(
+        spark.createDataFrame(rows4, "day string, grp string, v long"),
+        3, store, value_col="v", shard_col="day", group_cols=["grp"],
+    )
+    truth = _hist_probe(spark, store)
+
+    # -- window 1: PRE-COMMIT. Crash fold #2 at the marker rename: the old
+    # consolidated sits in ._fold_old, no marker yet.
+    real_rename = os.rename
+
+    def crash_marker(src, dst):
+        if str(dst).endswith("_FOLDED.json"):
+            raise RuntimeError("injected crash before commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_marker)
+    with _pytest.raises(RuntimeError, match="before commit"):
+        compact_hist_rollup(spark, store, shard_col="day",
+                            group_cols=["grp"], keep_latest=0)
+    monkeypatch.undo()
+    assert os.path.isdir(store + "._fold_old/ingest_batch=-1")
+    assert not os.path.exists(store + "._fold_old/_FOLDED.json")
+    assert _hist_probe(spark, store) == truth  # roll-back view
+    # full recovery + fold: answers unchanged, store clean again
+    compact_hist_rollup(spark, store, shard_col="day", group_cols=["grp"],
+                        keep_latest=0)
+    assert _hist_probe(spark, store) == truth
+    assert not os.path.exists(store + "._fold_old")
+
+    # -- window 2: POST-COMMIT, consolidated still in tmp. The store is
+    # clean pre-fold, so the only rename to the consolidated root path is
+    # _fold_commit's rename-in — crash there.
+    rows5 = [("2024-02-02", "g1", i * 17) for i in range(200)]
+    hist_rollup_batch(
+        spark.createDataFrame(rows5, "day string, grp string, v long"),
+        4, store, value_col="v", shard_col="day", group_cols=["grp"],
+    )
+    truth2 = _hist_probe(spark, store)
+
+    def crash_cons(src, dst):
+        if str(dst) == os.path.join(store, "ingest_batch=-1"):
+            raise RuntimeError("injected crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_cons)
+    with _pytest.raises(RuntimeError, match="commit point"):
+        compact_hist_rollup(spark, store, shard_col="day",
+                            group_cols=["grp"], keep_latest=0)
+    monkeypatch.undo()
+    assert os.path.exists(store + "._fold_old/_FOLDED.json")
+    assert not os.path.isdir(os.path.join(store, "ingest_batch=-1"))
+    assert _hist_probe(spark, store) == truth2  # roll-forward view (tmp)
+
+    # -- window 3: POST-COMMIT, consolidated renamed in, folded dirs not
+    # yet deleted (the double-count window). The next compact's implicit
+    # recovery renames the consolidated in, then deletes folded dirs —
+    # crash at the first folded-dir delete.
+    real_rmtree = shutil.rmtree
+
+    def crash_rmtree(path, *a, **kw):
+        if "ingest_batch=" in str(path) and "._fold" not in str(path):
+            raise RuntimeError("injected crash before folded-dir delete")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crash_rmtree)
+    with _pytest.raises(RuntimeError, match="folded-dir delete"):
+        compact_hist_rollup(spark, store, shard_col="day",
+                            group_cols=["grp"], keep_latest=0)
+    monkeypatch.undo()
+    # the poisoned state: consolidated AND its folded sources both on disk
+    assert os.path.isdir(os.path.join(store, "ingest_batch=-1"))
+    leftover = [e for e in os.listdir(store)
+                if e.startswith("ingest_batch=") and e != "ingest_batch=-1"]
+    assert leftover, "expected folded dirs still present"
+    assert _hist_probe(spark, store) == truth2  # no double count
+    # and after full recovery the answers are still identical
+    compact_hist_rollup(spark, store, shard_col="day", group_cols=["grp"],
+                        keep_latest=0)
+    assert _hist_probe(spark, store) == truth2
+
+
+def test_probe_during_in_flight_kmv_fold_exact(spark, tmp_path, monkeypatch):
+    """Same contract for the KMV store, probed through BOTH readers
+    (kmv_sketches_from_store and the kmv_set_overlap estimates): exact
+    pre-fold answers in the pre-commit window, where a naive read would
+    lose the set-aside consolidated partition's hashes entirely."""
+    import os
+
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+    from commercepulse_data_pipeline_spark.streaming.kmv import (
+        compact_kmv_rollup,
+        kmv_rollup_batch,
+        kmv_sketches_from_store,
+    )
+
+    k = 8
+    store = str(tmp_path / "kmv_store")
+    for bid in range(2):
+        kmv_rollup_batch(
+            spark.createDataFrame(
+                [(s, f"k{bid * 30 + i}") for s in ("A", "B") for i in range(40)]
+                + [("B", f"x{bid * 9 + i}") for i in range(9)],
+                "event_type string, ukey string",
+            ),
+            bid, store, set_col="event_type", key_col="ukey", k=k,
+        )
+    compact_kmv_rollup(spark, store, set_col="event_type", k=k, keep_latest=1)
+    kmv_rollup_batch(
+        spark.createDataFrame([("A", f"z{i}") for i in range(25)],
+                              "event_type string, ukey string"),
+        2, store, set_col="event_type", key_col="ukey", k=k,
+    )
+
+    def probe():
+        sk = sorted(map(tuple, kmv_sketches_from_store(
+            spark, store, set_col="event_type", k=k).collect()))
+        ov = sorted(map(tuple, kmv_set_overlap(
+            spark, store, set_col="event_type", k=k).collect()))
+        return sk, ov
+
+    truth = probe()
+    real_rename = os.rename
+
+    def crash_marker(src, dst):
+        if str(dst).endswith("_FOLDED.json"):
+            raise RuntimeError("injected crash before commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_marker)
+    with _pytest.raises(RuntimeError, match="before commit"):
+        compact_kmv_rollup(spark, store, set_col="event_type", k=k,
+                           keep_latest=0)
+    monkeypatch.undo()
+    assert os.path.isdir(store + "._fold_old/ingest_batch=-1")
+    assert probe() == truth  # pre-commit roll-back view, both readers
+    compact_kmv_rollup(spark, store, set_col="event_type", k=k, keep_latest=0)
+    assert probe() == truth
