@@ -3005,9 +3005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
         "docs_contamination": q_docs_contamination,
-        "media_features": q_media_features,
-        "approx_stats": q_approx_stats,
-        "order_value_percentiles_approx": q_order_value_percentiles_approx,
         "kmv_set_overlap": q_kmv_set_overlap,
         "containment_pairs": q_containment_pairs,
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
@@ -3019,6 +3016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
+        # -- rows-only block rides at the very end (contract: never
+        #    displaces an oracle-backed query from the driver's cap;
+        #    spark_rows were re-recorded in r8)
+        "media_features": q_media_features,
+        "approx_stats": q_approx_stats,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
     }
 
 

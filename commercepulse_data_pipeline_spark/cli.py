@@ -193,6 +193,10 @@ def cmd_clean_corpus(args) -> int:
         → exact dedup (content hash, lowest id wins)
         → near-dup clusters (MinHash pairs → connected components)
           → keep the best-quality member per cluster
+        → optional substring-level passage dedup (--passage-dedup:
+          cross-doc duplicated passages spliced out of every
+          non-canonical occurrence, Lee et al. 2022; docs falling below
+          --min-remaining-tokens are dropped)
         → deterministic sample (md5-bucket, reproducible/incremental)
         → optional train/val/test split manifest (--splits; content-keyed,
           stable under incremental reruns)
@@ -239,6 +243,24 @@ def cmd_clean_corpus(args) -> int:
         keep.select(F.col("kept_doc_id").alias("doc_id")), "doc_id", "left_anti"
     ).select("doc_id")
     deduped = exact.join(losers, "doc_id", "left_anti")
+
+    if args.passage_dedup:
+        # whole-doc dedup above removes duplicate DOCUMENTS; this splices
+        # duplicated PASSAGES out of otherwise-distinct survivors (one
+        # canonical occurrence kept), then drops hollowed-out docs
+        spliced = tx.dedup_passages(
+            deduped,
+            window_tokens=args.passage_window,
+            min_docs=args.min_passage_docs,
+        )
+        deduped = (
+            spliced.where(
+                F.col("n_tokens") - F.col("n_tokens_removed")
+                >= args.min_remaining_tokens
+            )
+            .withColumn("text", F.col("text_deduped"))
+            .drop("text_deduped", "n_tokens", "n_tokens_removed", "n_dup_windows")
+        )
 
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
 
@@ -472,6 +494,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop docs whose repeated-line fraction exceeds this (1.0 = off)")
     c.add_argument("--max-top-ngram-frac", type=float, default=1.0, dest="max_top_ngram_frac",
                    help="drop docs whose most-frequent-bigram fraction exceeds this (1.0 = off)")
+    c.add_argument("--passage-dedup", action="store_true", dest="passage_dedup",
+                   help="splice cross-doc duplicated passages out of "
+                        "non-canonical occurrences (substring-level dedup)")
+    c.add_argument("--passage-window", type=int, default=8, dest="passage_window",
+                   help="tokens per passage fingerprint window")
+    c.add_argument("--min-passage-docs", type=int, default=2, dest="min_passage_docs",
+                   help="distinct docs sharing a window before it counts as duplicated")
+    c.add_argument("--min-remaining-tokens", type=int, default=1, dest="min_remaining_tokens",
+                   help="drop docs left with fewer tokens after the splice")
     c.add_argument("--splits", default=None,
                    help="train/val/test manifest, e.g. 'train=0.9,val=0.05,test=0.05' "
                         "(content-keyed: stable under incremental reruns)")

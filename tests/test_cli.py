@@ -172,6 +172,48 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     assert again == labels
 
 
+def test_clean_corpus_passage_dedup_stage(spark, tmp_path):
+    """--passage-dedup splices a cross-doc duplicated passage out of the
+    non-canonical doc (whole-doc dedup can't touch it: the docs are not
+    near-dups), keeps the canonical occurrence, and drops docs hollowed
+    below --min-remaining-tokens."""
+    from commercepulse_data_pipeline_spark import cli
+
+    # docs share an 8-token passage but have LOW whole-doc Jaccard, so
+    # the MinHash near-dup stage stays silent — exactly the gap the
+    # passage stage exists for
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    u1 = " ".join(f"u{i} v{i * 3 + 1}" for i in range(10))
+    u2 = " ".join(f"w{i} x{i * 7 + 2}" for i in range(10))
+    u3 = " ".join(f"f{i}" for i in range(12))
+    rows = [
+        (1, f"{u1} {shared} closing thought one"),
+        (2, f"{u2} {shared} distinct tail two"),
+        (3, f"{shared} {u3}"),  # mostly the shared passage -> hollowed out
+        (4, "entirely independent content with no overlap whatsoever here "
+            "and plenty of extra body to clear the token floor easily"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--passage-dedup",
+        "--min-remaining-tokens", "13",
+    ])
+    assert rc == 0
+    corpus = spark.read.parquet(str(tmp_path / "out/corpus"))
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    assert shared in texts[1]                # canonical occurrence kept
+    assert shared not in texts[2]            # spliced out
+    assert "distinct tail two" in texts[2]   # surroundings survive
+    assert 3 not in texts                    # hollowed below 13 tokens
+    assert 4 in texts
+
+
 def test_clean_corpus_sample_then_split_independent_salts(spark, tmp_path):
     """Regression (ADVICE r5, high): --sample-rate r<1 composed with
     --splits must still distribute survivors across ALL splits. With the
