@@ -1090,3 +1090,79 @@ def test_deterministic_sample_is_stream_batch_unified(spark, tmp_path):
         for r in deterministic_sample(batch, "doc_id", 0.25, salt="s1:").collect()
     }
     assert got == want and 0 < len(got) < 500
+
+
+def test_stream_passage_dedup_cross_batch(spark, tmp_path):
+    """Streaming passage dedup: a passage indexed by an earlier batch is
+    spliced out of later arrivals (keep-first), within-batch canonicals
+    survive, a direct replay of a batch reproduces its first attempt
+    (own-partition exclusion), and min_docs counts accumulate ACROSS
+    batches."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        passage_dedup_batch,
+        stream_passage_dedup,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    b1 = [(1, f"opening words of the first arrival {shared} and a closing"),
+          (2, "completely unrelated early document with its own words")]
+    b2 = [(3, f"late arrival quoting {shared} inside fresh surrounding text"),
+          (4, f"{shared}")]  # nothing but the passage
+    for i, rows in enumerate((b1, b2)):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "text": [r[1] for r in rows]}),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    store = str(tmp_path / "store")
+    q = stream_passage_dedup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{store}/corpus")
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    removed = {r["doc_id"]: r["n_tokens_removed"] for r in corpus.collect()}
+    assert shared in texts[1]            # batch-1 canonical untouched
+    assert removed[1] == 0 and removed[2] == 0
+    assert shared not in texts[3]        # cross-batch dup spliced
+    assert "late arrival quoting" in texts[3]
+    assert "fresh surrounding text" in texts[3]
+    assert texts[4] == "" and removed[4] == 8
+
+    # direct REPLAY of the last batch (batch_id=1): own-partition
+    # exclusion means the rewrite is identical, not doubly spliced / not
+    # suddenly treating batch-1 content as foreign
+    rows2 = spark.createDataFrame(b2, "doc_id long, text string")
+    passage_dedup_batch(rows2, 1, store)
+    texts_r = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert texts_r == texts
+
+    # min_docs=3: counts accumulate across batches — splice only fires
+    # when the THIRD distinct doc arrives
+    store3 = str(tmp_path / "store3")
+    for bid, doc_id in enumerate((10, 11, 12)):
+        passage_dedup_batch(
+            spark.createDataFrame(
+                [(doc_id, f"doc body number {doc_id} then {shared} tail")],
+                "doc_id long, text string",
+            ),
+            bid, store3, min_docs=3,
+        )
+    t3 = {r["doc_id"]: r["text"]
+          for r in spark.read.parquet(f"{store3}/corpus").collect()}
+    assert shared in t3[10] and shared in t3[11]   # totals 1, 2 < 3
+    assert shared not in t3[12]                     # total reaches 3
