@@ -1029,6 +1029,31 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(corpus, probes, text_col="text", id_col="doc_id")
 
 
+def q_docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination CORRECTION
+    (operators/contamination.py::scrub_contamination): every 10th doc
+    plays the evaluation set (same split as ``docs_contamination``, the
+    detection twin); the remaining corpus docs are REWRITTEN with every
+    8-token window found in the eval vocabulary spliced out — no
+    canonical survivor. The md5 of each scrubbed text hash-checks the
+    whole rewrite; oracle is a full DuckDB replay."""
+    from commercepulse_data_pipeline_spark.operators.contamination import (
+        scrub_contamination,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    out = scrub_contamination(corpus, probes, window_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_probe_windows",
+        F.md5("text_scrubbed").alias("scrubbed_md5"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 via shingle inverted index.
 
@@ -2915,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r9
         "docs_passage_dedup": q_docs_passage_dedup,
         "media_features_check": q_media_features_check,
+        "docs_decontaminated": q_docs_decontaminated,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -2960,9 +2986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        # -- positions 51+: the 4 simplest r7-block entries (operators
+        # -- positions 51+: the 5 simplest r7-block entries (operators
         #    untouched; parity_strict-verified this session, first in r10)
+        "embedding_knn": q_embedding_knn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
@@ -4126,6 +4152,58 @@ def oracle_sql() -> dict[str, str]:
                 ('tiff', 'image', 640, 480, NULL, 'f5c0710dcce3ce01e4f858860fbc3cce'),
                 ('wav', 'audio', NULL, NULL, 1500, 'b51922a8435de891c1e896e6451b044a')
             ) AS t(media_id, modality, width, height, duration_ms, feat_pin)
+        """,
+        # Full replay of the decontamination splice: probe vocabulary =
+        # every 8-token window fingerprint of the eval split (doc_id % 10
+        # == 0); a corpus token is removed iff covered by any window
+        # whose fp is in the vocabulary (no canonical survivor).
+        "docs_decontaminated": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 10 <> 0
+            ),
+            pv AS (
+                SELECT DISTINCT
+                       md5(array_to_string(toks[i:i+7], ' ')) AS fp
+                FROM (SELECT {_TOKS} AS toks FROM documents
+                      WHERE doc_id % 10 = 0) p,
+                     unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+            ),
+            occ AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(toks[i:i+7], ' ')) AS fp
+                FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+            ),
+            dups AS (
+                SELECT DISTINCT o.doc_id, o.pos
+                FROM occ o JOIN pv ON o.fp = pv.fp
+            ),
+            dup_lists AS (
+                SELECT doc_id, list_sort(list(pos)) AS dup_pos
+                FROM dups GROUP BY doc_id
+            ),
+            spliced AS (
+                SELECT t.doc_id, t.toks,
+                       coalesce(d.dup_pos, []) AS dp,
+                       list_filter(
+                           list_transform(
+                               range(1, len(t.toks) + 1),
+                               i -> CASE WHEN len(list_filter(
+                                             coalesce(d.dup_pos, []),
+                                             p -> p <= i - 1 AND i - 1 < p + 8
+                                         )) = 0
+                                    THEN t.toks[i] END
+                           ),
+                           x -> x IS NOT NULL
+                       ) AS kept
+                FROM t LEFT JOIN dup_lists d USING (doc_id)
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(toks) - len(kept) AS n_tokens_removed,
+                   len(dp) AS n_probe_windows,
+                   md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+            FROM spliced
         """,
         # Full replay of the splice: same 8-token md5 fingerprints,
         # canonical = min (doc_id, pos) [min doc, then min pos within it],

@@ -23,10 +23,12 @@ the same plan degrades gracefully to a shuffled semi-join on the shingle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.expr import let
 from commercepulse_data_pipeline_spark.operators.dedup import word_shingles
+from commercepulse_data_pipeline_spark.operators.text import token_ngrams, tokens
 
 
 def ngram_contamination(
@@ -78,4 +80,91 @@ def ngram_contamination(
                 F.coalesce(F.col("hits"), F.lit(0)) / F.col("set_size"), 6
             ).alias("contamination"),
         )
+    )
+
+
+def scrub_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Decontamination CORRECTION (the acting sibling of
+    :func:`ngram_contamination`, same detect→correct symmetry as
+    ``text.dedup_passages`` → ``docs_shared_passages``): REWRITE corpus
+    documents by splicing out every token covered by a
+    ``window_tokens``-token window whose fingerprint appears anywhere in
+    the probe (benchmark/eval) set. Unlike passage dedup there is NO
+    canonical survivor — evaluation text must not appear in training
+    data at all, so every hit is removed.
+
+    Returns the corpus columns plus ``text_scrubbed``, ``n_tokens``,
+    ``n_tokens_removed`` and ``n_probe_windows`` (contaminated windows in
+    the doc). Filter/drop on the counts per pipeline policy.
+
+    Scale shape: the probe side is small by construction → its distinct
+    window-fingerprint vocabulary broadcasts, and the corpus-side
+    membership test is a broadcast semi-join on the exploded (doc, pos,
+    fp) rows — corpus text never moves for detection. The only
+    corpus-sized shuffle is the final doc-keyed join of the (typically
+    tiny) contaminated-position lists back onto the text; pre-bucket the
+    corpus by ``id_col`` to co-locate it. The splice is the same codegen
+    projection as ``dedup_passages``."""
+    probe_text_col = probe_text_col or text_col
+    w = window_tokens
+    probe_vocab = F.broadcast(
+        probes.select(
+            F.explode_outer(
+                F.transform(
+                    token_ngrams(tokens(F.col(probe_text_col)), w),
+                    lambda g: F.md5(g),
+                )
+            ).alias("__fp")
+        )
+        .where(F.col("__fp").isNotNull())
+        .distinct()
+    )
+    staged = corpus.withColumn("__toks", tokens(F.col(text_col)))
+    fps = F.transform(token_ngrams(F.col("__toks"), w), lambda g: F.md5(g))
+    occ = staged.select(
+        F.col(id_col).alias("__doc"), F.posexplode(fps)
+    ).select(
+        "__doc",
+        F.col("pos").cast("int").alias("__pos"),
+        F.col("col").alias("__fp"),
+    )
+    dup_lists = (
+        occ.join(probe_vocab, "__fp", "left_semi")
+        .groupBy("__doc")
+        .agg(F.array_sort(F.collect_set("__pos")).alias("__dup_pos"))
+    )
+    joined = staged.join(
+        dup_lists, staged[id_col] == dup_lists["__doc"], "left"
+    ).drop("__doc")
+    dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
+
+    def splice(dp: Column) -> Column:
+        kept = F.filter(
+            F.col("__toks"),
+            lambda _t, i: ~F.exists(
+                dp, lambda p: (p <= i) & (i < p + F.lit(w))
+            ),
+        )
+        return F.struct(
+            F.array_join(kept, " ").alias("text_scrubbed"),
+            F.size(kept).alias("n_kept"),
+        )
+
+    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    return out.select(
+        *corpus.columns,
+        F.col("__spliced.text_scrubbed").alias("text_scrubbed"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.col("__spliced.n_kept")).alias(
+            "n_tokens_removed"
+        ),
+        F.size(dup_pos).alias("n_probe_windows"),
     )

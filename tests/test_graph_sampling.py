@@ -296,6 +296,51 @@ def test_ngram_contamination_planted_overlap(spark):
     assert "BroadcastHashJoin" in final and "LeftSemi" in final, plan
 
 
+def test_scrub_contamination_splices_probe_passages(spark):
+    """Decontamination CORRECTION: every window that matches the probe
+    set is spliced with NO canonical survivor — a verbatim embedded eval
+    passage disappears from the training doc, partially-overlapping and
+    clean docs keep their non-matching tokens, and the probe membership
+    test stays a broadcast semi-join."""
+    from commercepulse_data_pipeline_spark.operators.contamination import (
+        scrub_contamination,
+    )
+
+    eval_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"train preamble words {eval_text} train closing words"),
+            # shares only the FIRST 8 tokens of the probe (one window)
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel "
+                "then completely original continuation text follows here"),
+            (3, "entirely clean training document with no benchmark text"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in scrub_contamination(corpus, probes, window_tokens=8).collect()
+    }
+    # all 10 probe tokens removed from doc 1 (3 covering windows), no
+    # canonical kept anywhere
+    assert out[1]["text_scrubbed"] == "train preamble words train closing words"
+    assert out[1]["n_tokens_removed"] == 10 and out[1]["n_probe_windows"] == 3
+    assert out[2]["n_probe_windows"] == 1 and out[2]["n_tokens_removed"] == 8
+    assert out[2]["text_scrubbed"] == (
+        "then completely original continuation text follows here"
+    )
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["text_scrubbed"] == corpus.collect()[2]["text"]
+
+    plan = (
+        scrub_contamination(corpus, probes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, plan
+
+
 def test_keep_best_per_cluster(spark):
     from commercepulse_data_pipeline_spark.operators.graph import (
         dedup_clusters,

@@ -88,6 +88,7 @@ PROBE_QUERIES = [
     "revenue_anomalies",
     # round-9 additions
     "docs_passage_dedup",
+    "docs_decontaminated",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
