@@ -155,6 +155,37 @@ def passage_dedup_batch(
     ).write.mode("overwrite").parquet(f"{fp_root}/ingest_batch={batch_id}")
 
 
+def seed_probe_fingerprints(
+    probes: DataFrame,
+    store_dir: str,
+    *,
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> None:
+    """Pre-seed the fingerprint index with an evaluation/benchmark set so
+    the stream decontaminates as it deduplicates: every probe window is
+    written with ``n_docs = min_docs`` under the reserved partition
+    ``ingest_batch=-2`` (no real batch id), so ANY arriving occurrence
+    crosses the duplicate threshold on its own and — because the
+    fingerprint is "indexed" — has no canonical survivor, exactly
+    :func:`operators.contamination.scrub_contamination` semantics applied
+    continuously. Idempotent overwrite; call before (or any time during)
+    the stream."""
+    fps = F.transform(
+        token_ngrams(tokens(F.col(text_col)), window_tokens),
+        lambda g: F.md5(g),
+    )
+    (
+        probes.select(F.explode_outer(fps).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .distinct()
+        .withColumn("n_docs", F.lit(min_docs).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{store_dir}/fp_index/ingest_batch=-2")
+    )
+
+
 def stream_passage_dedup(
     spark: SparkSession,
     docs_path: str,

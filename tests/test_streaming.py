@@ -1166,3 +1166,50 @@ def test_stream_passage_dedup_cross_batch(spark, tmp_path):
           for r in spark.read.parquet(f"{store3}/corpus").collect()}
     assert shared in t3[10] and shared in t3[11]   # totals 1, 2 < 3
     assert shared not in t3[12]                     # total reaches 3
+
+
+def test_stream_passage_dedup_with_seeded_probe_index(spark, tmp_path):
+    """seed_probe_fingerprints turns the passage-dedup stream into a
+    continuous decontaminator: a benchmark passage seeded BEFORE the
+    stream is spliced from the very first arrival (no canonical
+    survivor), while ordinary cross-batch dedup semantics are
+    unaffected."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        seed_probe_fingerprints,
+        stream_passage_dedup,
+    )
+
+    eval_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    store = str(tmp_path / "store")
+    seed_probe_fingerprints(
+        spark.createDataFrame([(100, eval_text)], "doc_id long, text string"),
+        store,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows = [(1, f"training doc quoting {eval_text} within original prose"),
+            (2, "wholly original document with no benchmark content at all")]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(drops / "d0.parquet"),
+    )
+    os.utime(str(drops / "d0.parquet"), (time.time() - 60, time.time() - 60))
+
+    q = stream_passage_dedup(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    # the FIRST arrival is already spliced — seeded fps have no canonical
+    assert "alpha" not in texts[1] and "india" not in texts[1]
+    assert texts[1] == "training doc quoting within original prose"
+    assert texts[2] == rows[1][1]
