@@ -388,3 +388,25 @@ def test_collocations_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject(limit=30" in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_plan_shape(spark):
+    """dedup_passages plan guarantees: the fp-keyed duplicate decision
+    partially aggregates map-side (min/count over __fp before the
+    exchange), and no stage degenerates into a nested-loop /
+    cartesian join."""
+    from commercepulse_data_pipeline_spark.operators.text import dedup_passages
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a b c d e f g h") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        dedup_passages(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "BroadcastNestedLoopJoin" not in final, plan
+    # two-phase aggregate on the fingerprint key: a partial_ function
+    # appears before the exchange (count/min partials)
+    assert "partial_" in plan, plan
