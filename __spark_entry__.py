@@ -1658,7 +1658,7 @@ _FIXTURE_MODALITY = {
     "jpeg": "image", "png": "image", "gif": "video", "bmp": "image",
     "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
     "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
-    "ogg_opus": "audio",
+    "ogg_opus": "audio", "webp": "image", "webp_anim": "video",
 }
 
 
@@ -4150,7 +4150,9 @@ def oracle_sql() -> dict[str, str]:
                 ('png', 'image', 12, 6, NULL, '47f8a5105e5075324fac0a926b2e256d'),
                 ('ppm', 'image', 4, 3, NULL, '9981a58cad9b91140565b0e2ef7871b9'),
                 ('tiff', 'image', 640, 480, NULL, 'f5c0710dcce3ce01e4f858860fbc3cce'),
-                ('wav', 'audio', NULL, NULL, 1500, 'b51922a8435de891c1e896e6451b044a')
+                ('wav', 'audio', NULL, NULL, 1500, 'b51922a8435de891c1e896e6451b044a'),
+                ('webp', 'image', 1023, 517, NULL, 'd26380894fc5bf3a91d4052769a1c3df'),
+                ('webp_anim', 'video', 320, 180, 200, '68d8ab3662e81ac413ca5ae8eb934408')
             ) AS t(media_id, modality, width, height, duration_ms, feat_pin)
         """,
         # Full replay of the decontamination splice: probe vocabulary =

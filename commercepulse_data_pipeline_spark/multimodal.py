@@ -176,6 +176,67 @@ def _decode_wav(content: bytes) -> dict:
     }
 
 
+def _decode_webp(content: bytes) -> dict:
+    """WebP (RIFF container, public container+bitstream specs): walk the
+    chunk list; dimensions come from whichever variant is present —
+
+    - ``VP8 `` (lossy): keyframe start code 0x9D 0x01 0x2A at payload
+      bytes 3-5, then 14-bit width/height in the next two LE u16s;
+    - ``VP8L`` (lossless): 0x2F signature byte, then 14-bit width-1 /
+      height-1 bit-packed across the next 4 bytes;
+    - ``VP8X`` (extended): 24-bit LE canvas width-1 / height-1 at payload
+      bytes 4-9 (wins over per-frame dims — it IS the canvas).
+
+    Animated WebP (ANMF frames) sums the 24-bit per-frame durations in
+    ms, the same duration contract as the GIF decoder. Lossy SAMPLE
+    decode (the VP8 DCT stream) stays behind the documented
+    NotImplementedError boundary; every metadata field curation filters
+    on is parsed here."""
+    import struct
+
+    if content[8:12] != b"WEBP":
+        raise ValueError("RIFF container is not WEBP")
+    width = height = None
+    canvas = None
+    dur_ms = 0
+    animated = False
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csz = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + csz]
+        if cid == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 chunk without a keyframe start code")
+            width = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            height = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+        elif cid == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                raise ValueError("VP8L chunk without its signature byte")
+            b = body[1:5]
+            width = 1 + (((b[1] & 0x3F) << 8) | b[0])
+            height = 1 + (((b[3] & 0x0F) << 10) | (b[2] << 2) | (b[1] >> 6))
+        elif cid == b"VP8X" and len(body) >= 10:
+            canvas = (
+                1 + int.from_bytes(body[4:7], "little"),
+                1 + int.from_bytes(body[7:10], "little"),
+            )
+        elif cid == b"ANMF" and len(body) >= 15:
+            animated = True
+            dur_ms += int.from_bytes(body[12:15], "little")
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if canvas is not None:
+        width, height = canvas
+    if width is None:
+        raise ValueError("WEBP without a VP8 / VP8L / VP8X chunk")
+    return {
+        "width": width,
+        "height": height,
+        "duration_sec": (dur_ms / 1000.0) if animated else None,
+        "feature": _feature_from_bytes(content[12:]),
+    }
+
+
 def _decode_ppm(content: bytes) -> dict:
     """PPM binary (P6): ASCII header 'P6 <width> <height> <maxval>' with
     #-comments, then raw RGB triplets."""
@@ -1255,6 +1316,8 @@ def real_decode(content: bytes, modality: str) -> dict:
         return _decode_tiff(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return _decode_wav(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return _decode_webp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:4] == b"fLaC":

@@ -1378,3 +1378,73 @@ def test_checked_in_media_fixtures_reproducible():
     assert set(on_disk) == set(built)
     for name, blob in built.items():
         assert on_disk[name] == blob, f"fixture drift: {name}"
+
+
+def _webp_chunk(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _webp_bytes(kind: str, width: int, height: int,
+                frame_ms: list[int] | None = None) -> bytes:
+    """Independent minimal WebP encoder (header-level): lossy VP8
+    keyframe header, lossless VP8L bit-packed dims, or extended VP8X
+    canvas + ANMF animation frames."""
+    import struct
+
+    chunks = b""
+    if kind == "vp8":
+        hdr = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunks = _webp_chunk(b"VP8 ", hdr + bytes((i * 31) % 256 for i in range(40)))
+    elif kind == "vp8l":
+        w1, h1 = width - 1, height - 1
+        b0 = w1 & 0xFF
+        b1 = ((w1 >> 8) & 0x3F) | ((h1 & 0x03) << 6)
+        b2 = (h1 >> 2) & 0xFF
+        b3 = (h1 >> 10) & 0x0F
+        payload = bytes([0x2F, b0, b1, b2, b3]) + bytes(
+            (i * 53) % 256 for i in range(24)
+        )
+        chunks = _webp_chunk(b"VP8L", payload)
+    elif kind == "vp8x":
+        vp8x = bytes([0x02]) + bytes(3) + (width - 1).to_bytes(3, "little") \
+            + (height - 1).to_bytes(3, "little")
+        chunks = _webp_chunk(b"VP8X", vp8x)
+        if frame_ms:
+            anim = bytes(6)
+            chunks += _webp_chunk(b"ANIM", anim)
+            for ms in frame_ms:
+                anmf = bytes(12) + ms.to_bytes(3, "little") + bytes([0]) \
+                    + bytes((i * 17) % 256 for i in range(20))
+                chunks += _webp_chunk(b"ANMF", anmf)
+    else:
+        raise AssertionError(kind)
+    import struct as _s
+
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_real_decode_webp_variants():
+    """All three WebP dimension sources parse: lossy VP8 keyframe header,
+    lossless VP8L bit-packed dims (14-bit fields split across bytes),
+    VP8X canvas; ANMF frame durations sum like the GIF decoder; corrupt
+    start codes raise."""
+    d = real_decode(_webp_bytes("vp8", 640, 360), "image")
+    assert (d["width"], d["height"], d["duration_sec"]) == (640, 360, None)
+
+    d2 = real_decode(_webp_bytes("vp8l", 1023, 517), "image")
+    assert (d2["width"], d2["height"]) == (1023, 517)
+
+    d3 = real_decode(_webp_bytes("vp8x", 1920, 1080, frame_ms=[40, 60, 100]),
+                     "video")
+    assert (d3["width"], d3["height"]) == (1920, 1080)
+    assert d3["duration_sec"] == pytest.approx(0.2)
+
+    bad = bytearray(_webp_bytes("vp8", 64, 64))
+    bad[12 + 8 + 3] = 0x00  # break the keyframe start code
+    with pytest.raises(ValueError):
+        real_decode(bytes(bad), "image")
+    with pytest.raises(ValueError):
+        real_decode(b"RIFF\x04\x00\x00\x00WEBP", "image")  # no dims chunk

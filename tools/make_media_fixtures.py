@@ -36,7 +36,7 @@ MODALITY = {
     "jpeg": "image", "png": "image", "gif": "video", "bmp": "image",
     "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
     "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
-    "ogg_opus": "audio",
+    "ogg_opus": "audio", "webp": "image", "webp_anim": "video",
 }
 
 
@@ -92,6 +92,9 @@ def build() -> dict[str, bytes]:
     fixtures["flac"] = tm._flac_full([left, right], 16, 8000, [fr1, fr2])
 
     fixtures["mp3"] = tm._mp3_frames(100, version=1, id3=tm._id3v2(64))
+    fixtures["webp"] = tm._webp_bytes("vp8l", 1023, 517)
+    fixtures["webp_anim"] = tm._webp_bytes("vp8x", 320, 180,
+                                           frame_ms=[40, 60, 100])
     fixtures["mp4"] = tm._mp4_bytes(12.5, 640, 360)
     fixtures["ogg_vorbis"] = tm._ogg_vorbis_bytes(44100, rate=44100)
     fixtures["ogg_opus"] = tm._ogg_opus_bytes(96312, pre_skip=312)
