@@ -1477,6 +1477,128 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(assigned, cents, qvec, k=p["k"], nprobe=p["nprobe"])
 
 
+_PQ_TOPK = dict(k=10, m=4, n_codes=8, iters=1, dim=64)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_train/
+    pq_encode/pq_topk — Jégou et al. 2011): per-subspace codebooks
+    trained with the same md5-init + decimal-Lloyd discipline as IVF,
+    vectors stored as m=4 small codes, and the query answered in the
+    COMPRESSED domain by ADC — m LUT lookups summed in subspace order (a
+    pure codegen projection, no join, vectors never decompressed; top-k
+    is TakeOrderedAndProject). The oracle replays codebook training,
+    encoding, the LUT and the ordered ADC fold in SQL, so the approximate
+    DISTANCES hash-check, not just ids."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = _PQ_TOPK
+    qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    books = sim.pq_train(e, m=p["m"], n_codes=p["n_codes"], iters=p["iters"])
+    enc = sim.pq_encode(e, books)
+    return sim.pq_topk(enc, books, qvec, k=p["k"])
+
+
+def _pq_topk_oracle_sql() -> str:
+    """DuckDB twin of q_ann_pq_topk: md5-ordered codebook init per
+    subspace, one decimal-Lloyd iteration over (j, code) groups, final
+    encoding, the query's ADC lookup table, and the SUBSPACE-ORDERED
+    distance fold ((p0+p1)+p2)+p3 — the same IEEE addition order as the
+    Spark-side aggregate starting from 0.0."""
+    p = _PQ_TOPK
+    assert p["iters"] == 1, "oracle is generated for the registered iters=1 config"
+    m, nc, dim, k = p["m"], p["n_codes"], p["dim"], p["k"]
+    ds = dim // m
+    h64 = _duck_md5_long("md5(CAST(vec_id AS VARCHAR))")
+    sqd = (
+        "list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
+    )
+    wide_cols = ",\n                   ".join(
+        f"max(CASE WHEN c.j = {j} THEN l.pd END) AS p{j}" for j in range(m)
+    )
+    fold = "p0"
+    for j in range(1, m):
+        fold = f"({fold} + p{j})"
+    return f"""
+        WITH hashed AS (
+            SELECT vec_id, embedding, {h64} AS hv FROM embeddings
+        ),
+        init AS (
+            SELECT row_number() OVER (ORDER BY hv ASC, vec_id ASC) - 1 AS cid,
+                   embedding
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY hv ASC, vec_id ASC) <= {nc}
+        ),
+        js AS (SELECT unnest(range(0, {m})) AS j),
+        books0 AS (
+            SELECT js.j, i.cid,
+                   list_transform(i.embedding[js.j * {ds} + 1 : js.j * {ds} + {ds}],
+                                  x -> CAST(x AS DOUBLE)) AS cvec
+            FROM init i CROSS JOIN js
+        ),
+        subs AS (
+            SELECT e.vec_id, js.j,
+                   e.embedding[js.j * {ds} + 1 : js.j * {ds} + {ds}] AS sub
+            FROM embeddings e CROSS JOIN js
+        ),
+        a0 AS (
+            SELECT vec_id, j, cid FROM (
+                SELECT s.vec_id, s.j, b.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY {sqd.format(v="s.sub", c="b.cvec")} ASC, b.cid ASC
+                       ) AS rn
+                FROM subs s JOIN books0 b ON s.j = b.j
+            ) WHERE rn = 1
+        ),
+        dims AS (
+            SELECT a.j, a.cid, d.d,
+                   CAST(CAST(s.sub[d.d] AS DOUBLE) AS DECIMAL(30,15)) AS v
+            FROM a0 a
+            JOIN subs s ON a.vec_id = s.vec_id AND a.j = s.j
+            CROSS JOIN (SELECT unnest(range(1, {ds + 1})) AS d) d
+        ),
+        cm AS (
+            SELECT j, cid, d, CAST(sum(v) AS DOUBLE) / count(*) AS mval
+            FROM dims GROUP BY j, cid, d
+        ),
+        upd AS (
+            SELECT j, cid, list(mval ORDER BY d ASC) AS cvec
+            FROM cm GROUP BY j, cid
+        ),
+        books1 AS (
+            SELECT b.j, b.cid, coalesce(u.cvec, b.cvec) AS cvec
+            FROM books0 b LEFT JOIN upd u ON b.j = u.j AND b.cid = u.cid
+        ),
+        codes AS (
+            SELECT vec_id, j, cid FROM (
+                SELECT s.vec_id, s.j, b.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY {sqd.format(v="s.sub", c="b.cvec")} ASC, b.cid ASC
+                       ) AS rn
+                FROM subs s JOIN books1 b ON s.j = b.j
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (
+            SELECT b.j, b.cid,
+                   {sqd.format(v="(q.qv[b.j * " + str(ds) + " + 1 : b.j * " + str(ds) + " + " + str(ds) + "])", c="b.cvec")} AS pd
+            FROM books1 b CROSS JOIN q
+        ),
+        wide AS (
+            SELECT c.vec_id,
+                   {wide_cols}
+            FROM codes c JOIN lut l ON c.j = l.j AND c.cid = l.cid
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, round({fold}, 6) AS approx_d2
+        FROM wide
+        ORDER BY round({fold}, 6) ASC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _duck_md5_long(hex_expr: str) -> str:
     """DuckDB expression for operators/dedup.py::_md5_long applied to an
     md5-hex expression: first 16 hex chars as a signed big-endian 64-bit
@@ -2941,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_passage_dedup": q_docs_passage_dedup,
         "media_features_check": q_media_features_check,
         "docs_decontaminated": q_docs_decontaminated,
+        "ann_pq_topk": q_ann_pq_topk,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -2985,9 +3108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # -- positions 51+: the 5 simplest r7-block entries (operators
+        # -- positions 51+: the 6 simplest r7-block entries (operators
         #    untouched; parity_strict-verified this session, first in r10)
+        "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "union_actors": q_union_actors,
@@ -5020,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
 
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
+        "ann_pq_topk": _pq_topk_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """

@@ -660,3 +660,247 @@ def project_embeddings(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projs))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+#
+# The 100 TB embedding-compression shape: split each d-dim vector into m
+# subspaces, learn a small codebook per subspace (the same deterministic
+# decimal-Lloyd discipline as ivf_assign), store each vector as m small
+# integer codes (d floats -> m bytes), and answer queries in the
+# COMPRESSED domain via asymmetric distance computation (ADC): the query
+# builds one m x n_codes lookup table of partial squared distances
+# driver-side, and per-vector distance is m table lookups summed — a pure
+# codegen projection over the codes table, no join, no decompression;
+# top-k compiles to TakeOrderedAndProject. Every step is md5-seeded /
+# decimal-accumulated / order-pinned, so a SQL replay hash-checks the
+# distances themselves.
+
+
+def _argmin_code(sub: Column, book: list[list[float]]) -> Column:
+    """Index of the nearest codebook entry (ties -> lowest code), same
+    array_min-over-structs shape as ivf_assign."""
+    structs = [
+        F.struct(
+            _sq_dist(sub, F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(book)
+    ]
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``books[j][c]`` is code ``c``'s
+    centroid in subspace ``j``. Init = the ``n_codes`` corpus vectors
+    with the lowest md5-derived id hash (engine-reproducible), sliced
+    per subspace; each Lloyd iteration is ONE corpus pass — codes for
+    all m subspaces in one projection, then one (j, code)-keyed
+    aggregate with DECIMAL per-dimension means (partition-order-free,
+    the ivf_assign discipline). The collected means are m·n_codes·d/m =
+    n_codes·d doubles — bounded by the codebook, not the corpus."""
+    from commercepulse_data_pipeline_spark.operators.dedup import _md5_long
+
+    dim = len(corpus.select(vec_col).head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(_md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    books = [
+        [list(map(float, r[1][j * ds : (j + 1) * ds])) for r in sample]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        slices = F.array(*[F.slice(F.col(vec_col), j * ds + 1, ds) for j in range(m)])
+        codes = F.array(
+            *[
+                _argmin_code(F.slice(F.col(vec_col), j * ds + 1, ds), books[j])
+                for j in range(m)
+            ]
+        )
+        z = corpus.select(
+            F.posexplode(
+                F.zip_with(
+                    slices,
+                    codes,
+                    lambda s, c: F.struct(s.alias("sub"), c.alias("code")),
+                )
+            )
+        ).select(
+            F.col("pos").alias("j"),
+            F.col("col.code").alias("code"),
+            F.col("col.sub").alias("sub"),
+        )
+        means = (
+            z.groupBy("j", "code")
+            .agg(
+                *[
+                    (
+                        F.sum(
+                            F.element_at(F.col("sub"), i + 1)
+                            .cast("double")
+                            .cast("decimal(30,15)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"m{i}")
+                    for i in range(ds)
+                ]
+            )
+            .collect()
+        )
+        new_books = [list(b) for b in books]
+        for r in means:
+            new_books[r["j"]][r["code"]] = [float(r[f"m{i}"]) for i in range(ds)]
+        books = new_books
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-code PQ encoding (``array<int>``) — a pure codegen
+    projection against the broadcast-literal codebooks; at 100 TB this
+    runs at scan speed and the codes table is ~d/m·(d→1 byte) smaller
+    than the raw vectors."""
+    m = len(books)
+    ds = len(books[0][0])
+    codes = F.array(
+        *[
+            _argmin_code(F.slice(F.col(vec_col), j * ds + 1, ds), books[j])
+            for j in range(m)
+        ]
+    )
+    return corpus.withColumn(code_col, codes)
+
+
+def _pq_lut(books: list[list[list[float]]], query_vec: list[float]) -> list[list[float]]:
+    """ADC lookup table: partial squared distance between the query's
+    subspace slice and every codebook entry. Left-to-right float sums —
+    the same IEEE order as _sq_dist's fold and the SQL replay's
+    list_sum."""
+    m = len(books)
+    ds = len(books[0][0])
+    lut = []
+    for j, book in enumerate(books):
+        q = [float(v) for v in query_vec[j * ds : (j + 1) * ds]]
+        row = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(q, c):
+                acc += (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_topk(
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    refine: int = 0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC over the compressed codes: per-vector
+    distance = m lookups into the broadcast-literal LUT, summed in
+    subspace order (an ordered double fold — exactly replayable), then
+    TakeOrdered. ``refine`` > 0 re-ranks the top ``refine`` ADC
+    candidates by exact cosine against ``vec_col`` (must be present in
+    ``encoded``) — the standard two-stage serving shape; output is then
+    cosine top-k."""
+    m = len(books)
+    lut = _pq_lut(books, query_vec)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(lut_lit, j + 1),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        ),
+    )
+    scored = encoded.withColumn("__appd", approx)
+    if refine:
+        cands = (
+            scored.orderBy(F.col("__appd").asc(), F.col(id_col).asc())
+            .limit(refine)
+            .drop("__appd")
+        )
+        return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
+    return (
+        scored.select(
+            id_col, F.round(F.col("__appd"), 6).alias("approx_d2")
+        )
+        .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def write_pq_index(
+    encoded: DataFrame,
+    path: str,
+    *,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> None:
+    """Persist the compressed index: the codes table (id + m ints — the
+    only thing a query scans) and the codebooks beside it."""
+    encoded.select(id_col, code_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    spark = encoded.sparkSession
+    rows = [
+        (j, c, [float(v) for v in vec])
+        for j, book in enumerate(books)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "j int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Query the persisted PQ index: load the (tiny) codebooks, ADC over
+    the codes table. The raw vectors are never read."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append(list(r["centroid"]))
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_topk(codes, books, query_vec, k, id_col=id_col, code_col=code_col)

@@ -1016,3 +1016,67 @@ def test_robust_anomalies_median_mad_flags(spark):
     assert all(
         x["is_anomaly"] == 0 for x in win.robust_anomalies(flat, "v", "day").collect()
     )
+
+
+def test_pq_train_encode_topk_and_index(spark, tmp_path):
+    """Product quantization: codebooks train deterministically (decimal
+    Lloyd, md5 init), codes reconstruct cluster membership on a planted
+    corpus, ADC distances equal a pure-Python replay of the same LUT
+    arithmetic, refine re-ranks exactly, and the persisted index answers
+    identically without the raw vectors."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    # planted corpus: two tight clusters in an 8-dim space (m=2 -> 4-dim
+    # subspaces), plus the query's exact twin
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        base = [1.0] * 4 + [0.0] * 4 if i % 2 == 0 else [0.0] * 4 + [1.0] * 4
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    rows.append((100, [1.0] * 4 + [0.0] * 4))  # exact cluster-A center
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = sim.pq_train(df, m=2, n_codes=4, iters=1)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    # training twice is bit-identical (no RNG anywhere)
+    assert books == sim.pq_train(df, m=2, n_codes=4, iters=1)
+
+    enc = sim.pq_encode(df, books)
+    qvec = [1.0] * 4 + [0.0] * 4
+    top = sim.pq_topk(enc, books, qvec, k=10)
+    got = [(r["vec_id"], r["approx_d2"]) for r in top.collect()]
+    # every top-10 hit is from cluster A (even ids / the planted twin)
+    assert all(v == 100 or v % 2 == 0 for v, _ in got), got
+
+    # ADC values equal the Python replay of the same LUT + ordered fold
+    lut = sim._pq_lut(books, qvec)
+    codes = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    for vid, appd in got:
+        acc = 0.0
+        for j, c in enumerate(codes[vid]):
+            acc += lut[j][c]
+        assert appd == round(acc, 6), (vid, appd, acc)
+
+    # refine: exact cosine re-rank puts the planted twin first
+    # refine=20 > the 16 identical-code cluster-A members: ADC ties
+    # break by id asc, so a smaller refine would cut the id-100 twin
+    ref = sim.pq_topk(enc, books, qvec, k=3, refine=20)
+    assert ref.collect()[0]["vec_id"] == 100
+
+    # persisted index: identical answers, vectors never read
+    p = str(tmp_path / "pq")
+    sim.write_pq_index(enc, p, books=books)
+    got2 = [
+        (r["vec_id"], r["approx_d2"])
+        for r in sim.pq_topk_indexed(spark, p, qvec, k=10).collect()
+    ]
+    assert got2 == got
+    # the ADC scan is join-free: pure projection + TakeOrdered
+    plan = (
+        sim.pq_topk_indexed(spark, p, qvec, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
