@@ -904,3 +904,29 @@ def pq_topk_indexed(
         books[r["j"]].append(list(r["centroid"]))
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, books, query_vec, k, id_col=id_col, code_col=code_col)
+
+
+def pq_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> None:
+    """Incremental PQ ingest (the ivf_append sibling): encode a new batch
+    against the FROZEN persisted codebooks — a pure projection, O(batch),
+    no retraining, no rewrite of existing codes — and append to the codes
+    table. Queries (``pq_topk_indexed``) see old + new rows with the same
+    codebooks, so distances stay comparable across ingests. Retrain and
+    rewrite only when drift between the codebooks and the vector
+    distribution warrants it (the standard PQ serving posture)."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append(list(r["centroid"]))
+    pq_encode(new_vectors, books, vec_col=vec_col, code_col=code_col).select(
+        id_col, code_col
+    ).write.mode("append").parquet(f"{path}/codes")

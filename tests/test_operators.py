@@ -1080,3 +1080,39 @@ def test_pq_train_encode_topk_and_index(spark, tmp_path):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pq_append_incremental_ingest(spark, tmp_path):
+    """pq_append encodes a new batch against the FROZEN persisted
+    codebooks (no retrain, no rewrite) and the indexed query sees old +
+    new rows with comparable distances: a planted exact query twin
+    appended later lands at the top."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import random
+
+    rng = random.Random(11)
+    base_rows = [
+        (i, [rng.uniform(0.4, 0.6) for _ in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    books = sim.pq_train(df, m=2, n_codes=4, iters=1)
+    p = str(tmp_path / "pq")
+    sim.write_pq_index(sim.pq_encode(df, books), p, books=books)
+
+    qvec = [1.0] * 4 + [0.0] * 4
+    before = {r["vec_id"] for r in sim.pq_topk_indexed(spark, p, qvec, k=3).collect()}
+    assert 200 not in before
+
+    sim.pq_append(
+        spark, p,
+        spark.createDataFrame([(200, qvec)], "vec_id long, embedding array<float>"),
+    )
+    full = sim.pq_topk_indexed(spark, p, qvec, k=21).collect()
+    by_id = {r["vec_id"]: r["approx_d2"] for r in full}
+    # the appended twin's ADC distance is the global minimum (ties with
+    # any old row that quantized to the same codes — compressed-domain
+    # distances depend only on codes, so equality, not strict order)
+    assert by_id[200] == min(by_id.values())
+    # old rows still present and unchanged
+    assert spark.read.parquet(f"{p}/codes").count() == 21

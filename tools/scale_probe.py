@@ -89,6 +89,7 @@ PROBE_QUERIES = [
     # round-9 additions
     "docs_passage_dedup",
     "docs_decontaminated",
+    "ann_pq_topk",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
