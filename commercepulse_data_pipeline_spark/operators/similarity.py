@@ -930,3 +930,122 @@ def pq_append(
     pq_encode(new_vectors, books, vec_col=vec_col, code_col=code_col).select(
         id_col, code_col
     ).write.mode("append").parquet(f"{path}/codes")
+
+
+def pq_knn_join(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Batch ADC: k approximate nearest corpus vectors for EACH query row,
+    computed entirely in the COMPRESSED domain — SMALL query side only
+    (the knn_join contract). Each broadcast query row carries its own
+    precomputed m × n_codes LUT (built ONCE per query as a projection
+    against the literal codebooks), so the per-(corpus, query) pair cost
+    is m array lookups summed in subspace order — not a d-dim distance.
+    The corpus side scans only the codes table: raw vectors are never
+    read. Output: query_id, neighbor_id, approx_d2, rank (ascending
+    distance; ties -> lowest neighbor_id)."""
+    m = len(books)
+    ds = len(books[0][0])
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+            for book in books
+        ]
+    )
+    qv = F.col(query_vec)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(
+                        F.slice(qv, j * ds + 1, ds),
+                        F.element_at(F.element_at(books_lit, j + 1), c + 1),
+                    )
+                    for c in range(len(books[j]))
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), lut.alias("__lut")
+        )
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), j + 1),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        ),
+    )
+    scored = codes.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        approx.alias("approx_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_d2", 6).alias("approx_d2"),
+            "rank",
+        )
+    )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN evaluation harness — measure, don't guess: per-query
+    recall@k of an approximate top-k result against the exact ground
+    truth (both as (query, neighbor[, rank]) tables, e.g. ``knn_join``
+    vs ``pq_knn_join`` / an LSH or IVF probe). Semi-join the rank<=k
+    rows, count hits per query, divide by the query's exact count
+    (<= k — short corpora have fewer true neighbors). Returns one row
+    per query plus mean recall available as avg(recall) downstream.
+    Distributed shape: two rank filters + one equi-join on (query,
+    neighbor) — evaluation costs no more than the joins it grades."""
+    ex = exact.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    ap = approx.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    hits = ex.join(ap, ["__q", "__n"], "left_semi").groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    totals = ex.groupBy("__q").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        totals.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_true"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

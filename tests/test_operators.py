@@ -1116,3 +1116,44 @@ def test_pq_append_incremental_ingest(spark, tmp_path):
     assert by_id[200] == min(by_id.values())
     # old rows still present and unchanged
     assert spark.read.parquet(f"{p}/codes").count() == 21
+
+
+def test_pq_knn_join_and_recall_at_k(spark):
+    """Batch ADC join: every query row gets compressed-domain top-k from
+    the codes table alone; recall@k against exact knn_join ground truth
+    is high on clustered data (the codes separate the clusters) and the
+    harness reports per-query hit counts correctly."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        base = [1.0] * 4 + [0.0] * 4 if i % 2 == 0 else [0.0] * 4 + [1.0] * 4
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id").isin([0, 1, 2, 3]))
+
+    books = sim.pq_train(corpus, m=2, n_codes=4, iters=1)
+    codes = sim.pq_encode(corpus, books).select("vec_id", "pq_code")
+
+    approx = sim.pq_knn_join(codes, queries, books, k=10)
+    # compressed-domain neighbors of an even (cluster-A) query are all
+    # cluster A — the codebooks separate the clusters
+    a_neigh = {r["neighbor_id"] for r in approx.where(F.col("query_id") == 0).collect()}
+    assert all(v % 2 == 0 for v in a_neigh)
+
+    exact = sim.knn_join(corpus, queries, k=10, exclude_self=False)
+    rec = sim.recall_at_k(exact, approx, k=10)
+    got = {r["query_id"]: r for r in rec.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # within-cluster ranks are ADC-tied (shared codes) so ordering inside
+    # the cluster is arbitrary — but every retrieved item is in-cluster,
+    # and with 20-member clusters recall@10 of in-cluster truth stays high
+    assert all(r["n_true"] == 10 for r in got.values())
+    assert all(r["recall"] >= 0.5 for r in got.values()), got
+    # degenerate approx: empty result -> recall 0, n_hit 0
+    empty = approx.where(F.lit(False))
+    rec0 = sim.recall_at_k(exact, empty, k=10).collect()
+    assert all(r["recall"] == 0.0 and r["n_hit"] == 0 for r in rec0)
