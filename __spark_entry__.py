@@ -2952,6 +2952,64 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan APPLIED (the acting sibling of
+    ``corpus_mixture_plan``, same detect→act symmetry as the r9 dedup/
+    decontamination correction passes): the per-source sampling rates the
+    planner derives are executed as deterministic md5-bucket sampling
+    (``operators/sampling.py::hash_bucket``, threshold =
+    floor(rate·2³²) — an integer both engines compute from the identical
+    IEEE rate), and the result is the realized per-source mixture:
+    docs/tokens kept and the realized rate vs the plan's target. The
+    binding (rate-1.0) source keeps everything; the rest downsample to
+    the planned token budget. Scale shape: one rollup pass for the plan +
+    one sampling pass (map-only after a broadcast plan join)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select("source", F.size(tx.tokens(F.col("text"))).alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").alias("available_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    weight = (
+        F.regexp_replace("source", "^src", "").cast("int") % 4 + 1
+    ).cast("double")
+    w = per.withColumn("weight", weight)
+    tot = w.agg(F.sum("weight").alias("__W"))
+    fr = w.crossJoin(F.broadcast(tot)).withColumn(
+        "frac", F.col("weight") / F.col("__W")
+    )
+    tmax = fr.agg(
+        F.min(F.col("available_tokens") / F.col("frac")).alias("__T")
+    )
+    # UNROUNDED rate, same operation order as the planner / its oracle:
+    # (T * frac) / available
+    plan = fr.crossJoin(F.broadcast(tmax)).select(
+        "source",
+        "available_tokens",
+        F.floor(
+            (F.col("__T") * F.col("frac")) / F.col("available_tokens")
+            * F.lit(4294967296.0)
+        ).cast("long").alias("__thr"),
+    )
+    docs = d.select(
+        "source", "doc_id", F.size(tx.tokens(F.col("text"))).alias("__t")
+    )
+    kept = docs.join(F.broadcast(plan), "source").where(
+        hash_bucket(F.col("doc_id"), "mixture-v1:") < F.col("__thr")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("__t").cast("long").alias("tokens_kept"),
+        F.max("available_tokens").alias("available_tokens"),
+        F.round(
+            F.sum("__t") / F.max("available_tokens").cast("double"), 6
+        ).alias("realized_rate"),
+    )
+
+
 def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     unigram_cross_entropy): per-doc bits-per-token under the corpus's own
@@ -3064,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_check": q_media_features_check,
         "docs_decontaminated": q_docs_decontaminated,
         "ann_pq_topk": q_ann_pq_topk,
+        "docs_mixture_applied": q_docs_mixture_applied,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -3107,9 +3166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        # -- positions 51+: the 6 simplest r7-block entries (operators
+        # -- positions 51+: the 7 simplest r7-block entries (operators
         #    untouched; parity_strict-verified this session, first in r10)
+        "docs_lang_breakdown": q_docs_lang_breakdown,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
         "embedding_norms_by_label": q_embedding_norms_by_label,
@@ -5122,6 +5181,48 @@ def oracle_sql() -> dict[str, str]:
                    round((tmax.T * frac) / available_tokens, 6) AS sampling_rate,
                    round(tmax.T * frac, 2) AS target_tokens
             FROM fr CROSS JOIN tmax
+        """,
+
+        # Apply the mixture plan: identical planner arithmetic (same
+        # operation order -> identical IEEE rates), threshold =
+        # floor(rate * 2^32) as BIGINT, identical md5 hex-digit bucket.
+        "docs_mixture_applied": f"""
+            WITH per AS (
+                SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT *, CAST(CAST(regexp_replace(source, '^src', '') AS INT) % 4 + 1
+                               AS DOUBLE) AS weight
+                FROM per
+            ),
+            tot AS (SELECT sum(weight) AS W FROM w),
+            fr AS (
+                SELECT w.*, weight / tot.W AS frac FROM w CROSS JOIN tot
+            ),
+            tmax AS (SELECT min(available_tokens / frac) AS T FROM fr),
+            plan AS (
+                SELECT source, available_tokens,
+                       CAST(floor(((tmax.T * frac) / available_tokens)
+                                  * 4294967296.0) AS BIGINT) AS thr
+                FROM fr CROSS JOIN tmax
+            ),
+            docs AS (
+                SELECT source, doc_id, len({_TOKS}) AS t FROM documents
+            ),
+            kept AS (
+                SELECT d.source, d.t, p.available_tokens
+                FROM docs d JOIN plan p USING (source)
+                WHERE {_sample_bucket_sql("doc_id", "mixture-v1:")} < p.thr
+            )
+            SELECT source,
+                   count(*) AS n_docs_kept,
+                   CAST(sum(t) AS BIGINT) AS tokens_kept,
+                   max(available_tokens) AS available_tokens,
+                   round(CAST(sum(t) AS BIGINT)
+                         / CAST(max(available_tokens) AS DOUBLE), 6)
+                       AS realized_rate
+            FROM kept GROUP BY source
         """,
 
         "docs_unigram_ce": f"""
