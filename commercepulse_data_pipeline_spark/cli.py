@@ -348,6 +348,37 @@ def cmd_stream_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_stream_passage_dedup(args) -> int:
+    """Continuous substring-level passage dedup: tail a directory of
+    document parquet drops and splice cross-doc duplicated passages as
+    they arrive (keep-first canonical across batches via the persisted
+    fingerprint index). ``--probes`` pre-seeds the index with an
+    evaluation set's fingerprints so the same stream also decontaminates
+    (no canonical survivor for eval passages). ``--follow`` keeps the
+    query alive."""
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        seed_probe_fingerprints,
+        stream_passage_dedup,
+    )
+
+    spark = _spark()
+    if args.probes:
+        seed_probe_fingerprints(
+            spark.read.parquet(args.probes),
+            args.store,
+            window_tokens=args.window_tokens,
+            min_docs=args.min_docs,
+        )
+    q = stream_passage_dedup(
+        spark, args.docs, args.store, args.checkpoint,
+        window_tokens=args.window_tokens, min_docs=args.min_docs,
+        trigger_once=not args.follow,
+    )
+    q.awaitTermination()
+    print(f"stream-passage-dedup: corpus maintained at {args.store}/corpus")
+    return 0
+
+
 def cmd_stream_dedup_embeddings(args) -> int:
     """Continuous EMBEDDING curation: tail a directory of vector parquet
     drops and maintain a semantically-deduplicated store + sign-LSH index
@@ -529,6 +560,22 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--follow", action="store_true",
                     help="keep running for new files (default: drain once)")
     sc.set_defaults(fn=cmd_stream_clean_corpus)
+
+    sp = sub.add_parser(
+        "stream-passage-dedup",
+        help="continuously splice cross-doc duplicated passages from document drops",
+    )
+    sp.add_argument("--docs", required=True, help="directory of document parquet files")
+    sp.add_argument("--store", required=True, help="state dir: corpus + fingerprint index")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--probes", default=None,
+                    help="parquet of eval docs whose fingerprints pre-seed the "
+                         "index (continuous decontamination)")
+    sp.add_argument("--window-tokens", type=int, default=8, dest="window_tokens")
+    sp.add_argument("--min-docs", type=int, default=2, dest="min_docs")
+    sp.add_argument("--follow", action="store_true",
+                    help="keep running for new files (default: drain once)")
+    sp.set_defaults(fn=cmd_stream_passage_dedup)
 
     se = sub.add_parser(
         "stream-dedup-embeddings",

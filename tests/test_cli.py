@@ -292,3 +292,49 @@ def test_cli_skew_report_subcommand(spark, tmp_path, capsys):
     assert "key=k" in out and "max=50" in out and "ratio=50.0" in out
     assert "p50=1" in out and "rec_salt_buckets=1" in out
     assert "top=[hot,k0]" in out
+
+
+def test_cli_stream_passage_dedup(spark, tmp_path):
+    """stream-passage-dedup drains the drops, splices the cross-batch
+    duplicated passage, and --probes pre-seeds eval fingerprints so the
+    eval text is removed from the very first arrival."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    eval_text = "november oscar papa quebec romeo sierra tango uniform victor"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    rows = [
+        (1, f"canonical carrier text {shared} with unique framing one"),
+        (2, f"other document also quoting {shared} but differently framed"),
+        (3, f"training doc leaking {eval_text} inside normal prose"),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(drops / "d0.parquet"),
+    )
+    os.utime(str(drops / "d0.parquet"), (time.time() - 60, time.time() - 60))
+    probes = tmp_path / "probes"
+    spark.createDataFrame([(100, eval_text)], "doc_id long, text string") \
+        .write.parquet(str(probes))
+
+    store = str(tmp_path / "store")
+    rc = cli.main([
+        "stream-passage-dedup",
+        "--docs", str(drops),
+        "--store", store,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--probes", str(probes),
+    ])
+    assert rc == 0
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert shared in texts[1]        # within-batch canonical survives
+    assert shared not in texts[2]    # duplicate spliced
+    assert "november" not in texts[3] and "victor" not in texts[3]
+    assert "training doc leaking" in texts[3]
