@@ -572,52 +572,55 @@ def fold_consistent_read(
             partition_col, F.lit(value).cast("int")
         )
 
-    def _union(parts: list[DataFrame]) -> DataFrame:
-        out = parts[0]
-        for q in parts[1:]:
-            out = out.unionByName(q)
-        return out
-
     prefix = partition_col + "="
     if m is not None:
-        # post-commit: roll-forward view
-        folded = set(m["folded"])
+        # post-commit: roll-forward view. TWO plan branches regardless of
+        # how many batch partitions exist (a per-partition union would
+        # make the plan grow with the store): the root read with the
+        # folded values pruned out, plus the new consolidated from
+        # wherever it currently lives.
+        folded_vals = [
+            int(name[len(prefix):])
+            for name in m["folded"]
+            if name != m["consolidated"]
+        ]
         cons_at_root = _os.path.join(p, m["consolidated"])
         cons_path = (
             cons_at_root
             if _os.path.isdir(cons_at_root)
             else _os.path.join(tmp_root, m["consolidated"])
         )
-        parts = [_part_df(cons_path, consolidated_value)]
-        for entry in sorted(_os.listdir(p)):
-            if (
-                entry.startswith(prefix)
-                and entry not in folded
-                and entry != m["consolidated"]
-                and _os.path.isdir(_os.path.join(p, entry))
-            ):
-                parts.append(
-                    _part_df(
-                        _os.path.join(p, entry), int(entry[len(prefix):])
-                    )
-                )
-        return _union(parts)
+        cons_df = _part_df(cons_path, consolidated_value)
+        live = [
+            entry
+            for entry in _os.listdir(p)
+            if entry.startswith(prefix)
+            and entry != m["consolidated"]
+            and int(entry[len(prefix):]) not in folded_vals
+            and _os.path.isdir(_os.path.join(p, entry))
+        ]
+        if not live:
+            return cons_df
+        rest = spark.read.parquet(p).where(
+            ~F.col(partition_col).isin(
+                folded_vals + [consolidated_value]
+            )
+        )
+        return rest.unionByName(cons_df)
     if _os.path.isdir(_os.path.join(old_root, cons_name)):
         # pre-commit: roll-back view (set-aside consolidated + everything
-        # still at root)
-        parts = [
-            _part_df(_os.path.join(old_root, cons_name), consolidated_value)
-        ]
-        for entry in sorted(_os.listdir(p)):
-            if entry.startswith(prefix) and _os.path.isdir(
-                _os.path.join(p, entry)
-            ):
-                parts.append(
-                    _part_df(
-                        _os.path.join(p, entry), int(entry[len(prefix):])
-                    )
-                )
-        return _union(parts)
+        # still at root) — again two branches
+        cons_df = _part_df(
+            _os.path.join(old_root, cons_name), consolidated_value
+        )
+        has_root_parts = any(
+            entry.startswith(prefix)
+            and _os.path.isdir(_os.path.join(p, entry))
+            for entry in _os.listdir(p)
+        )
+        if not has_root_parts:
+            return cons_df
+        return spark.read.parquet(p).unionByName(cons_df)
     return spark.read.parquet(p)
 
 
