@@ -41,7 +41,7 @@ Scale shape — the part that matters at 100 TB:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -348,3 +348,32 @@ def encode_bpe(
         )
         .withColumn("n_pieces", F.size("pieces"))
     )
+
+
+def save_bpe_model(
+    spark: SparkSession,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    path: str,
+) -> None:
+    """Persist a trained merge list as a rank-ordered parquet table — the
+    tokenizer artifact a training pipeline trains once and ships to every
+    encode job (rank IS the merge priority; counts kept when present for
+    auditability)."""
+    rows = []
+    for rank, m in enumerate(merges):
+        a, b = m[0], m[1]
+        n = int(m[2]) if len(m) > 2 else None
+        rows.append((rank, a, b, n))
+    spark.createDataFrame(
+        rows, "rank int, a string, b string, n bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_model(spark: SparkSession, path: str) -> list[tuple[str, str, int]]:
+    """Load a persisted merge table back into the ordered list
+    :func:`encode_bpe` consumes (rank order restored exactly)."""
+    rows = spark.read.parquet(path).collect()
+    return [
+        (r["a"], r["b"], int(r["n"]) if r["n"] is not None else 0)
+        for r in sorted(rows, key=lambda r: r["rank"])
+    ]

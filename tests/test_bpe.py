@@ -188,3 +188,28 @@ def test_train_zero_merges_and_exhaustion(spark):
     merges = train_bpe(tiny, 10)
     assert [m[:2] for m in merges] == [("a", "b"), ("ab", END)]
     assert all(m[2] == 2 for m in merges)
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    """The persisted merge table restores the EXACT ordered merge list,
+    and encoding with the loaded model is identical to encoding with the
+    in-memory one (train once, ship the artifact)."""
+    from commercepulse_data_pipeline_spark.operators.bpe import (
+        encode_bpe,
+        load_bpe_model,
+        save_bpe_model,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(df, 6)
+    p = str(tmp_path / "bpe_model")
+    save_bpe_model(spark, merges, p)
+    loaded = load_bpe_model(spark, p)
+    assert loaded == merges
+    enc_a = sorted(map(tuple, encode_bpe(df, merges).collect()))
+    enc_b = sorted(map(tuple, encode_bpe(df, loaded).collect()))
+    assert enc_a == enc_b and enc_a
