@@ -1448,3 +1448,68 @@ def test_real_decode_webp_variants():
         real_decode(bytes(bad), "image")
     with pytest.raises(ValueError):
         real_decode(b"RIFF\x04\x00\x00\x00WEBP", "image")  # no dims chunk
+
+
+def test_stream_media_features_tolerant_and_idempotent(spark, tmp_path):
+    """Streaming media featurization: real bytes decode through the
+    Arrow path per micro-batch, corrupt payloads quarantine as
+    decode_error rows instead of wedging the stream, and a direct batch
+    replay overwrites its own partition (no duplication)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.multimodal import real_decode
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        media_features_batch,
+        stream_media_features,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    b1 = [("m1", "image", _bmp_bytes(9, 7)),
+          ("bad", "image", b"\x00\x01 not a real container")]
+    b2 = [("m2", "audio", _wav_bytes(1.5, rate=8000))]
+    for i, rows in enumerate((b1, b2)):
+        pq.write_table(
+            pa.table({
+                "media_id": [r[0] for r in rows],
+                "modality": [r[1] for r in rows],
+                "content": pa.array([r[2] for r in rows], type=pa.binary()),
+            }),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    store = str(tmp_path / "media_store")
+    q = stream_media_features(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        decoder=real_decode, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    rows = {r["media_id"]: r for r in spark.read.parquet(store).collect()}
+    assert rows["m1"]["width"] == 9 and rows["m1"]["height"] == 7
+    assert rows["m1"]["decode_error"] is None
+    assert rows["m2"]["duration_sec"] == pytest.approx(1.5)
+    assert rows["bad"]["width"] is None and rows["bad"]["feature"] is None
+    assert "NotImplementedError" in rows["bad"]["decode_error"]
+
+    # replay batch 0 directly: own-partition overwrite, counts unchanged
+    media_features_batch(
+        spark.createDataFrame(
+            [(r[0], r[1], bytearray(r[2])) for r in b1],
+            "media_id string, modality string, content binary",
+        ),
+        0, store, decoder=real_decode,
+    )
+    assert spark.read.parquet(store).count() == 3
+    # the shared batch FEATURE_SCHEMA was not mutated by the +error field
+    from commercepulse_data_pipeline_spark.multimodal import FEATURE_SCHEMA
+
+    assert [f.name for f in FEATURE_SCHEMA.fields] == [
+        "media_id", "modality", "width", "height", "duration_sec", "feature",
+    ]
