@@ -1049,3 +1049,119 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+) -> None:
+    """IVF+PQ — the canonical billion-scale ANN layout (FAISS IVFPQ
+    shape, Jégou et al. 2011 §IV): an IVF coarse quantizer partitions
+    the corpus into inverted lists (probes = partition PRUNING on disk),
+    and inside the lists vectors are stored as PQ codes of their
+    RESIDUALS from the list centroid — the residual distribution is far
+    tighter than the raw corpus, so the same code budget quantizes much
+    finer. Persists: codes partitioned by centroid_id, the centroid
+    table, and the residual codebooks."""
+    assigned, cents = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters,
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for _, c in sorted(cents)]
+    )
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("centroid_id") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    books = pq_train(
+        resid, id_col=id_col, vec_col="__resid", m=m, n_codes=n_codes,
+        iters=iters,
+    )
+    encoded = pq_encode(resid, books, vec_col="__resid")
+    encoded.select(id_col, "centroid_id", "pq_code").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/codes")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, [float(v) for v in c]) for cid, c in cents],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (j, c, [float(v) for v in vec])
+        for j, book in enumerate(books)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "j int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query the IVF+PQ index: rank centroids driver-side (tiny), scan
+    only the ``nprobe`` nearest lists (partition pruning — non-probed
+    lists' files are never opened), and rank by ADC against a PER-LIST
+    LUT built from the query's residual to that list's centroid. Raw
+    vectors are never read; per-row cost is m lookups."""
+    cents = sorted(
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    brows = spark.read.parquet(f"{path}/books").collect()
+    mm = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(mm)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append(list(r["centroid"]))
+
+    def d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+
+    probe = [cid for cid, c in sorted(cents, key=lambda t: d2(t[1]))[:nprobe]]
+    cent_map = dict(cents)
+    out = None
+    for cid in probe:
+        # per-list LUT: the query RESIDUAL to this list's centroid
+        q_res = [
+            float(q) - c for q, c in zip(query_vec, cent_map[cid])
+        ]
+        lut = _pq_lut(books, q_res)
+        lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        approx = F.aggregate(
+            F.sequence(F.lit(0), F.lit(mm - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(lut_lit, j + 1),
+                F.element_at(F.col("pq_code"), j + 1) + 1,
+            ),
+        )
+        part = (
+            spark.read.parquet(f"{path}/codes")
+            .where(F.col("centroid_id") == cid)
+            .select(id_col, approx.alias("__appd"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.select(id_col, F.round("__appd", 6).alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1157,3 +1157,37 @@ def test_pq_knn_join_and_recall_at_k(spark):
     empty = approx.where(F.lit(False))
     rec0 = sim.recall_at_k(exact, empty, k=10).collect()
     assert all(r["recall"] == 0.0 and r["n_hit"] == 0 for r in rec0)
+
+
+def test_ivfpq_index_residual_coding_and_pruned_probe(spark, tmp_path):
+    """IVF+PQ: residual coding inside coarse lists recovers the true
+    nearest cluster through partition-pruned probes; the probe plan
+    touches only the probed lists (PartitionFilters on centroid_id) and
+    never reads the raw vector column."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        which = i % 3
+        base = {0: [1.0, 0, 0, 0, 0, 0, 0, 0],
+                1: [0, 0, 1.0, 0, 0, 0, 0, 0],
+                2: [0, 0, 0, 0, 1.0, 0, 0, 0]}[which]
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(df, p, n_centroids=3, m=2, n_codes=4, iters=1)
+
+    qvec = [1.0, 0, 0, 0, 0, 0, 0, 0]
+    got = sim.ivfpq_topk(spark, p, qvec, k=10, nprobe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 10
+    # with 3 well-separated clusters and nprobe=1, every hit should come
+    # from the query's cluster (vec_id % 3 == 0)
+    assert all(v % 3 == 0 for v in ids), ids
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan          # raw vectors never read
+    assert "PartitionFilters" in plan, plan  # probe = partition pruning
