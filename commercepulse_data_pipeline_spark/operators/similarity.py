@@ -1165,3 +1165,51 @@ def ivfpq_topk(
         .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF+PQ ingest: assign each new vector to its frozen
+    coarse list, residual-encode against the frozen codebooks, append to
+    the list's partition — O(batch) pure projections, probes stay
+    partition-pruned, nothing is rebuilt (the ivf_append / pq_append
+    posture applied to the combined index)."""
+    cents = sorted(
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    brows = spark.read.parquet(f"{path}/books").collect()
+    mm = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(mm)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append(list(r["centroid"]))
+    dists = [
+        F.struct(
+            _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, c in cents
+    ]
+    assigned = new_vectors.withColumn(
+        "centroid_id", F.array_min(F.array(*dists))["cid"]
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for _, c in cents]
+    )
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("centroid_id") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    pq_encode(resid, books, vec_col="__resid").select(
+        id_col, "centroid_id", "pq_code"
+    ).write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")

@@ -1191,3 +1191,34 @@ def test_ivfpq_index_residual_coding_and_pruned_probe(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan          # raw vectors never read
     assert "PartitionFilters" in plan, plan  # probe = partition pruning
+
+
+def test_ivfpq_append_incremental_ingest(spark, tmp_path):
+    """ivfpq_append assigns new vectors to their frozen coarse list and
+    residual-encodes with the frozen codebooks: an appended near-twin of
+    the query is found through the same partition-pruned probe, and the
+    old lists are untouched."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 1.0, 0.0]
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(df, p, n_centroids=2, m=2, n_codes=4, iters=1)
+    n_before = spark.read.parquet(f"{p}/codes").count()
+
+    qvec = [1.0, 0.0, 0.0, 0.0]
+    sim.ivfpq_append(
+        spark, p,
+        spark.createDataFrame([(500, qvec)], "vec_id long, embedding array<float>"),
+    )
+    assert spark.read.parquet(f"{p}/codes").count() == n_before + 1
+    got = sim.ivfpq_topk(spark, p, qvec, k=40, nprobe=1)
+    by_id = {r["vec_id"]: r["approx_d2"] for r in got.collect()}
+    assert 500 in by_id
+    assert by_id[500] == min(by_id.values())  # ADC-minimal (ties by code)

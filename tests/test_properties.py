@@ -818,3 +818,57 @@ def test_dedup_passages_matches_python_model(spark, docs, w):
         ]
         want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    probes=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=3,
+    ),
+    w=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_scrub_contamination_matches_python_model(spark, docs, probes, w):
+    """scrub_contamination ≡ a pure-Python splice model on random
+    tiny-vocab corpora: token removed iff covered by any window whose
+    fingerprint is in the probe vocabulary; no canonical survivor."""
+    from commercepulse_data_pipeline_spark.operators.contamination import (
+        scrub_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    probe_df = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(probes)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_scrubbed"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_probe_windows"],
+        )
+        for r in scrub_contamination(corpus, probe_df, window_tokens=w).collect()
+    }
+
+    vocab = set()
+    for t in probes:
+        for p in range(len(t) - w + 1):
+            vocab.add(tuple(t[p : p + w]))
+    for i, toks in enumerate(docs):
+        dp = {
+            p for p in range(len(toks) - w + 1)
+            if tuple(toks[p : p + w]) in vocab
+        }
+        kept = [
+            tok for j, tok in enumerate(toks)
+            if not any(p <= j < p + w for p in dp)
+        ]
+        want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
+        assert got[i] == want, (i, got[i], want)
