@@ -886,7 +886,13 @@ def minhash_pairs_incremental(
         shingle_n=int(meta["shingle_n"]),
     )
     id_col, text_col = meta["id_col"], meta["text_col"]
-    idx = spark.read.parquet(f"{index_path}/bands")
+    # fold-aware on stream-built (ingest_batch-partitioned) indexes; a
+    # flat batch index takes the plain-read fast path
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
+    idx = fold_consistent_read(spark, f"{index_path}/bands")
     # band the batch ONCE (eager checkpoint): the table is consumed up to
     # four times (probe keys, pair join, within-batch pairs, the append)
     # and each lazy evaluation would re-run the md5 signature build

@@ -74,9 +74,16 @@ def clean_corpus_batch(
     drop = within
     # index detection must go through Spark's Hadoop filesystem layer —
     # driver-local os.path would silently disable cross-batch dedup on
-    # any non-local store (hdfs://, s3a://, ...) (self-review finding)
+    # any non-local store (hdfs://, s3a://, ...) (self-review finding).
+    # Fold-aware read: compact_streaming_index's pre-commit window would
+    # otherwise HIDE the consolidated bands partition — a silently missed
+    # near-dup, the worst failure mode for a dedup index.
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
     try:
-        idx = spark.read.parquet(bands_root)
+        idx = fold_consistent_read(spark, bands_root)
         have_index = True
     except Exception:  # PATH_NOT_FOUND on the first batch
         have_index = False

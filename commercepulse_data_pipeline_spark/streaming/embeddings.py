@@ -122,8 +122,14 @@ def dedup_embeddings_batch(
     drop = within
 
     lists_root = f"{store_dir}/index/lists"
+    # fold-aware read (same rationale as streaming/corpus.py: a mid-fold
+    # crash must not hide the consolidated lists from the dedup probe)
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+    )
+
     try:
-        idx = spark.read.parquet(lists_root)
+        idx = fold_consistent_read(spark, lists_root)
         have_index = True
     except Exception:  # first batch
         have_index = False
