@@ -1213,3 +1213,76 @@ def test_stream_passage_dedup_with_seeded_probe_index(spark, tmp_path):
     assert "alpha" not in texts[1] and "india" not in texts[1]
     assert texts[1] == "training doc quoting within original prose"
     assert texts[2] == rows[1][1]
+
+
+def test_passage_stream_crash_replay_from_checkpoint(spark, tmp_path):
+    """Kill the passage-dedup stream AFTER batch 1 wrote its corpus
+    partition but with its fingerprint-index partition torn away (crash
+    between the two sinks, before the checkpoint commit). Restarting
+    from the same checkpoint re-delivers batch 1; own-partition
+    exclusion means the replay does NOT splice against its own first
+    attempt, and the healed index serves batch 2 correctly."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        passage_dedup_batch,
+        stream_passage_dedup,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    batches = [
+        [(1, f"first carrier of the passage {shared} original one")],
+        [(2, f"second doc quoting {shared} with its own tail")],
+        [(3, f"third doc also has {shared} and more words")],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "text": [r[1] for r in rows]}),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        passage_dedup_batch(bdf, bid, store)
+        if bid == 1:
+            shutil.rmtree(f"{store}/fp_index/ingest_batch=1")
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops))
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert not os.path.exists(f"{store}/fp_index/ingest_batch=1")  # torn
+
+    q2 = stream_passage_dedup(spark, str(drops), store, ckpt,
+                              max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert shared in texts[1]        # batch-0 canonical untouched
+    assert shared not in texts[2]    # replayed batch 1 spliced vs batch 0
+    assert "its own tail" in texts[2]
+    assert shared not in texts[3]    # batch 2 spliced via the healed index
+    # index healed: every batch partition present again
+    parts = {e for e in os.listdir(f"{store}/fp_index")
+             if e.startswith("ingest_batch=")}
+    assert parts == {"ingest_batch=0", "ingest_batch=1", "ingest_batch=2"}
