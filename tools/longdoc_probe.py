@@ -86,6 +86,12 @@ def main() -> int:
         "repetition_scores": lambda d: tx.repetition_scores(d, "text").select(
             "doc_id", "dup_line_frac", "top_ngram_frac"
         ),
+        # r9: the splice operators — per-doc work is fingerprint build +
+        # coverage filter; disjoint vocab means no dup windows, so this
+        # times the builders and the (empty-list) splice projection
+        "dedup_passages": lambda d: tx.dedup_passages(d).select(
+            "doc_id", "n_tokens_removed"
+        ),
     }
 
     # Full untimed warm-up sweep FIRST (same lesson as bench.py: the
