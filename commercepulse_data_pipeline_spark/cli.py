@@ -460,6 +460,32 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_media_features(args) -> int:
+    """Batch media featurization: read a parquet of (media_id, modality,
+    content binary) rows, decode/featurize through the Arrow-batched
+    path, write the feature table. ``--real`` dispatches the pure-Python
+    decoders on magic bytes; default is the deterministic fake codec.
+    Default error posture quarantines undecodable payloads as
+    ``decode_error`` rows (``--strict`` restores raise-on-error)."""
+    from commercepulse_data_pipeline_spark import multimodal as mm
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        extract_features_tolerant,
+    )
+
+    spark = _spark()
+    media = spark.read.parquet(args.media)
+    decoder = mm.real_decode if args.real else mm.DeterministicFakeDecoder.decode
+    feats = extract_features_tolerant(
+        media, decoder=decoder, on_error="raise" if args.strict else "null"
+    )
+    feats.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out)
+    bad = n.where(F.col("decode_error").isNotNull()).count()
+    print(f"media-features: {n.count()} rows written to {args.out} "
+          f"({bad} quarantined)")
+    return 0
+
+
 def cmd_skew_report(args) -> int:
     """Key-distribution diagnostics for a parquet dataset: exact group
     quantiles, skew ratio, recommended salt width, heaviest keys — the
@@ -619,6 +645,19 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("key_cols", nargs="+")
     sk.add_argument("--top-n", type=int, default=3)
     sk.set_defaults(fn=cmd_skew_report)
+
+    mf = sub.add_parser(
+        "media-features",
+        help="featurize a media parquet (binary content) through the Arrow decode path",
+    )
+    mf.add_argument("--media", required=True,
+                    help="parquet with (media_id, modality, content binary)")
+    mf.add_argument("--out", required=True)
+    mf.add_argument("--real", action="store_true",
+                    help="use the real pure-Python decoders (default: deterministic fake codec)")
+    mf.add_argument("--strict", action="store_true",
+                    help="fail on undecodable payloads (default: quarantine as decode_error rows)")
+    mf.set_defaults(fn=cmd_media_features)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -338,3 +338,33 @@ def test_cli_stream_passage_dedup(spark, tmp_path):
     assert shared not in texts[2]    # duplicate spliced
     assert "november" not in texts[3] and "victor" not in texts[3]
     assert "training doc leaking" in texts[3]
+
+
+def test_cli_media_features(spark, tmp_path):
+    """media-features featurizes a binary parquet through the real
+    decoders and quarantines corrupt payloads by default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tests"))
+    from test_multimodal import _bmp_bytes
+
+    src = str(tmp_path / "media")
+    pq.write_table(
+        pa.table({
+            "media_id": ["a", "bad"],
+            "modality": ["image", "image"],
+            "content": pa.array([_bmp_bytes(5, 4), b"\x00junk"], type=pa.binary()),
+        }),
+        src + ".parquet",
+    )
+    out = str(tmp_path / "feats")
+    rc = cli.main(["media-features", "--media", src + ".parquet",
+                   "--out", out, "--real"])
+    assert rc == 0
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["a"]["width"] == 5 and rows["a"]["decode_error"] is None
+    assert rows["bad"]["decode_error"] is not None
