@@ -1917,6 +1917,33 @@ def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface (§2.9): CORRELATED scalar subqueries — orders priced
+    above their own customer's average — decorrelated by Catalyst into
+    one aggregate + equi-join (no per-row re-execution; check .explain:
+    one Aggregate on o_custkey joined back). The comparison is written as
+    price·count > decimal-sum, so every operand is exact decimal/integer
+    arithmetic (a float avg would be partition-order-dependent at the
+    boundary); the counted output has no float surface at all."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_above_avg,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+                  SELECT count(*) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey
+              ) > (
+                  SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+              )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of order value per priority class. Exact
     ``percentile`` here for oracle parity; at 100 TB the drop-in scale
@@ -3123,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminated": q_docs_decontaminated,
         "ann_pq_topk": q_ann_pq_topk,
         "docs_mixture_applied": q_docs_mixture_applied,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -3165,9 +3193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        # -- positions 51+: the 7 simplest r7-block entries (operators
+        # -- positions 51+: the 8 simplest r7-block entries (operators
         #    untouched; parity_strict-verified this session, first in r10)
+        "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_knn": q_embedding_knn,
@@ -4311,6 +4339,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, count(DISTINCT doc_id) AS n_docs
             FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # Correlated scalar subqueries, exact decimal/integer comparison
+        # (price * count > decimal sum) — no float boundary anywhere.
+        "orders_above_customer_avg": """
+            SELECT o_orderpriority,
+                   count(*) AS n_above_avg,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders o
+            WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+                      SELECT count(*) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey
+                  ) > (
+                      SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+                  )
+            GROUP BY o_orderpriority
         """,
         # Literal-table pin of the real-decoder tier: expected values are
         # computed INDEPENDENTLY by tools/make_media_fixtures.py (driver-
