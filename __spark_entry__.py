@@ -1065,6 +1065,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators/dedup.py::fuzzy_text_join
+    — r9): even-id docs play one table, odd-id docs the other; pairs
+    with exact 3-gram Jaccard >= 0.5 across the two tables. EXACT
+    posting-list machinery (not LSH-approximate), so the brute-force
+    DuckDB twin is complete and the jaccard values hash-check."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return dd.fuzzy_text_join(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+        shingle_n=3,
+        max_shingle_freq=1000000,
+    )
+
+
 def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD anomaly flags over daily order revenue
     (``operators/windows.py::robust_anomalies`` — r8): revenue
@@ -3151,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "docs_mixture_applied": q_docs_mixture_applied,
         "orders_above_customer_avg": q_orders_above_customer_avg,
+        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
         # -- r7-green block (last driver rows r7)
         "pricing_summary": q_pricing_summary,
         "daily_revenue": q_daily_revenue,
@@ -3192,9 +3209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_deciles": q_docs_length_deciles,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        # -- positions 51+: the 8 simplest r7-block entries (operators
+        # -- positions 51+: the 9 simplest r7-block entries (operators
         #    untouched; parity_strict-verified this session, first in r10)
+        "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4952,6 +4969,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.hits, 0) AS hits,
                    round(COALESCE(h.hits, 0) / CAST(s.set_size AS DOUBLE), 6) AS contamination
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        # Cross-table fuzzy join: brute-force complete twin (the Spark
+        # side is exact posting-list, so no LSH recall gap exists).
+        "cross_source_fuzzy_join": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                GROUP BY 1, 2
+            )
+            SELECT s.id_l AS doc_id_left, s.id_r AS doc_id_right,
+                   round(s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE), 6) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON s.id_l = sa.doc_id
+            JOIN sizes sb ON s.id_r = sb.doc_id
+            WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -909,3 +909,60 @@ def minhash_pairs_incremental(
         # layout-aware append (ADVICE r5): see _append_bands
         _append_bands(spark, nb, index_path, "append")
     return out
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    text_col: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Entity-resolution join: pairs (left row, right row) whose texts
+    have n-gram Jaccard >= ``threshold`` — the cross-TABLE form of
+    ``ngram_jaccard_pairs`` (match a crawl against a curated corpus, a
+    vendor feed against a catalog, ...). EXACT, not LSH-approximate:
+    both sides ride the same posting-list inverted index (side-tagged
+    surrogate ids, one uniform shingle shuffle, stop-shingle cap), so
+    every qualifying pair is found — which is also what makes the result
+    SQL-replayable. Output: (left_id, right_id, jaccard), original id
+    types restored.
+
+    Scale note: the shared index also generates intra-side pairs that
+    are then discarded; when the sides are very lopsided and intra-side
+    work dominates, pre-filter the big side or raise ``threshold`` — the
+    posting-list cost model (cap + singleton pruning) is unchanged from
+    ngram_jaccard_pairs."""
+    lt = left.select(
+        F.concat(F.lit("L:"), F.col(left_id).cast("string")).alias("__fid"),
+        F.col(text_col).alias("__text"),
+    )
+    rt = right.select(
+        F.concat(F.lit("R:"), F.col(right_id).cast("string")).alias("__fid"),
+        F.col(text_col).alias("__text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        lt.unionByName(rt),
+        "__text",
+        "__fid",
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    a, b = F.col("id_a"), F.col("id_b")
+    cross = pairs.where(F.substring(a, 1, 2) != F.substring(b, 1, 2))
+    l_raw = F.when(a.startswith("L:"), a).otherwise(b)
+    r_raw = F.when(a.startswith("L:"), b).otherwise(a)
+    return cross.select(
+        F.substring(l_raw, 3, 2_000_000)
+        .cast(left.schema[left_id].dataType)
+        .alias(f"{left_id}_left"),
+        F.substring(r_raw, 3, 2_000_000)
+        .cast(right.schema[right_id].dataType)
+        .alias(f"{right_id}_right"),
+        "jaccard",
+    )

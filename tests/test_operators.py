@@ -1222,3 +1222,33 @@ def test_ivfpq_append_incremental_ingest(spark, tmp_path):
     by_id = {r["vec_id"]: r["approx_d2"] for r in got.collect()}
     assert 500 in by_id
     assert by_id[500] == min(by_id.values())  # ADC-minimal (ties by code)
+
+
+def test_fuzzy_text_join_cross_table_exact(spark):
+    """Cross-table fuzzy join: near-identical rows across two tables pair
+    at their exact Jaccard, intra-table near-dups are NOT emitted, id
+    types are restored, and direction is (left, right) regardless of the
+    surrogate ordering."""
+    left = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "x y z w q r"), (12, "m n o p q r")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(90, "a b c d e f"),     # exact twin of left 10
+         (91, "a b c d e zz"),    # near twin of left 10
+         (92, "completely different tokens here")],
+        ["doc_id", "text"],
+    )
+    out = dd.fuzzy_text_join(
+        left, right, threshold=0.4, shingle_n=3, max_shingle_freq=100000
+    )
+    rows = {(r["doc_id_left"], r["doc_id_right"]): r["jaccard"]
+            for r in out.collect()}
+    assert rows[(10, 90)] == 1.0
+    assert 0.4 <= rows[(10, 91)] < 1.0
+    assert all(k[0] in (10, 11, 12) and k[1] in (90, 91, 92) for k in rows)
+    assert (11, 92) not in rows
+    # id dtypes restored (long, not the string surrogates)
+    schema = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert schema["doc_id_left"] == "bigint"
+    assert schema["doc_id_right"] == "bigint"
