@@ -90,6 +90,9 @@ PROBE_QUERIES = [
     "docs_passage_dedup",
     "docs_decontaminated",
     "ann_pq_topk",
+    "docs_mixture_applied",
+    "cross_source_fuzzy_join",
+    "orders_above_customer_avg",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
