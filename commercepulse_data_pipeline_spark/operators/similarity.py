@@ -1116,12 +1116,21 @@ def ivfpq_topk(
     *,
     id_col: str = "vec_id",
     nprobe: int = 2,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Query the IVF+PQ index: rank centroids driver-side (tiny), scan
     only the ``nprobe`` nearest lists (partition pruning — non-probed
     lists' files are never opened), and rank by ADC against a PER-LIST
     LUT built from the query's residual to that list's centroid. Raw
-    vectors are never read; per-row cost is m lookups."""
+    vectors are never read; per-row cost is m lookups.
+
+    ``refine`` > 0 re-ranks the top ``refine`` ADC candidates by exact
+    cosine against ``corpus`` (id → vector; a broadcast semi-join pulls
+    only the shortlist's vectors) — the standard two-stage contract:
+    ADC ranks LISTS/clusters, the refine stage ranks members (the recall
+    probe in SCALE.md measures exactly this split)."""
     cents = sorted(
         (r["centroid_id"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -1160,6 +1169,16 @@ def ivfpq_topk(
             .select(id_col, approx.alias("__appd"))
         )
         out = part if out is None else out.unionByName(part)
+    if refine:
+        if corpus is None:
+            raise ValueError("refine > 0 needs corpus= (id -> vector)")
+        shortlist = (
+            out.orderBy(F.col("__appd").asc(), F.col(id_col).asc())
+            .limit(refine)
+            .select(id_col)
+        )
+        cands = corpus.join(F.broadcast(shortlist), id_col, "left_semi")
+        return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
     return (
         out.select(id_col, F.round("__appd", 6).alias("approx_d2"))
         .orderBy(F.col("approx_d2").asc(), F.col(id_col).asc())

@@ -1252,3 +1252,37 @@ def test_fuzzy_text_join_cross_table_exact(spark):
     schema = dict((f.name, f.dataType.simpleString()) for f in out.schema)
     assert schema["doc_id_left"] == "bigint"
     assert schema["doc_id_right"] == "bigint"
+
+
+def test_ivfpq_refine_ranks_members(spark, tmp_path):
+    """Pure ADC ranks CLUSTERS (within-list members tie on shared codes);
+    the refine stage ranks MEMBERS: with refine, the query's exact
+    nearest neighbor wins, which pure ADC's id-tiebreak cannot
+    guarantee."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 1.0, 0.0]
+        v = [x + rng.gauss(0, 0.05) for x in base]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(df, p, n_centroids=2, m=2, n_codes=4, iters=1)
+
+    # query = an actual member's vector: its exact top-1 is itself
+    target = rows[6]
+    got = sim.ivfpq_topk(
+        spark, p, list(target[1]), k=1, nprobe=1, refine=20, corpus=df
+    ).collect()
+    assert got[0]["vec_id"] == target[0]
+    assert got[0]["cosine_sim"] == 1.0
+    # refine without corpus raises up front
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corpus"):
+        sim.ivfpq_topk(spark, p, list(target[1]), k=1, refine=5)
