@@ -161,6 +161,18 @@ def main() -> None:
                 ][:k]
                 rows += [(qid, r["vec_id"], i + 1) for i, r in enumerate(top)]
             results[f"ivfpq_nprobe{nprobe}"] = mean_recall(rows, exact_l2)
+        rows = []
+        for qid, qv in qrows:
+            top = [
+                r for r in sim.ivfpq_topk(
+                    spark, idx, qv, k=k + 1, nprobe=2,
+                    refine=10 * k, corpus=e,
+                ).collect()
+                if r["vec_id"] != qid
+            ][:k]
+            rows += [(qid, r["vec_id"], i + 1) for i, r in enumerate(top)]
+        # refine re-ranks by exact cosine -> cosine ground truth
+        results[f"ivfpq_nprobe2_refine{10 * k}"] = mean_recall(rows, exact_cos)
 
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(qrows), "k": k,
