@@ -1119,6 +1119,7 @@ def ivfpq_topk(
     refine: int = 0,
     corpus: DataFrame | None = None,
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Query the IVF+PQ index: rank centroids driver-side (tiny), scan
     only the ``nprobe`` nearest lists (partition pruning — non-probed
@@ -1130,7 +1131,12 @@ def ivfpq_topk(
     cosine against ``corpus`` (id → vector; a broadcast semi-join pulls
     only the shortlist's vectors) — the standard two-stage contract:
     ADC ranks LISTS/clusters, the refine stage ranks members (the recall
-    probe in SCALE.md measures exactly this split)."""
+    probe in SCALE.md measures exactly this split).
+
+    ``codes`` overrides the code-row source (default: the index's base
+    ``codes`` table) — pass ``streaming.vectors.ivfpq_codes_from_store``
+    to query base + streamed rows together; the centroid_id filter still
+    prunes partitions on every level."""
     cents = sorted(
         (r["centroid_id"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -1163,9 +1169,9 @@ def ivfpq_topk(
                 F.element_at(F.col("pq_code"), j + 1) + 1,
             ),
         )
+        src = codes if codes is not None else spark.read.parquet(f"{path}/codes")
         part = (
-            spark.read.parquet(f"{path}/codes")
-            .where(F.col("centroid_id") == cid)
+            src.where(F.col("centroid_id") == cid)
             .select(id_col, approx.alias("__appd"))
         )
         out = part if out is None else out.unionByName(part)
@@ -1186,19 +1192,18 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_append(
+def ivfpq_encode_frozen(
     spark: SparkSession,
     path: str,
     new_vectors: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
-    """Incremental IVF+PQ ingest: assign each new vector to its frozen
-    coarse list, residual-encode against the frozen codebooks, append to
-    the list's partition — O(batch) pure projections, probes stay
-    partition-pruned, nothing is rebuilt (the ivf_append / pq_append
-    posture applied to the combined index)."""
+) -> DataFrame:
+    """Encode a batch against a persisted IVF+PQ index's FROZEN coarse
+    centroids + residual codebooks: returns (id, centroid_id, pq_code) —
+    O(batch) pure projections, no retraining. Shared by the batch append
+    and the streaming ingest."""
     cents = sorted(
         (r["centroid_id"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -1229,6 +1234,27 @@ def ivfpq_append(
             lambda x, c: x - c,
         ),
     )
-    pq_encode(resid, books, vec_col="__resid").select(
+    return pq_encode(resid, books, vec_col="__resid").select(
         id_col, "centroid_id", "pq_code"
+    )
+
+
+def ivfpq_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF+PQ ingest: assign each new vector to its frozen
+    coarse list, residual-encode against the frozen codebooks, append to
+    the list's partition — O(batch) pure projections, probes stay
+    partition-pruned, nothing is rebuilt (the ivf_append / pq_append
+    posture applied to the combined index). For an at-least-once
+    STREAMING source use ``streaming/vectors.py::stream_ivfpq_ingest``
+    instead — a replayed batch through this plain append would
+    duplicate its rows."""
+    ivfpq_encode_frozen(
+        spark, path, new_vectors, id_col=id_col, vec_col=vec_col
     ).write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")

@@ -1286,3 +1286,69 @@ def test_passage_stream_crash_replay_from_checkpoint(spark, tmp_path):
     parts = {e for e in os.listdir(f"{store}/fp_index")
              if e.startswith("ingest_batch=")}
     assert parts == {"ingest_batch=0", "ingest_batch=1", "ingest_batch=2"}
+
+
+def test_stream_ivfpq_ingest_replay_idempotent(spark, tmp_path):
+    """Streaming IVF+PQ ingest: drops encode against the frozen index
+    under batch-id partitions (a direct batch replay overwrites, never
+    duplicates), and a probe over base + streamed codes finds an
+    appended near-twin through the combined store."""
+    import math
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+    from commercepulse_data_pipeline_spark.streaming.vectors import (
+        ivfpq_codes_from_store,
+        ivfpq_ingest_batch,
+        stream_ivfpq_ingest,
+    )
+
+    rng = random.Random(21)
+
+    def mk(i, base):
+        v = [x + rng.gauss(0, 0.05) for x in base]
+        n = math.sqrt(sum(x * x for x in v))
+        return (i, [x / n for x in v])
+
+    A, B = [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    base_rows = [mk(i, A if i % 2 == 0 else B) for i in range(30)]
+    df = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(df, idx, n_centroids=2, m=2, n_codes=4, iters=1)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    emb = pa.list_(pa.float32())
+    d1 = [mk(100, A), mk(101, B)]
+    d2 = [(200, A)]  # exact cluster-A center arrives in batch 2
+    for i, rows in enumerate((d1, d2)):
+        pq.write_table(
+            pa.table({"vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "embedding": pa.array([r[1] for r in rows], type=emb)}),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    q = stream_ivfpq_ingest(
+        spark, str(drops), idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    combined = ivfpq_codes_from_store(spark, idx)
+    assert combined.count() == 33
+    got = sim.ivfpq_topk(spark, idx, A, k=33, nprobe=1, codes=combined)
+    by_id = {r["vec_id"]: r["approx_d2"] for r in got.collect()}
+    assert 200 in by_id and by_id[200] == min(by_id.values())
+
+    # direct replay of batch 1: own-partition overwrite, no duplication
+    ivfpq_ingest_batch(
+        spark.createDataFrame(d2, "vec_id long, embedding array<float>"),
+        1, idx,
+    )
+    assert ivfpq_codes_from_store(spark, idx).count() == 33
