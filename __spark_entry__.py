@@ -1797,6 +1797,7 @@ _FIXTURE_MODALITY = {
     "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
     "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
     "ogg_opus": "audio", "webp": "image", "webp_anim": "video",
+    "heic": "image", "avif": "image",
 }
 
 
@@ -4382,7 +4383,9 @@ def oracle_sql() -> dict[str, str]:
         # pins), so the hash must match bit-for-bit across rounds.
         "media_features_check": """
             SELECT * FROM (VALUES
+                ('avif', 'image', 1280, 720, NULL, '634b5eee45174816d9e4288adcac37d2'),
                 ('bmp', 'image', 9, 7, NULL, '098faf4664544ecef0be879d69aabdd9'),
+                ('heic', 'image', 4032, 3024, NULL, 'a311e4204b58096c5c1b21657a1c49f3'),
                 ('flac', 'audio', NULL, NULL, 8, '70bd28d560bf6a3daba6c0fbf43239bc'),
                 ('gif', 'video', 10, 5, 500, 'f7beb2ada8ef1fe8e72315a2fa2359d7'),
                 ('jpeg', 'image', 16, 8, NULL, '108a3da9c716d2c0d0bd71a2d3bdbf1e'),

@@ -1288,6 +1288,45 @@ def _decode_mp4(content: bytes) -> dict:
     }
 
 
+def _decode_heif(content: bytes) -> dict:
+    """HEIC/AVIF still-image metadata extract (ISO-BMFF item-based
+    layout, ISO/IEC 23008-12 public spec): dimensions live in the
+    ``meta`` box's property container — meta (a FULL box: 4 bytes of
+    version/flags before children) → iprp → ipco → ispe (FULL box:
+    version/flags + u32 width + u32 height). Multiple ispe properties
+    (thumbnail + primary) may exist; the LARGEST is the primary image.
+    HEVC/AV1 tile decode stays behind the lossy-codec boundary; this
+    tier is what curation filters on."""
+    import struct
+
+    best = None
+    for btype, b0, b1 in _mp4_boxes(content, 0, len(content)):
+        if btype != b"meta":
+            continue
+        for ptype, p0, p1 in _mp4_boxes(content, b0 + 4, b1):
+            if ptype != b"iprp":
+                continue
+            for ctype, c0, c1 in _mp4_boxes(content, p0, p1):
+                if ctype != b"ipco":
+                    continue
+                for itype, i0, i1 in _mp4_boxes(content, c0, c1):
+                    if itype == b"ispe" and i1 - i0 >= 12:
+                        w, h = struct.unpack_from(">II", content, i0 + 4)
+                        if best is None or w * h > best[0] * best[1]:
+                            best = (w, h)
+    if best is None:
+        raise ValueError("HEIF/AVIF container without an ispe property")
+    return {
+        "width": best[0],
+        "height": best[1],
+        "duration_sec": None,
+        "feature": _feature_from_bytes(content),
+    }
+
+
+_HEIF_BRANDS = (b"heic", b"heix", b"hevc", b"mif1", b"msf1", b"avif", b"avis")
+
+
 def real_decode(content: bytes, modality: str) -> dict:
     """Production decode hook: REAL pure-Python decoders/parsers —
     baseline JPEG (huffman + dequant + IDCT), PNG (zlib inflate +
@@ -1325,6 +1364,8 @@ def real_decode(content: bytes, modality: str) -> dict:
     if content[:4] == b"OggS":
         return _decode_ogg(content)
     if content[4:8] == b"ftyp":
+        if content[8:12] in _HEIF_BRANDS:
+            return _decode_heif(content)
         return _decode_mp4(content)
     if content[:3] == b"ID3" or (
         len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0

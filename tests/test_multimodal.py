@@ -1513,3 +1513,40 @@ def test_stream_media_features_tolerant_and_idempotent(spark, tmp_path):
     assert [f.name for f in FEATURE_SCHEMA.fields] == [
         "media_id", "modality", "width", "height", "duration_sec", "feature",
     ]
+
+
+def _heif_bytes(brand: bytes, dims: list[tuple[int, int]]) -> bytes:
+    """Minimal HEIF/AVIF: ftyp with the given major brand + a meta box
+    (full box) holding iprp/ipco with one ispe per (w, h)."""
+    import struct
+
+    ispes = b"".join(
+        _mp4_box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+        for w, h in dims
+    )
+    ipco = _mp4_box(b"ipco", ispes)
+    iprp = _mp4_box(b"iprp", ipco)
+    meta = _mp4_box(b"meta", b"\x00\x00\x00\x00" + iprp)
+    ftyp = _mp4_box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand)
+    mdat = _mp4_box(b"mdat", bytes((i * 7) % 256 for i in range(64)))
+    return ftyp + meta + mdat
+
+
+def test_real_decode_heif_avif_ispe():
+    """HEIC and AVIF dimensions parse from the meta/iprp/ipco/ispe walk;
+    with a thumbnail + primary ispe pair the LARGEST wins; a brandless
+    ftyp still routes to the MP4 box-walk; an ispe-less HEIF raises."""
+    d = real_decode(_heif_bytes(b"heic", [(4032, 3024)]), "image")
+    assert (d["width"], d["height"], d["duration_sec"]) == (4032, 3024, None)
+
+    d2 = real_decode(
+        _heif_bytes(b"avif", [(320, 240), (1920, 1080)]), "image"
+    )
+    assert (d2["width"], d2["height"]) == (1920, 1080)  # primary > thumb
+
+    with pytest.raises(ValueError, match="ispe"):
+        real_decode(_heif_bytes(b"mif1", []), "image")
+
+    # non-HEIF brand keeps the MP4 path (duration from mvhd)
+    d3 = real_decode(_mp4_bytes(3.25), "video")
+    assert d3["duration_sec"] == pytest.approx(3.25, abs=1e-3)

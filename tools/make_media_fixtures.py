@@ -37,6 +37,7 @@ MODALITY = {
     "tiff": "image", "ppm": "image", "wav": "audio", "flac": "audio",
     "mp3": "audio", "mp4": "video", "ogg_vorbis": "audio",
     "ogg_opus": "audio", "webp": "image", "webp_anim": "video",
+    "heic": "image", "avif": "image",
 }
 
 
@@ -96,6 +97,8 @@ def build() -> dict[str, bytes]:
     fixtures["webp_anim"] = tm._webp_bytes("vp8x", 320, 180,
                                            frame_ms=[40, 60, 100])
     fixtures["mp4"] = tm._mp4_bytes(12.5, 640, 360)
+    fixtures["heic"] = tm._heif_bytes(b"heic", [(4032, 3024)])
+    fixtures["avif"] = tm._heif_bytes(b"avif", [(320, 240), (1280, 720)])
     fixtures["ogg_vorbis"] = tm._ogg_vorbis_bytes(44100, rate=44100)
     fixtures["ogg_opus"] = tm._ogg_opus_bytes(96312, pre_skip=312)
     return fixtures
