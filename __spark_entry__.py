@@ -1615,6 +1615,206 @@ def _pq_topk_oracle_sql() -> str:
     """
 
 
+# IVF+PQ parameters shared by the Spark query and its generated oracle.
+_IVFPQ_TOPK = dict(k=10, n_centroids=8, m=4, n_codes=8, iters=1, nprobe=2, dim=64)
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual-coded ANN over the PERSISTED serving path
+    (operators/similarity.py::write_ivfpq_index / ivfpq_topk — Jégou et
+    al. 2011 §IV, VERDICT r9 item 2): the index is written to scratch
+    (codes partitioned by centroid_id + centroid table + residual
+    codebooks), then queried exactly as production would — centroids
+    ranked driver-side, only the nprobe nearest lists' partitions
+    scanned (pruning, plan-asserted in tests), ADC against a PER-LIST
+    LUT built from the query's residual to that list's centroid. Raw
+    vectors are never read at query time. The oracle replays the entire
+    deterministic pipeline in SQL — IVF init+Lloyd+assign, residuals,
+    residual-codebook init+Lloyd, encoding, probe selection, per-list
+    residual LUTs and the subspace-ordered ADC fold — so the approximate
+    DISTANCES hash-check, not just ids."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = _IVFPQ_TOPK
+    qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="cp_ivfpq_")
+    path = f"{scratch}/idx"
+    sim.write_ivfpq_index(
+        e, path, n_centroids=p["n_centroids"], m=p["m"],
+        n_codes=p["n_codes"], iters=p["iters"],
+    )
+    return sim.ivfpq_topk(spark, path, qvec, k=p["k"], nprobe=p["nprobe"])
+
+
+def _ivfpq_topk_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivfpq_topk: the IVF stage is the
+    _ivf_topk_oracle_sql replay (md5-ordered init, one decimal-Lloyd
+    iteration, final assignment), then residuals vs the final centroids,
+    the PQ stage is the _pq_topk_oracle_sql replay run ON THE RESIDUALS
+    (md5-ordered codebook init per subspace, one decimal-Lloyd iteration
+    over (j, code) groups, final encoding), probe selection ranks the
+    final centroids by squared distance to the query, and each probed
+    list scores by a LUT built from the query's RESIDUAL to that list's
+    centroid with the same subspace-ordered ((p0+p1)+p2)+p3 IEEE fold as
+    the Spark-side aggregate starting from 0.0."""
+    p = _IVFPQ_TOPK
+    assert p["iters"] == 1, "oracle is generated for the registered iters=1 config"
+    m, nc, dim, k = p["m"], p["n_codes"], p["dim"], p["k"]
+    kc, nprobe = p["n_centroids"], p["nprobe"]
+    ds = dim // m
+    h64 = _duck_md5_long("md5(CAST(vec_id AS VARCHAR))")
+    sqd = (
+        "list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
+    )
+    wide_cols = ",\n                   ".join(
+        f"max(CASE WHEN pc.j = {j} THEN l.pd END) AS p{j}" for j in range(m)
+    )
+    fold = "p0"
+    for j in range(1, m):
+        fold = f"({fold} + p{j})"
+    return f"""
+        WITH hashed AS (
+            SELECT vec_id, embedding, {h64} AS hv FROM embeddings
+        ),
+        init AS (
+            SELECT row_number() OVER (ORDER BY hv ASC, vec_id ASC) - 1 AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY hv ASC, vec_id ASC) <= {kc}
+        ),
+        a0 AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, i.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {sqd.format(v="e.embedding", c="i.cvec")} ASC, i.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN init i
+            ) WHERE rn = 1
+        ),
+        cdims AS (
+            SELECT a.cid, d.d,
+                   CAST(CAST(a.embedding[d.d] AS DOUBLE) AS DECIMAL(30,15)) AS v
+            FROM a0 a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) d
+        ),
+        ccm AS (
+            SELECT cid, d, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            FROM cdims GROUP BY cid, d
+        ),
+        cupd AS (SELECT cid, list(m ORDER BY d ASC) AS cvec FROM ccm GROUP BY cid),
+        cents AS (
+            SELECT i.cid, coalesce(u.cvec, i.cvec) AS cvec
+            FROM init i LEFT JOIN cupd u ON i.cid = u.cid
+        ),
+        a1 AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {sqd.format(v="e.embedding", c="c.cvec")} ASC, c.cid ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        resid AS (
+            SELECT a.vec_id, a.cid AS centroid_id,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> CAST(a.embedding[i] AS DOUBLE) - c.cvec[i]) AS rv
+            FROM a1 a JOIN cents c ON a.cid = c.cid
+        ),
+        js AS (SELECT unnest(range(0, {m})) AS j),
+        pinit AS (
+            SELECT row_number() OVER (ORDER BY hv ASC, vec_id ASC) - 1 AS pcid,
+                   vec_id
+            FROM hashed
+            QUALIFY row_number() OVER (ORDER BY hv ASC, vec_id ASC) <= {nc}
+        ),
+        pbooks0 AS (
+            SELECT js.j, p.pcid,
+                   r.rv[js.j * {ds} + 1 : js.j * {ds} + {ds}] AS cvec
+            FROM pinit p JOIN resid r ON p.vec_id = r.vec_id CROSS JOIN js
+        ),
+        psubs AS (
+            SELECT r.vec_id, r.centroid_id, js.j,
+                   r.rv[js.j * {ds} + 1 : js.j * {ds} + {ds}] AS sub
+            FROM resid r CROSS JOIN js
+        ),
+        pa0 AS (
+            SELECT vec_id, j, pcid FROM (
+                SELECT s.vec_id, s.j, b.pcid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY {sqd.format(v="s.sub", c="b.cvec")} ASC, b.pcid ASC
+                       ) AS rn
+                FROM psubs s JOIN pbooks0 b ON s.j = b.j
+            ) WHERE rn = 1
+        ),
+        pdims AS (
+            SELECT a.j, a.pcid, d.d,
+                   CAST(s.sub[d.d] AS DECIMAL(30,15)) AS v
+            FROM pa0 a
+            JOIN psubs s ON a.vec_id = s.vec_id AND a.j = s.j
+            CROSS JOIN (SELECT unnest(range(1, {ds + 1})) AS d) d
+        ),
+        pcm AS (
+            SELECT j, pcid, d, CAST(sum(v) AS DOUBLE) / count(*) AS mval
+            FROM pdims GROUP BY j, pcid, d
+        ),
+        pupd AS (
+            SELECT j, pcid, list(mval ORDER BY d ASC) AS cvec
+            FROM pcm GROUP BY j, pcid
+        ),
+        pbooks1 AS (
+            SELECT b.j, b.pcid, coalesce(u.cvec, b.cvec) AS cvec
+            FROM pbooks0 b LEFT JOIN pupd u ON b.j = u.j AND b.pcid = u.pcid
+        ),
+        pcodes AS (
+            SELECT vec_id, centroid_id, j, pcid FROM (
+                SELECT s.vec_id, s.centroid_id, s.j, b.pcid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY {sqd.format(v="s.sub", c="b.cvec")} ASC, b.pcid ASC
+                       ) AS rn
+                FROM psubs s JOIN pbooks1 b ON s.j = b.j
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qd AS (
+            SELECT c.cid, {sqd.format(v="q.qv", c="c.cvec")} AS d2
+            FROM cents c, q
+        ),
+        probe AS (
+            SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn FROM qd
+            ) WHERE rn <= {nprobe}
+        ),
+        qres AS (
+            SELECT c.cid,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> CAST(q.qv[i] AS DOUBLE) - c.cvec[i]) AS rq
+            FROM cents c JOIN probe USING (cid) CROSS JOIN q
+        ),
+        lut AS (
+            SELECT qr.cid, b.j, b.pcid,
+                   {sqd.format(v="(qr.rq[b.j * " + str(ds) + " + 1 : b.j * " + str(ds) + " + " + str(ds) + "])", c="b.cvec")} AS pd
+            FROM pbooks1 b CROSS JOIN qres qr
+        ),
+        wide AS (
+            SELECT pc.vec_id,
+                   {wide_cols}
+            FROM pcodes pc
+            JOIN lut l ON l.cid = pc.centroid_id AND l.j = pc.j AND l.pcid = pc.pcid
+            GROUP BY pc.vec_id
+        )
+        SELECT vec_id, round({fold}, 6) AS approx_d2
+        FROM wide
+        ORDER BY round({fold}, 6) ASC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _duck_md5_long(hex_expr: str) -> str:
     """DuckDB expression for operators/dedup.py::_md5_long applied to an
     md5-hex expression: first 16 hex chars as a signed big-endian 64-bit
@@ -3145,73 +3345,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8 recorded exactly 50). r9
-    # executes the rotation written in COVERAGE.md after r8: (a) the three
-    # relocated entries whose last driver row was r6 go FIRST; (b) queries
-    # NEW this round; (c) the r7-green block (last driver rows r7); (d)
-    # the r8-verified head (all green in CORRECTNESS_r08.json) closes the
-    # list. The first 50 slots = 3 relocated + new + 45 of the r7 block;
-    # the 4 r7-block entries at positions 51+ (embedding_norms_by_label,
-    # union_actors, set_ops, unpivot_daily — the simplest set-op/agg
-    # queries, operators untouched) were re-verified this session with
-    # tools/parity_strict.py and head the r10 rotation (COVERAGE.md).
+    # the number of rows it records (~50; r8/r9 recorded exactly 50). r10
+    # executes the rotation written in COVERAGE.md after r9: (a) the nine
+    # entries whose last driver row was r7 (judge parity_strict-verified in
+    # the r9 session) go FIRST; (b) queries NEW this round; (c) the
+    # r8-verified head (last driver rows r8); (d) the r9-green block (all
+    # green in CORRECTNESS_r09.json) closes the list. The first 50 slots =
+    # 9 deferred + new + the leading r8 block; the r8-block tail past
+    # position 50 (last driver rows r8, operators untouched) heads the r11
+    # rotation (COVERAGE.md).
     return {
-        # -- driver-verification debt: last driver row r6, judge-verified
-        #    r7+r8 — rotate in first (VERDICT r8 item 1)
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "split_leakage": q_split_leakage,
-        # -- new in r9
-        "docs_passage_dedup": q_docs_passage_dedup,
-        "media_features_check": q_media_features_check,
-        "docs_decontaminated": q_docs_decontaminated,
-        "ann_pq_topk": q_ann_pq_topk,
-        "docs_mixture_applied": q_docs_mixture_applied,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
-        # -- r7-green block (last driver rows r7)
-        "pricing_summary": q_pricing_summary,
-        "daily_revenue": q_daily_revenue,
-        "order_daily_rollup": q_order_daily_rollup,
-        "dedup_last_writer": q_dedup_last_writer,
-        "dedup_keep_first": q_dedup_keep_first,
-        "drift_coalesce": q_drift_coalesce,
-        "status_canonical": q_status_canonical,
-        "timestamp_multiformat": q_timestamp_multiformat,
-        "calendar_dim": q_calendar_dim,
-        "customer_first_order": q_customer_first_order,
-        "orphan_customers": q_orphan_customers,
-        "big_spender_segments": q_big_spender_segments,
-        "ship_latency": q_ship_latency,
-        "fact_shipments_rollup": q_fact_shipments_rollup,
-        "completeness": q_completeness,
-        "top_customers": q_top_customers,
-        "status_pivot": q_status_pivot,
-        "sql_regional_revenue": q_sql_regional_revenue,
-        "order_value_percentiles": q_order_value_percentiles,
-        "revenue_rollup": q_revenue_rollup,
-        "revenue_cube": q_revenue_cube,
-        "month_over_month": q_month_over_month,
-        "docs_shared_passages": q_docs_shared_passages,
-        "token_budget": q_token_budget,
-        "running_total": q_running_total,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
-        "event_daily_stats": q_event_daily_stats,
-        "minhash_signature": q_minhash_signature,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "approx_stats_check": q_approx_stats_check,
-        "order_value_percentiles_check": q_order_value_percentiles_check,
-        "purge_audit": q_purge_audit,
-        "sketch_range_users": q_sketch_range_users,
-        "token_heavy_hitters": q_token_heavy_hitters,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_length_deciles": q_docs_length_deciles,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        # -- positions 51+: the 9 simplest r7-block entries (operators
-        #    untouched; parity_strict-verified this session, first in r10)
+        # -- driver-verification debt: last driver rows r7, judge-verified
+        #    in the r9 session — rotate in first (VERDICT r9 item 1)
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
@@ -3221,8 +3366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_actors": q_union_actors,
         "set_ops": q_set_ops,
         "unpivot_daily": q_unpivot_daily,
-        # -- r8-verified head: every entry below has a green row in
-        #    CORRECTNESS_r08.json (oracle or recorded rows-only)
+        # -- new in r10
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
         "scd2_asof": q_scd2_asof,
@@ -3270,6 +3416,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
+        # -- r9-green block: every entry below has a green row in
+        #    CORRECTNESS_r09.json
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "split_leakage": q_split_leakage,
+        "docs_passage_dedup": q_docs_passage_dedup,
+        "media_features_check": q_media_features_check,
+        "docs_decontaminated": q_docs_decontaminated,
+        "ann_pq_topk": q_ann_pq_topk,
+        "docs_mixture_applied": q_docs_mixture_applied,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
+        "pricing_summary": q_pricing_summary,
+        "daily_revenue": q_daily_revenue,
+        "order_daily_rollup": q_order_daily_rollup,
+        "dedup_last_writer": q_dedup_last_writer,
+        "dedup_keep_first": q_dedup_keep_first,
+        "drift_coalesce": q_drift_coalesce,
+        "status_canonical": q_status_canonical,
+        "timestamp_multiformat": q_timestamp_multiformat,
+        "calendar_dim": q_calendar_dim,
+        "customer_first_order": q_customer_first_order,
+        "orphan_customers": q_orphan_customers,
+        "big_spender_segments": q_big_spender_segments,
+        "ship_latency": q_ship_latency,
+        "fact_shipments_rollup": q_fact_shipments_rollup,
+        "completeness": q_completeness,
+        "top_customers": q_top_customers,
+        "status_pivot": q_status_pivot,
+        "sql_regional_revenue": q_sql_regional_revenue,
+        "order_value_percentiles": q_order_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
+        "revenue_cube": q_revenue_cube,
+        "month_over_month": q_month_over_month,
+        "docs_shared_passages": q_docs_shared_passages,
+        "token_budget": q_token_budget,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "event_daily_stats": q_event_daily_stats,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "approx_stats_check": q_approx_stats_check,
+        "order_value_percentiles_check": q_order_value_percentiles_check,
+        "purge_audit": q_purge_audit,
+        "sketch_range_users": q_sketch_range_users,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_deciles": q_docs_length_deciles,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "docs_exact_dedup": q_docs_exact_dedup,
         # -- rows-only block rides at the very end (contract: never
         #    displaces an oracle-backed query from the driver's cap;
         #    spark_rows were re-recorded in r8)
@@ -5330,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "ann_ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
