@@ -805,8 +805,17 @@ def write_minhash_index(
         # already persisted and the index silently corrupted (ADVICE r5).
         try:
             existing = read_minhash_index_meta(spark, path)
-        except Exception:
-            existing = None
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            from commercepulse_data_pipeline_spark.sources.readers import (
+                is_missing_store_error,
+            )
+
+            if not is_missing_store_error(exc):
+                # a transient meta-read failure must not be mistaken for
+                # "new index": appending rows banded under an unverified
+                # hash family is the corruption this check exists to stop
+                raise
+            existing = None  # no meta yet: first write to this path
         if existing is not None:
             if {k: str(v) for k, v in existing.items()} != {
                 k: str(v) for k, v in meta.items()
@@ -838,8 +847,16 @@ def _append_bands(spark, bands_df: DataFrame, path: str, mode: str) -> None:
     if mode == "append":
         try:
             partitioned = "ingest_batch" in spark.read.parquet(f"{path}/bands").columns
-        except Exception:
-            partitioned = False
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            from commercepulse_data_pipeline_spark.sources.readers import (
+                is_missing_store_error,
+            )
+
+            if not is_missing_store_error(exc):
+                # guessing "flat layout" on a transient error would land
+                # appends invisible to a partitioned index's reads
+                raise
+            partitioned = False  # no bands yet: layout set by this write
     if partitioned:
         (
             bands_df.withColumn("ingest_batch", F.lit(-1))

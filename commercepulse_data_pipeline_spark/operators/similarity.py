@@ -813,6 +813,29 @@ def _pq_lut(books: list[list[list[float]]], query_vec: list[float]) -> list[list
     return lut
 
 
+def _resolve_refine(
+    refine: int | float, k: int, count_corpus
+) -> int:
+    """Resolve the two-stage ``refine`` knob to an absolute shortlist
+    width. An int is taken verbatim. A float in (0, 1) is a FRACTION OF
+    THE CORPUS — ``max(k, ceil(refine * n))`` where n comes from the
+    (lazily invoked) ``count_corpus`` — encoding the SCALE.md sf0.1
+    recall-probe rule that a fixed width silently loses recall as the
+    corpus grows (recall@100 fell 0.68 → ~0.33 at 4× corpus on
+    unstructured data): the shortlist must scale WITH the data it
+    shortlists from. 0 disables refinement."""
+    import math
+
+    if isinstance(refine, float):
+        if not 0.0 < refine < 1.0:
+            raise ValueError(
+                f"fractional refine must be in (0, 1), got {refine!r}; "
+                "pass an int for an absolute shortlist width"
+            )
+        return max(k, int(math.ceil(refine * count_corpus())))
+    return refine
+
+
 def pq_topk(
     encoded: DataFrame,
     books: list[list[list[float]]],
@@ -821,7 +844,7 @@ def pq_topk(
     *,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
-    refine: int = 0,
+    refine: int | float = 0,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k by ADC over the compressed codes: per-vector
@@ -830,7 +853,16 @@ def pq_topk(
     TakeOrdered. ``refine`` > 0 re-ranks the top ``refine`` ADC
     candidates by exact cosine against ``vec_col`` (must be present in
     ``encoded``) — the standard two-stage serving shape; output is then
-    cosine top-k."""
+    cosine top-k. A FLOAT refine in (0, 1) is a fraction of the corpus
+    (see :func:`_resolve_refine`) — prefer it when the corpus grows
+    between calls, per the SCALE.md recall probe.
+
+    Metric caveat (ADVICE r9): the shortlist ranks by squared-L2 ADC
+    while the final rank is cosine. For UNIT-NORM embeddings the two
+    orders agree (||a-b||² = 2 - 2·cos); for non-unit-norm corpora the
+    L2 shortlist can systematically exclude true cosine neighbors no
+    matter how wide ``refine`` is — normalize the vectors before
+    encoding, or evaluate recall metric-matched (tools/ann_eval.py)."""
     m = len(books)
     lut = _pq_lut(books, query_vec)
     lut_lit = F.array(
@@ -846,6 +878,7 @@ def pq_topk(
         ),
     )
     scored = encoded.withColumn("__appd", approx)
+    refine = _resolve_refine(refine, k, encoded.count)
     if refine:
         cands = (
             scored.orderBy(F.col("__appd").asc(), F.col(id_col).asc())
@@ -1116,7 +1149,7 @@ def ivfpq_topk(
     *,
     id_col: str = "vec_id",
     nprobe: int = 2,
-    refine: int = 0,
+    refine: int | float = 0,
     corpus: DataFrame | None = None,
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
@@ -1131,7 +1164,13 @@ def ivfpq_topk(
     cosine against ``corpus`` (id → vector; a broadcast semi-join pulls
     only the shortlist's vectors) — the standard two-stage contract:
     ADC ranks LISTS/clusters, the refine stage ranks members (the recall
-    probe in SCALE.md measures exactly this split).
+    probe in SCALE.md measures exactly this split). A FLOAT refine in
+    (0, 1) is a fraction of the code-table size (see
+    :func:`_resolve_refine`): the SCALE.md sf0.1 probe showed a FIXED
+    width silently loses recall as the corpus grows, so growing stores
+    should pass the fractional form. Unit-norm caveat as in
+    :func:`pq_topk`: the L2-ADC shortlist only agrees with the cosine
+    re-rank on unit-norm embeddings — normalize before encoding.
 
     ``codes`` overrides the code-row source (default: the index's base
     ``codes`` table) — pass ``streaming.vectors.ivfpq_codes_from_store``
@@ -1152,6 +1191,11 @@ def ivfpq_topk(
 
     probe = [cid for cid, c in sorted(cents, key=lambda t: d2(t[1]))[:nprobe]]
     cent_map = dict(cents)
+    # one codes read shared by every probed list (ADVICE r9: re-reading
+    # per probe re-listed the store once per list) — the per-list LUT and
+    # centroid_id filter are what vary per probe
+    src = codes if codes is not None else spark.read.parquet(f"{path}/codes")
+    refine = _resolve_refine(refine, k, lambda: src.count())
     out = None
     for cid in probe:
         # per-list LUT: the query RESIDUAL to this list's centroid
@@ -1169,7 +1213,6 @@ def ivfpq_topk(
                 F.element_at(F.col("pq_code"), j + 1) + 1,
             ),
         )
-        src = codes if codes is not None else spark.read.parquet(f"{path}/codes")
         part = (
             src.where(F.col("centroid_id") == cid)
             .select(id_col, approx.alias("__appd"))

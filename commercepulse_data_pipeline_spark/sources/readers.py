@@ -519,6 +519,31 @@ def _recover_index_compact(root: str) -> None:
         _shutil.rmtree(tmp_root, ignore_errors=True)
 
 
+def is_missing_store_error(exc: BaseException) -> bool:
+    """True iff ``exc`` means "this store path does not exist yet" — the
+    ONLY condition a first-batch bootstrap probe may treat as an empty
+    store. Everything else (permission errors, schema corruption,
+    transient listing failures) returns False and must FAIL the batch so
+    the engine retries it: swallowing a transient error as "first batch"
+    would silently skip cross-batch dedup/state and persist wrong output
+    (ADVICE r9). ``UNABLE_TO_INFER_SCHEMA`` counts as missing — it is
+    what Spark raises for a created-but-never-written store directory."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(exc, FileNotFoundError):
+        return True
+    if isinstance(exc, AnalysisException):
+        try:
+            ec = exc.getErrorClass()
+        except Exception:  # noqa: BLE001 — fall back to message probe
+            ec = None
+        if ec is not None:
+            return ec in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        msg = str(exc)
+        return "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
+    return False
+
+
 def fold_consistent_read(
     spark: SparkSession,
     root: str,
@@ -551,10 +576,28 @@ def fold_consistent_read(
     scope: any RESTING state (crash-consistent). Against a compactor
     advancing concurrently mid-call, a rename can still win the race
     with the file listing — retry on FileNotFound, as with any
-    concurrently-rewritten path."""
+    concurrently-rewritten path.
+
+    LOCAL-ONLY by construction: marker/old-dir detection uses driver
+    ``os.path``/``os.listdir``, matching the fold protocol itself (the
+    compactors commit with ``os.rename``). A non-file scheme
+    (``hdfs://``, ``s3a://``) would silently degrade to a plain read —
+    exactly the inconsistency window this reader exists to close — so it
+    raises instead (ADVICE r9). Non-local stores need a compactor and a
+    reader built on the same atomic-rename substrate (HDFS rename / a
+    table format's snapshot isolation), not this marker protocol."""
     import json as _json
     import os as _os
 
+    if "://" in root:
+        scheme = root.split("://", 1)[0]
+        raise ValueError(
+            f"fold_consistent_read is local-filesystem-only (the fold "
+            f"marker protocol is driver-local os.rename/os.listdir); got "
+            f"scheme {scheme!r} for {root!r}. Use spark.read.parquet "
+            f"directly (NO fold consistency) or a snapshot-isolated table "
+            f"format for non-local stores."
+        )
     p = root.rstrip("/")
     old_root, tmp_root = p + "._fold_old", p + "._fold_tmp"
     cons_name = f"{partition_col}={consolidated_value}"

@@ -85,8 +85,16 @@ def clean_corpus_batch(
     try:
         idx = fold_consistent_read(spark, bands_root)
         have_index = True
-    except Exception:  # PATH_NOT_FOUND on the first batch
-        have_index = False
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        from commercepulse_data_pipeline_spark.sources.readers import (
+            is_missing_store_error,
+        )
+
+        if not is_missing_store_error(exc):
+            # a transient error is not "first batch": skipping the index
+            # probe would permanently keep cross-batch near-dups
+            raise
+        have_index = False  # PATH_NOT_FOUND: genuinely the first batch
     if have_index:
         # REPLAY SAFETY: exclude this batch's own partition. A replayed
         # batch otherwise sees its first attempt's bands as "indexed",

@@ -59,10 +59,18 @@ from commercepulse_data_pipeline_spark.operators.similarity import (
 def _read_or_create_planes(
     spark: SparkSession, store_dir: str, dim: int, n_planes: int, seed: int
 ) -> list[list[float]]:
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        is_missing_store_error,
+    )
+
     try:
         rows = spark.read.parquet(f"{store_dir}/index/planes").collect()
         return [list(r.plane) for r in sorted(rows, key=lambda r: r.plane_id)]
-    except Exception:  # PATH_NOT_FOUND on the first batch
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc):
+            # re-seeding planes on a transient read error would bucket
+            # this batch under a DIFFERENT hash family than the store
+            raise
         planes = random_hyperplanes(dim, n_planes, seed)
         spark.createDataFrame(
             [(i, [float(v) for v in p]) for i, p in enumerate(planes)],
@@ -126,13 +134,18 @@ def dedup_embeddings_batch(
     # crash must not hide the consolidated lists from the dedup probe)
     from commercepulse_data_pipeline_spark.sources.readers import (
         fold_consistent_read,
+        is_missing_store_error,
     )
 
     try:
         idx = fold_consistent_read(spark, lists_root)
         have_index = True
-    except Exception:  # first batch
-        have_index = False
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc):
+            # a transient error is not "first batch": skipping the index
+            # probe would permanently keep cross-batch near-dups
+            raise
+        have_index = False  # PATH_NOT_FOUND: genuinely the first batch
     if have_index:
         # REPLAY SAFETY: exclude this batch's own partition (see module
         # docstring) — a replayed batch must not dedup against itself.

@@ -97,8 +97,18 @@ def passage_dedup_batch(
             .groupBy("fp")
             .agg(F.sum("n_docs").alias("__n_idx"))
         )
-    except Exception:  # PATH_NOT_FOUND on the first batch
-        idx = None
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        from commercepulse_data_pipeline_spark.sources.readers import (
+            is_missing_store_error,
+        )
+
+        if not is_missing_store_error(exc):
+            # a transient listing/schema error is NOT "first batch":
+            # swallowing it would skip cross-batch dedup, land the batch
+            # unspliced permanently, and still append its fingerprints.
+            # Fail the batch so the stream retries it (ADVICE r9).
+            raise
+        idx = None  # PATH_NOT_FOUND: genuinely the first batch
     if idx is not None:
         stats = stats.join(
             idx.select(F.col("fp").alias("__fp"), "__n_idx"), "__fp", "left"

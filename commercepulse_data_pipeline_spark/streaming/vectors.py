@@ -95,11 +95,20 @@ def ivfpq_codes_from_store(
         fold_consistent_read,
     )
 
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        is_missing_store_error,
+    )
+
     base = spark.read.parquet(f"{index_path}/codes")
     try:
         streamed = fold_consistent_read(
             spark, f"{index_path}/codes_stream"
         ).drop("ingest_batch")
-    except Exception:  # no streaming partitions yet
-        return base
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc):
+            # a transient error is not "no streaming partitions": serving
+            # base-only would silently drop every streamed vector from
+            # probe results (ADVICE r9)
+            raise
+        return base  # PATH_NOT_FOUND: nothing streamed yet
     return base.unionByName(streamed)

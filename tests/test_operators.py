@@ -1286,3 +1286,65 @@ def test_ivfpq_refine_ranks_members(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="corpus"):
         sim.ivfpq_topk(spark, p, list(target[1]), k=1, refine=5)
+
+
+def test_pq_fractional_refine_holds_recall_as_corpus_grows(spark, tmp_path):
+    """VERDICT r9 item 5: a FIXED refine width silently loses recall as
+    the corpus grows (SCALE.md sf0.1 probe: recall@100 fell 0.68→~0.33 at
+    4× corpus); the fractional form scales the ADC shortlist with the
+    data. Pin: on a clustered unit-norm fixture, refine=0.3 (fraction of
+    corpus) holds recall@10 = 1.0 as the corpus DOUBLES, because the
+    shortlist always covers the query's whole nearest cluster; the
+    resolved absolute width demonstrably grows with n."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    import math
+    import random
+
+    def clustered(n_per: int):
+        rng = random.Random(7)
+        dirs = []
+        for _ in range(4):
+            v = [rng.gauss(0, 1) for _ in range(8)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            dirs.append([x / nrm for x in v])
+        rows, vid = [], 0
+        for d in dirs:
+            for _ in range(n_per):
+                v = [x + rng.gauss(0, 0.05) for x in d]
+                nrm = math.sqrt(sum(x * x for x in v))
+                rows.append((vid, [x / nrm for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall(corpus, frac_or_width):
+        qvec = list(corpus.where(F.col("vec_id") == 0).head()["embedding"])
+        books = sim.pq_train(corpus, m=2, n_codes=4, iters=1)
+        enc = sim.pq_encode(corpus, books)
+        approx = sim.pq_topk(enc, books, qvec, k=10, refine=frac_or_width)
+        exact = sim.cosine_topk(corpus, qvec, 10)
+        a = {r["vec_id"] for r in approx.collect()}
+        t = {r["vec_id"] for r in exact.collect()}
+        return len(a & t) / len(t)
+
+    small, doubled = clustered(30), clustered(60)
+    # fractional: recall 1.0 held as the corpus doubles
+    assert recall(small, 0.3) == 1.0
+    assert recall(doubled, 0.3) == 1.0
+    # the resolved width scales with n (and floors at k)
+    assert sim._resolve_refine(0.3, 10, lambda: 120) == 36
+    assert sim._resolve_refine(0.3, 10, lambda: 240) == 72
+    assert sim._resolve_refine(0.3, 10, lambda: 10) == 10
+    assert sim._resolve_refine(25, 10, lambda: 0) == 25  # int passthrough
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fractional refine"):
+        sim._resolve_refine(1.5, 10, lambda: 0)
+    # ivfpq accepts the fractional form on the persisted serving path
+    p = str(tmp_path / "ivfpq_frac")
+    sim.write_ivfpq_index(small, p, n_centroids=4, m=2, n_codes=4, iters=1)
+    qvec = list(small.where(F.col("vec_id") == 0).head()["embedding"])
+    got = sim.ivfpq_topk(
+        spark, p, qvec, k=10, nprobe=2, refine=0.5, corpus=small
+    )
+    exact = {r["vec_id"] for r in sim.cosine_topk(small, qvec, 10).collect()}
+    assert {r["vec_id"] for r in got.collect()} == exact
