@@ -1352,3 +1352,125 @@ def test_stream_ivfpq_ingest_replay_idempotent(spark, tmp_path):
         1, idx,
     )
     assert ivfpq_codes_from_store(spark, idx).count() == 33
+
+
+def test_passage_fp_index_fold_probe_equality(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 4: the passage fp-index's additive row-preserving
+    fold (claimed at streaming/passages.py module docstring) holds — the
+    per-fingerprint summed counts (the exact input to the duplicate
+    decision) are identical before the fold, during BOTH marker windows
+    of a crashed fold, and after recovery; and a real batch processed
+    against the folded store still splices an indexed passage. Mirrors
+    the five sketch stores' probe-during-fold tests."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+        fold_consistent_read,
+    )
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        passage_dedup_batch,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    other = "india juliet kilo lima mike november oscar papa"
+    store = str(tmp_path / "pstore")
+    fp_root = f"{store}/fp_index"
+    docs = [
+        (0, 10, f"first arrival carries {shared} in full"),
+        (1, 11, f"second arrival also quotes {shared} entirely"),
+        (2, 12, f"third arrival brings {other} instead of it"),
+        (3, 13, f"fourth arrival repeats {other} one more time"),
+    ]
+    for bid, doc_id, text in docs:
+        passage_dedup_batch(
+            spark.createDataFrame([(doc_id, text)], "doc_id long, text string"),
+            bid, store,
+        )
+
+    def probe():
+        df = fold_consistent_read(spark, fp_root)
+        return sorted(
+            (r["fp"], r["n"])
+            for r in df.groupBy("fp").agg(F.sum("n_docs").alias("n")).collect()
+        )
+
+    truth = probe()
+    assert truth, "expected a populated fp index"
+
+    # -- window 1: PRE-COMMIT. Crash the fold at the marker rename.
+    real_rename = os.rename
+
+    def crash_marker(src, dst):
+        if str(dst).endswith("_FOLDED.json"):
+            raise RuntimeError("injected crash before commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_marker)
+    with _pytest.raises(RuntimeError, match="before commit"):
+        compact_streaming_index(spark, fp_root, keep_latest=1)
+    monkeypatch.undo()
+    assert probe() == truth  # roll-back view
+    # full recovery + fold completes: counts unchanged, store folded
+    compact_streaming_index(spark, fp_root, keep_latest=1)
+    assert probe() == truth
+    assert os.path.isdir(os.path.join(fp_root, "ingest_batch=-1"))
+    assert not os.path.exists(fp_root + "._fold_old")
+
+    # -- window 2: POST-COMMIT, consolidated still in tmp (the fold now
+    # subsumes the existing consolidated partition too).
+    passage_dedup_batch(
+        spark.createDataFrame(
+            [(14, f"fifth arrival quotes {shared} once more")],
+            "doc_id long, text string",
+        ),
+        4, store,
+    )
+    truth2 = probe()
+    assert truth2 != truth  # the new batch's counts are visible
+
+    def crash_cons(src, dst):
+        if str(dst) == os.path.join(fp_root, "ingest_batch=-1"):
+            raise RuntimeError("injected crash at commit point")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_cons)
+    with _pytest.raises(RuntimeError, match="commit point"):
+        compact_streaming_index(spark, fp_root, keep_latest=0)
+    monkeypatch.undo()
+    assert os.path.exists(fp_root + "._fold_old/_FOLDED.json")
+    assert probe() == truth2  # roll-forward view reads tmp consolidated
+
+    # -- window 3: consolidated renamed in, folded dirs not yet deleted
+    # (the double-count window for an additive index).
+    real_rmtree = shutil.rmtree
+
+    def crash_rmtree(path, *a, **kw):
+        if "ingest_batch=" in str(path) and "._fold" not in str(path):
+            raise RuntimeError("injected crash before folded-dir delete")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crash_rmtree)
+    with _pytest.raises(RuntimeError, match="folded-dir delete"):
+        compact_streaming_index(spark, fp_root, keep_latest=0)
+    monkeypatch.undo()
+    assert probe() == truth2  # no double count
+    compact_streaming_index(spark, fp_root, keep_latest=0)
+    assert probe() == truth2
+
+    # -- the batch path itself works against the fully-folded store: a
+    # new arrival quoting the indexed passage is spliced with no
+    # surviving canonical in its own batch
+    passage_dedup_batch(
+        spark.createDataFrame(
+            [(15, f"post fold arrival with {shared} to remove")],
+            "doc_id long, text string",
+        ),
+        5, store,
+    )
+    t15 = spark.read.parquet(f"{store}/corpus/ingest_batch=5").head()
+    assert shared not in t15["text"]
+    assert t15["n_tokens_removed"] == 8
