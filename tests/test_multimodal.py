@@ -1376,8 +1376,11 @@ def test_checked_in_media_fixtures_reproducible():
         for fn in os.listdir(fdir) if fn.endswith(".bin")
     }
     assert set(on_disk) == set(built)
-    for name, blob in built.items():
+    for name, (blob, meta) in built.items():
         assert on_disk[name] == blob, f"fixture drift: {name}"
+        # and the parameter-derived expectation agrees with the decoder
+        # (expected_row raises loudly on any disagreement)
+        mk.expected_row(name, blob, meta)
 
 
 def _webp_chunk(fourcc: bytes, body: bytes) -> bytes:

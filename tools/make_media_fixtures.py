@@ -5,11 +5,16 @@ DuckDB literal-table oracle pins.
 The fixture bytes are produced by the INDEPENDENT test-side encoders in
 ``tests/test_multimodal.py`` (the same encoders the decode round-trip
 tests verify against), entirely deterministic — re-running this script
-must reproduce byte-identical files. The expected rows are computed by
-driver-side ``real_decode`` here, so the driver query (which runs the
-SAME decoders through the distributed Arrow path) checks that the
-distributed path returns exactly the local answer AND that decoder
-output stays stable across rounds.
+must reproduce byte-identical files.
+
+Expected width/height/duration are derived from the ENCODER PARAMETERS
+on the very line that builds each fixture — never from decoding the
+bytes — so the oracle pin shares no implementation with the decoders it
+checks (VERDICT r9 item 6). ``real_decode`` is still run as a LOUD
+CROSS-CHECK (any disagreement aborts the script instead of silently
+pinning a decoder bug) and to compute the feature pin, which is
+decoder-defined by construction (it hashes the extracted feature vector
+— the distributed-path-equality part of the check, not a truth claim).
 
 Usage: python tools/make_media_fixtures.py   (writes fixtures/media/ and
 prints the oracle VALUES rows to paste into __spark_entry__.py)
@@ -55,67 +60,116 @@ def _tiff_bytes(bo: bytes, width: int, height: int) -> bytes:
     return bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8) + ifd
 
 
-def build() -> dict[str, bytes]:
-    fixtures: dict[str, bytes] = {}
+def _meta(width=None, height=None, dur_ms=None) -> dict:
+    return {"width": width, "height": height, "duration_ms": dur_ms}
+
+
+def build() -> dict[str, tuple[bytes, dict]]:
+    """Each entry: (fixture bytes, parameter-derived expected metadata).
+    Every width/height/duration below restates an argument passed to the
+    encoder right next to it — the derivation rules are spec facts
+    (samples/rate, sum of frame delays, MPEG-1 L3's 1152 samples/frame,
+    Opus' fixed 48 kHz granule clock, HEIF's largest-ispe primary), not
+    decoder behavior."""
+    fx: dict[str, tuple[bytes, dict]] = {}
 
     # JPEG: 16x8 RGB deterministic gradient, 4:2:0 subsampling
     px = np.zeros((8, 16, 3), dtype=np.float64)
     for r in range(8):
         for c in range(16):
             px[r, c] = ((r * 16 + c) % 256, (c * 13) % 256, (r * 29) % 256)
-    fixtures["jpeg"] = tm._jpeg_bytes(px, subsample=(2, 2))
+    fx["jpeg"] = (tm._jpeg_bytes(px, subsample=(2, 2)),
+                  _meta(width=px.shape[1], height=px.shape[0]))
 
     # PNG: 12x6 RGB, one of each filter type across rows
     raster = bytes((r * 37 + c * 11) % 256 for r in range(6) for c in range(36))
-    fixtures["png"] = tm._png_bytes(12, 6, raster, filters=[0, 1, 2, 3, 4, 1])
+    fx["png"] = (tm._png_bytes(12, 6, raster, filters=[0, 1, 2, 3, 4, 1]),
+                 _meta(width=12, height=6))
 
-    # GIF: 10x5, two frames with 20cs + 30cs delays -> 0.5 s animation
+    # GIF: 10x5, two frames with 20cs + 30cs delays -> (20+30)*10 ms
     f1 = bytes((i * 3) % 4 for i in range(50))
     f2 = bytes((i * 7 + 1) % 4 for i in range(50))
-    fixtures["gif"] = tm._gif_bytes(
-        10, 5, [f1, f2], bytes(range(12)), min_code_size=2, delays=[20, 30]
+    gif_delays_cs = [20, 30]
+    fx["gif"] = (
+        tm._gif_bytes(10, 5, [f1, f2], bytes(range(12)), min_code_size=2,
+                      delays=gif_delays_cs),
+        _meta(width=10, height=5, dur_ms=sum(gif_delays_cs) * 10),
     )
 
-    fixtures["bmp"] = tm._bmp_bytes(9, 7)
-    fixtures["tiff"] = _tiff_bytes(b"MM", 640, 480)
-    fixtures["ppm"] = b"P6\n4 3\n255\n" + bytes(
-        (i * 19) % 256 for i in range(36)
-    )
-    fixtures["wav"] = tm._wav_bytes(1.5, rate=8000)
+    fx["bmp"] = (tm._bmp_bytes(9, 7), _meta(width=9, height=7))
+    fx["tiff"] = (_tiff_bytes(b"MM", 640, 480), _meta(width=640, height=480))
+    fx["ppm"] = (b"P6\n4 3\n255\n" + bytes((i * 19) % 256 for i in range(36)),
+                 _meta(width=4, height=3))
 
-    # FLAC: 64 stereo samples at 8 kHz, real frames (verbatim + constant)
+    # WAV: seconds is the encoder argument; ms = seconds * 1000
+    fx["wav"] = (tm._wav_bytes(1.5, rate=8000), _meta(dur_ms=1500))
+
+    # FLAC: 64 stereo samples at 8 kHz -> 64/8000 s = 8 ms
     left = [((i * 37) % 4001) - 2000 for i in range(64)]
     right = [777] * 32 + [-12345] * 32
     fr1 = tm._flac_frame_enc([left[:32], right[:32]], 16, 0,
                              ["verbatim", "constant"])
     fr2 = tm._flac_frame_enc([left[32:], right[32:]], 16, 1,
                              ["verbatim", "constant"])
-    fixtures["flac"] = tm._flac_full([left, right], 16, 8000, [fr1, fr2])
+    fx["flac"] = (tm._flac_full([left, right], 16, 8000, [fr1, fr2]),
+                  _meta(dur_ms=round(len(left) / 8000 * 1000)))
 
-    fixtures["mp3"] = tm._mp3_frames(100, version=1, id3=tm._id3v2(64))
-    fixtures["webp"] = tm._webp_bytes("vp8l", 1023, 517)
-    fixtures["webp_anim"] = tm._webp_bytes("vp8x", 320, 180,
-                                           frame_ms=[40, 60, 100])
-    fixtures["mp4"] = tm._mp4_bytes(12.5, 640, 360)
-    fixtures["heic"] = tm._heif_bytes(b"heic", [(4032, 3024)])
-    fixtures["avif"] = tm._heif_bytes(b"avif", [(320, 240), (1280, 720)])
-    fixtures["ogg_vorbis"] = tm._ogg_vorbis_bytes(44100, rate=44100)
-    fixtures["ogg_opus"] = tm._ogg_opus_bytes(96312, pre_skip=312)
-    return fixtures
+    # MP3: version=1 is MPEG-1 Layer III @44100 Hz, 1152 samples/frame
+    n_mp3_frames = 100
+    fx["mp3"] = (tm._mp3_frames(n_mp3_frames, version=1, id3=tm._id3v2(64)),
+                 _meta(dur_ms=round(n_mp3_frames * 1152 / 44100 * 1000)))
+
+    fx["webp"] = (tm._webp_bytes("vp8l", 1023, 517),
+                  _meta(width=1023, height=517))
+    # animated WebP: duration = sum of ANMF frame durations (ms)
+    anim_ms = [40, 60, 100]
+    fx["webp_anim"] = (tm._webp_bytes("vp8x", 320, 180, frame_ms=anim_ms),
+                       _meta(width=320, height=180, dur_ms=sum(anim_ms)))
+
+    fx["mp4"] = (tm._mp4_bytes(12.5, 640, 360),
+                 _meta(width=640, height=360, dur_ms=round(12.5 * 1000)))
+
+    # HEIF: reported dims = the LARGEST ispe entry (the primary image;
+    # smaller entries are thumbnails in real files)
+    fx["heic"] = (tm._heif_bytes(b"heic", [(4032, 3024)]),
+                  _meta(width=4032, height=3024))
+    avif_dims = [(320, 240), (1280, 720)]
+    aw, ah = max(avif_dims, key=lambda wh: wh[0] * wh[1])
+    fx["avif"] = (tm._heif_bytes(b"avif", avif_dims),
+                  _meta(width=aw, height=ah))
+
+    # Ogg Vorbis: last-page granule = total samples at the header rate
+    fx["ogg_vorbis"] = (tm._ogg_vorbis_bytes(44100, rate=44100),
+                        _meta(dur_ms=round(44100 / 44100 * 1000)))
+    # Ogg Opus: granule clock is ALWAYS 48 kHz; playable = granule-preskip
+    fx["ogg_opus"] = (tm._ogg_opus_bytes(96312, pre_skip=312),
+                      _meta(dur_ms=round((96312 - 312) / 48000 * 1000)))
+    return fx
 
 
-def expected_row(name: str, content: bytes) -> tuple:
+def expected_row(name: str, content: bytes, meta: dict) -> tuple:
+    """Oracle row from the PARAMETER-derived meta; real_decode is run
+    only to (a) cross-check the derivation loudly and (b) compute the
+    decoder-defined feature pin."""
     d = real_decode(content, MODALITY[name])
     dur = d.get("duration_sec")
     if dur is None:
-        dur_ms = None
+        dec_ms = None
     else:
         # Spark-side: cast(round(duration_sec * 1000, 0) as long) — round
         # HALF_UP on the shortest-repr decimal, like BigDecimal.valueOf
         from decimal import ROUND_HALF_UP, Decimal
 
-        dur_ms = int(Decimal(repr(dur * 1000.0)).quantize(
+        dec_ms = int(Decimal(repr(dur * 1000.0)).quantize(
             Decimal(1), rounding=ROUND_HALF_UP))
+    decoded = {"width": d.get("width"), "height": d.get("height"),
+               "duration_ms": dec_ms}
+    if decoded != meta:
+        raise SystemExit(
+            f"{name}: decoder disagrees with encoder parameters — "
+            f"decoded {decoded} vs derived {meta}; fix the decoder (or "
+            f"the derivation comment) before regenerating the pin"
+        )
     # Spark-side: md5(array_join(transform(feature,
     #   x -> cast(cast(x as double) * 16777216 as long) cast to string), ','))
     # feature is float32 in FEATURE_SCHEMA; float32 -> double is exact and
@@ -124,8 +178,8 @@ def expected_row(name: str, content: bytes) -> tuple:
         str(int(float(np.float32(v)) * 16777216.0)) for v in d["feature"]
     )
     feat_pin = hashlib.md5(pins.encode()).hexdigest()
-    return (name, MODALITY[name], d.get("width"), d.get("height"),
-            dur_ms, feat_pin)
+    return (name, MODALITY[name], meta["width"], meta["height"],
+            meta["duration_ms"], feat_pin)
 
 
 def main() -> None:
@@ -134,10 +188,11 @@ def main() -> None:
     fixtures = build()
     rows = []
     for name in sorted(fixtures):
+        content, meta = fixtures[name]
         path = os.path.join(outdir, f"{name}.bin")
         with open(path, "wb") as f:
-            f.write(fixtures[name])
-        rows.append(expected_row(name, fixtures[name]))
+            f.write(content)
+        rows.append(expected_row(name, content, meta))
     print("-- paste into the media_features_check oracle:")
     for r in rows:
         w = "NULL" if r[2] is None else r[2]
