@@ -3086,6 +3086,60 @@ def q_docs_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template/boilerplate removal (operators/text.py::
+    strip_boilerplate — the CCNet-style correction pass): an 8-token
+    passage recurring in >= 2 distinct docs of the SAME source is
+    template chrome and is spliced from EVERY occurrence (no canonical
+    survivor — template text is not content anywhere), while the same
+    passage shared across different sources is preserved (a quotation is
+    not boilerplate). Complements docs_passage_dedup, whose global
+    counts + keep-one semantics serve dedup rather than template
+    removal. The md5 of each rewritten text hash-checks the splice."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    out = tx.strip_boilerplate(d, window_tokens=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_boiler_windows",
+        F.md5("text_stripped").alias("stripped_md5"),
+    )
+
+
+def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py::dsir_importance —
+    Xie et al. 2023): every document scored by the log-likelihood ratio
+    of its hashed unigram+bigram features under bag models of the TARGET
+    (here: the corpus's own English split, the 'look like the
+    high-resource language' selector) vs the raw corpus; the top-100 by
+    (weight desc, doc_id) are flagged selected. The oracle replays the
+    md5 feature hashing, add-1 bucket models, decimal(30,4)-quantized
+    log2 ratios and the exact decimal sums, so the WEIGHTS hash-check,
+    not just the selection."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    d = _docs(spark, sf_dir)
+    scored = dsir_importance(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "en").select("text"),
+        n_buckets=256,
+    )
+    topk = (
+        scored.orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.lit(1).alias("__sel"))
+    )
+    return scored.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "n_feats",
+        "dsir_logratio",
+        F.coalesce(F.col("__sel"), F.lit(0)).alias("selected"),
+    )
+
+
 def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE emulation (plans/scd.py::merge_upsert — the reference's
     Mongo row-level upsert K1 on plain parquet): a derived update batch
@@ -3380,6 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_daily": q_unpivot_daily,
         # -- new in r10
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "docs_boilerplate_strip": q_docs_boilerplate_strip,
+        "docs_dsir_sample": q_docs_dsir_sample,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -3927,6 +3983,59 @@ def _lang_detect_oracle_sql() -> str:
                CASE WHEN score > 0 THEN lang ELSE 'und' END AS detected_lang,
                round(score, 6) AS lang_score
         FROM best WHERE rn = 1
+    """
+
+
+def _dsir_sample_oracle_sql() -> str:
+    """DuckDB twin of q_docs_dsir_sample: hashed unigram+bigram feature
+    buckets via the hash_bucket hex arithmetic, add-1 smoothed bucket
+    models over raw corpus and English target, per-feature
+    log2(p_t/p_raw) quantized DECIMAL(30,4), exact decimal per-doc sums,
+    top-100 selection by (weight DESC, doc_id ASC)."""
+    B, K = 256, 100
+    bucket = f"({_sample_bucket_sql('f', 'dsir-v1:')} % {B})"
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tt AS (SELECT {_TOKS} AS toks FROM documents WHERE lang = 'en'),
+        rawf AS (
+            SELECT doc_id, unnest(toks) AS f FROM t
+            UNION ALL
+            SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS f
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        tgtf AS (
+            SELECT unnest(toks) AS f FROM tt
+            UNION ALL
+            SELECT array_to_string(toks[i:i+1], ' ') AS f
+            FROM tt, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        rawb AS (SELECT doc_id, {bucket} AS b FROM rawf),
+        tgtb AS (SELECT {bucket} AS b FROM tgtf),
+        rc AS (SELECT b, count(*) AS cr FROM rawb GROUP BY b),
+        tc AS (SELECT b, count(*) AS ct FROM tgtb GROUP BY b),
+        rtot AS (SELECT sum(cr) AS r FROM rc),
+        ttot AS (SELECT sum(ct) AS tot FROM tc),
+        ratios AS (
+            SELECT rc.b,
+                   CAST(
+                       log2((coalesce(tc.ct, 0) + 1)
+                            / CAST(coalesce(ttot.tot, 0) + {B} AS DOUBLE))
+                       - log2((rc.cr + 1)
+                            / CAST(rtot.r + {B} AS DOUBLE))
+                   AS DECIMAL(30,4)) AS lr
+            FROM rc LEFT JOIN tc USING (b) CROSS JOIN rtot CROSS JOIN ttot
+        ),
+        scored AS (
+            SELECT rb.doc_id, count(*) AS n_feats,
+                   round(CAST(sum(rt.lr) AS DOUBLE), 4) AS dsir_logratio
+            FROM rawb rb JOIN ratios rt ON rb.b = rt.b
+            GROUP BY rb.doc_id
+        )
+        SELECT doc_id, n_feats, dsir_logratio,
+               CASE WHEN row_number() OVER (
+                        ORDER BY dsir_logratio DESC, doc_id ASC
+                    ) <= {K} THEN 1 ELSE 0 END AS selected
+        FROM scored
     """
 
 
@@ -4726,6 +4835,61 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
             FROM spliced
         """,
+        # Per-source boilerplate replay: counts scoped to (source, fp),
+        # NO canonical survivor — every occurrence of a within-source
+        # template window is spliced; same token-level rewrite check as
+        # docs_passage_dedup.
+        "docs_boilerplate_strip": f"""
+            WITH t AS (
+                SELECT doc_id, source, {_TOKS} AS toks FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, source, i - 1 AS pos,
+                       md5(array_to_string(toks[i:i+7], ' ')) AS fp
+                FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+            ),
+            boiler AS (
+                SELECT source, fp
+                FROM occ GROUP BY source, fp
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            dups AS (
+                SELECT DISTINCT o.doc_id, o.pos
+                FROM occ o JOIN boiler b ON o.source = b.source AND o.fp = b.fp
+            ),
+            dup_lists AS (
+                SELECT doc_id, list_sort(list(pos)) AS dup_pos
+                FROM dups GROUP BY doc_id
+            ),
+            spliced AS (
+                SELECT t.doc_id, t.toks,
+                       coalesce(d.dup_pos, []) AS dp,
+                       list_filter(
+                           list_transform(
+                               range(1, len(t.toks) + 1),
+                               i -> CASE WHEN len(list_filter(
+                                             coalesce(d.dup_pos, []),
+                                             p -> p <= i - 1 AND i - 1 < p + 8
+                                         )) = 0
+                                    THEN t.toks[i] END
+                           ),
+                           x -> x IS NOT NULL
+                       ) AS kept
+                FROM t LEFT JOIN dup_lists d USING (doc_id)
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(toks) - len(kept) AS n_tokens_removed,
+                   len(dp) AS n_boiler_windows,
+                   md5(coalesce(array_to_string(kept, ' '), '')) AS stripped_md5
+            FROM spliced
+        """,
+        # DSIR replay: md5-hashed unigram+bigram feature buckets (the
+        # hash_bucket hex arithmetic), add-1 smoothed bucket models over
+        # raw and the English target, per-feature log2 ratio quantized
+        # DECIMAL(30,4) (the unigram-CE 1-ulp-absorption discipline),
+        # exact decimal per-doc sums, top-100 by (weight desc, doc_id).
+        "docs_dsir_sample": _dsir_sample_oracle_sql(),
         "token_budget": r"""
             WITH staged AS (
                 SELECT source,

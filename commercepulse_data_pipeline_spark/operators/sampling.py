@@ -244,3 +244,110 @@ def epoch_shuffle(
         .withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop("__okey")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "dsir-v1:",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of its hashed n-gram features
+    under bag-of-features unigram models of the TARGET distribution vs
+    the RAW corpus — the standard "make the pretraining mix look like
+    the high-quality target" selector (target = Wikipedia/books/a
+    curated split; raw = the crawl).
+
+        feature(doc)  = word unigrams + adjacent bigrams (bag, not set)
+        bucket(f)     = md5-hash(f) mod n_buckets   (hashed features —
+                        the model is two n_buckets-long count vectors,
+                        never a corpus-sized vocabulary)
+        p_side(b)     = (count_side(b) + 1) / (total_side + n_buckets)
+        weight(doc)   = Σ_f [ log2 p_target(bucket(f))
+                              - log2 p_raw(bucket(f)) ]
+
+    Returns (id_col, n_feats, dsir_logratio) for every document with at
+    least one feature; resample by taking the top-k by
+    (dsir_logratio DESC, id) or feeding the weights to
+    :func:`weighted_rate_sample`.
+
+    Cross-engine determinism: the md5 bucket replays in SQL
+    (hash_bucket), both engines feed log2 identical IEEE ratios of
+    integers, and the per-feature log ratio is quantized to
+    DECIMAL(30,4) before an exact decimal sum — the
+    ``unigram_cross_entropy`` discipline: a 1-ulp log2 wobble between
+    JVM StrictMath and libm flips a 1e-4 quantization boundary with
+    ~4e-11 probability per feature.
+
+    Scale shape: ONE feature explode per side feeding bucket counts with
+    map-side combine (uniform md5 keys); both models are n_buckets rows
+    — the ratio table BROADCASTS to the scoring join regardless of
+    corpus size; totals are 1-row aggregates crossed in broadcast-style.
+    The raw explode is localCheckpoint'ed because it feeds both the raw
+    model and the scoring join (no subplan sharing across DataFrame
+    branches — the unigram_cross_entropy note). No driver collect, no
+    pair space, no vocabulary-sized state."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        token_ngrams,
+        tokens,
+    )
+    from commercepulse_data_pipeline_spark.functions.expr import let
+
+    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        fcol = let(
+            tokens(F.col(text_col)),
+            lambda t: F.concat(t, token_ngrams(t, 2)),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            frame.select(*cols, F.explode_outer(fcol).alias("__feat"))
+            .where(F.col("__feat").isNotNull())
+            .withColumn(
+                "__b",
+                F.pmod(hash_bucket(F.col("__feat"), salt=salt), F.lit(n_buckets))
+                .cast("int"),
+            )
+            .drop("__feat")
+        )
+
+    raw = feats(df, with_id=True).localCheckpoint(eager=False)
+    raw_counts = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_counts = (
+        feats(target, with_id=False)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    raw_tot = raw_counts.agg(F.sum("__cr").alias("__r"))
+    tgt_tot = tgt_counts.agg(F.sum("__ct").alias("__t"))
+    ratios = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__b",
+            (
+                F.log2(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("__t"), F.lit(0)) + n_buckets).cast("double")
+                )
+                - F.log2(
+                    (F.col("__cr") + 1) / (F.col("__r") + n_buckets).cast("double")
+                )
+            )
+            .cast("decimal(30,4)")
+            .alias("__lr"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__lr").cast("double"), 4).alias("dsir_logratio"),
+        )
+    )

@@ -388,6 +388,93 @@ def dedup_passages(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-source template/boilerplate REMOVAL — the CCNet/CC-pipeline
+    counterpart to :func:`dedup_passages`: a ``window_tokens``-token
+    passage that recurs across ≥ ``min_docs`` distinct documents OF THE
+    SAME ``scope_col`` group (a crawl domain, a feed, a mirror) is
+    template chrome — nav bars, footers, cookie banners, syndication
+    blurbs — and is spliced out of EVERY occurrence. Two deliberate
+    differences from ``dedup_passages``:
+
+    - counts are scoped to (scope, fingerprint), not global: a passage
+      legitimately shared across different sources (a quotation) is NOT
+      boilerplate, while a within-domain template trips the threshold
+      without polluting other sources' counts;
+    - NO canonical survivor: template text is not content anywhere, so
+      unlike dedup (which preserves exactly one copy for the training
+      set) every covered token goes.
+
+    Returns the input columns plus ``text_stripped``, ``n_tokens``,
+    ``n_tokens_removed`` and ``n_boiler_windows``.
+
+    Scale shape is dedup_passages' with the fingerprint key widened to
+    (scope, fp): text never shuffles through the fingerprint side, one
+    (scope, fp)-keyed agg decides boilerplate, one equi-join back, one
+    per-doc position collect, and the splice is a pure codegen
+    projection. The scoped key is MORE uniform than the global one (a
+    passage syndicated across many sources splits into per-source
+    groups), so the skew posture only improves."""
+    w = window_tokens
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    fps = F.transform(token_ngrams(F.col("__toks"), w), lambda g: F.md5(g))
+    occ = (
+        staged.select(
+            F.col(doc_col).alias("__doc"),
+            F.col(scope_col).alias("__scope"),
+            F.posexplode(fps),
+        ).select(
+            "__doc",
+            "__scope",
+            F.col("pos").cast("int").alias("__pos"),
+            F.col("col").alias("__fp"),
+        )
+    )
+    boiler = (
+        occ.groupBy("__scope", "__fp")
+        .agg(F.countDistinct("__doc").alias("__n_docs"))
+        .where(F.col("__n_docs") >= min_docs)
+        .select("__scope", "__fp")
+    )
+    dup_windows = occ.join(boiler, ["__scope", "__fp"]).select("__doc", "__pos")
+    dup_lists = dup_windows.groupBy("__doc").agg(
+        F.array_sort(F.collect_set("__pos")).alias("__dup_pos")
+    )
+    joined = staged.join(
+        dup_lists, staged[doc_col] == dup_lists["__doc"], "left"
+    ).drop("__doc")
+    dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
+
+    def splice(dp: Column) -> Column:
+        kept = F.filter(
+            F.col("__toks"),
+            lambda _t, i: ~F.exists(dp, lambda p: (p <= i) & (i < p + F.lit(w))),
+        )
+        return F.struct(
+            F.array_join(kept, " ").alias("text_stripped"),
+            F.size(kept).alias("n_kept"),
+        )
+
+    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    return out.select(
+        *df.columns,
+        F.col("__spliced.text_stripped").alias("text_stripped"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.col("__spliced.n_kept")).alias(
+            "n_tokens_removed"
+        ),
+        F.size(dup_pos).alias("n_boiler_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + in-document repetition removal (extension tier: the
 # cleaning passes a training corpus runs before tokenization)

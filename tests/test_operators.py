@@ -1348,3 +1348,96 @@ def test_pq_fractional_refine_holds_recall_as_corpus_grows(spark, tmp_path):
     )
     exact = {r["vec_id"] for r in sim.cosine_topk(small, qvec, 10).collect()}
     assert {r["vec_id"] for r in got.collect()} == exact
+
+
+def test_strip_boilerplate_scoped_no_canonical(spark):
+    """Per-source boilerplate stripping: a template window recurring in
+    >= min_docs docs OF THE SAME source is removed from EVERY occurrence
+    (no canonical survivor); the same text appearing in a different
+    source below that source's threshold is untouched (scope isolation);
+    cross-source sharing alone never trips the threshold."""
+    tpl = "subscribe to our newsletter for updates"  # 6 tokens
+    rows = [
+        (1, "A", f"story one begins here {tpl} and ends"),
+        (2, "A", f"story two other words {tpl} trailing text"),
+        (3, "B", f"unique b content {tpl} more b stuff"),   # 1 doc in B
+        (4, "B", "b only words nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = tx.strip_boilerplate(
+        df, window_tokens=6, min_docs=2
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # both A docs lose the template (no canonical kept)
+    assert tpl not in got[1]["text_stripped"]
+    assert tpl not in got[2]["text_stripped"]
+    assert got[1]["n_tokens_removed"] == 6
+    assert "story one begins here" in got[1]["text_stripped"]
+    assert "and ends" in got[1]["text_stripped"]
+    # B's single occurrence survives: counts are per-source
+    assert tpl in got[3]["text_stripped"]
+    assert got[3]["n_tokens_removed"] == 0
+    assert got[4]["n_tokens_removed"] == 0
+    # schema contract
+    assert set(out.columns) == {
+        "doc_id", "source", "text", "text_stripped",
+        "n_tokens", "n_tokens_removed", "n_boiler_windows",
+    }
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR: raw docs made of target-typical features get higher
+    log-ratio weights than off-target docs; the weight equals a pure
+    Python replay of the hashed-bigram bag model (bucket hashing,
+    add-1 smoothing, decimal(30,4)-quantized per-feature log2 ratios)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    target_rows = [(100 + i, "wiki words about science and math topics")
+                   for i in range(3)]
+    raw_rows = [
+        (1, "science and math topics in wiki words"),
+        (2, "spam click buy now cheap deals spam click"),
+    ]
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    B, SALT = 64, "dsir-v1:"
+    out = {r["doc_id"]: r for r in
+           dsir_importance(raw, tgt, n_buckets=B).collect()}
+    assert out[1]["dsir_logratio"] > out[2]["dsir_logratio"]
+
+    # pure-Python model twin
+    def feats(text):
+        toks = text.lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5((SALT + f).encode()).hexdigest()[:8], 16) % B
+
+    raw_c, tgt_c = {}, {}
+    for _, t in raw_rows:
+        for f in feats(t):
+            raw_c[bucket(f)] = raw_c.get(bucket(f), 0) + 1
+    for _, t in target_rows:
+        for f in feats(t):
+            tgt_c[bucket(f)] = tgt_c.get(bucket(f), 0) + 1
+    R, T = sum(raw_c.values()), sum(tgt_c.values())
+    for doc_id, t in raw_rows:
+        fs = feats(t)
+        w = Decimal(0)
+        for f in fs:
+            b = bucket(f)
+            lr = (math.log2((tgt_c.get(b, 0) + 1) / (T + B))
+                  - math.log2((raw_c[b] + 1) / (R + B)))
+            w += Decimal(repr(lr)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        expect = float(w.quantize(Decimal("0.0001"),
+                                  rounding=ROUND_HALF_UP))
+        assert out[doc_id]["n_feats"] == len(fs)
+        assert abs(out[doc_id]["dsir_logratio"] - expect) < 1e-9, (
+            doc_id, out[doc_id]["dsir_logratio"], expect)
