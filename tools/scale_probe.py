@@ -93,6 +93,10 @@ PROBE_QUERIES = [
     "docs_mixture_applied",
     "cross_source_fuzzy_join",
     "orders_above_customer_avg",
+    # round-10 additions
+    "ann_ivfpq_topk",
+    "docs_boilerplate_strip",
+    "docs_dsir_sample",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
