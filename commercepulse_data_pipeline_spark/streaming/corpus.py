@@ -72,12 +72,13 @@ def clean_corpus_batch(
         batch, "text", "doc_id", max_bucket=max_bucket, bands_df=batch_bands, **p
     ).select(F.col("id_b").alias("doc_id"))
     drop = within
-    # index detection must go through Spark's Hadoop filesystem layer —
-    # driver-local os.path would silently disable cross-batch dedup on
-    # any non-local store (hdfs://, s3a://, ...) (self-review finding).
     # Fold-aware read: compact_streaming_index's pre-commit window would
     # otherwise HIDE the consolidated bands partition — a silently missed
-    # near-dup, the worst failure mode for a dedup index.
+    # near-dup, the worst failure mode for a dedup index. The fold
+    # protocol (and this reader) is driver-local by construction;
+    # fold_consistent_read RAISES on non-file schemes rather than
+    # silently disabling cross-batch dedup (the r9 self-review finding,
+    # closed by the ADVICE r9 scheme guard).
     from commercepulse_data_pipeline_spark.sources.readers import (
         fold_consistent_read,
     )

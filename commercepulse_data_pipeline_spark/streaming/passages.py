@@ -236,3 +236,170 @@ def stream_passage_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def boilerplate_strip_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+) -> None:
+    """Streaming form of ``operators/text.py::strip_boilerplate``: splice
+    out windows that are per-source template chrome, deciding with
+    CROSS-BATCH counts scoped to (source, fingerprint). Differences from
+    :func:`passage_dedup_batch`, both inherited from the batch operator:
+    counts never mix sources, and there is NO canonical survivor — every
+    occurrence in THIS batch of a window at/over threshold is spliced.
+
+    Streaming divergence (documented, by construction): occurrences that
+    LANDED in earlier batches before the threshold was crossed stay as
+    written — a stream cannot retro-splice committed output. A corpus
+    arriving in one batch reproduces the batch operator exactly; for a
+    retroactive template pass over an already-landed corpus run
+    ``strip_boilerplate`` as a batch job. Same store layout, replay
+    safety (own-partition exclusion + batch-dir overwrite) and
+    fold-aware index reads as the passage store."""
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+        is_missing_store_error,
+    )
+
+    spark = batch_df.sparkSession
+    w = window_tokens
+    fp_root = f"{store_dir}/fp_index"
+
+    staged = batch_df.withColumn("__toks", tokens(F.col(text_col)))
+    fps = F.transform(token_ngrams(F.col("__toks"), w), lambda g: F.md5(g))
+    occ = (
+        staged.select(
+            F.col(doc_col).alias("__doc"),
+            F.col(scope_col).alias("__scope"),
+            F.posexplode(fps),
+        )
+        .select(
+            "__doc",
+            "__scope",
+            F.col("pos").cast("int").alias("__pos"),
+            F.col("col").alias("__fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = occ.groupBy("__scope", "__fp").agg(
+        F.countDistinct("__doc").alias("__n_batch")
+    )
+    try:
+        idx = (
+            fold_consistent_read(spark, fp_root)
+            # REPLAY SAFETY: own-partition exclusion, as in
+            # passage_dedup_batch
+            .where(F.col("ingest_batch") != F.lit(batch_id))
+            .groupBy("scope", "fp")
+            .agg(F.sum("n_docs").alias("__n_idx"))
+        )
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc):
+            raise
+        idx = None  # PATH_NOT_FOUND: genuinely the first batch
+    if idx is not None:
+        stats = stats.join(
+            idx.select(
+                F.col("scope").alias("__scope"),
+                F.col("fp").alias("__fp"),
+                "__n_idx",
+            ),
+            ["__scope", "__fp"],
+            "left",
+        )
+    else:
+        stats = stats.withColumn("__n_idx", F.lit(None).cast("long"))
+    n_idx = F.coalesce(F.col("__n_idx"), F.lit(0))
+    # every batch occurrence of a boilerplate (scope, fp) is a duplicate
+    # window — no canonical exception
+    dup_windows = occ.join(
+        stats.where(n_idx + F.col("__n_batch") >= min_docs),
+        ["__scope", "__fp"],
+    ).select("__doc", "__pos")
+    dup_lists = dup_windows.groupBy("__doc").agg(
+        F.array_sort(F.collect_set("__pos")).alias("__dup_pos")
+    )
+    joined = staged.join(
+        dup_lists, staged[doc_col] == dup_lists["__doc"], "left"
+    ).drop("__doc")
+    dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
+
+    def splice(dp):
+        kept = F.filter(
+            F.col("__toks"),
+            lambda _t, i: ~F.exists(
+                dp, lambda p: (p <= i) & (i < p + F.lit(w))
+            ),
+        )
+        return F.struct(
+            F.array_join(kept, " ").alias("text_stripped"),
+            F.size(kept).alias("n_kept"),
+        )
+
+    out = joined.withColumn("__spliced", let(dup_pos, splice)).select(
+        *[c for c in batch_df.columns if c != text_col],
+        F.col("__spliced.text_stripped").alias(text_col),
+        (F.size("__toks") - F.col("__spliced.n_kept")).alias(
+            "n_tokens_removed"
+        ),
+    )
+    out.write.mode("overwrite").parquet(
+        f"{store_dir}/corpus/ingest_batch={batch_id}"
+    )
+    occ.groupBy(
+        F.col("__scope").alias("scope"), F.col("__fp").alias("fp")
+    ).agg(F.countDistinct("__doc").alias("n_docs")).write.mode(
+        "overwrite"
+    ).parquet(f"{fp_root}/ingest_batch={batch_id}")
+
+
+def stream_boilerplate_strip(
+    spark: SparkSession,
+    docs_path: str,
+    store_dir: str,
+    checkpoint: str,
+    *,
+    schema: str = "doc_id long, source string, text string",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+    window_tokens: int = 8,
+    min_docs: int = 2,
+    max_files_per_trigger: int = 10,
+    trigger_once: bool = True,
+):
+    """Tail a directory of document parquet drops and maintain a
+    boilerplate-stripped corpus continuously. Returns the started
+    query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        boilerplate_strip_batch(
+            batch_df,
+            batch_id,
+            store_dir,
+            doc_col=doc_col,
+            text_col=text_col,
+            scope_col=scope_col,
+            window_tokens=window_tokens,
+            min_docs=min_docs,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

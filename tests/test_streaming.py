@@ -1474,3 +1474,108 @@ def test_passage_fp_index_fold_probe_equality(spark, tmp_path, monkeypatch):
     t15 = spark.read.parquet(f"{store}/corpus/ingest_batch=5").head()
     assert shared not in t15["text"]
     assert t15["n_tokens_removed"] == 8
+
+
+def test_stream_boilerplate_strip_scoped_cross_batch(spark, tmp_path):
+    """Streaming per-source boilerplate stripping: (a) a template window
+    reaching min_docs WITHIN one source across batches is spliced from
+    every occurrence in the deciding (and later) batches — no canonical
+    survivor; (b) the same text in a different source stays (scope
+    isolation); (c) a direct replay of a batch reproduces its first
+    attempt (own-partition exclusion); (d) a single-batch arrival
+    matches the batch operator."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        strip_boilerplate,
+    )
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        boilerplate_strip_batch,
+    )
+
+    tpl = "click here to subscribe to our newsletter today"  # 8 tokens
+    store = str(tmp_path / "bstore")
+    b0 = [(1, "A", f"first article text then {tpl} closing words")]
+    b1 = [(2, "A", f"second piece also carries {tpl} at the end"),
+          (3, "B", f"b source quoting {tpl} exactly once here")]
+    schema = "doc_id long, source string, text string"
+    boilerplate_strip_batch(spark.createDataFrame(b0, schema), 0, store)
+    boilerplate_strip_batch(spark.createDataFrame(b1, schema), 1, store)
+
+    corpus = spark.read.parquet(f"{store}/corpus")
+    got = {r["doc_id"]: r for r in corpus.collect()}
+    # batch 0 landed before the threshold: streaming cannot retro-splice
+    assert tpl in got[1]["text"] and got[1]["n_tokens_removed"] == 0
+    # batch 1 crosses the A-source threshold: doc 2 loses the template
+    assert tpl not in got[2]["text"]
+    assert got[2]["n_tokens_removed"] == 8
+    assert "second piece also carries" in got[2]["text"]
+    # scope isolation: B has one occurrence, stays
+    assert tpl in got[3]["text"] and got[3]["n_tokens_removed"] == 0
+
+    # replay of batch 1: own-partition exclusion -> identical output
+    boilerplate_strip_batch(spark.createDataFrame(b1, schema), 1, store)
+    got_r = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert got_r == {k: v["text"] for k, v in got.items()}
+
+    # later batch in A: the index alone (2 docs) trips the threshold
+    b2 = [(4, "A", f"third doc with {tpl} and nothing else shared")]
+    boilerplate_strip_batch(spark.createDataFrame(b2, schema), 2, store)
+    t4 = spark.read.parquet(f"{store}/corpus/ingest_batch=2").head()
+    assert tpl not in t4["text"] and t4["n_tokens_removed"] == 8
+
+    # single-batch arrival == batch operator (both A docs spliced, B kept)
+    store2 = str(tmp_path / "bstore2")
+    allrows = b0 + b1
+    boilerplate_strip_batch(spark.createDataFrame(allrows, schema), 0, store2)
+    stream_out = {r["doc_id"]: r["text"] for r in
+                  spark.read.parquet(f"{store2}/corpus").collect()}
+    batch_out = {r["doc_id"]: r["text_stripped"] for r in
+                 strip_boilerplate(
+                     spark.createDataFrame(allrows, schema),
+                     window_tokens=8, min_docs=2).collect()}
+    assert stream_out == batch_out
+
+
+def test_stream_boilerplate_strip_wrapper_end_to_end(spark, tmp_path):
+    """The readStream wrapper drives the same batch fn: two drops arrive
+    as separate micro-batches; the second crosses the per-source
+    threshold and lands stripped."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        stream_boilerplate_strip,
+    )
+
+    tpl = "one two three four five six seven eight"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    batches = [
+        [(1, "A", f"lead text {tpl} tail text")],
+        [(2, "A", f"other words {tpl} trailing bits")],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "source": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    store = str(tmp_path / "store")
+    q = stream_boilerplate_strip(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert tpl in texts[1]       # first arrival pre-threshold
+    assert tpl not in texts[2]   # second arrival stripped
