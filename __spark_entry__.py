@@ -3140,6 +3140,25 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py::
+    hard_negatives): for each query vector the top-5 corpus neighbors by
+    cosine INSIDE the band [0.05, 0.25) — confusable but safely below the
+    near-duplicate cut, the negatives an embedding model actually learns
+    from (mining too-close negatives poisons training with mislabeled
+    positives). Band and rank operate on the 6-dp ROUNDED score so the
+    oracle replays the selection bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0)
+    out = sim.hard_negatives(e, q, k=5, sim_lo=0.05, sim_hi=0.25)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE emulation (plans/scd.py::merge_upsert — the reference's
     Mongo row-level upsert K1 on plain parquet): a derived update batch
@@ -3436,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "docs_boilerplate_strip": q_docs_boilerplate_strip,
         "docs_dsir_sample": q_docs_dsir_sample,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -5581,6 +5601,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "embedding_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(
+                           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           6) AS cosine_sim
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+                  AND sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+                WHERE cosine_sim >= 0.05 AND cosine_sim < 0.25
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_selfknn": _selfknn_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),

@@ -588,6 +588,68 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.9,
+    query_id: str | None = None,
+    query_vec: str | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query row, the top-k
+    corpus vectors by cosine INSIDE the band ``[sim_lo, sim_hi)`` —
+    similar enough to be confusable (the negatives that actually teach a
+    contrastive/embedding model), but below the near-duplicate cut where
+    a "negative" is really a positive mislabeled (the classic
+    false-negative poisoning failure). Self-matches are always excluded.
+
+    Same scale contract as :func:`knn_join`: the query side broadcasts
+    (thousands of rows, not the corpus); the corpus is scanned once; the
+    band filter runs BEFORE the rank window, so the shuffle carries only
+    in-band (query_id, neighbor_id, score) rows — tighter than knn_join's,
+    since the band prunes both the tail of irrelevant negatives and the
+    near-dup head. Output: query_id, neighbor_id, cosine_sim, rank.
+    """
+    query_id = query_id or id_col
+    query_vec = query_vec or vec_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qvec"),
+        )
+    )
+    sim6 = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    scored = (
+        corpus.crossJoin(q)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim6.alias("cosine_sim"),
+        )
+        # band on the ROUNDED score: the rank and the band then agree
+        # bit-for-bit with the SQL replay (an unrounded band could keep a
+        # row whose rounded score ties across the boundary)
+        .where(
+            F.col("cosine_sim").isNotNull()
+            & (F.col("cosine_sim") >= sim_lo)
+            & (F.col("cosine_sim") < sim_hi)
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle Gram matrix of the embedding corpus: one row per
     (i, j), i <= j, with ``gram`` = Σ over vectors of x_i·x_j — the

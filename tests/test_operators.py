@@ -1441,3 +1441,38 @@ def test_dsir_importance_ranks_target_like_docs(spark):
         assert out[doc_id]["n_feats"] == len(fs)
         assert abs(out[doc_id]["dsir_logratio"] - expect) < 1e-9, (
             doc_id, out[doc_id]["dsir_logratio"], expect)
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """Hard-negative mining: self and out-of-band (too-similar /
+    too-dissimilar) neighbors are excluded; in-band neighbors rank by
+    rounded cosine desc with id tiebreak."""
+    import math
+
+    # query = e0; corpus engineered at known cosines to e0
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    e0 = unit([1.0, 0.0, 0.0, 0.0])
+
+    def at_cos(c, other_axis):
+        s = math.sqrt(1 - c * c)
+        v = [c, 0.0, 0.0, 0.0]
+        v[other_axis] = s
+        return unit(v)
+
+    rows = [
+        (0, e0),                 # self — excluded
+        (1, at_cos(0.95, 1)),    # near-dup: above sim_hi — excluded
+        (2, at_cos(0.60, 1)),    # in band
+        (3, at_cos(0.40, 2)),    # in band
+        (4, at_cos(0.60, 3)),    # in band, ties with 2 -> id tiebreak
+        (5, at_cos(0.05, 1)),    # below sim_lo — excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    out = sim.hard_negatives(df, q, k=5, sim_lo=0.2, sim_hi=0.9).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(2, 1), (4, 2), (3, 3)]
+    assert all(0.2 <= r["cosine_sim"] < 0.9 for r in out)
