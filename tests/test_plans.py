@@ -410,3 +410,86 @@ def test_passage_dedup_plan_shape(spark):
     # two-phase aggregate on the fingerprint key: a partial_ function
     # appears before the exchange (count/min partials)
     assert "partial_" in plan, plan
+
+
+def test_dsir_model_broadcasts_to_scoring_join(spark):
+    """dsir_importance plan guarantees: the n_buckets-row ratio table
+    reaches the per-doc scoring join as a BROADCAST (the model never
+    shuffles with the corpus), bucket counts partially aggregate
+    map-side, and nothing degenerates into a cartesian product (the two
+    1-row total combines are the sanctioned broadcast-NLJ shape)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)], ["doc_id", "text"]
+    )
+    plan = (
+        dsir_importance(raw, tgt, n_buckets=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "CartesianProduct" not in final, plan
+    assert "partial_" in plan, plan
+
+
+def test_strip_boilerplate_plan_shape(spark):
+    """strip_boilerplate keeps the dedup_passages plan guarantees with
+    the (source, fp)-scoped key: map-side partial aggregation on the
+    scoped fingerprint, no cartesian/nested-loop stage."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"w{i} x{i} y{i} z{i} a b c d e f g h")
+         for i in range(20)],
+        ["doc_id", "source", "text"],
+    )
+    plan = (
+        strip_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    assert "BroadcastNestedLoopJoin" not in final, plan
+    assert "partial_" in plan, plan
+
+
+def test_hard_negatives_band_filters_before_rank_window(spark):
+    """hard_negatives plan guarantees: queries reach the corpus through
+    the sanctioned broadcast-cross shape (the knn_join contract — the
+    build side is the SMALL query set, never the corpus), Catalyst
+    pushes the band predicate all the way into the join condition (so
+    out-of-band pairs die before the shuffle), and the rank window gets
+    a map-side WindowGroupLimit Partial — the exchange carries at most
+    k rows per (partition, query)."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0, 3.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where(F.col("vec_id") < 3)
+    out = sim.hard_negatives(df, q, k=3, sim_lo=0.1, sim_hi=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, plan
+    # broadcast cross WITH the band in its condition: "BuildRight, Cross,"
+    # followed by a non-empty condition mentioning the 0.25/0.9 band
+    # literal — not an unconditioned cross producing every pair
+    bnlj = final.index("BroadcastNestedLoopJoin")
+    cond = final[bnlj : final.index("\n", bnlj)]
+    assert "Cross, (" in cond, plan
+    assert "0.9" in cond, plan
+    # map-side top-k before the exchange
+    pre_exchange = final[final.index("Exchange") :]
+    assert "WindowGroupLimit" in pre_exchange, plan
+    assert ", Partial" in pre_exchange, plan
