@@ -872,3 +872,58 @@ def test_scrub_contamination_matches_python_model(spark, docs, probes, w):
         ]
         want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=0, max_size=14),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.sampled_from([2, 3]),
+)
+@settings(**_SETTINGS)
+def test_strip_boilerplate_matches_python_model(spark, docs, w):
+    """strip_boilerplate ≡ a pure-Python splice model on random
+    tiny-vocab two-source corpora: counts scoped to (source, fp),
+    boilerplate iff ≥2 distinct docs WITHIN the source, token removed
+    iff covered by ANY boilerplate window — no canonical survivor."""
+    import hashlib
+
+    from commercepulse_data_pipeline_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    rows = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (
+            r["text_stripped"], r["n_tokens"], r["n_tokens_removed"],
+            r["n_boiler_windows"],
+        )
+        for r in strip_boilerplate(df, window_tokens=w, min_docs=2).collect()
+    }
+
+    occ = {}  # (source, fp) -> list[(doc, pos)]
+    for i, (src, toks) in enumerate(docs):
+        for p in range(len(toks) - w + 1):
+            fp = hashlib.md5(" ".join(toks[p : p + w]).encode()).hexdigest()
+            occ.setdefault((src, fp), []).append((i, p))
+    dup = {}  # doc -> set of boilerplate window positions
+    for key, places in occ.items():
+        if len({d for d, _ in places}) < 2:
+            continue
+        for d, p in places:  # every occurrence — no canonical
+            dup.setdefault(d, set()).add(p)
+    for i, (src, toks) in enumerate(docs):
+        dp = dup.get(i, set())
+        kept = [
+            t for j, t in enumerate(toks)
+            if not any(p <= j < p + w for p in dp)
+        ]
+        want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
+        assert got[i] == want, (i, got[i], want)
