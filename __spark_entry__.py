@@ -1514,29 +1514,22 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(enc, books, qvec, k=p["k"])
 
 
-def _pq_topk_oracle_sql() -> str:
-    """DuckDB twin of q_ann_pq_topk: md5-ordered codebook init per
-    subspace, one decimal-Lloyd iteration over (j, code) groups, final
-    encoding, the query's ADC lookup table, and the SUBSPACE-ORDERED
-    distance fold ((p0+p1)+p2)+p3 — the same IEEE addition order as the
-    Spark-side aggregate starting from 0.0."""
-    p = _PQ_TOPK
-    assert p["iters"] == 1, "oracle is generated for the registered iters=1 config"
-    m, nc, dim, k = p["m"], p["n_codes"], p["dim"], p["k"]
+def _pq_train_codes_ctes(m: int, nc: int, dim: int) -> tuple[str, str]:
+    """Shared DuckDB CTE block replaying pq_train + pq_encode over the
+    embeddings table (md5-ordered codebook init per subspace, one
+    decimal-Lloyd iteration over (j, code) groups, final encoding).
+    Returns (cte_body, sqd_template); the block defines CTEs ``books1``
+    (trained codebooks) and ``codes`` (per-vector subspace codes) for
+    the caller's scoring CTEs to build on. Extracted so the single-query
+    ADC oracle (ann_pq_topk) and the batch ADC-join oracle
+    (ann_pq_knn_join) replay the identical training text."""
     ds = dim // m
     h64 = _duck_md5_long("md5(CAST(vec_id AS VARCHAR))")
     sqd = (
         "list_sum(list_transform(range(1, len({v}) + 1), "
         "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
     )
-    wide_cols = ",\n                   ".join(
-        f"max(CASE WHEN c.j = {j} THEN l.pd END) AS p{j}" for j in range(m)
-    )
-    fold = "p0"
-    for j in range(1, m):
-        fold = f"({fold} + p{j})"
-    return f"""
-        WITH hashed AS (
+    ctes = f"""hashed AS (
             SELECT vec_id, embedding, {h64} AS hv FROM embeddings
         ),
         init AS (
@@ -1595,7 +1588,29 @@ def _pq_topk_oracle_sql() -> str:
                        ) AS rn
                 FROM subs s JOIN books1 b ON s.j = b.j
             ) WHERE rn = 1
-        ),
+        )"""
+    return ctes, sqd
+
+
+def _pq_topk_oracle_sql() -> str:
+    """DuckDB twin of q_ann_pq_topk: md5-ordered codebook init per
+    subspace, one decimal-Lloyd iteration over (j, code) groups, final
+    encoding, the query's ADC lookup table, and the SUBSPACE-ORDERED
+    distance fold ((p0+p1)+p2)+p3 — the same IEEE addition order as the
+    Spark-side aggregate starting from 0.0."""
+    p = _PQ_TOPK
+    assert p["iters"] == 1, "oracle is generated for the registered iters=1 config"
+    m, nc, dim, k = p["m"], p["n_codes"], p["dim"], p["k"]
+    ds = dim // m
+    train_ctes, sqd = _pq_train_codes_ctes(m, nc, dim)
+    wide_cols = ",\n                   ".join(
+        f"max(CASE WHEN c.j = {j} THEN l.pd END) AS p{j}" for j in range(m)
+    )
+    fold = "p0"
+    for j in range(1, m):
+        fold = f"({fold} + p{j})"
+    return f"""
+        WITH {train_ctes},
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         lut AS (
             SELECT b.j, b.cid,
@@ -1612,6 +1627,82 @@ def _pq_topk_oracle_sql() -> str:
         FROM wide
         ORDER BY round({fold}, 6) ASC, vec_id ASC
         LIMIT {k}
+    """
+
+
+# batch ADC-join parameters (training params shared with _PQ_TOPK so the
+# oracle replays the identical codebooks).
+_PQ_KNN = dict(k=3, qmod=97)
+
+
+def q_ann_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch compressed-domain kNN join (operators/similarity.py::
+    pq_knn_join): k approximate nearest corpus vectors for EACH query
+    row, entirely by ADC over the codes table — each broadcast query row
+    carries its own precomputed LUT, per-pair cost is m array lookups.
+    The oracle replays codebook training, encoding, every query's LUT
+    and the subspace-ordered fold, then ranks per query on the UNROUNDED
+    distance with id tiebreak (the operator's contract) — so the batch
+    serving shape gets the same hard distance-level signal as
+    ann_pq_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    p, pt = _PQ_KNN, _PQ_TOPK
+    books = sim.pq_train(e, m=pt["m"], n_codes=pt["n_codes"], iters=pt["iters"])
+    codes = sim.pq_encode(e, books).select("vec_id", "pq_code")
+    qs = e.where(F.col("vec_id") % p["qmod"] == 0)
+    out = sim.pq_knn_join(codes, qs, books, k=p["k"])
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "approx_d2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_knn_join_oracle_sql() -> str:
+    """DuckDB twin of q_ann_pq_knn_join: the shared pq_train/pq_encode
+    replay, per-query LUTs, the subspace-ordered ADC fold, and a
+    per-query rank on the UNROUNDED fold (ties → lowest neighbor_id)
+    with the 6-dp round applied only at output — exactly pq_knn_join's
+    column contract."""
+    p, pt = _PQ_KNN, _PQ_TOPK
+    assert pt["iters"] == 1, "oracle is generated for the registered iters=1 config"
+    m, nc, dim = pt["m"], pt["n_codes"], pt["dim"]
+    ds = dim // m
+    train_ctes, sqd = _pq_train_codes_ctes(m, nc, dim)
+    wide_cols = ",\n                   ".join(
+        f"max(CASE WHEN c.j = {j} THEN l.pd END) AS p{j}" for j in range(m)
+    )
+    fold = "p0"
+    for j in range(1, m):
+        fold = f"({fold} + p{j})"
+    return f"""
+        WITH {train_ctes},
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {p["qmod"]} = 0
+        ),
+        lut AS (
+            SELECT q.query_id, b.j, b.cid,
+                   {sqd.format(v="(q.qv[b.j * " + str(ds) + " + 1 : b.j * " + str(ds) + " + " + str(ds) + "])", c="b.cvec")} AS pd
+            FROM books1 b CROSS JOIN q
+        ),
+        wide AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   {wide_cols}
+            FROM codes c JOIN lut l ON c.j = l.j AND c.cid = l.cid
+            GROUP BY l.query_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, {fold} AS d2,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {fold} ASC, neighbor_id ASC
+                   ) AS rank
+            FROM wide
+        )
+        SELECT query_id, neighbor_id, round(d2, 6) AS approx_d2, rank
+        FROM ranked WHERE rank <= {p["k"]}
     """
 
 
@@ -3456,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate_strip": q_docs_boilerplate_strip,
         "docs_dsir_sample": q_docs_dsir_sample,
         "embedding_hard_negatives": q_embedding_hard_negatives,
+        "ann_pq_knn_join": q_ann_pq_knn_join,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -5759,6 +5851,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_oracle_sql(),
+        "ann_pq_knn_join": _pq_knn_join_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """

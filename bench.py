@@ -82,6 +82,8 @@ EXTENDED = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "cross_source_fuzzy_join",
+    "docs_boilerplate_strip",
+    "docs_dsir_sample",
 ]
 
 HEADLINE = [
