@@ -92,6 +92,14 @@ def main() -> int:
         "dedup_passages": lambda d: tx.dedup_passages(d).select(
             "doc_id", "n_tokens_removed"
         ),
+        # r10: the scoped splice sibling — same builder work, (source,
+        # fp)-keyed decision
+        "strip_boilerplate": lambda d: tx.strip_boilerplate(
+            d.withColumn(
+                "source",
+                F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")),
+            )
+        ).select("doc_id", "n_tokens_removed"),
     }
 
     # Full untimed warm-up sweep FIRST (same lesson as bench.py: the
