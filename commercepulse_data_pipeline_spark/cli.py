@@ -189,7 +189,10 @@ def cmd_dims(args) -> int:
 def cmd_clean_corpus(args) -> int:
     """Training-corpus cleaning pipeline (extension tier), end to end:
 
-        scrub (line dedup + PII redaction)
+        optional per-source boilerplate strip (--strip-boilerplate:
+          within-source template windows spliced from every occurrence,
+          BEFORE dedup so shared chrome can't fake near-dups)
+        → scrub (line dedup + PII redaction)
         → exact dedup (content hash, lowest id wins)
         → near-dup clusters (MinHash pairs → connected components)
           → keep the best-quality member per cluster
@@ -197,6 +200,9 @@ def cmd_clean_corpus(args) -> int:
           cross-doc duplicated passages spliced out of every
           non-canonical occurrence, Lee et al. 2022; docs falling below
           --min-remaining-tokens are dropped)
+        → optional DSIR selection (--dsir-target: keep the --dsir-top-k
+          docs ranked by hashed-ngram log-likelihood ratio vs the target
+          corpus, Xie et al. 2023 — after dedup, before the rate sample)
         → deterministic sample (md5-bucket, reproducible/incremental)
         → optional train/val/test split manifest (--splits; content-keyed,
           stable under incremental reruns)
@@ -231,6 +237,30 @@ def cmd_clean_corpus(args) -> int:
             )
             .drop("dup_line_frac", "top_ngram_frac")
         )
+    if args.strip_boilerplate:
+        # per-source template removal BEFORE dedup: shared chrome makes
+        # otherwise-distinct docs look like near-dups, so stripping it
+        # first both fixes the text and keeps the MinHash stage honest
+        if "source" not in docs.columns:
+            raise SystemExit(
+                "--strip-boilerplate needs a 'source' column in --docs"
+            )
+        stripped = tx.strip_boilerplate(
+            docs,
+            window_tokens=args.passage_window,
+            min_docs=args.min_passage_docs,
+        )
+        docs = (
+            stripped.where(
+                F.col("n_tokens") - F.col("n_tokens_removed")
+                >= args.min_remaining_tokens
+            )
+            .withColumn("text", F.col("text_stripped"))
+            .drop(
+                "text_stripped", "n_tokens", "n_tokens_removed",
+                "n_boiler_windows",
+            )
+        )
     scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     exact = dd.exact_dedup(scrubbed, "text", "doc_id")
 
@@ -261,6 +291,27 @@ def cmd_clean_corpus(args) -> int:
             .withColumn("text", F.col("text_deduped"))
             .drop("text_deduped", "n_tokens", "n_tokens_removed", "n_dup_windows")
         )
+
+    if args.dsir_target:
+        # DSIR selection AFTER dedup (scoring duplicates would just
+        # re-rank copies) and BEFORE the rate sample: keep the docs that
+        # look most like the target distribution, then thin uniformly
+        from commercepulse_data_pipeline_spark.operators.sampling import (
+            dsir_importance,
+        )
+
+        tgt = spark.read.parquet(args.dsir_target)
+        scored = dsir_importance(
+            deduped.select("doc_id", "text"), tgt.select("text")
+        )
+        topk = (
+            scored.orderBy(
+                F.col("dsir_logratio").desc(), F.col("doc_id").asc()
+            )
+            .limit(args.dsir_top_k)
+            .select("doc_id")
+        )
+        deduped = deduped.join(F.broadcast(topk), "doc_id", "left_semi")
 
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
 
@@ -558,6 +609,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="tokens per passage fingerprint window")
     c.add_argument("--min-passage-docs", type=int, default=2, dest="min_passage_docs",
                    help="distinct docs sharing a window before it counts as duplicated")
+    c.add_argument("--strip-boilerplate", action="store_true", dest="strip_boilerplate",
+                   help="per-source template removal before dedup (needs a "
+                        "'source' column; window/min-docs from the passage flags)")
+    c.add_argument("--dsir-target", default=None, dest="dsir_target",
+                   help="parquet with a 'text' column: keep the --dsir-top-k docs "
+                        "whose hashed-ngram DSIR log-ratio vs this target is highest")
+    c.add_argument("--dsir-top-k", type=int, default=10000, dest="dsir_top_k")
     c.add_argument("--min-remaining-tokens", type=int, default=1, dest="min_remaining_tokens",
                    help="drop docs left with fewer tokens after the splice")
     c.add_argument("--splits", default=None,

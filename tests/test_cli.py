@@ -368,3 +368,51 @@ def test_cli_media_features(spark, tmp_path):
     rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
     assert rows["a"]["width"] == 5 and rows["a"]["decode_error"] is None
     assert rows["bad"]["decode_error"] is not None
+
+
+def test_clean_corpus_boilerplate_and_dsir_stages(spark, tmp_path):
+    """--strip-boilerplate splices within-source templates before dedup
+    (so chrome can't fake near-dups), and --dsir-target keeps only the
+    top-k docs by target-likeness."""
+    from commercepulse_data_pipeline_spark import cli
+
+    tpl = "subscribe to our newsletter now for daily updates"  # 8 tokens
+    rows = [
+        (1, "A", f"science article about math and physics topics {tpl}"),
+        (2, "A", f"finance piece on markets and trading floors {tpl}"),
+        (3, "B", "sports coverage football and racing entirely different"),
+        (4, "B", "cooking recipes pasta and sauces entirely separate words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    tgt = spark.createDataFrame(
+        [(i, "science math physics topics article") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    tgt.write.mode("overwrite").parquet(str(tmp_path / "tgt"))
+
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--strip-boilerplate",
+        "--dsir-target", str(tmp_path / "tgt"),
+        "--dsir-top-k", "2",
+    ])
+    assert rc == 0
+    corpus = spark.read.parquet(str(tmp_path / "out/corpus"))
+    got = {r.doc_id: r.text for r in corpus.collect()}
+    # DSIR top-2: the science doc must survive (most target-like)
+    assert 1 in got
+    assert len(got) == 2
+    # boilerplate spliced from every A doc before anything else
+    assert all(tpl not in t for t in got.values())
+    # missing source column fails loudly
+    docs.drop("source").write.mode("overwrite").parquet(str(tmp_path / "docs2"))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="source"):
+        cli.main([
+            "clean-corpus", "--docs", str(tmp_path / "docs2"),
+            "--out", str(tmp_path / "out2"), "--strip-boilerplate",
+        ])
