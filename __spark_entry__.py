@@ -3440,6 +3440,17 @@ def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_cross_entropy(d, "text", "doc_id")
 
 
+def q_docs_bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM quality scoring (operators/text.py::bigram_cross_entropy):
+    per-doc bits-per-bigram under the corpus's add-1 bigram LM — the
+    word-ORDER fluency signal the unigram bag cannot see (CCNet/KenLM
+    filtering at bigram order). One bigram explode feeds LM build and
+    scoring; the oracle replays the identical integer-ratio
+    probabilities with the decimal(30,4) quantization discipline."""
+    d = _docs(spark, sf_dir)
+    return tx.bigram_cross_entropy(d, "text", "doc_id")
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→eval DECONTAMINATION report: does any val/test document share
     an 8-token passage fingerprint with the training split? Audits the
@@ -3548,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_sample": q_docs_dsir_sample,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_pq_knn_join": q_ann_pq_knn_join,
+        "docs_bigram_ce": q_docs_bigram_ce,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -5844,6 +5856,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_tokens,
                    round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
+            FROM scored GROUP BY 1
+        """,
+
+        "docs_bigram_ce": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+                FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+            ),
+            c2 AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY 1),
+            hist AS (
+                SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+                FROM c2 GROUP BY 1
+            ),
+            vv AS (SELECT count(*) AS v FROM c2),
+            scored AS (
+                SELECT g.doc_id,
+                       CAST(-log2((c.c2 + 1) / CAST(h.c1 + vv.v AS DOUBLE))
+                            AS DECIMAL(30,4)) AS bits
+                FROM grams g JOIN c2 c USING (bg)
+                JOIN hist h ON string_split(g.bg, ' ')[1] = h.w1
+                CROSS JOIN vv
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_bigram
             FROM scored GROUP BY 1
         """,
 

@@ -842,6 +842,74 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bits-per-bigram under the corpus's own add-1-smoothed
+    BIGRAM LM — the order-2 sibling of :func:`unigram_cross_entropy` and
+    a closer cousin of the CCNet/KenLM filter (word-ORDER fluency, which
+    a unigram bag cannot see: "the quick brown fox" and "fox the brown
+    quick" score identically under unigrams, differently here).
+
+        p(w2 | w1) = (count(w1 w2) + 1) / (count*(w1) + V)
+        score(doc) = mean over the doc's bigrams of -log2 p(w2 | w1)
+
+    where count*(w1) counts w1's occurrences AS A BIGRAM HISTORY (one
+    per bigram, i.e. excluding each doc's final token) and V is the
+    corpus bigram-type count — add-1 smoothing over the observed
+    transition space. Documents with fewer than 2 tokens have no
+    bigrams and drop out (no fluency evidence either way).
+
+    Cross-engine determinism and scale shape follow
+    unigram_cross_entropy exactly: one bigram explode feeds BOTH the LM
+    build and the scoring join (localCheckpoint pin — no subplan
+    sharing across consumers); counts reduce with map-side combine on
+    uniform text keys; (V) is a 1-row aggregate crossed broadcast-style;
+    per-bigram bits quantize to DECIMAL(30,4) (1-ulp log2 wobble
+    between JVM StrictMath and libm absorbed) before the exact decimal
+    per-doc mean."""
+    toks = tokens(F.col(text_col))
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(token_ngrams(toks, 2)).alias("__bg"),
+        )
+        .where(F.col("__bg").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bg_counts = (
+        grams.groupBy("__bg")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .localCheckpoint(eager=False)
+    )
+    # history counts derive from the bigram table itself (sum over w2),
+    # so count*(w1) is exactly "occurrences of w1 followed by anything"
+    hist = bg_counts.groupBy(
+        F.split(F.col("__bg"), " ")[0].alias("__w1")
+    ).agg(F.sum("__c2").alias("__c1"))
+    vocab = bg_counts.agg(F.count(F.lit(1)).alias("__v"))
+    bits = -F.log2(
+        (F.col("__c2") + 1)
+        / (F.col("__c1") + F.col("__v")).cast("double")
+    )
+    scored = (
+        grams.join(bg_counts, "__bg")
+        .withColumn("__w1", F.split(F.col("__bg"), " ")[0])
+        .join(hist, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), bits.cast("decimal(30,4)").alias("__bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__bits")).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("bits_per_bigram"),
+    )
+
+
 def build_vocab(
     df: DataFrame, text_col: str = "text", *, size: int = 1000
 ) -> DataFrame:

@@ -1476,3 +1476,24 @@ def test_hard_negatives_band_and_rank(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in out]
     assert got == [(2, 1), (4, 2), (3, 3)]
     assert all(0.2 <= r["cosine_sim"] < 0.9 for r in out)
+
+
+def test_bigram_cross_entropy_sees_word_order(spark):
+    """bigram CE scores ORDER: with a corpus dominated by 'sun rises
+    east' transitions, the doc using the common transitions scores lower
+    bits than the same words reversed; sub-2-token docs drop out (no
+    bigrams); counts replay the add-1 arithmetic."""
+    rows = [(i, "the sun rises in the east") for i in range(10)]
+    rows += [(100, "the sun rises in the east"),
+             (101, "east the in rises sun the"),   # same bag, rare order
+             (102, "solo")]                          # no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.bigram_cross_entropy(df).collect()}
+    assert 102 not in out
+    assert out[100]["n_bigrams"] == 5 and out[101]["n_bigrams"] == 5
+    assert out[100]["bits_per_bigram"] < out[101]["bits_per_bigram"]
+    # unigram CE cannot separate them (identical bags)
+    uni = {r["doc_id"]: r["bits_per_token"] for r in
+           tx.unigram_cross_entropy(df).collect()}
+    assert uni[100] == uni[101]
