@@ -3238,9 +3238,11 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate cut, the negatives an embedding model actually learns
     from (mining too-close negatives poisons training with mislabeled
     positives). Band and rank operate on the 6-dp ROUNDED score so the
-    oracle replays the selection bit-for-bit."""
+    oracle replays the selection bit-for-bit. The query set is a FIXED
+    10 ids (the operator's small-query-side broadcast contract): work
+    scales linearly with the corpus, not with corpus × queries."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 50 == 0)
+    q = e.where(F.col("vec_id") < 10)
     out = sim.hard_negatives(e, q, k=5, sim_lo=0.05, sim_hi=0.25)
     return out.select(
         "query_id",
@@ -5709,7 +5711,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hard_negatives": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id % 50 = 0
+                FROM embeddings WHERE vec_id < 10
             ),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -97,6 +97,9 @@ PROBE_QUERIES = [
     "ann_ivfpq_topk",
     "docs_boilerplate_strip",
     "docs_dsir_sample",
+    "embedding_hard_negatives",
+    "ann_pq_knn_join",
+    "docs_bigram_ce",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
