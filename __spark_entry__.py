@@ -3432,6 +3432,40 @@ def q_docs_mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual α=0.5 temperature rebalancing (operators/sampling.py::
+    temperature_mixture — the mBERT/XLM-R exponentiated-smoothing
+    recipe): keep ~half the corpus with per-language counts rebalanced
+    toward sqrt(n_lang), boosting low-resource languages. α is fixed at
+    0.5 because IEEE requires sqrt to be correctly rounded — the weights
+    (and the floor(rate·2³²) thresholds) are bit-identical across
+    engines, where a general pow would wobble by 1 ulp. The oracle
+    replays the counts, decimal weight sum, pinned-order rate arithmetic
+    and every bucket verdict."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    d = _docs(spark, sf_dir)
+    kept = temperature_mixture(
+        d.select("lang", "doc_id"), "lang", "doc_id", target_frac=0.5
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(totals, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_kept") / F.col("n_docs").cast("double"), 6
+            ).alias("realized_rate"),
+        )
+    )
+
+
 def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     unigram_cross_entropy): per-doc bits-per-token under the corpus's own
@@ -3562,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "ann_pq_knn_join": q_ann_pq_knn_join,
         "docs_bigram_ce": q_docs_bigram_ce,
+        "docs_temperature_mixture": q_docs_temperature_mixture,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -5884,6 +5919,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_bigram
             FROM scored GROUP BY 1
+        """,
+
+        "docs_temperature_mixture": f"""
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            tot AS (
+                SELECT sum(n) AS nn,
+                       CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,15))) AS DOUBLE) AS s
+                FROM c
+            ),
+            plan AS (
+                SELECT c.lang, c.n,
+                       CAST(floor(least(1.0,
+                           ((CAST(floor(0.5 * tot.nn) AS DOUBLE)
+                             * sqrt(CAST(c.n AS DOUBLE))) / tot.s)
+                           / CAST(c.n AS DOUBLE)
+                       ) * 4294967296.0) AS BIGINT) AS thr
+                FROM c CROSS JOIN tot
+            ),
+            kept AS (
+                SELECT d.lang
+                FROM documents d JOIN plan p ON d.lang = p.lang
+                WHERE {_sample_bucket_sql("doc_id", "alpha-mix-v1:")} < p.thr
+            )
+            SELECT p.lang, p.n AS n_docs, count(*) AS n_kept,
+                   round(count(*) / CAST(p.n AS DOUBLE), 6) AS realized_rate
+            FROM kept k JOIN plan p ON k.lang = p.lang
+            GROUP BY p.lang, p.n
         """,
 
         "ann_lsh_topk": _lsh_topk_oracle_sql(),

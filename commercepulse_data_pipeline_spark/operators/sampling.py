@@ -351,3 +351,63 @@ def dsir_importance(
             F.round(F.sum("__lr").cast("double"), 4).alias("dsir_logratio"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    *,
+    target_frac: float = 0.5,
+    salt: str = "alpha-mix-v1:",
+) -> DataFrame:
+    """Multilingual α-temperature rebalancing at α = 0.5 (the
+    mBERT/XLM-R exponentiated-smoothing recipe): sample so the kept
+    per-group counts are proportional to sqrt(n_group) — boosting
+    low-resource groups and shaving the head — while keeping
+    ``target_frac`` of the corpus overall. Returns the sampled rows
+    (content-keyed md5 buckets: reproducible, incremental, engine-exact).
+
+        w_g    = sqrt(n_g)                      (α = 0.5)
+        keep_g = floor(target_frac · N) · w_g / Σ w
+        rate_g = min(1, keep_g / n_g)
+        kept   = rows with hash_bucket(id) < floor(rate_g · 2³²)
+
+    α is FIXED at 0.5 deliberately: IEEE-754 requires sqrt to be
+    correctly rounded, so both engines derive bit-identical weights —
+    a general pow(n, α) (JVM StrictMath vs libm) differs by 1 ulp on
+    real inputs and would flip floor(rate·2³²) thresholds at the
+    boundary. Σ w accumulates in DECIMAL (order-free); every division
+    is parenthesized to pin one operation order for the oracle.
+
+    Scale shape: one count pass, a group-count-sized plan that
+    BROADCASTS to the sampling join, then a map-only bucket filter —
+    the docs_mixture_applied shape with derived instead of given
+    weights. Rows with a NULL group drop (no rate is defined for them);
+    filter or fill upstream if they must survive."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    tot = counts.agg(
+        F.sum("__ng").alias("__ntot"),
+        F.sum(
+            F.sqrt(F.col("__ng").cast("double")).cast("decimal(30,15)")
+        )
+        .cast("double")
+        .alias("__wsum"),
+    )
+    budget = F.floor(F.lit(target_frac) * F.col("__ntot")).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (budget * F.sqrt(F.col("__ng").cast("double"))) / F.col("__wsum")
+        )
+        / F.col("__ng").cast("double"),
+    )
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.floor(rate * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(plan), group_col)
+        .where(hash_bucket(F.col(id_col).cast("string"), salt) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -1497,3 +1497,38 @@ def test_bigram_cross_entropy_sees_word_order(spark):
     uni = {r["doc_id"]: r["bits_per_token"] for r in
            tx.unigram_cross_entropy(df).collect()}
     assert uni[100] == uni[101]
+
+
+def test_temperature_mixture_rebalances_toward_sqrt(spark):
+    """α=0.5 temperature sampling: head group downsamples hardest, the
+    smallest group keeps (nearly) everything, overall kept ≈ target_frac,
+    and the selection is content-keyed (identical across reruns and
+    partitionings)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = []
+    did = 0
+    for lang, n in (("en", 1600), ("fr", 400), ("yo", 100)):
+        for _ in range(n):
+            rows.append((did, lang))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture(df, "lang", "doc_id", target_frac=0.5)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected keeps: budget=1050, weights 40/20/10 -> 600/300/150
+    rates = {"en": 600 / 1600, "fr": 300 / 400, "yo": 1.0}
+    for lang, n in (("en", 1600), ("fr", 400), ("yo", 100)):
+        exp = rates[lang] * n
+        assert abs(got[lang] - exp) <= 4 * (exp * (1 - rates[lang]) + 1) ** 0.5, (
+            lang, got[lang], exp)
+    # yo keeps everything (rate clamps at 1)
+    assert got["yo"] == 100
+    # determinism under repartitioning
+    again = temperature_mixture(
+        df.repartition(7), "lang", "doc_id", target_frac=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
