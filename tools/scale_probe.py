@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "embedding_hard_negatives",
     "ann_pq_knn_join",
     "docs_bigram_ce",
+    "docs_temperature_mixture",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
