@@ -1579,3 +1579,92 @@ def test_stream_boilerplate_strip_wrapper_end_to_end(spark, tmp_path):
              for r in spark.read.parquet(f"{store}/corpus").collect()}
     assert tpl in texts[1]       # first arrival pre-threshold
     assert tpl not in texts[2]   # second arrival stripped
+
+
+def test_boilerplate_stream_crash_replay_and_fold(spark, tmp_path):
+    """Boilerplate-strip store inherits the passage store's guarantees:
+    (a) a crash between the two sinks (corpus written, fp-index
+    partition torn) heals on checkpoint restart — the replayed batch
+    reproduces its first attempt (own-partition exclusion) and later
+    batches see correct scoped counts; (b) a compact_streaming_index
+    fold of the (scope, fp) index preserves the duplicate decision for
+    a post-fold batch."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        compact_streaming_index,
+    )
+    from commercepulse_data_pipeline_spark.streaming.passages import (
+        boilerplate_strip_batch,
+    )
+
+    tpl = "one two three four five six seven eight"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    batches = [
+        [(1, "A", f"first arrival carries {tpl} today")],
+        [(2, "A", f"second arrival repeats {tpl} again")],
+        [(3, "A", f"third arrival also has {tpl} inside")],
+    ]
+    schema = "doc_id long, source string, text string"
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "source": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }),
+            str(drops / f"d{i}.parquet"),
+        )
+        os.utime(str(drops / f"d{i}.parquet"),
+                 (time.time() - 60 + i, time.time() - 60 + i))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(bdf, bid):
+        boilerplate_strip_batch(bdf, bid, store)
+        if bid == 1:
+            shutil.rmtree(f"{store}/fp_index/ingest_batch=1")
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drops))
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # restart: batch 1 replays (healing its torn index partition), batch
+    # 2 then sees counts from batches 0+1
+    q2 = start(lambda bdf, bid: boilerplate_strip_batch(bdf, bid, store))
+    q2.awaitTermination(120)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert tpl in texts[1]        # pre-threshold batch stays as landed
+    assert tpl not in texts[2]    # threshold crossed at batch 1's replay
+    assert tpl not in texts[3]
+    assert os.path.isdir(f"{store}/fp_index/ingest_batch=1")  # healed
+
+    # fold the scoped index; a post-fold batch still strips
+    compact_streaming_index(spark, f"{store}/fp_index", keep_latest=0)
+    boilerplate_strip_batch(
+        spark.createDataFrame(
+            [(4, "A", f"post fold arrival with {tpl} too")], schema
+        ),
+        9, store,
+    )
+    t4 = spark.read.parquet(f"{store}/corpus/ingest_batch=9").head()
+    assert tpl not in t4["text"] and t4["n_tokens_removed"] == 8
