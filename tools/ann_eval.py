@@ -135,16 +135,22 @@ def main() -> None:
     # -- PQ: pure ADC and ADC + exact refine
     books = sim.pq_train(e, m=4, n_codes=16, iters=1)
     enc = sim.pq_encode(e, books).localCheckpoint(eager=True)
-    rows, rows_ref = [], []
+    rows, rows_ref, rows_frac = [], [], []
     for qid, qv in qrows:
         base = enc.where(F.col("vec_id") != qid)
         top = sim.pq_topk(base, books, qv, k=k).collect()
         rows += [(qid, r["vec_id"], i + 1) for i, r in enumerate(top)]
         ref = sim.pq_topk(base, books, qv, k=k, refine=10 * k).collect()
         rows_ref += [(qid, r["vec_id"], i + 1) for i, r in enumerate(ref)]
+        # fractional refine (r10): shortlist = 10% OF THE CORPUS — the
+        # width that stays honest as the corpus grows (SCALE.md r9
+        # finding: a fixed width dilutes at 4x corpus)
+        frac = sim.pq_topk(base, books, qv, k=k, refine=0.1).collect()
+        rows_frac += [(qid, r["vec_id"], i + 1) for i, r in enumerate(frac)]
     results["pq_adc"] = mean_recall(rows, exact_l2)
     # refine re-ranks by exact COSINE -> cosine ground truth
     results[f"pq_adc_refine{10 * k}"] = mean_recall(rows_ref, exact_cos)
+    results["pq_adc_refine_frac0.1"] = mean_recall(rows_frac, exact_cos)
 
     # -- IVF+PQ (residual-coded), nprobe sweep
     with tempfile.TemporaryDirectory() as td:
