@@ -526,3 +526,42 @@ def test_compact_streaming_index_refold_crash_keeps_new_consolidated(
     assert not os.path.exists(bands_root + "._fold_old")
     assert spark.read.parquet(bands_root).count() == rows_before, \
         "recovery deleted the new consolidated partition"
+
+
+def test_missing_store_error_classification(spark, tmp_path):
+    """is_missing_store_error: PATH_NOT_FOUND and empty-dir schema
+    inference count as 'store not written yet'; other analysis errors
+    (e.g. a real parquet read failing on a non-parquet file) do not.
+    fold_consistent_read refuses non-file schemes outright (ADVICE r9:
+    silent consistency downgrade is worse than an error)."""
+    import os
+
+    import pytest as _pytest
+
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+        is_missing_store_error,
+    )
+
+    # missing path -> True
+    try:
+        spark.read.parquet(str(tmp_path / "nope")).collect()
+        raise AssertionError("expected PATH_NOT_FOUND")
+    except Exception as exc:  # noqa: BLE001
+        assert is_missing_store_error(exc)
+    # created-but-never-written dir -> True (UNABLE_TO_INFER_SCHEMA)
+    os.makedirs(tmp_path / "empty")
+    try:
+        spark.read.json(str(tmp_path / "empty")).collect()
+        raise AssertionError("expected UNABLE_TO_INFER_SCHEMA")
+    except Exception as exc:  # noqa: BLE001
+        assert is_missing_store_error(exc)
+    # a plain FileNotFoundError counts too (driver-local listing)
+    assert is_missing_store_error(FileNotFoundError("x"))
+    # a non-missing error must NOT be swallowed
+    assert not is_missing_store_error(ValueError("boom"))
+    # non-file scheme raises loudly instead of degrading to a plain read
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        fold_consistent_read(spark, "s3a://bucket/store")
+    with _pytest.raises(ValueError, match="local-filesystem-only"):
+        fold_consistent_read(spark, "hdfs://nn/store")
