@@ -422,7 +422,11 @@ def strip_boilerplate(
     per-doc position collect, and the splice is a pure codegen
     projection. The scoped key is MORE uniform than the global one (a
     passage syndicated across many sources splits into per-source
-    groups), so the skew posture only improves."""
+    groups), so the skew posture only improves.
+
+    Rows with a NULL ``scope_col`` pass through UNSTRIPPED (the equi-join
+    never matches a NULL scope, so no threshold is defined for them) —
+    fill or filter upstream if unattributed docs must participate."""
     w = window_tokens
     staged = df.withColumn("__toks", tokens(F.col(text_col)))
     fps = F.transform(token_ngrams(F.col("__toks"), w), lambda g: F.md5(g))
