@@ -146,22 +146,17 @@ def scrub_contamination(
     ).drop("__doc")
     dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
 
-    def splice(dp: Column) -> Column:
-        kept = F.filter(
-            F.col("__toks"),
-            lambda _t, i: ~F.exists(
-                dp, lambda p: (p <= i) & (i < p + F.lit(w))
-            ),
-        )
-        return F.struct(
-            F.array_join(kept, " ").alias("text_scrubbed"),
-            F.size(kept).alias("n_kept"),
-        )
+    from commercepulse_data_pipeline_spark.operators.text import (
+        splice_covered_tokens,
+    )
 
-    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    )
     return out.select(
         *corpus.columns,
-        F.col("__spliced.text_scrubbed").alias("text_scrubbed"),
+        F.col("__spliced.kept_text").alias("text_scrubbed"),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.col("__spliced.n_kept")).alias(
             "n_tokens_removed"

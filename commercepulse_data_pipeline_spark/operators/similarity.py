@@ -889,6 +889,8 @@ def _resolve_refine(
     import math
 
     if isinstance(refine, float):
+        if refine == 0.0:
+            return 0  # float zero = disabled, same as the int contract
         if not 0.0 < refine < 1.0:
             raise ValueError(
                 f"fractional refine must be in (0, 1), got {refine!r}; "

@@ -279,6 +279,30 @@ def rolling_fingerprints(text: Column, window_tokens: int = 8) -> Column:
     return F.transform(token_ngrams(tokens(text), window_tokens), lambda g: F.md5(g))
 
 
+def splice_covered_tokens(
+    toks: Column, dup_pos: Column, window_tokens: int
+) -> Column:
+    """struct(kept_text, n_kept): drop every token covered by at least
+    one ``window_tokens``-wide window starting at a position in
+    ``dup_pos`` (0-based), survivors space-joined. THE single definition
+    of the splice arithmetic shared by :func:`dedup_passages`,
+    :func:`strip_boilerplate`, ``contamination.scrub_contamination`` and
+    their streaming twins — one place to change the coverage predicate,
+    so batch and streaming rewrites cannot silently diverge (r10
+    self-review). Callers let-bind ``dup_pos`` (it is referenced once
+    per token)."""
+    kept = F.filter(
+        toks,
+        lambda _t, i: ~F.exists(
+            dup_pos, lambda p: (p <= i) & (i < p + F.lit(window_tokens))
+        ),
+    )
+    return F.struct(
+        F.array_join(kept, " ").alias("kept_text"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
 def dedup_passages(
     df: DataFrame,
     *,
@@ -364,22 +388,13 @@ def dedup_passages(
         F.col("__dup_pos"), F.array().cast("array<int>")
     )
 
-    def splice(dp: Column) -> Column:
-        kept = F.filter(
-            F.col("__toks"),
-            lambda _t, i: ~F.exists(
-                dp, lambda p: (p <= i) & (i < p + F.lit(w))
-            ),
-        )
-        return F.struct(
-            F.array_join(kept, " ").alias("text_deduped"),
-            F.size(kept).alias("n_kept"),
-        )
-
-    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    )
     return out.select(
         *df.columns,
-        F.col("__spliced.text_deduped").alias("text_deduped"),
+        F.col("__spliced.kept_text").alias("text_deduped"),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.col("__spliced.n_kept")).alias(
             "n_tokens_removed"
@@ -457,20 +472,13 @@ def strip_boilerplate(
     ).drop("__doc")
     dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
 
-    def splice(dp: Column) -> Column:
-        kept = F.filter(
-            F.col("__toks"),
-            lambda _t, i: ~F.exists(dp, lambda p: (p <= i) & (i < p + F.lit(w))),
-        )
-        return F.struct(
-            F.array_join(kept, " ").alias("text_stripped"),
-            F.size(kept).alias("n_kept"),
-        )
-
-    out = joined.withColumn("__spliced", let(dup_pos, splice))
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    )
     return out.select(
         *df.columns,
-        F.col("__spliced.text_stripped").alias("text_stripped"),
+        F.col("__spliced.kept_text").alias("text_stripped"),
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.col("__spliced.n_kept")).alias(
             "n_tokens_removed"

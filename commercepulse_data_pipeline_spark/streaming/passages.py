@@ -138,21 +138,16 @@ def passage_dedup_batch(
     ).drop("__doc")
     dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
 
-    def splice(dp):
-        kept = F.filter(
-            F.col("__toks"),
-            lambda _t, i: ~F.exists(
-                dp, lambda p: (p <= i) & (i < p + F.lit(w))
-            ),
-        )
-        return F.struct(
-            F.array_join(kept, " ").alias("text_deduped"),
-            F.size(kept).alias("n_kept"),
-        )
+    from commercepulse_data_pipeline_spark.operators.text import (
+        splice_covered_tokens,
+    )
 
-    out = joined.withColumn("__spliced", let(dup_pos, splice)).select(
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    ).select(
         *[c for c in batch_df.columns if c != text_col],
-        F.col("__spliced.text_deduped").alias(text_col),
+        F.col("__spliced.kept_text").alias(text_col),
         (F.size("__toks") - F.col("__spliced.n_kept")).alias(
             "n_tokens_removed"
         ),
@@ -332,21 +327,16 @@ def boilerplate_strip_batch(
     ).drop("__doc")
     dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
 
-    def splice(dp):
-        kept = F.filter(
-            F.col("__toks"),
-            lambda _t, i: ~F.exists(
-                dp, lambda p: (p <= i) & (i < p + F.lit(w))
-            ),
-        )
-        return F.struct(
-            F.array_join(kept, " ").alias("text_stripped"),
-            F.size(kept).alias("n_kept"),
-        )
+    from commercepulse_data_pipeline_spark.operators.text import (
+        splice_covered_tokens,
+    )
 
-    out = joined.withColumn("__spliced", let(dup_pos, splice)).select(
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    ).select(
         *[c for c in batch_df.columns if c != text_col],
-        F.col("__spliced.text_stripped").alias(text_col),
+        F.col("__spliced.kept_text").alias(text_col),
         (F.size("__toks") - F.col("__spliced.n_kept")).alias(
             "n_tokens_removed"
         ),

@@ -1336,9 +1336,12 @@ def test_pq_fractional_refine_holds_recall_as_corpus_grows(spark, tmp_path):
     assert sim._resolve_refine(0.3, 10, lambda: 240) == 72
     assert sim._resolve_refine(0.3, 10, lambda: 10) == 10
     assert sim._resolve_refine(25, 10, lambda: 0) == 25  # int passthrough
+    assert sim._resolve_refine(0.0, 10, lambda: 0) == 0  # float zero = off
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fractional refine"):
         sim._resolve_refine(1.5, 10, lambda: 0)
+    with _pytest.raises(ValueError, match="fractional refine"):
+        sim._resolve_refine(1.0, 10, lambda: 0)
     # ivfpq accepts the fractional form on the persisted serving path
     p = str(tmp_path / "ivfpq_frac")
     sim.write_ivfpq_index(small, p, n_centroids=4, m=2, n_codes=4, iters=1)

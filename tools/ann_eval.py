@@ -144,8 +144,11 @@ def main() -> None:
         rows_ref += [(qid, r["vec_id"], i + 1) for i, r in enumerate(ref)]
         # fractional refine (r10): shortlist = 10% OF THE CORPUS — the
         # width that stays honest as the corpus grows (SCALE.md r9
-        # finding: a fixed width dilutes at 4x corpus)
-        frac = sim.pq_topk(base, books, qv, k=k, refine=0.1).collect()
+        # finding: a fixed width dilutes at 4x corpus). Resolved ONCE
+        # outside _resolve_refine: passing 0.1 here would re-count the
+        # corpus per query (loop-invariant — r10 self-review).
+        frac_w = max(k, -(-len(corpus_rows) // 10))
+        frac = sim.pq_topk(base, books, qv, k=k, refine=frac_w).collect()
         rows_frac += [(qid, r["vec_id"], i + 1) for i, r in enumerate(frac)]
     results["pq_adc"] = mean_recall(rows, exact_l2)
     # refine re-ranks by exact COSINE -> cosine ground truth
