@@ -3487,6 +3487,33 @@ def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (operators/text.py::
+    hashed_doc_vectors — feature hashing, Weinberger et al. 2009):
+    model-free 64-dim L2-normalized token-bucket vectors that plug the
+    documents table into the whole vector stack (cosine/kNN/semantic
+    dedup/IVF/PQ) when no trained embedding exists. The oracle replays
+    bucketing, counts, the dense build, the ordered norm fold and every
+    component (pinned as round(x·10⁶) integer mantissas), so the VECTORS
+    hash-check component-for-component."""
+    d = _docs(spark, sf_dir)
+    out = tx.hashed_doc_vectors(d, dim=64)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("norm"), 6).alias("norm_r"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("vector"),
+                    lambda x: F.round(x * 1000000.0, 0).cast("long").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vec_md5"),
+    )
+
+
 def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     unigram_cross_entropy): per-doc bits-per-token under the corpus's own
@@ -3618,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_knn_join": q_ann_pq_knn_join,
         "docs_bigram_ce": q_docs_bigram_ce,
         "docs_temperature_mixture": q_docs_temperature_mixture,
+        "docs_hashed_vectors": q_docs_hashed_vectors,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -5967,6 +5995,42 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / CAST(p.n AS DOUBLE), 6) AS realized_rate
             FROM kept k JOIN plan p ON k.lang = p.lang
             GROUP BY p.lang, p.n
+        """,
+
+        "docs_hashed_vectors": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            bs AS (
+                SELECT doc_id,
+                       ({_sample_bucket_sql("tok", "hashvec-v1:")} % 64) AS b
+                FROM toks
+            ),
+            cs AS (SELECT doc_id, b, count(*) AS c FROM bs GROUP BY 1, 2),
+            m AS (
+                SELECT doc_id,
+                       map_from_entries(list(struct_pack(k := b, v := c))) AS mm,
+                       sum(c) AS n_tokens
+                FROM cs GROUP BY doc_id
+            ),
+            vecs AS (
+                SELECT doc_id, n_tokens,
+                       list_transform(range(0, 64),
+                           d -> CAST(coalesce(list_extract(map_extract(mm, d), 1), 0) AS DOUBLE)) AS vec
+                FROM m
+            ),
+            normd AS (
+                SELECT doc_id, n_tokens, vec,
+                       sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+                FROM vecs
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(nrm, 6) AS norm_r,
+                   md5(array_to_string(
+                       list_transform(vec,
+                           x -> CAST(CAST(round(x / nrm * 1000000.0, 0) AS BIGINT) AS VARCHAR)),
+                       ',')) AS vec_md5
+            FROM normd
         """,
 
         "ann_lsh_topk": _lsh_topk_oracle_sql(),

@@ -1052,3 +1052,69 @@ def collocations(
         .orderBy(F.col("lift").desc(), F.col("n_ab").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+    salt: str = "hashvec-v1:",
+) -> DataFrame:
+    """Hashing-trick document vectors: every token hashes (md5) into one
+    of ``dim`` buckets, per-doc bucket counts form a dense vector,
+    L2-normalized — a deterministic, model-free text featurization that
+    plugs the documents table into the ENTIRE vector stack (cosine_topk,
+    knn_join, semantic_dedup, IVF/PQ indexes) when no trained embedding
+    exists. The classic sparse-projection baseline (feature hashing,
+    Weinberger et al. 2009); add IDF upstream by reweighting tokens if
+    needed.
+
+    Returns (id_col, n_tokens, norm, vector: array<double>); docs with
+    zero tokens drop (no direction is defined for them).
+
+    Determinism: md5 buckets replay in SQL; counts are integers; the
+    norm is one left-to-right fold of exact integer-valued doubles
+    under IEEE-correctly-rounded sqrt — every component and the norm are
+    bit-identical cross-engine.
+
+    Scale shape: one token explode → (doc, bucket) counts with map-side
+    combine → one per-doc map collect (≤ dim entries); the dense-array
+    build is a pure projection. No corpus-sized state, no UDFs."""
+    from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
+    ).where(F.col("__tok").isNotNull())
+    counts = (
+        toks.withColumn(
+            "__b", F.pmod(hash_bucket(F.col("__tok"), salt=salt), F.lit(dim)).cast("int")
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    entries = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m"),
+        F.sum("__c").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.element_at(F.col("__m"), d), F.lit(0)).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("__vec"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        entries.withColumn("__vec", vec)
+        .withColumn("__norm", norm)
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("__norm").alias("norm"),
+            F.transform(
+                F.col("__vec"), lambda x: x / F.col("__norm")
+            ).alias("vector"),
+        )
+    )

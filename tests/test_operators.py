@@ -1535,3 +1535,33 @@ def test_temperature_mixture_rebalances_toward_sqrt(spark):
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == \
            sorted(r["doc_id"] for r in again.collect())
+
+
+def test_hashed_doc_vectors_unit_norm_and_composition(spark):
+    """Hashing-trick vectors: L2-normalized, deterministic buckets,
+    zero-token docs drop; the output composes with the vector stack
+    (cosine_topk finds the bag-identical doc at sim 1.0)."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"),
+         (2, "beta alpha alpha gamma"),   # same bag, different order
+         (3, "delta epsilon zeta eta"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = hashed_doc_vectors(df, dim=16)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in rows
+    for r in rows.values():
+        assert abs(sum(v * v for v in r["vector"]) - 1.0) < 1e-12
+    assert rows[1]["vector"] == rows[2]["vector"]  # bag model
+    # composes with cosine_topk: doc 2 is doc 1's perfect neighbor
+    vecs = out.select("doc_id", F.col("vector").alias("embedding"))
+    qv = rows[1]["vector"]
+    top = sim.cosine_topk(
+        vecs.where(F.col("doc_id") != 1), list(qv), 1, id_col="doc_id"
+    ).head()
+    assert top["doc_id"] == 2 and top["cosine_sim"] == 1.0
