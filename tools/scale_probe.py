@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "ann_pq_knn_join",
     "docs_bigram_ce",
     "docs_temperature_mixture",
+    "docs_hashed_vectors",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
