@@ -3514,6 +3514,31 @@ def q_docs_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted hashing-trick vectors (hashed_doc_vectors with
+    weighting="tfidf"): bucket counts scaled by a smoothed bucket-level
+    idf quantized to DECIMAL(30,6) — the content-over-stopword form the
+    semantic-dedup compositions should feed on. The oracle replays the
+    df table, the quantized ln() factor and every weighted component
+    (round(x·10⁶) integer mantissas)."""
+    d = _docs(spark, sf_dir)
+    out = tx.hashed_doc_vectors(d, dim=64, weighting="tfidf")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("norm"), 6).alias("norm_r"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("vector"),
+                    lambda x: F.round(x * 1000000.0, 0).cast("long").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vec_md5"),
+    )
+
+
 def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/text.py::
     unigram_cross_entropy): per-doc bits-per-token under the corpus's own
@@ -3646,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bigram_ce": q_docs_bigram_ce,
         "docs_temperature_mixture": q_docs_temperature_mixture,
         "docs_hashed_vectors": q_docs_hashed_vectors,
+        "docs_tfidf_vectors": q_docs_tfidf_vectors,
         # -- r8-verified head (last driver rows r8)
         "fx_normalized_revenue": q_fx_normalized_revenue,
         "last_touch_asof": q_last_touch_asof,
@@ -6012,6 +6038,51 @@ def oracle_sql() -> dict[str, str]:
                        map_from_entries(list(struct_pack(k := b, v := c))) AS mm,
                        sum(c) AS n_tokens
                 FROM cs GROUP BY doc_id
+            ),
+            vecs AS (
+                SELECT doc_id, n_tokens,
+                       list_transform(range(0, 64),
+                           d -> CAST(coalesce(list_extract(map_extract(mm, d), 1), 0) AS DOUBLE)) AS vec
+                FROM m
+            ),
+            normd AS (
+                SELECT doc_id, n_tokens, vec,
+                       sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+                FROM vecs
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(nrm, 6) AS norm_r,
+                   md5(array_to_string(
+                       list_transform(vec,
+                           x -> CAST(CAST(round(x / nrm * 1000000.0, 0) AS BIGINT) AS VARCHAR)),
+                       ',')) AS vec_md5
+            FROM normd
+        """,
+
+        "docs_tfidf_vectors": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            bs AS (
+                SELECT doc_id,
+                       ({_sample_bucket_sql("tok", "hashvec-v1:")} % 64) AS b
+                FROM toks
+            ),
+            cs AS (SELECT doc_id, b, count(*) AS c FROM bs GROUP BY 1, 2),
+            dfreq AS (SELECT b, count(*) AS dfq FROM cs GROUP BY b),
+            nd AS (SELECT count(DISTINCT doc_id) AS nd FROM cs),
+            wcs AS (
+                SELECT cs.doc_id, cs.b, cs.c,
+                       cs.c * (CAST(CAST(ln((nd.nd + 1)
+                                   / CAST(d.dfq + 1 AS DOUBLE))
+                               AS DECIMAL(30,6)) AS DOUBLE) + 1.0) AS w
+                FROM cs JOIN dfreq d USING (b) CROSS JOIN nd
+            ),
+            m AS (
+                SELECT doc_id,
+                       map_from_entries(list(struct_pack(k := b, v := w))) AS mm,
+                       sum(c) AS n_tokens
+                FROM wcs GROUP BY doc_id
             ),
             vecs AS (
                 SELECT doc_id, n_tokens,

@@ -1061,29 +1061,41 @@ def hashed_doc_vectors(
     *,
     dim: int = 64,
     salt: str = "hashvec-v1:",
+    weighting: str = "tf",
 ) -> DataFrame:
     """Hashing-trick document vectors: every token hashes (md5) into one
-    of ``dim`` buckets, per-doc bucket counts form a dense vector,
+    of ``dim`` buckets, per-doc bucket weights form a dense vector,
     L2-normalized — a deterministic, model-free text featurization that
     plugs the documents table into the ENTIRE vector stack (cosine_topk,
     knn_join, semantic_dedup, IVF/PQ indexes) when no trained embedding
     exists. The classic sparse-projection baseline (feature hashing,
-    Weinberger et al. 2009); add IDF upstream by reweighting tokens if
-    needed.
+    Weinberger et al. 2009).
+
+    ``weighting``: ``"tf"`` = raw counts; ``"tfidf"`` = counts ×
+    smoothed bucket-level inverse document frequency
+    ``1 + ln((N+1)/(df_b+1))`` — downweights stopword-dominated buckets
+    so cosine similarity measures content overlap, not function-word
+    overlap. The idf factor is QUANTIZED to DECIMAL(30,6) before use
+    (the unigram-CE discipline: 1-ulp ln() wobble between JVM and libm
+    must not reach the component pins).
 
     Returns (id_col, n_tokens, norm, vector: array<double>); docs with
     zero tokens drop (no direction is defined for them).
 
-    Determinism: md5 buckets replay in SQL; counts are integers; the
-    norm is one left-to-right fold of exact integer-valued doubles
-    under IEEE-correctly-rounded sqrt — every component and the norm are
-    bit-identical cross-engine.
+    Determinism: md5 buckets replay in SQL; weights are integers (tf) or
+    exact products of an integer and a 1e-6-grid double (tfidf); the
+    norm is one left-to-right fold under IEEE-correctly-rounded sqrt —
+    every component and the norm are bit-identical cross-engine.
 
     Scale shape: one token explode → (doc, bucket) counts with map-side
-    combine → one per-doc map collect (≤ dim entries); the dense-array
-    build is a pure projection. No corpus-sized state, no UDFs."""
+    combine → (tfidf only: a dim-row bucket-df table that BROADCASTS,
+    plus one 1-row doc-count combine) → one per-doc map collect (≤ dim
+    entries); the dense-array build is a pure projection. No
+    corpus-sized state, no UDFs."""
     from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
 
+    if weighting not in ("tf", "tfidf"):
+        raise ValueError(f"weighting must be 'tf' or 'tfidf', got {weighting!r}")
     toks = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
@@ -1095,9 +1107,36 @@ def hashed_doc_vectors(
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    if weighting == "tfidf":
+        dfreq = counts.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        ndocs = counts.select(id_col).distinct().agg(
+            F.count(F.lit(1)).alias("__nd")
+        )
+        idf = (
+            F.log((F.col("__nd") + 1) / (F.col("__df") + 1).cast("double"))
+            .cast("decimal(30,6)")
+            .cast("double")
+            + F.lit(1.0)
+        )
+        counts = (
+            counts.join(F.broadcast(dfreq), "__b")
+            .crossJoin(F.broadcast(ndocs))
+            .select(
+                id_col,
+                "__b",
+                F.col("__c").alias("__tf"),
+                (F.col("__c") * idf).alias("__c"),
+            )
+        )
+    else:
+        counts = counts.withColumn("__tf", F.col("__c")).withColumn(
+            "__c", F.col("__c").cast("double")
+        )
     entries = counts.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m"),
-        F.sum("__c").alias("n_tokens"),
+        F.sum("__tf").alias("n_tokens"),
     )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -1565,3 +1565,36 @@ def test_hashed_doc_vectors_unit_norm_and_composition(spark):
         vecs.where(F.col("doc_id") != 1), list(qv), 1, id_col="doc_id"
     ).head()
     assert top["doc_id"] == 2 and top["cosine_sim"] == 1.0
+
+
+def test_hashed_doc_vectors_tfidf_downweights_common_buckets(spark):
+    """tfidf weighting: a token present in EVERY doc contributes less
+    direction than a rare one — two docs sharing only the ubiquitous
+    token are less cosine-similar under tfidf than under raw tf; unit
+    norm holds; unknown weighting rejects."""
+    import math
+
+    from commercepulse_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    rows = [
+        (1, "common rare1"),
+        (2, "common rare2"),
+        (3, "common rare3"),
+        (4, "common rare4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cos12(weighting):
+        vecs = {r["doc_id"]: r["vector"] for r in
+                hashed_doc_vectors(df, dim=32, weighting=weighting).collect()}
+        return sum(a * b for a, b in zip(vecs[1], vecs[2]))
+
+    for w in ("tf", "tfidf"):
+        for r in hashed_doc_vectors(df, dim=32, weighting=w).collect():
+            assert abs(sum(v * v for v in r["vector"]) - 1.0) < 1e-12
+    assert cos12("tfidf") < cos12("tf")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weighting"):
+        hashed_doc_vectors(df, weighting="bm25")
