@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "docs_bigram_ce",
     "docs_temperature_mixture",
     "docs_hashed_vectors",
+    "docs_tfidf_vectors",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
