@@ -1598,3 +1598,44 @@ def test_hashed_doc_vectors_tfidf_downweights_common_buckets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="weighting"):
         hashed_doc_vectors(df, weighting="bm25")
+
+
+def test_modelfree_semantic_dedup_bridge(spark):
+    """End-to-end model-free semantic dedup: documents → tfidf hashed
+    vectors → LSH-blocked self-kNN → thresholded pairs → connected
+    components → keep one per cluster. Paraphrase-level near-dups
+    (same content words, different order/stopwords) cluster together
+    WITHOUT any trained embedding; distinct docs stay."""
+    from commercepulse_data_pipeline_spark.operators import graph
+    from commercepulse_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+
+    rows = [
+        (1, "solar panels convert sunlight into electricity efficiently"),
+        (2, "efficiently solar panels convert the sunlight into electricity"),
+        (3, "recipe for sourdough bread with rye flour starter overnight"),
+        (4, "overnight sourdough bread recipe using rye flour and starter"),
+        (5, "quarterly revenue grew nine percent on strong cloud demand"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_doc_vectors(df, dim=32, weighting="tfidf").select(
+        F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding")
+    )
+    knn = sim.knn_join_self(
+        vecs, k=2, n_planes=4, n_tables=4, id_col="vec_id",
+        vec_col="embedding", dim=32,
+    )
+    pairs = knn.where(
+        (F.col("cosine_sim") >= 0.8) & (F.col("query_id") < F.col("neighbor_id"))
+    ).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    clusters = graph.dedup_clusters(pairs)
+    got = {(r["doc_id"], r["cluster_id"]) for r in clusters.collect()}
+    by_cluster = {}
+    for doc, c in got:
+        by_cluster.setdefault(c, set()).add(doc)
+    assert {1, 2} in by_cluster.values()
+    assert {3, 4} in by_cluster.values()
+    assert all(5 not in members for members in by_cluster.values())
