@@ -70,3 +70,26 @@ def test_coverage_doc_counts_match_reality():
     assert int(m.group(2)) == len([n for n in qs if n in oracles]), (
         m.group(2), "oracle-backed count drifted"
     )
+
+
+def test_ivfpq_query_cache_rebuilds_on_corpus_change(spark, tmp_path):
+    """q_ann_ivfpq_topk's /tmp index cache is keyed by a content
+    signature of the source files: rewriting the corpus in place (same
+    path) must trigger a rebuild, never serve neighbors from data that
+    no longer exists (r10 self-review finding)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    src.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    r1 = sorted(tuple(r) for r in E.q_ann_ivfpq_topk(spark, d).collect())
+    time.sleep(0.02)  # ensure a distinguishable mtime on rewrite
+    src.where(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    r2 = E.q_ann_ivfpq_topk(spark, d).collect()
+    ids2 = {r["vec_id"] for r in r2}
+    assert ids2 and all(i % 2 == 0 for i in ids2), sorted(ids2)[:5]
+    assert sorted(tuple(r) for r in r2) != r1
