@@ -182,6 +182,18 @@ def main() -> None:
             rows += [(qid, r["vec_id"], i + 1) for i, r in enumerate(top)]
         # refine re-ranks by exact cosine -> cosine ground truth
         results[f"ivfpq_nprobe2_refine{10 * k}"] = mean_recall(rows, exact_cos)
+        rows = []
+        frac_w = max(k, -(-len(corpus_rows) // 10))  # resolved once
+        for qid, qv in qrows:
+            top = [
+                r for r in sim.ivfpq_topk(
+                    spark, idx, qv, k=k + 1, nprobe=2,
+                    refine=frac_w, corpus=e,
+                ).collect()
+                if r["vec_id"] != qid
+            ][:k]
+            rows += [(qid, r["vec_id"], i + 1) for i, r in enumerate(top)]
+        results["ivfpq_nprobe2_refine_frac0.1"] = mean_recall(rows, exact_cos)
 
     print(json.dumps({
         "sf_dir": sf_dir, "n_queries": len(qrows), "k": k,
