@@ -194,7 +194,9 @@ def cmd_clean_corpus(args) -> int:
           BEFORE dedup so shared chrome can't fake near-dups)
         → scrub (line dedup + PII redaction)
         → exact dedup (content hash, lowest id wins)
-        → near-dup clusters (MinHash pairs → connected components)
+        → near-dup clusters (MinHash pairs — or, with --pair-source
+          semantic, model-free tfidf-hashed-vector cosine pairs —
+          → connected components)
           → keep the best-quality member per cluster
         → optional substring-level passage dedup (--passage-dedup:
           cross-doc duplicated passages spliced out of every
@@ -264,7 +266,36 @@ def cmd_clean_corpus(args) -> int:
     scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     exact = dd.exact_dedup(scrubbed, "text", "doc_id")
 
-    pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
+    if args.pair_source == "semantic":
+        # model-free SEMANTIC near-dup pairs: tfidf hashed vectors →
+        # LSH-blocked self-kNN → cosine threshold. Catches paraphrase
+        # duplicates (same content words, different order/stopwords)
+        # that token-shingle MinHash misses; MinHash remains the default
+        # for verbatim/boilerplate near-dups.
+        from commercepulse_data_pipeline_spark.operators import (
+            similarity as _sim,
+        )
+
+        vecs = tx.hashed_doc_vectors(
+            exact, "text", "doc_id", dim=64, weighting="tfidf"
+        ).select(F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding"))
+        # recall-oriented LSH knobs: paraphrase pairs sit near the
+        # threshold (cos ~0.8 → ~0.8 per-bit agreement), where the
+        # operator's default 8-planes/4-tables finds a pair with only
+        # ~50% probability; 6 planes × 8 tables lifts that to ~90% while
+        # the cosine threshold still rejects false candidates exactly
+        knn = _sim.knn_join_self(
+            vecs, k=5, n_planes=6, n_tables=8,
+            id_col="vec_id", vec_col="embedding", dim=64,
+        )
+        pairs = knn.where(
+            (F.col("cosine_sim") >= args.semantic_tau)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        ).select(
+            F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+    else:
+        pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
     clusters = graph.dedup_clusters(pairs)
     quality = tx.quality_score(exact, "text").select("doc_id", "quality_score")
     keep = graph.keep_best_per_cluster(clusters, quality)
@@ -609,6 +640,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="tokens per passage fingerprint window")
     c.add_argument("--min-passage-docs", type=int, default=2, dest="min_passage_docs",
                    help="distinct docs sharing a window before it counts as duplicated")
+    c.add_argument("--pair-source", choices=["minhash", "semantic"],
+                   default="minhash", dest="pair_source",
+                   help="near-dup candidate pairs: token-shingle MinHash "
+                        "(default) or model-free semantic (tfidf hashed "
+                        "vectors + LSH self-kNN, cosine >= --semantic-tau)")
+    c.add_argument("--semantic-tau", type=float, default=0.85, dest="semantic_tau")
     c.add_argument("--strip-boilerplate", action="store_true", dest="strip_boilerplate",
                    help="per-source template removal before dedup (needs a "
                         "'source' column; window/min-docs from the passage flags)")

@@ -416,3 +416,33 @@ def test_clean_corpus_boilerplate_and_dsir_stages(spark, tmp_path):
             "clean-corpus", "--docs", str(tmp_path / "docs2"),
             "--out", str(tmp_path / "out2"), "--strip-boilerplate",
         ])
+
+
+def test_clean_corpus_semantic_pair_source(spark, tmp_path):
+    """--pair-source semantic: paraphrase near-dups (same content words,
+    different order — invisible to 3-token-shingle MinHash) cluster via
+    tfidf hashed vectors and collapse to one survivor."""
+    from commercepulse_data_pipeline_spark import cli
+
+    para_a = "solar panels convert sunlight into electricity very efficiently"
+    para_b = "efficiently solar panels convert the sunlight into electricity"
+    rows = [
+        (1, para_a),
+        (2, para_b),
+        (3, "completely unrelated document about sourdough bread baking"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--pair-source", "semantic",
+        "--semantic-tau", "0.8",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out/corpus")).collect()}
+    assert len(kept & {1, 2}) == 1   # paraphrase pair -> one survivor
+    assert 3 in kept
