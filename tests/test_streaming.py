@@ -1668,3 +1668,40 @@ def test_boilerplate_stream_crash_replay_and_fold(spark, tmp_path):
     )
     t4 = spark.read.parquet(f"{store}/corpus/ingest_batch=9").head()
     assert tpl not in t4["text"] and t4["n_tokens_removed"] == 8
+
+
+def test_streaming_modelfree_neardup_via_hashed_vectors(spark, tmp_path):
+    """Continuous MODEL-FREE near-dup: each micro-batch computes raw-TF
+    hashed vectors (per-doc only — no global state, so the featurization
+    is batch-order-invariant, unlike tfidf whose global idf makes it a
+    scheduled-batch concern per DECISIONS.md) and feeds the embedding
+    dedup store: a later batch's verbatim copy of an earlier doc is
+    dropped by the cross-batch index probe."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        hashed_doc_vectors,
+    )
+    from commercepulse_data_pipeline_spark.streaming.embeddings import (
+        dedup_embeddings_batch,
+    )
+
+    store = str(tmp_path / "vstore")
+
+    def feed(rows, bid):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vecs = hashed_doc_vectors(df, dim=32, weighting="tf").select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("vector").alias("embedding"),
+        )
+        dedup_embeddings_batch(vecs, bid, store, tau=0.95, n_planes=4)
+
+    feed([(1, "solar panels convert sunlight into electricity"),
+          (2, "sourdough bread rises slowly in a cold kitchen")], 0)
+    # batch 1: doc 3 = verbatim copy of doc 1's text (identical TF
+    # vector), doc 4 = fresh content
+    feed([(3, "solar panels convert sunlight into electricity"),
+          (4, "quarterly revenue grew on strong cloud demand")], 1)
+
+    kept = {r["vec_id"]
+            for r in spark.read.parquet(f"{store}/vectors").collect()}
+    assert 1 in kept and 2 in kept and 4 in kept
+    assert 3 not in kept  # cross-batch near-dup dropped by the index
