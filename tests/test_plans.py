@@ -493,3 +493,29 @@ def test_hard_negatives_band_filters_before_rank_window(spark):
     pre_exchange = final[final.index("Exchange") :]
     assert "WindowGroupLimit" in pre_exchange, plan
     assert ", Partial" in pre_exchange, plan
+
+
+def test_temperature_mixture_plan_broadcasts_group_plan(spark):
+    """temperature_mixture plan guarantees: the group-count-sized rate
+    plan reaches the sampling join as a BROADCAST (the corpus never
+    shuffles for its own thinning) and the bucket filter is a plain
+    predicate over the join output — no cartesian stage beyond the two
+    sanctioned 1-row total combines."""
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"l{i % 3}") for i in range(300)], "doc_id long, lang string"
+    )
+    out = temperature_mixture(df, "lang", "doc_id", target_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "CartesianProduct" not in final, plan
+    # the corpus side reaches the join without an Exchange of its own:
+    # every hashpartitioning exchange in the plan belongs to the tiny
+    # count/plan side, never keyed by doc_id
+    assert "hashpartitioning(doc_id" not in final, plan
