@@ -41,18 +41,28 @@ def materialize_split_copies(sf_dir: str, cache_root: str = "/tmp/spark_graft_be
     ~11 scan tasks on 32 cores. Separate files + a high `openCostInBytes`
     give every table exactly SPLITS-way scans — the layout production data
     has — with no repartition crutch in query bodies."""
+    import hashlib
     import pyarrow.parquet as pq
 
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    out_dir = os.path.join(cache_root, tag + "_v2")
+    # Content-signature the source files (path, size, mtime): the driver
+    # REGENERATES testdata between rounds (encodings have changed before
+    # — see the verify notes), and a _DONE-marker-only cache would then
+    # silently bench stale copies of data that no longer exists (same
+    # failure mode as the r10 IVFPQ query cache, fixed the same way).
+    sig = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    out_dir = os.path.join(cache_root, f"{tag}_v3_{sig.hexdigest()[:16]}")
     done_marker = os.path.join(out_dir, "_DONE")
-    # drop the pre-v2 single-file-layout cache so stale copies don't
-    # accumulate under cache_root across layout versions
-    legacy = os.path.join(cache_root, tag)
-    if os.path.isdir(legacy):
-        import shutil
+    # drop pre-v3 caches so stale copies don't accumulate across
+    # layout/keying versions
+    import shutil
 
-        shutil.rmtree(legacy, ignore_errors=True)
+    for legacy in (os.path.join(cache_root, tag), os.path.join(cache_root, tag + "_v2")):
+        if os.path.isdir(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
     if os.path.exists(done_marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
