@@ -3641,70 +3641,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8/r9 recorded exactly 50). r10
-    # executes the rotation written in COVERAGE.md after r9: (a) the nine
-    # entries whose last driver row was r7 (judge parity_strict-verified in
-    # the r9 session) go FIRST; (b) queries NEW this round; (c) the
-    # r8-verified head (last driver rows r8); (d) the r9-green block (all
-    # green in CORRECTNESS_r09.json) closes the list. The first 50 slots =
-    # 9 deferred + new + the leading r8 block; the r8-block tail past
-    # position 50 (last driver rows r8, operators untouched) heads the r11
-    # rotation (COVERAGE.md).
+    # the number of rows it records (~50; r8-r10 recorded exactly 50). r11
+    # executes the rotation written in COVERAGE.md after r10 (VERDICT r10
+    # item 1): (a) the 15 r8-head-tail entries whose last driver rows were
+    # r8 go FIRST; (b) queries NEW this round; (c) the r9-green block (last
+    # driver rows r9 — the oldest remaining); (d) the r10-green block (all
+    # green in CORRECTNESS_r10.json) closes the list. After r11 every
+    # oracle-backed entry again has a driver row within two rounds; the
+    # r9-block tail past position 50 heads the r12 rotation (COVERAGE.md).
     return {
-        # -- driver-verification debt: last driver rows r7, judge-verified
-        #    in the r9 session — rotate in first (VERDICT r9 item 1)
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
-        # -- new in r10
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "docs_boilerplate_strip": q_docs_boilerplate_strip,
-        "docs_dsir_sample": q_docs_dsir_sample,
-        "embedding_hard_negatives": q_embedding_hard_negatives,
-        "ann_pq_knn_join": q_ann_pq_knn_join,
-        "docs_bigram_ce": q_docs_bigram_ce,
-        "docs_temperature_mixture": q_docs_temperature_mixture,
-        "docs_hashed_vectors": q_docs_hashed_vectors,
-        "docs_tfidf_vectors": q_docs_tfidf_vectors,
-        # -- r8-verified head (last driver rows r8)
-        "fx_normalized_revenue": q_fx_normalized_revenue,
-        "last_touch_asof": q_last_touch_asof,
-        "scd2_asof": q_scd2_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "docs_unigram_ce": q_docs_unigram_ce,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
-        "merge_upsert_state": q_merge_upsert_state,
-        "salted_revenue": q_salted_revenue,
-        "incident_impact": q_incident_impact,
-        "docs_curation_funnel": q_docs_curation_funnel,
-        "incident_concurrency": q_incident_concurrency,
-        "docs_per_lang_sample": q_docs_per_lang_sample,
-        "user_conversion": q_user_conversion,
-        "source_overlap": q_source_overlap,
-        "retention_cohorts": q_retention_cohorts,
-        "daily_revenue_7dma": q_daily_revenue_7dma,
-        "lang_confusion": q_lang_confusion,
-        "corpus_vocab": q_corpus_vocab,
-        "docs_encoded": q_docs_encoded,
-        "minhash_incremental": q_minhash_incremental,
-        "docs_split_manifest": q_docs_split_manifest,
-        "docs_repetition": q_docs_repetition,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "docs_chunked": q_docs_chunked,
-        "docs_keywords": q_docs_keywords,
-        "corpus_summary": q_corpus_summary,
-        "docs_fingerprint": q_docs_fingerprint,
-        "embedding_selfknn": q_embedding_selfknn,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "simhash_pairs": q_simhash_pairs,
-        "docs_lang_detect": q_docs_lang_detect,
-        "docs_pii_scrub": q_docs_pii_scrub,
+        # -- r8-verification debt: last driver rows r8 (operators
+        # --    untouched since, per git) — rotate in first (VERDICT r10 item 1)
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
@@ -3720,8 +3667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
-        # -- r9-green block: every entry below has a green row in
-        #    CORRECTNESS_r09.json
+        # -- r9-green block: last driver rows r9 — the oldest remaining;
+        # --    the tail past the driver's ~50-row cap heads the r12 rotation
         "ann_ivf_topk": q_ann_ivf_topk,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "split_leakage": q_split_leakage,
@@ -3772,9 +3719,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_deciles": q_docs_length_deciles,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "docs_exact_dedup": q_docs_exact_dedup,
+        # -- r10-green block: every entry below has a green row in
+        # --    CORRECTNESS_r10.json (checked last round)
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "docs_boilerplate_strip": q_docs_boilerplate_strip,
+        "docs_dsir_sample": q_docs_dsir_sample,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        "ann_pq_knn_join": q_ann_pq_knn_join,
+        "docs_bigram_ce": q_docs_bigram_ce,
+        "docs_temperature_mixture": q_docs_temperature_mixture,
+        "docs_hashed_vectors": q_docs_hashed_vectors,
+        "docs_tfidf_vectors": q_docs_tfidf_vectors,
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        "merge_upsert_state": q_merge_upsert_state,
+        "salted_revenue": q_salted_revenue,
+        "incident_impact": q_incident_impact,
+        "docs_curation_funnel": q_docs_curation_funnel,
+        "incident_concurrency": q_incident_concurrency,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
+        "user_conversion": q_user_conversion,
+        "source_overlap": q_source_overlap,
+        "retention_cohorts": q_retention_cohorts,
+        "daily_revenue_7dma": q_daily_revenue_7dma,
+        "lang_confusion": q_lang_confusion,
+        "corpus_vocab": q_corpus_vocab,
+        "docs_encoded": q_docs_encoded,
+        "minhash_incremental": q_minhash_incremental,
+        "docs_split_manifest": q_docs_split_manifest,
+        "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_chunked": q_docs_chunked,
+        "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "docs_lang_detect": q_docs_lang_detect,
+        "docs_pii_scrub": q_docs_pii_scrub,
         # -- rows-only block rides at the very end (contract: never
-        #    displaces an oracle-backed query from the driver's cap;
-        #    spark_rows were re-recorded in r8)
+        # --    displaces an oracle-backed query from the driver's cap;
+        # --    each has an oracle-backed *_check companion above)
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
