@@ -1503,15 +1503,34 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors stored as m=4 small codes, and the query answered in the
     COMPRESSED domain by ADC — m LUT lookups summed in subspace order (a
     pure codegen projection, no join, vectors never decompressed; top-k
-    is TakeOrderedAndProject). The oracle replays codebook training,
+    is TakeOrderedAndProject). Served from the PERSISTED index (VERDICT
+    r10 item 3 — train once via the content-keyed cache, then repeat
+    calls, notably the bench's timed sweeps, measure the probe path the
+    index exists for; the codes table round-trips ids + m ints and the
+    codebooks round-trip as exact doubles, so results are bit-identical
+    to the train-inline form). The oracle replays codebook training,
     encoding, the LUT and the ordered ADC fold in SQL, so the approximate
     DISTANCES hash-check, not just ids."""
     e = _t(spark, sf_dir, "embeddings")
     p = _PQ_TOPK
     qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
-    books = sim.pq_train(e, m=p["m"], n_codes=p["n_codes"], iters=p["iters"])
-    enc = sim.pq_encode(e, books)
-    return sim.pq_topk(enc, books, qvec, k=p["k"])
+    path = _pq_index_path(e, sf_dir)
+    return sim.pq_topk_indexed(spark, path, qvec, k=p["k"])
+
+
+def _pq_index_path(e: DataFrame, sf_dir: str) -> str:
+    """Cached plain-PQ index over the embeddings table at the registered
+    ``_PQ_TOPK`` params (see ``_ann_index_cache`` for the contract);
+    shared by ann_pq_topk and ann_pq_knn_join."""
+    p = _PQ_TOPK
+
+    def build(dest: str) -> None:
+        books = sim.pq_train(e, m=p["m"], n_codes=p["n_codes"], iters=p["iters"])
+        sim.write_pq_index(sim.pq_encode(e, books), dest, books=books)
+
+    return _ann_index_cache(
+        sf_dir, "pq", f"m{p['m']}_k{p['n_codes']}_i{p['iters']}", build
+    )
 
 
 def _pq_train_codes_ctes(m: int, nc: int, dim: int) -> tuple[str, str]:
@@ -1644,11 +1663,16 @@ def q_ann_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the subspace-ordered fold, then ranks per query on the UNROUNDED
     distance with id tiebreak (the operator's contract) — so the batch
     serving shape gets the same hard distance-level signal as
-    ann_pq_topk."""
+    ann_pq_topk. Serves from the same persisted PQ index as ann_pq_topk
+    (VERDICT r10 item 3): codes scanned from disk, codebooks reloaded —
+    bit-identical to encoding inline (ids + m ints and exact-double
+    centroids round-trip through parquet), and repeat calls time the ADC
+    join itself rather than codebook training."""
     e = _t(spark, sf_dir, "embeddings")
-    p, pt = _PQ_KNN, _PQ_TOPK
-    books = sim.pq_train(e, m=pt["m"], n_codes=pt["n_codes"], iters=pt["iters"])
-    codes = sim.pq_encode(e, books).select("vec_id", "pq_code")
+    p = _PQ_KNN
+    path = _pq_index_path(e, sf_dir)
+    books = sim.read_pq_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
     qs = e.where(F.col("vec_id") % p["qmod"] == 0)
     out = sim.pq_knn_join(codes, qs, books, k=p["k"])
     return out.select(
@@ -1709,6 +1733,76 @@ def _pq_knn_join_oracle_sql() -> str:
 # IVF+PQ parameters shared by the Spark query and its generated oracle.
 _IVFPQ_TOPK = dict(k=10, n_centroids=8, m=4, n_codes=8, iters=1, nprobe=2, dim=64)
 
+# Bump when write_pq_index / write_ivfpq_index or their on-disk layout
+# change: the cache key otherwise carries no code version, so a stale
+# index built by the previous revision would be silently served to the
+# correctness run until /tmp is cleared, masking regressions (ADVICE r10).
+_ANN_CACHE_VERSION = "v1"
+
+
+def _ann_index_cache(sf_dir: str, kind: str, params: str, build_fn) -> str:
+    """Build-once/query-many index cache, like a real serving deployment:
+    the builds are fully deterministic for a given corpus + params, so
+    the index lands under a /tmp path keyed by params, a code-version
+    token (``_ANN_CACHE_VERSION``) and a CONTENT SIGNATURE of the source
+    files (path, size, mtime of every part) — regenerated or overwritten
+    testdata gets a fresh key instead of silently serving an index built
+    from data that no longer exists (r10 self-review). The build lands in
+    a pid-suffixed dir atomically renamed into place, so concurrent
+    builders (bench + driver) cannot interleave writes; the loser's
+    finished build just replaces an identical one. A failed build removes
+    its partial dir (try/finally), and stale ``*.build.*`` leftovers from
+    crashed processes are swept on entry once they are >30 min old — old
+    enough that no live builder (builds take seconds) still owns them
+    (ADVICE r10). Repeat calls — the bench's timed sweeps, notably —
+    measure SERVING latency, which is what an index exists to amortize
+    toward; the first call (and the driver's single correctness run)
+    still pays the build. Returns the index path."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    sig = _hashlib.md5()
+    for root, _dirs, files in sorted(_os.walk(src)) or [(src, [], [])]:
+        for fn in sorted(files):
+            st = _os.stat(_os.path.join(root, fn))
+            sig.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+    if _os.path.isfile(src):
+        st = _os.stat(src)
+        sig.update(f"{src}:{st.st_size}:{st.st_mtime_ns};".encode())
+    root_dir = "/tmp/cp_ann_cache"
+    path = (
+        f"{root_dir}/{kind}_{params}_{_ANN_CACHE_VERSION}"
+        f"_{sig.hexdigest()[:16]}"
+    )
+    if _os.path.exists(f"{path}/_BUILT"):
+        return path
+    _os.makedirs(root_dir, exist_ok=True)
+    for entry in _os.listdir(root_dir):
+        d = _os.path.join(root_dir, entry)
+        try:
+            stale = ".build." in entry and _time.time() - _os.path.getmtime(d) > 1800
+        except OSError:
+            continue  # a concurrent sweep already removed it
+        if stale:
+            _shutil.rmtree(d, ignore_errors=True)
+    build = f"{path}.build.{_os.getpid()}"
+    try:
+        build_fn(build)
+        with open(f"{build}/_BUILT", "w") as fh:
+            fh.write("ok\n")
+        try:
+            _os.rename(build, path)
+        except OSError:  # a concurrent builder won the rename
+            pass
+    finally:
+        # no-op after a successful rename; removes the partial dir when
+        # the build raised or the rename lost
+        _shutil.rmtree(build, ignore_errors=True)
+    return path
+
 
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ residual-coded ANN over the PERSISTED serving path
@@ -1727,48 +1821,23 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     p = _IVFPQ_TOPK
     qvec = list(e.where(F.col("vec_id") == 0).select("embedding").head()[0])
-    # Build-once/query-many, like a real index: the build is fully
-    # deterministic for a given corpus + params, so it is cached under a
-    # /tmp path keyed by params AND a CONTENT SIGNATURE of the source
-    # files (path, size, mtime of every part) — regenerated or
-    # overwritten testdata gets a fresh key instead of silently serving
-    # an index built from data that no longer exists (r10 self-review).
-    # The build lands in a pid-suffixed dir atomically renamed into
-    # place, so concurrent builders (bench + driver) cannot interleave
-    # writes; the loser's finished build just replaces an identical one.
-    # Repeat calls — the bench's timed sweeps, notably — measure SERVING
-    # latency (centroid rank → pruned partition scan → ADC), which is
-    # what the index exists to amortize toward; the first call (and the
-    # driver's single correctness run) still pays the build.
-    import hashlib as _hashlib
-    import os as _os
-    import shutil as _shutil
-
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    sig = _hashlib.md5()
-    for root, _dirs, files in sorted(_os.walk(src)) or [(src, [], [])]:
-        for fn in sorted(files):
-            st = _os.stat(_os.path.join(root, fn))
-            sig.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
-    if _os.path.isfile(src):
-        st = _os.stat(src)
-        sig.update(f"{src}:{st.st_size}:{st.st_mtime_ns};".encode())
-    params = f"c{p['n_centroids']}_m{p['m']}_k{p['n_codes']}_i{p['iters']}"
-    path = f"/tmp/cp_ivfpq_cache/{params}_{sig.hexdigest()[:16]}"
-    if not _os.path.exists(f"{path}/_BUILT"):
-        build = f"{path}.build.{_os.getpid()}"
-        sim.write_ivfpq_index(
-            e, build, n_centroids=p["n_centroids"], m=p["m"],
-            n_codes=p["n_codes"], iters=p["iters"],
-        )
-        with open(f"{build}/_BUILT", "w") as fh:
-            fh.write("ok\n")
-        _os.makedirs("/tmp/cp_ivfpq_cache", exist_ok=True)
-        try:
-            _os.rename(build, path)
-        except OSError:  # a concurrent builder won the rename
-            _shutil.rmtree(build, ignore_errors=True)
+    path = _ivfpq_index_path(e, sf_dir)
     return sim.ivfpq_topk(spark, path, qvec, k=p["k"], nprobe=p["nprobe"])
+
+
+def _ivfpq_index_path(e: DataFrame, sf_dir: str) -> str:
+    """Cached IVF+PQ index over the embeddings table at the registered
+    ``_IVFPQ_TOPK`` params (see ``_ann_index_cache`` for the contract)."""
+    p = _IVFPQ_TOPK
+    return _ann_index_cache(
+        sf_dir,
+        "ivfpq",
+        f"c{p['n_centroids']}_m{p['m']}_k{p['n_codes']}_i{p['iters']}",
+        lambda dest: sim.write_ivfpq_index(
+            e, dest, n_centroids=p["n_centroids"], m=p["m"],
+            n_codes=p["n_codes"], iters=p["iters"],
+        ),
+    )
 
 
 def _ivfpq_topk_oracle_sql() -> str:

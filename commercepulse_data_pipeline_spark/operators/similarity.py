@@ -540,6 +540,34 @@ def knn_join_self(
     )
 
 
+def _check_query_side(queries: DataFrame, max_queries: int | None, op: str) -> None:
+    """Enforce the broadcast-query-side contract shared by
+    :func:`knn_join`, :func:`hard_negatives` and :func:`pq_knn_join`: the
+    query side broadcasts to the driver and every executor, so its cost
+    model is O(corpus × queries) — fine for thousands of query rows,
+    accidentally quadratic when a corpus-proportional set is passed (the
+    r10 SCALE.md probe measured that misuse at 30.9× growth for a 10×
+    corpus BEFORE the caller was fixed; this guard makes it impossible to
+    hit silently at 100×). The count probe is bounded by ``limit`` — it
+    never scans past ``max_queries + 1`` rows — and is cheap next to the
+    broadcast the operator is about to do anyway. Pass ``max_queries=None``
+    to opt out explicitly (e.g. a deliberately large one-off batch on a
+    cluster sized for it)."""
+    if max_queries is None:
+        return
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{op}: query side has >{max_queries} rows; it is BROADCAST, "
+            "so cost is O(corpus x queries) and a corpus-sized query set "
+            "goes quadratic (30.9x at 10x corpus in the r10 SCALE.md "
+            "probe). For self/near-self kNN over the whole corpus use "
+            "knn_join_self (LSH-blocked, broadcasts nothing) or the "
+            "persisted-index probes (lsh/ivf/pq/ivfpq_topk_indexed); for "
+            "a deliberately large query batch pass max_queries=None."
+        )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -550,20 +578,23 @@ def knn_join(
     query_id: str | None = None,
     query_vec: str | None = None,
     exclude_self: bool = True,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """k nearest corpus vectors for EACH query row — SMALL query side only.
 
     Broadcast the queries; corpus scanned once; per-query rank window on
     (query_id) — the shuffle carries only (query_id, neighbor_id, score).
     The query side must fit in a broadcast (driver + every executor hold
-    it): thousands of rows, not the corpus. For self-kNN / embedding-
-    cosine near-dup over the WHOLE corpus use ``knn_join_self``, which
-    LSH-blocks the pair space instead of broadcasting anything.
+    it): thousands of rows, not the corpus — enforced by ``max_queries``
+    (see :func:`_check_query_side`; ``None`` opts out). For self-kNN /
+    embedding-cosine near-dup over the WHOLE corpus use ``knn_join_self``,
+    which LSH-blocks the pair space instead of broadcasting anything.
     ``exclude_self`` drops the trivial id==id match when querying a subset
     of the corpus. Output columns: query_id, neighbor_id, cosine_sim, rank.
     """
     query_id = query_id or id_col
     query_vec = query_vec or vec_col
+    _check_query_side(queries, max_queries, "knn_join")
     q = F.broadcast(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
     )
@@ -599,6 +630,7 @@ def hard_negatives(
     sim_hi: float = 0.9,
     query_id: str | None = None,
     query_vec: str | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each query row, the top-k
     corpus vectors by cosine INSIDE the band ``[sim_lo, sim_hi)`` —
@@ -608,7 +640,8 @@ def hard_negatives(
     false-negative poisoning failure). Self-matches are always excluded.
 
     Same scale contract as :func:`knn_join`: the query side broadcasts
-    (thousands of rows, not the corpus); the corpus is scanned once; the
+    (thousands of rows, not the corpus — ``max_queries`` enforces it, see
+    :func:`_check_query_side`); the corpus is scanned once; the
     band filter runs BEFORE the rank window, so the shuffle carries only
     in-band (query_id, neighbor_id, score) rows — tighter than knn_join's,
     since the band prunes both the tail of irrelevant negatives and the
@@ -616,6 +649,7 @@ def hard_negatives(
     """
     query_id = query_id or id_col
     query_vec = query_vec or vec_col
+    _check_query_side(queries, max_queries, "hard_negatives")
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -983,6 +1017,19 @@ def write_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
 
+def read_pq_books(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """Load a persisted codebook table (``{path}/books``, written by
+    :func:`write_pq_index` / :func:`write_ivfpq_index`) back into the
+    in-memory ``books[j][code]`` shape. Bounded driver work: the table is
+    m·n_codes rows regardless of corpus size."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append(list(r["centroid"]))
+    return books
+
+
 def pq_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -994,11 +1041,7 @@ def pq_topk_indexed(
 ) -> DataFrame:
     """Query the persisted PQ index: load the (tiny) codebooks, ADC over
     the codes table. The raw vectors are never read."""
-    brows = spark.read.parquet(f"{path}/books").collect()
-    m = 1 + max(r["j"] for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-        books[r["j"]].append(list(r["centroid"]))
+    books = read_pq_books(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, books, query_vec, k, id_col=id_col, code_col=code_col)
 
@@ -1019,11 +1062,7 @@ def pq_append(
     codebooks, so distances stay comparable across ingests. Retrain and
     rewrite only when drift between the codebooks and the vector
     distribution warrants it (the standard PQ serving posture)."""
-    brows = spark.read.parquet(f"{path}/books").collect()
-    m = 1 + max(r["j"] for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-        books[r["j"]].append(list(r["centroid"]))
+    books = read_pq_books(spark, path)
     pq_encode(new_vectors, books, vec_col=vec_col, code_col=code_col).select(
         id_col, code_col
     ).write.mode("append").parquet(f"{path}/codes")
@@ -1039,16 +1078,19 @@ def pq_knn_join(
     code_col: str = "pq_code",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Batch ADC: k approximate nearest corpus vectors for EACH query row,
     computed entirely in the COMPRESSED domain — SMALL query side only
-    (the knn_join contract). Each broadcast query row carries its own
-    precomputed m × n_codes LUT (built ONCE per query as a projection
-    against the literal codebooks), so the per-(corpus, query) pair cost
-    is m array lookups summed in subspace order — not a d-dim distance.
-    The corpus side scans only the codes table: raw vectors are never
-    read. Output: query_id, neighbor_id, approx_d2, rank (ascending
-    distance; ties -> lowest neighbor_id)."""
+    (the knn_join contract, enforced by ``max_queries`` — see
+    :func:`_check_query_side`; ``None`` opts out). Each broadcast query
+    row carries its own precomputed m × n_codes LUT (built ONCE per query
+    as a projection against the literal codebooks), so the per-(corpus,
+    query) pair cost is m array lookups summed in subspace order — not a
+    d-dim distance. The corpus side scans only the codes table: raw
+    vectors are never read. Output: query_id, neighbor_id, approx_d2,
+    rank (ascending distance; ties -> lowest neighbor_id)."""
+    _check_query_side(queries, max_queries, "pq_knn_join")
     m = len(books)
     ds = len(books[0][0])
     books_lit = F.array(
@@ -1244,11 +1286,8 @@ def ivfpq_topk(
         (r["centroid_id"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    brows = spark.read.parquet(f"{path}/books").collect()
-    mm = 1 + max(r["j"] for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(mm)]
-    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-        books[r["j"]].append(list(r["centroid"]))
+    books = read_pq_books(spark, path)
+    mm = len(books)
 
     def d2(c: list[float]) -> float:
         return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
@@ -1315,11 +1354,8 @@ def ivfpq_encode_frozen(
         (r["centroid_id"], list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    brows = spark.read.parquet(f"{path}/books").collect()
-    mm = 1 + max(r["j"] for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(mm)]
-    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-        books[r["j"]].append(list(r["centroid"]))
+    books = read_pq_books(spark, path)
+    mm = len(books)
     dists = [
         F.struct(
             _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),

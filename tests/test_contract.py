@@ -93,3 +93,54 @@ def test_ivfpq_query_cache_rebuilds_on_corpus_change(spark, tmp_path):
     ids2 = {r["vec_id"] for r in r2}
     assert ids2 and all(i % 2 == 0 for i in ids2), sorted(ids2)[:5]
     assert sorted(tuple(r) for r in r2) != r1
+
+
+def test_ann_index_cache_cleans_failed_builds_and_respects_version(tmp_path, monkeypatch):
+    """_ann_index_cache contract (ADVICE r10): a build that raises leaves
+    NO partial ``*.build.*`` dir behind; a later call retries the build;
+    and bumping _ANN_CACHE_VERSION yields a different key so an index
+    written by an older code revision is never silently served."""
+    import os
+
+    src = str(tmp_path / "corpus")
+    os.makedirs(f"{src}/embeddings.parquet", exist_ok=True)
+    with open(f"{src}/embeddings.parquet/part-0.parquet", "wb") as fh:
+        fh.write(b"x" * 16)
+
+    calls = []
+
+    def failing(dest):
+        calls.append(dest)
+        os.makedirs(dest, exist_ok=True)  # partial output, then crash
+        raise RuntimeError("boom")
+
+    def ok(dest):
+        calls.append(dest)
+        os.makedirs(dest, exist_ok=True)
+        with open(f"{dest}/payload", "w") as fh:
+            fh.write("built\n")
+
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            E._ann_index_cache(src, "t", "p1", failing)
+        root = "/tmp/cp_ann_cache"
+        leftovers = [e for e in os.listdir(root) if "t_p1" in e]
+        assert leftovers == [], leftovers  # failed build fully cleaned
+        path = E._ann_index_cache(src, "t", "p1", ok)
+        assert os.path.exists(f"{path}/_BUILT") and os.path.exists(f"{path}/payload")
+        assert len(calls) == 2  # the failure did not poison the key
+        # cached: a third call must not rebuild
+        assert E._ann_index_cache(src, "t", "p1", ok) == path
+        assert len(calls) == 2
+        # version bump -> new key (stale-layout index never served)
+        monkeypatch.setattr(E, "_ANN_CACHE_VERSION", "v999")
+        path2 = E._ann_index_cache(src, "t", "p1", ok)
+        assert path2 != path and len(calls) == 3
+    finally:
+        import shutil
+
+        for e in os.listdir("/tmp/cp_ann_cache"):
+            if "t_p1" in e:
+                shutil.rmtree(os.path.join("/tmp/cp_ann_cache", e), ignore_errors=True)

@@ -1639,3 +1639,33 @@ def test_modelfree_semantic_dedup_bridge(spark):
     assert {1, 2} in by_cluster.values()
     assert {3, 4} in by_cluster.values()
     assert all(5 not in members for members in by_cluster.values())
+
+
+def test_broadcast_query_side_guard(spark):
+    """knn_join / hard_negatives / pq_knn_join enforce their SMALL-query-
+    side contract (VERDICT r10 item 1): a query set past max_queries
+    raises (pointing at knn_join_self) instead of silently going
+    O(corpus x queries) quadratic — the misuse the r10 SCALE.md probe
+    measured at 30.9x growth. max_queries=None opts out; the pinned
+    driver shapes (small query side) pass untouched."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.25]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    small = df.where(F.col("vec_id") < 3)
+    for op, call in (
+        ("knn_join", lambda q, mq: sim.knn_join(df, q, k=2, max_queries=mq)),
+        ("hard_negatives", lambda q, mq: sim.hard_negatives(
+            df, q, k=2, sim_lo=0.0, sim_hi=1.1, max_queries=mq)),
+    ):
+        with pytest.raises(ValueError, match="knn_join_self"):
+            call(df, 5)
+        assert call(small, 5).count() > 0, op
+        assert call(df, None).count() > 0, op  # explicit opt-out
+    books = sim.pq_train(df, m=2, n_codes=4)
+    codes = sim.pq_encode(df, books).select("vec_id", "pq_code")
+    with pytest.raises(ValueError, match="knn_join_self"):
+        sim.pq_knn_join(codes, df, books, k=2, max_queries=5)
+    assert sim.pq_knn_join(codes, small, books, k=2, max_queries=5).count() > 0
