@@ -3699,6 +3699,120 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test manifest (r11 — operators/sampling.py::
+    assign_splits_grouped): the split bucket is computed on the NEAR-DUP
+    CLUSTER key (MinHash pair graph → connected components, the
+    docs_dup_clusters table), so two near-duplicates can never straddle
+    train and test — the eval-contamination mode a per-row split cannot
+    close (Lee et al. 2022). Docs outside any cluster are singleton
+    groups keyed on their own id; the partition stays disjoint and
+    exhaustive. The oracle replays the banding + recursive-CTE hull +
+    the identical hex-digit bucket arithmetic on the coalesced key."""
+    from commercepulse_data_pipeline_spark.operators import graph
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        assign_splits_grouped,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    clusters = graph.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    return assign_splits_grouped(
+        d.select("doc_id"),
+        "doc_id",
+        clusters,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="clustersplit-v1:",
+    )
+
+
+def _cluster_safe_split_oracle_sql() -> str:
+    """DuckDB twin of q_docs_cluster_safe_split: the shared MinHash
+    banding CTE + recursive transitive hull (the docs_dup_clusters
+    replay), LEFT JOIN back to the corpus, bucket on
+    COALESCE(component, own id) with the split-manifest thresholds."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("split_key", "clustersplit-v1:")
+    t_test = threshold_for(0.1)
+    t_train = t_test + threshold_for(0.8)
+    return f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, m) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+        ),
+        cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(CAST(cc.component AS VARCHAR),
+                            CAST(d.doc_id AS VARCHAR)) AS split_key
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        )
+        SELECT doc_id, split_key, CASE
+            WHEN {bucket} < {t_test} THEN 'test'
+            WHEN {bucket} < {t_train} THEN 'train'
+            ELSE 'val' END AS split
+        FROM keyed
+    """
+
+
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outlier mining (r11 — operators/similarity.py::
+    label_centroid_outliers): the 3 vectors farthest (squared L2) from
+    their own label's centroid — the curation pass that surfaces
+    mislabeled/junk samples in a labeled corpus. Centroids are per-(label,
+    dim) DECIMAL means (partition-order-free, the ivf_assign discipline)
+    broadcast back for one scoring scan; ranking is on the 6-dp rounded
+    distance with id tiebreak, so the oracle replays means, the
+    sequential-fold distance and the window bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.label_centroid_outliers(e, top_n=3)
+
+
+def _label_outliers_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_label_outliers: per-(label, dim)
+    decimal means -> double centroids, list_sum squared-distance fold
+    (the same IEEE left fold as _sq_dist), rank on the rounded distance
+    desc with vec_id tiebreak."""
+    dim = 64
+    return f"""
+        WITH dims AS (
+            SELECT label, d.d,
+                   CAST(CAST(embedding[d.d] AS DOUBLE) AS DECIMAL(30,15)) AS v
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) d
+        ),
+        cm AS (
+            SELECT label, d, CAST(sum(v) AS DOUBLE) / count(*) AS m
+            FROM dims GROUP BY label, d
+        ),
+        cent AS (SELECT label, list(m ORDER BY d ASC) AS cvec FROM cm GROUP BY label),
+        scored AS (
+            SELECT e.label, e.vec_id,
+                   round(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6)
+                       AS centroid_d2
+            FROM embeddings e JOIN cent c USING (label)
+        ),
+        ranked AS (
+            SELECT label, vec_id, centroid_d2,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY centroid_d2 DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT label, vec_id, centroid_d2, rank FROM ranked WHERE rank <= 3
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3736,6 +3850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
+        # -- new in r11
+        "docs_cluster_safe_split": q_docs_cluster_safe_split,
+        "embedding_label_outliers": q_embedding_label_outliers,
         # -- r9-green block: last driver rows r9 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r12 rotation
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5485,6 +5602,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_curation_funnel": _curation_funnel_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),
+        "docs_cluster_safe_split": _cluster_safe_split_oracle_sql(),
+        "embedding_label_outliers": _label_outliers_oracle_sql(),
         "corpus_summary": f"""
             WITH t AS (
                 SELECT doc_id, lang, n_chars, len({_TOKS}) AS tok FROM documents

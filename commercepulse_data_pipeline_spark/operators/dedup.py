@@ -810,7 +810,7 @@ def write_minhash_index(
                 is_missing_store_error,
             )
 
-            if not is_missing_store_error(exc):
+            if not is_missing_store_error(exc, f"{path}/meta"):
                 # a transient meta-read failure must not be mistaken for
                 # "new index": appending rows banded under an unverified
                 # hash family is the corruption this check exists to stop
@@ -852,7 +852,7 @@ def _append_bands(spark, bands_df: DataFrame, path: str, mode: str) -> None:
                 is_missing_store_error,
             )
 
-            if not is_missing_store_error(exc):
+            if not is_missing_store_error(exc, f"{path}/bands"):
                 # guessing "flat layout" on a transient error would land
                 # appends invisible to a partitioned index's reads
                 raise

@@ -194,6 +194,57 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def assign_splits_grouped(
+    df: DataFrame,
+    key_col: str,
+    membership: DataFrame,
+    splits: dict[str, float],
+    *,
+    member_col: str | None = None,
+    group_col: str = "cluster_id",
+    salt: str = "",
+    split_col: str = "split",
+    key_out: str = "split_key",
+) -> DataFrame:
+    """GROUP-aware train/val/test assignment: every member of a group
+    lands in the SAME split. Per-row splitting (:func:`assign_splits`)
+    prevents a document from migrating between splits, but it cannot stop
+    two NEAR-DUPLICATES from straddling train and test — the subtle
+    eval-leakage mode exact-key splits invite (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", found
+    exactly this train/test overlap in real corpora). Splitting by the
+    duplicate-CLUSTER key closes it: pass the cluster decision table
+    (e.g. ``graph.dedup_clusters`` output — ``member_col`` → row key,
+    ``group_col`` → cluster id) and the bucket is computed on the GROUP
+    key; rows with no group row are their own singleton group (bucketed
+    on their own key), so the partition stays disjoint and exhaustive
+    over the whole corpus.
+
+    Scale shape: one equi-join of the corpus with the membership table on
+    the row key (both sides shuffle on it once — membership is a
+    decision table, not guaranteed broadcast-small), then the same pure
+    codegen bucket projection as :func:`assign_splits`. Stability
+    caveat, documented deliberately: the assignment is stable only as
+    long as cluster REPRESENTATIVES are — growing a cluster can merge
+    two groups and move members to the surviving group's split. That is
+    the correct behavior (the alternative leaves a leak across the old
+    boundary); re-emit the manifest whenever the cluster table changes.
+    Output: ``df`` + ``key_out`` (the effective group key, string) +
+    ``split_col``."""
+    member_col = member_col or key_col
+    m = membership.select(
+        F.col(member_col).alias(key_col), F.col(group_col).alias("__grp")
+    )
+    joined = df.join(m, key_col, "left")
+    keyed = joined.withColumn(
+        key_out,
+        F.coalesce(F.col("__grp").cast("string"), F.col(key_col).cast("string")),
+    )
+    return assign_splits(keyed, key_out, splits, salt=salt, split_col=split_col).drop(
+        "__grp"
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,

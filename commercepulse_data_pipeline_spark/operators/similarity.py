@@ -1401,3 +1401,289 @@ def ivfpq_append(
     ivfpq_encode_frozen(
         spark, path, new_vectors, id_col=id_col, vec_col=vec_col
     ).write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")
+
+
+def ivfpq_recommend(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    *,
+    queries: DataFrame | None = None,
+    n_queries: int = 25,
+    recall_target: float = 0.9,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe_grid: tuple[int, ...] = (1, 2, 4),
+    refine_grid: tuple[float, ...] = (0.0, 0.02, 0.1),
+) -> dict:
+    """Recommend (nprobe, refine) for a persisted IVF+PQ index from a
+    sampled ground truth — the SCALE.md r9/r10 tuning rule ("raise nprobe
+    first: it sets the recall CEILING — the true neighbors whose lists
+    were never probed are unrecoverable; then refine approaches that
+    ceiling by exact re-rank") encoded as API, so a user gets the knob
+    order without reading SCALE.md (VERDICT r10 item 6).
+
+    This is an EVALUATION helper, not the serving path: it scores every
+    sampled query against the whole codes table once (a broadcast join —
+    the same batch-ADC shape as ``pq_knn_join``, with per-(query, list)
+    residual LUTs) so that every grid cell is a cheap filter over ONE
+    localCheckpointed score table, instead of len(grid) probe runs.
+    Queries default to a deterministic md5-order sample of the corpus
+    (the ``pq_train`` init discipline). Ground truth is metric-matched
+    (ADVICE r9): pure-ADC rows (refine=0) grade against exact L2,
+    refined rows against exact cosine — the metric each path ranks by.
+
+    Returns ``{"recommended": {"nprobe", "refine", "recall"},
+    "frontier": [{"nprobe", "refine", "recall", "ceiling"}, ...],
+    "k", "n_queries", "recall_target", "target_met"}``. The
+    recommendation walks nprobe ascending, then refine ascending — the
+    documented knob order — and picks the FIRST cell meeting
+    ``recall_target``; if no cell does, the max-recall cell (smallest
+    knobs on ties) with ``target_met=False``. ``refine`` values are
+    fractions of the code-table size (the fractional contract of
+    :func:`_resolve_refine` — fixed widths silently lose recall as the
+    corpus grows); the recommended value is returned in that fractional
+    form, ready to pass to :func:`ivfpq_topk`."""
+    from commercepulse_data_pipeline_spark.operators.dedup import _md5_long
+
+    if queries is None:
+        queries = (
+            corpus.select(id_col, vec_col)
+            .orderBy(_md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+            .limit(n_queries)
+        )
+    qrows = [
+        (r[0], [float(v) for v in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    if not qrows:
+        raise ValueError("ivfpq_recommend: empty query sample")
+    cents = sorted(
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    books = read_pq_books(spark, path)
+    mm = len(books)
+    codes = spark.read.parquet(f"{path}/codes")
+    n_codes_rows = codes.count()
+    nprobe_grid = tuple(sorted({min(n, len(cents)) for n in nprobe_grid}))
+
+    # per-(query, list): probe rank + residual LUT, built driver-side
+    # from driver-resident data (codebooks, centroids, sampled queries)
+    lut_rows = []
+    for qid, qv in qrows:
+        byd = sorted(
+            cents,
+            key=lambda t: sum((a - b) * (a - b) for a, b in zip(qv, t[1])),
+        )
+        for rank, (cid, cvec) in enumerate(byd, start=1):
+            q_res = [float(a) - b for a, b in zip(qv, cvec)]
+            lut_rows.append((qid, cid, rank, _pq_lut(books, q_res)))
+    lut_df = spark.createDataFrame(
+        lut_rows,
+        "query_id long, centroid_id int, probe_rank int, "
+        "lut array<array<double>>",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        ),
+    )
+    scored = (
+        codes.join(F.broadcast(lut_df), "centroid_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "probe_rank",
+            adc.alias("adc_d2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # metric-matched exact ground truths over the sampled queries
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    pairs = (
+        corpus.crossJoin(qdf)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+            _sq_dist(F.col(vec_col), F.col("__qvec")).alias("__l2"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.col("__l2").asc(), F.col("neighbor_id").asc()
+    )
+    truth_cos = (
+        pairs.where(F.col("__cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    truth_l2 = (
+        pairs.withColumn("rank", F.row_number().over(w_l2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+
+    def _mean_recall(approx: DataFrame, truth: DataFrame) -> float:
+        row = recall_at_k(truth, approx, k=k).agg(F.avg("recall")).head()
+        return round(float(row[0]), 4)
+
+    # recall CEILING per (nprobe, truth): the fraction of true neighbors
+    # whose list is probed at all — no refine width can recover the rest
+    def _ceiling(nprobe: int, truth: DataFrame) -> float:
+        reach = scored.where(F.col("probe_rank") <= nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hit = truth.join(reach, ["query_id", "neighbor_id"], "left_semi")
+        n_true = truth.count()
+        return round(hit.count() / n_true, 4) if n_true else 0.0
+
+    frontier: list[dict] = []
+    for nprobe in nprobe_grid:
+        cands = scored.where(F.col("probe_rank") <= nprobe)
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+        )
+        ranked = cands.withColumn("rank", F.row_number().over(w_adc))
+        for refine in refine_grid:
+            width = _resolve_refine(float(refine), k, lambda: n_codes_rows)
+            if width:
+                shortlist = ranked.where(F.col("rank") <= width).select(
+                    "query_id", "neighbor_id"
+                )
+                qvec_df = F.broadcast(
+                    queries.select(
+                        F.col(id_col).alias("__rq"),
+                        F.col(vec_col).alias("__rqvec"),
+                    )
+                )
+                rescored = (
+                    shortlist.join(
+                        corpus.select(
+                            F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("__nvec"),
+                        ),
+                        "neighbor_id",
+                    )
+                    .join(qvec_df, F.col("query_id") == F.col("__rq"))
+                    .select(
+                        "query_id",
+                        "neighbor_id",
+                        cosine(F.col("__nvec"), F.col("__rqvec")).alias("__cos"),
+                    )
+                )
+                approx = (
+                    rescored.withColumn("rank", F.row_number().over(w_cos))
+                    .where(F.col("rank") <= k)
+                )
+                rec, ceil_ = _mean_recall(approx, truth_cos), _ceiling(nprobe, truth_cos)
+            else:
+                approx = ranked.where(F.col("rank") <= k)
+                rec, ceil_ = _mean_recall(approx, truth_l2), _ceiling(nprobe, truth_l2)
+            frontier.append(
+                {"nprobe": nprobe, "refine": float(refine),
+                 "recall": rec, "ceiling": ceil_}
+            )
+    best = None
+    for cell in frontier:  # grid order IS the knob order: nprobe, then refine
+        if cell["recall"] >= recall_target:
+            best = cell
+            break
+    target_met = best is not None
+    if best is None:
+        best = max(
+            frontier, key=lambda c: (c["recall"], -c["nprobe"], -c["refine"])
+        )
+    return {
+        "recommended": {
+            "nprobe": best["nprobe"], "refine": best["refine"],
+            "recall": best["recall"],
+        },
+        "frontier": frontier,
+        "k": k,
+        "n_queries": len(qrows),
+        "recall_target": recall_target,
+        "target_met": target_met,
+    }
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-class embedding-space outlier mining: the ``top_n`` vectors
+    FARTHEST (squared L2) from their own label's centroid — the standard
+    curation pass for surfacing mislabeled / junk / off-distribution
+    samples in a labeled embedding corpus before training on it (the
+    same centroid-distance heuristic data-quality tooling applies to
+    classifier training sets).
+
+    Distributed shape: ONE corpus scan computes per-(label, dim) DECIMAL
+    sums (exact, partition-order-free — the ``ivf_assign`` mean
+    discipline, so centroid doubles replay bit-for-bit in the oracle);
+    the centroid table (n_labels × dim, kilobytes) broadcast-joins back
+    for a second scan scoring every vector against its own centroid
+    (a sequential-fold ``_sq_dist`` — replayable IEEE order); the rank
+    window ships only (label, id, distance) rows and Spark's
+    WindowGroupLimit pushes ``top_n`` map-side. No crossJoin, no
+    driver-side corpus state — survives any corpus size with bounded
+    (n_labels × dim) driver work.
+
+    Ranking is on the 6-dp ROUNDED distance with id tiebreak (the
+    ``hard_negatives`` contract: band/rank decisions agree bit-for-bit
+    with the SQL replay). Output: label, vec_id, centroid_d2, rank."""
+    dim = len(df.select(vec_col).head()[0])
+    sums = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.element_at(F.col(vec_col), i + 1)
+                .cast("double")
+                .cast("decimal(30,15)")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    cents = sums.select(
+        label_col,
+        F.array(
+            *[
+                (F.col(f"__s{i}").cast("double") / F.col("__n")).alias(f"__c{i}")
+                for i in range(dim)
+            ]
+        ).alias("__cent"),
+    )
+    scored = df.join(F.broadcast(cents), label_col).select(
+        label_col,
+        id_col,
+        F.round(_sq_dist(F.col(vec_col), F.col("__cent")), 6).alias("centroid_d2"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("centroid_d2").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )

@@ -519,7 +519,7 @@ def _recover_index_compact(root: str) -> None:
         _shutil.rmtree(tmp_root, ignore_errors=True)
 
 
-def is_missing_store_error(exc: BaseException) -> bool:
+def is_missing_store_error(exc: BaseException, root: str | None = None) -> bool:
     """True iff ``exc`` means "this store path does not exist yet" — the
     ONLY condition a first-batch bootstrap probe may treat as an empty
     store. Everything else (permission errors, schema corruption,
@@ -527,21 +527,57 @@ def is_missing_store_error(exc: BaseException) -> bool:
     the engine retries it: swallowing a transient error as "first batch"
     would silently skip cross-batch dedup/state and persist wrong output
     (ADVICE r9). ``UNABLE_TO_INFER_SCHEMA`` counts as missing — it is
-    what Spark raises for a created-but-never-written store directory."""
-    from pyspark.errors import AnalysisException
+    what Spark raises for a created-but-never-written store directory.
 
-    if isinstance(exc, FileNotFoundError):
-        return True
-    if isinstance(exc, AnalysisException):
-        try:
-            ec = exc.getErrorClass()
-        except Exception:  # noqa: BLE001 — fall back to message probe
+    Pass ``root`` (the store path the failed read targeted) to also
+    confirm ON THE FILESYSTEM that the store is genuinely absent/empty
+    (ADVICE r10): a concurrent compactor's fold rename can surface these
+    same error classes mid-read on a store that very much exists — in
+    that case this returns False so the caller retries the batch instead
+    of silently treating a compaction race as "first batch" and skipping
+    cross-batch dedup. A root that exists counts as absent only when it
+    holds nothing but marker entries (``_SUCCESS``, ``_FOLDED.json*``,
+    …) — i.e. created-but-never-written."""
+    import os as _os
+
+    def _classified_missing() -> bool:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, FileNotFoundError):
+            return True
+        if isinstance(exc, AnalysisException):
             ec = None
-        if ec is not None:
-            return ec in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-        msg = str(exc)
-        return "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
-    return False
+            # getErrorClass is deprecated in PySpark 4 (-> getCondition);
+            # probe the new name first, fall back for older versions
+            for probe in ("getCondition", "getErrorClass"):
+                fn = getattr(exc, probe, None)
+                if fn is None:
+                    continue
+                try:
+                    ec = fn()
+                except Exception:  # noqa: BLE001 — fall back to message probe
+                    ec = None
+                if ec is not None:
+                    break
+            if ec is not None:
+                return ec in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            msg = str(exc)
+            return "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
+        return False
+
+    if not _classified_missing():
+        return False
+    if root is None:
+        return True
+    path = root[len("file:"):] if root.startswith("file:") else root
+    if not _os.path.exists(path):
+        return True
+    try:
+        entries = _os.listdir(path)
+    except OSError:
+        # can't confirm the store is empty -> not safely "missing"
+        return False
+    return all(e.startswith("_") for e in entries)
 
 
 def fold_consistent_read(

@@ -91,7 +91,7 @@ def clean_corpus_batch(
             is_missing_store_error,
         )
 
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, bands_root):
             # a transient error is not "first batch": skipping the index
             # probe would permanently keep cross-batch near-dups
             raise

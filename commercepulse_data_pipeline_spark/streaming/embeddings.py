@@ -67,7 +67,7 @@ def _read_or_create_planes(
         rows = spark.read.parquet(f"{store_dir}/index/planes").collect()
         return [list(r.plane) for r in sorted(rows, key=lambda r: r.plane_id)]
     except Exception as exc:  # noqa: BLE001 — filtered just below
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, f"{store_dir}/index/planes"):
             # re-seeding planes on a transient read error would bucket
             # this batch under a DIFFERENT hash family than the store
             raise
@@ -141,7 +141,7 @@ def dedup_embeddings_batch(
         idx = fold_consistent_read(spark, lists_root)
         have_index = True
     except Exception as exc:  # noqa: BLE001 — filtered just below
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, lists_root):
             # a transient error is not "first batch": skipping the index
             # probe would permanently keep cross-batch near-dups
             raise

@@ -102,7 +102,7 @@ def passage_dedup_batch(
             is_missing_store_error,
         )
 
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, fp_root):
             # a transient listing/schema error is NOT "first batch":
             # swallowing it would skip cross-batch dedup, land the batch
             # unspliced permanently, and still append its fingerprints.
@@ -297,7 +297,7 @@ def boilerplate_strip_batch(
             .agg(F.sum("n_docs").alias("__n_idx"))
         )
     except Exception as exc:  # noqa: BLE001 — filtered just below
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, fp_root):
             raise
         idx = None  # PATH_NOT_FOUND: genuinely the first batch
     if idx is not None:

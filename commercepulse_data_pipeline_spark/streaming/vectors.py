@@ -105,7 +105,7 @@ def ivfpq_codes_from_store(
             spark, f"{index_path}/codes_stream"
         ).drop("ingest_batch")
     except Exception as exc:  # noqa: BLE001 — filtered just below
-        if not is_missing_store_error(exc):
+        if not is_missing_store_error(exc, f"{index_path}/codes_stream"):
             # a transient error is not "no streaming partitions": serving
             # base-only would silently drop every streamed vector from
             # probe results (ADVICE r9)

@@ -556,3 +556,76 @@ def test_epoch_shuffle_permutation_and_reproducibility(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in e2} != {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_assign_splits_grouped_members_share_split(spark):
+    """assign_splits_grouped (r11): every member of a cluster lands in
+    the SAME split (the near-dup leakage-safety contract); docs outside
+    any cluster fall back to their own key as singleton groups and match
+    plain assign_splits on that key; the partition stays disjoint and
+    exhaustive over the whole corpus."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        assign_splits,
+        assign_splits_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..4} -> 0, {10, 11} -> 10; everything else singleton
+    membership = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = assign_splits_grouped(
+        docs, "doc_id", membership,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t-v1:",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200  # exhaustive, no dup rows from the join
+    assert len({rows[i]["split"] for i in range(5)}) == 1
+    assert rows[10]["split"] == rows[11]["split"]
+    assert rows[0]["split_key"] == "0" and rows[10]["split_key"] == "10"
+    # singletons replay plain per-row assignment on their own key
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t-v1:"
+        ).collect()
+    }
+    for i in range(20, 200):
+        assert rows[i]["split"] == plain[i], i
+    # a planted near-dup pair straddling splits under PLAIN assignment
+    # is pulled into one split by the grouped form — the leakage fix
+    straddlers = [
+        (a, b) for a in range(5) for b in range(5)
+        if a < b and plain[a] != plain[b]
+    ]
+    assert straddlers, "fixture should contain a straddling pair"
+
+
+def test_label_centroid_outliers_planted(spark):
+    """label_centroid_outliers (r11): the planted far-from-centroid
+    vector ranks first for its label; ranking is rounded-distance desc
+    with id tiebreak; top_n caps per label."""
+    from commercepulse_data_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    rows = []
+    # label 0: tight cloud at e1 + one far outlier at -e1 (vec_id 99)
+    for i in range(9):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], 0))
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], 0))
+    # label 1: two symmetric points — tie broken by id
+    rows.append((200, [0.0, 1.0, 0.0, 0.0], 1))
+    rows.append((201, [0.0, -1.0, 0.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = label_centroid_outliers(df, top_n=2)
+    got = {(r["label"], r["rank"]): r for r in out.collect()}
+    assert got[(0, 1)]["vec_id"] == 99
+    assert got[(0, 1)]["centroid_d2"] > got[(0, 2)]["centroid_d2"]
+    # symmetric pair: equal distance, id tiebreak
+    assert got[(1, 1)]["vec_id"] == 200 and got[(1, 2)]["vec_id"] == 201
+    assert got[(1, 1)]["centroid_d2"] == got[(1, 2)]["centroid_d2"]
+    assert out.groupBy("label").count().agg(F.max("count")).head()[0] <= 2

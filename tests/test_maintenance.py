@@ -560,6 +560,25 @@ def test_missing_store_error_classification(spark, tmp_path):
     assert is_missing_store_error(FileNotFoundError("x"))
     # a non-missing error must NOT be swallowed
     assert not is_missing_store_error(ValueError("boom"))
+    # with root= (ADVICE r10): a missing-classified error against a store
+    # that EXISTS WITH DATA is a compaction race, not "first batch" —
+    # the caller must retry, never skip cross-batch dedup
+    populated = tmp_path / "populated"
+    os.makedirs(populated)
+    (populated / "part-0.parquet").write_bytes(b"x")
+    assert not is_missing_store_error(FileNotFoundError("x"), str(populated))
+    # root genuinely absent -> still True
+    assert is_missing_store_error(FileNotFoundError("x"), str(tmp_path / "gone"))
+    # root exists but holds only marker files -> created-never-written,
+    # still "missing" (the UNABLE_TO_INFER_SCHEMA shape)
+    markers = tmp_path / "markers"
+    os.makedirs(markers)
+    (markers / "_SUCCESS").write_text("")
+    assert is_missing_store_error(FileNotFoundError("x"), str(markers))
+    # file:-prefixed roots are normalized before the FS probe
+    assert not is_missing_store_error(
+        FileNotFoundError("x"), f"file:{populated}"
+    )
     # non-file scheme raises loudly instead of degrading to a plain read
     with _pytest.raises(ValueError, match="local-filesystem-only"):
         fold_consistent_read(spark, "s3a://bucket/store")

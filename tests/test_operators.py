@@ -1669,3 +1669,71 @@ def test_broadcast_query_side_guard(spark):
     with pytest.raises(ValueError, match="knn_join_self"):
         sim.pq_knn_join(codes, df, books, k=2, max_queries=5)
     assert sim.pq_knn_join(codes, small, books, k=2, max_queries=5).count() > 0
+
+
+def _clustered_embeddings(spark, n_clusters=4, per=10, dim=16, noise=0.02):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        d = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in d))
+        d = [x / n for x in d]
+        for _ in range(per):
+            v = [x + rng.gauss(0, noise) for x in d]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_recommend_knob_frontier(spark, tmp_path):
+    """ivfpq_recommend encodes the SCALE.md knob order (VERDICT r10 item
+    6). On a CLUSTERED corpus whose true neighbors are cluster-mates,
+    nprobe=1 already probes the whole answer list -> it recommends the
+    smallest knobs (nprobe=1, refine=0) at recall 1.0. On an
+    UNSTRUCTURED corpus the nprobe=1 ceiling is ~1/n_lists, so the
+    recommendation must climb the nprobe axis; ceilings are
+    non-decreasing in nprobe (the rule's premise: nprobe sets the
+    ceiling, refine only approaches it)."""
+    import math
+    import random
+
+    # clusters of size k+1: the k true neighbors of any member are
+    # exactly its cluster-mates, order-free (set recall), so ADC
+    # quantization error inside the cluster cannot cost recall
+    e = _clustered_embeddings(spark, n_clusters=4, per=10)
+    idx = str(tmp_path / "ivfpq_clustered")
+    sim.write_ivfpq_index(e, idx, n_centroids=4, m=4, n_codes=8)
+    out = sim.ivfpq_recommend(
+        spark, idx, e, n_queries=8, recall_target=0.9, k=9,
+        nprobe_grid=(1, 2, 4), refine_grid=(0.0, 0.1),
+    )
+    assert out["target_met"] is True
+    assert out["recommended"]["nprobe"] == 1
+    assert out["recommended"]["refine"] == 0.0
+    assert out["recommended"]["recall"] == 1.0
+
+    rng = random.Random(13)
+    rows = []
+    for vid in range(160):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v]))
+    u = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx2 = str(tmp_path / "ivfpq_unstructured")
+    sim.write_ivfpq_index(u, idx2, n_centroids=4, m=4, n_codes=8)
+    out2 = sim.ivfpq_recommend(
+        spark, idx2, u, n_queries=8, recall_target=0.9, k=9,
+        nprobe_grid=(1, 2, 4), refine_grid=(0.0, 0.1),
+    )
+    assert out2["recommended"]["nprobe"] > 1
+    # ceilings non-decreasing along the nprobe axis, per truth metric
+    for refine in (0.0, 0.1):
+        ceils = [c["ceiling"] for c in out2["frontier"] if c["refine"] == refine]
+        assert ceils == sorted(ceils), ceils
+    # the nprobe=1 ceiling on unstructured data is far below the target
+    ceil1 = [c for c in out2["frontier"] if c["nprobe"] == 1][0]["ceiling"]
+    assert ceil1 < 0.9
