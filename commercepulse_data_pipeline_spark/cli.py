@@ -264,7 +264,15 @@ def cmd_clean_corpus(args) -> int:
             )
         )
     scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
-    exact = dd.exact_dedup(scrubbed, "text", "doc_id")
+    # Materialize the post-strip/scrub/dedup corpus ONCE: downstream it is
+    # consumed by the pair source, the quality scorer and the survivor
+    # anti-join (plus every final write), and without a lineage cut each
+    # consumer re-runs the whole splice+scrub+dedup chain — the r11
+    # end-to-end chain probe (SCALE.md) is what surfaced the recompute.
+    # localCheckpoint = executor-local storage, the same single-node
+    # posture as connected_components' default (pass a reliable
+    # checkpoint dir there for the preemptible-cluster variant).
+    exact = dd.exact_dedup(scrubbed, "text", "doc_id").localCheckpoint(eager=True)
 
     if args.pair_source == "semantic":
         # model-free SEMANTIC near-dup pairs: tfidf hashed vectors →
@@ -276,9 +284,18 @@ def cmd_clean_corpus(args) -> int:
             similarity as _sim,
         )
 
-        vecs = tx.hashed_doc_vectors(
-            exact, "text", "doc_id", dim=64, weighting="tfidf"
-        ).select(F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding"))
+        # one materialization: knn_join_self consumes its corpus three
+        # times (bucketing + both sides of the pair-score join), and the
+        # tfidf vector build is itself a multi-shuffle lineage — without
+        # the cut it runs three times inside the one pairs job (r11
+        # chain-probe finding, SCALE.md)
+        vecs = (
+            tx.hashed_doc_vectors(
+                exact, "text", "doc_id", dim=64, weighting="tfidf"
+            )
+            .select(F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
         # recall-oriented LSH knobs: paraphrase pairs sit near the
         # threshold (cos ~0.8 → ~0.8 per-bit agreement), where the
         # operator's default 8-planes/4-tables finds a pair with only

@@ -103,6 +103,9 @@ PROBE_QUERIES = [
     "docs_temperature_mixture",
     "docs_hashed_vectors",
     "docs_tfidf_vectors",
+    # round-11 additions
+    "docs_cluster_safe_split",
+    "embedding_label_outliers",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
