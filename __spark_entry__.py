@@ -3764,6 +3764,78 @@ def _cluster_safe_split_oracle_sql() -> str:
     """
 
 
+def q_docs_derepeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal (r11 — operators/text.py::
+    strip_intradoc_repeats): the acting complement to the Gopher
+    repetition SCORES (docs_repetition flags; this rewrites) — a window
+    repeating inside one doc keeps its first occurrence, later
+    occurrences splice out through the shared splice_covered_tokens
+    arithmetic. window_tokens=3 here (operator default is 8): the
+    synthetic docs are short, and 3-token windows give the oracle live
+    splice coverage (27 docs with repeats at sf0.01) instead of a
+    trivially-empty rewrite. The md5 of each rewritten text hash-checks
+    the whole splice."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tx.strip_intradoc_repeats(d, window_tokens=3, min_repeats=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_repeat_windows",
+        F.md5("text_derepeated").alias("derep_md5"),
+    )
+
+
+def _derepeated_oracle_sql() -> str:
+    """DuckDB twin of q_docs_derepeated: per-(doc, fp) window counts with
+    min-pos survivor, the same coverage-splice as the passage-dedup
+    oracle at window 3."""
+    w = 3
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(toks[i:i+{w - 1}], ' ')) AS fp
+            FROM t, unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS u(i)
+        ),
+        stats AS (
+            SELECT doc_id, fp, count(*) AS n_occ, min(pos) AS first_pos
+            FROM occ GROUP BY doc_id, fp
+        ),
+        dups AS (
+            SELECT o.doc_id, o.pos
+            FROM occ o JOIN stats s ON o.doc_id = s.doc_id AND o.fp = s.fp
+            WHERE s.n_occ >= 2 AND o.pos <> s.first_pos
+        ),
+        dup_lists AS (
+            SELECT doc_id, list_sort(list(DISTINCT pos)) AS dup_pos
+            FROM dups GROUP BY doc_id
+        ),
+        spliced AS (
+            SELECT t.doc_id, t.toks,
+                   coalesce(d.dup_pos, []) AS dp,
+                   list_filter(
+                       list_transform(
+                           range(1, len(t.toks) + 1),
+                           i -> CASE WHEN len(list_filter(
+                                         coalesce(d.dup_pos, []),
+                                         p -> p <= i - 1 AND i - 1 < p + {w}
+                                     )) = 0
+                                THEN t.toks[i] END
+                       ),
+                       x -> x IS NOT NULL
+                   ) AS kept
+            FROM t LEFT JOIN dup_lists d USING (doc_id)
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(toks) - len(kept) AS n_tokens_removed,
+               len(dp) AS n_repeat_windows,
+               md5(coalesce(array_to_string(kept, ' '), '')) AS derep_md5
+        FROM spliced
+    """
+
+
 def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding outlier mining (r11 — operators/similarity.py::
     label_centroid_outliers): the 3 vectors farthest (squared L2) from
@@ -3853,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r11
         "docs_cluster_safe_split": q_docs_cluster_safe_split,
         "embedding_label_outliers": q_embedding_label_outliers,
+        "docs_derepeated": q_docs_derepeated,
         # -- r9-green block: last driver rows r9 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r12 rotation
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5604,6 +5677,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_manifest": _split_manifest_oracle_sql(),
         "docs_cluster_safe_split": _cluster_safe_split_oracle_sql(),
         "embedding_label_outliers": _label_outliers_oracle_sql(),
+        "docs_derepeated": _derepeated_oracle_sql(),
         "corpus_summary": f"""
             WITH t AS (
                 SELECT doc_id, lang, n_chars, len({_TOKS}) AS tok FROM documents

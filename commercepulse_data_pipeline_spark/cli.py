@@ -263,6 +263,24 @@ def cmd_clean_corpus(args) -> int:
                 "n_boiler_windows",
             )
         )
+    if args.strip_repeats:
+        # WITHIN-doc repeated-span removal (loop artifacts, paragraphs
+        # duplicated down a page) BEFORE scrub/dedup: repeats inflate a
+        # doc's shingle mass, so de-repeating first keeps the pair
+        # stages honest the same way boilerplate stripping does
+        derep = tx.strip_intradoc_repeats(
+            docs,
+            window_tokens=args.passage_window,
+            min_repeats=args.min_repeats,
+        )
+        docs = (
+            derep.where(
+                F.col("n_tokens") - F.col("n_tokens_removed")
+                >= args.min_remaining_tokens
+            )
+            .withColumn("text", F.col("text_derepeated"))
+            .drop("text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows")
+        )
     scrubbed = tx.scrub(docs, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     # Materialize the post-strip/scrub/dedup corpus ONCE: downstream it is
     # consumed by the pair source, the quality scorer and the survivor
@@ -666,6 +684,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--strip-boilerplate", action="store_true", dest="strip_boilerplate",
                    help="per-source template removal before dedup (needs a "
                         "'source' column; window/min-docs from the passage flags)")
+    c.add_argument("--strip-repeats", action="store_true", dest="strip_repeats",
+                   help="within-document repeated-span removal before scrub/"
+                        "dedup (first occurrence survives; window from "
+                        "--passage-window, threshold from --min-repeats)")
+    c.add_argument("--min-repeats", type=int, default=2, dest="min_repeats",
+                   help="occurrences of a window within ONE doc before its "
+                        "later occurrences are spliced")
     c.add_argument("--dsir-target", default=None, dest="dsir_target",
                    help="parquet with a 'text' column: keep the --dsir-top-k docs "
                         "whose hashed-ngram DSIR log-ratio vs this target is highest")

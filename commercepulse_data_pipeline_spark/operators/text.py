@@ -487,6 +487,76 @@ def strip_boilerplate(
     )
 
 
+def strip_intradoc_repeats(
+    df: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal (r11) — the CORRECTION
+    complement to Gopher repetition SCORING (:func:`repetition_scores`
+    flags repetitive docs for dropping; this REWRITES them): when the
+    same ``window_tokens``-token window occurs ≥ ``min_repeats`` times
+    inside ONE document (looping generation artifacts, duplicated
+    paragraphs, nav chrome repeated down a page), the FIRST occurrence
+    (lowest position) survives and every later occurrence is spliced out
+    via the shared :func:`splice_covered_tokens` arithmetic. Distinct
+    from :func:`dedup_passages` (cross-doc duplication, one canonical
+    occurrence corpus-wide) and :func:`strip_boilerplate`
+    ((source, fp)-scoped templates, no survivor): the decision here is
+    purely doc-local.
+
+    Scale shape: the (doc, fp) occurrence agg shuffles only fingerprint
+    rows keyed by the document (text never travels through the fp side),
+    and because every decision is doc-local the whole operator is
+    embarrassingly parallel by document — pre-bucket the corpus by
+    ``doc_col`` and NO cross-partition state exists at any size.
+
+    Returns the input columns plus ``text_derepeated``, ``n_tokens``,
+    ``n_tokens_removed`` and ``n_repeat_windows``."""
+    w = window_tokens
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    fps = F.transform(
+        token_ngrams(F.col("__toks"), w), lambda g: F.md5(g)
+    )
+    occ = staged.select(F.col(doc_col).alias("__doc"), F.posexplode(fps)).select(
+        "__doc",
+        F.col("pos").cast("int").alias("__pos"),
+        F.col("col").alias("__fp"),
+    )
+    # one (doc, fp)-keyed agg decides both questions: does the window
+    # repeat within this doc, and which occurrence is first
+    stats = occ.groupBy("__doc", "__fp").agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min("__pos").alias("__first"),
+    )
+    dup_windows = (
+        occ.join(stats.where(F.col("__n_occ") >= min_repeats), ["__doc", "__fp"])
+        .where(F.col("__pos") != F.col("__first"))
+        .select("__doc", "__pos")
+    )
+    dup_lists = dup_windows.groupBy("__doc").agg(
+        F.array_sort(F.collect_set("__pos")).alias("__dup_pos")
+    )
+    joined = staged.join(
+        dup_lists, staged[doc_col] == dup_lists["__doc"], "left"
+    ).drop("__doc")
+    dup_pos = F.coalesce(F.col("__dup_pos"), F.array().cast("array<int>"))
+    out = joined.withColumn(
+        "__spliced",
+        let(dup_pos, lambda dp: splice_covered_tokens(F.col("__toks"), dp, w)),
+    )
+    return out.select(
+        *df.columns,
+        F.col("__spliced.kept_text").alias("text_derepeated"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.col("__spliced.n_kept")).alias("n_tokens_removed"),
+        F.size(dup_pos).alias("n_repeat_windows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + in-document repetition removal (extension tier: the
 # cleaning passes a training corpus runs before tokenization)

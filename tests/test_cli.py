@@ -446,3 +446,35 @@ def test_clean_corpus_semantic_pair_source(spark, tmp_path):
             spark.read.parquet(str(tmp_path / "out/corpus")).collect()}
     assert len(kept & {1, 2}) == 1   # paraphrase pair -> one survivor
     assert 3 in kept
+
+
+def test_clean_corpus_strip_repeats_stage(spark, tmp_path):
+    """--strip-repeats splices within-document repeated spans (first
+    occurrence survives) before scrub/dedup; distinct docs sharing a
+    span once each are untouched by this stage."""
+    from commercepulse_data_pipeline_spark import cli
+
+    loop = "buy now limited offer"  # 4-token span, repeated in doc 1
+    rows = [
+        (1, f"unique article text here {loop} middle words {loop} tail words"),
+        (2, "another entirely different document about something else ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--strip-repeats",
+        "--passage-window", "4",
+    ])
+    assert rc == 0
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()
+    }
+    assert out[1].count("buy now limited offer") == 1
+    assert out[1].startswith("unique article text here buy now limited offer")
+    assert "middle words" in out[1] and out[1].endswith("tail words")
+    assert out[2] == rows[1][1]

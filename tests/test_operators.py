@@ -1737,3 +1737,33 @@ def test_ivfpq_recommend_knob_frontier(spark, tmp_path):
     # the nprobe=1 ceiling on unstructured data is far below the target
     ceil1 = [c for c in out2["frontier"] if c["nprobe"] == 1][0]["ceiling"]
     assert ceil1 < 0.9
+
+
+def test_strip_intradoc_repeats_planted(spark):
+    """strip_intradoc_repeats (r11): a window repeating WITHIN one doc
+    keeps its first occurrence and splices the later ones; the same
+    window appearing once each in two different docs is untouched (the
+    decision is doc-local — that cross-doc case is dedup_passages'
+    job); overlapping repeat coverage removes each token once."""
+    import commercepulse_data_pipeline_spark.operators.text as tx
+
+    rows = [
+        # doc 1: 3-token span "a b c" repeats (positions 0 and 5)
+        (1, "a b c x y a b c tail1 tail2"),
+        # docs 2+3 share "p q r" once each — cross-doc only, untouched
+        (2, "p q r mid2a mid2b"),
+        (3, "p q r mid3a mid3b"),
+        # doc 4: degenerate loop "w w w w w w" — windows 0..3 identical;
+        # first survives, coverage of 1..3 removes tokens 1..5
+        (4, "w w w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.strip_intradoc_repeats(df, window_tokens=3, min_repeats=2).collect()}
+    assert out[1]["text_derepeated"] == "a b c x y tail1 tail2"
+    assert out[1]["n_tokens_removed"] == 3 and out[1]["n_repeat_windows"] == 1
+    for d in (2, 3):
+        assert out[d]["n_tokens_removed"] == 0, d
+        assert out[d]["text_derepeated"] == rows[d - 1][1]
+    assert out[4]["text_derepeated"] == "w"
+    assert out[4]["n_tokens_removed"] == 5 and out[4]["n_repeat_windows"] == 3

@@ -519,3 +519,63 @@ def test_temperature_mixture_plan_broadcasts_group_plan(spark):
     # every hashpartitioning exchange in the plan belongs to the tiny
     # count/plan side, never keyed by doc_id
     assert "hashpartitioning(doc_id" not in final, plan
+
+
+def test_label_centroid_outliers_plan_shape(spark):
+    """label_centroid_outliers plan guarantees (r11): the labels×dim
+    centroid table reaches the scoring scan as a BROADCAST hash join
+    (the corpus never shuffles on label for its own scoring), and the
+    per-label rank window gets a map-side WindowGroupLimit Partial —
+    the exchange carries at most top_n rows per (partition, label),
+    never the scored corpus."""
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 3.0], i % 3) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = label_centroid_outliers(df, top_n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "SortMergeJoin" not in final, plan
+    pre_exchange = final[final.index("Exchange"):]
+    assert "WindowGroupLimit" in pre_exchange, plan
+    assert ", Partial" in pre_exchange, plan
+
+
+def test_assign_splits_grouped_no_extra_shuffle(spark):
+    """assign_splits_grouped plan guarantees (r11): beyond the one
+    sanctioned membership equi-join, the split assignment itself is a
+    pure projection — no added Exchange, no window, no aggregation; and
+    the bucket CASE runs post-join (split_key is join-derived, so it
+    cannot be computed earlier)."""
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        assign_splits_grouped,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    m = spark.createDataFrame([(i, 0) for i in range(5)], "doc_id long, cluster_id long")
+    out = assign_splits_grouped(
+        docs, "doc_id", m, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="t:"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly ONE join and zero aggregates/windows: the bucket CASE is a
+    # pure projection over the join output, so the only exchanges in the
+    # whole plan are the join's own input requirements (≤2; AQE may
+    # replace them with a broadcast at runtime — membership size is the
+    # caller's data, so the static plan can't promise which)
+    assert "HashAggregate" not in final, plan
+    assert "Window" not in final, plan
+    import re as _re
+
+    joins = _re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", final)
+    assert len(joins) == 1, plan
+    assert final.count("Exchange hashpartitioning") <= 2, plan

@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     # round-11 additions
     "docs_cluster_safe_split",
     "embedding_label_outliers",
+    "docs_derepeated",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
