@@ -47,13 +47,31 @@ def clean_corpus_batch(
     *,
     params: dict | None = None,
     max_bucket: int = 1000,
+    strip_repeats: bool = False,
+    repeat_window: int = 8,
+    min_repeats: int = 2,
 ) -> None:
-    """Process one micro-batch of (doc_id, text, ...) rows: scrub,
-    exact-dedup, near-dup-filter against the accumulated index, append
-    survivors + their bands under this batch's own directory."""
+    """Process one micro-batch of (doc_id, text, ...) rows: optional
+    within-doc repeated-span removal, scrub, exact-dedup, near-dup-filter
+    against the accumulated index, append survivors + their bands under
+    this batch's own directory.
+
+    ``strip_repeats`` is the streaming twin of the CLI's
+    ``--strip-repeats`` and is EXACTLY batch-equivalent with no
+    cross-batch store at all: the repeat decision is doc-local
+    (operators/text.py::strip_intradoc_repeats), so the batch boundary
+    cannot change the result — unlike the passage/boilerplate twins,
+    which need fingerprint stores for their cross-doc counts."""
     p = dict(DEFAULT_PARAMS, **(params or {}))
     spark = batch_df.sparkSession
 
+    if strip_repeats:
+        derep = tx.strip_intradoc_repeats(
+            batch_df, window_tokens=repeat_window, min_repeats=min_repeats
+        )
+        batch_df = derep.withColumn("text", F.col("text_derepeated")).drop(
+            "text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows"
+        )
     scrubbed = (
         tx.scrub(batch_df, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     )
@@ -152,6 +170,9 @@ def stream_clean_corpus(
     max_bucket: int = 1000,
     max_files_per_trigger: int = 10,
     trigger_once: bool = True,
+    strip_repeats: bool = False,
+    repeat_window: int = 8,
+    min_repeats: int = 2,
 ):
     """Tail a directory of document parquet drops and maintain a cleaned,
     near-dup-free corpus continuously. Returns the started query."""
@@ -163,7 +184,9 @@ def stream_clean_corpus(
 
     def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         clean_corpus_batch(
-            batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket
+            batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket,
+            strip_repeats=strip_repeats, repeat_window=repeat_window,
+            min_repeats=min_repeats,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

@@ -1705,3 +1705,65 @@ def test_streaming_modelfree_neardup_via_hashed_vectors(spark, tmp_path):
             for r in spark.read.parquet(f"{store}/vectors").collect()}
     assert 1 in kept and 2 in kept and 4 in kept
     assert 3 not in kept  # cross-batch near-dup dropped by the index
+
+
+def test_stream_clean_corpus_strip_repeats(spark, tmp_path):
+    """strip_repeats streaming twin (r11): within-doc repeated spans are
+    spliced per batch BEFORE scrub/dedup — exactly batch-equivalent by
+    construction (the decision is doc-local, no cross-batch store), and
+    the de-repeated text is what lands in the corpus and drives the
+    near-dup banding."""
+    import os
+    import time
+
+    from commercepulse_data_pipeline_spark.streaming.corpus import (
+        stream_clean_corpus,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loop = "call now and subscribe"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    f1 = str(drops / "b1.parquet")
+    f2 = str(drops / "b2.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": [f"real content starts here {loop} more words {loop} end bits"]}),
+        f1,
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([2], type=pa.int64()),
+                  "text": ["clean second batch doc with nothing repeated at all"]}),
+        f2,
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    store = str(tmp_path / "store")
+    q = stream_clean_corpus(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, max_bucket=100000,
+        strip_repeats=True, repeat_window=4,
+    )
+    q.awaitTermination(120)
+
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert set(corpus) == {1, 2}
+    assert corpus[1].count(loop) == 1              # later occurrence spliced
+    assert corpus[1].startswith(f"real content starts here {loop}")
+    assert corpus[1].endswith("end bits")
+    # batch-equivalence: the batch operator on the same rows produces
+    # the identical rewrite (doc-local decision, no cross-batch state)
+    import commercepulse_data_pipeline_spark.operators.text as tx
+
+    batch = spark.createDataFrame(
+        [(1, f"real content starts here {loop} more words {loop} end bits")],
+        "doc_id long, text string",
+    )
+    twin = tx.strip_intradoc_repeats(batch, window_tokens=4).head()
+    # the streaming path scrubs after stripping; this fixture has no PII,
+    # so the texts compare verbatim
+    assert corpus[1] == twin["text_derepeated"]
