@@ -1752,9 +1752,14 @@ def _ann_index_cache(sf_dir: str, kind: str, params: str, build_fn) -> str:
     builders (bench + driver) cannot interleave writes; the loser's
     finished build just replaces an identical one. A failed build removes
     its partial dir (try/finally), and stale ``*.build.*`` leftovers from
-    crashed processes are swept on entry once they are >30 min old — old
-    enough that no live builder (builds take seconds) still owns them
-    (ADVICE r10). Repeat calls — the bench's timed sweeps, notably —
+    crashed processes are swept on entry by liveness of the pid baked
+    into the dir name (ADVICE r10) — NOT by mtime: a directory's mtime
+    only moves when direct children are created, so a long build writing
+    deep inside ``codes/`` looks idle and an mtime cutoff would delete a
+    LIVE build out from under its owner (r11 review finding). The cache
+    is /tmp-local, so the pid namespace is the right scope; pid reuse is
+    guarded by a 24h age backstop. Repeat calls — the bench's timed
+    sweeps, notably —
     measure SERVING latency, which is what an index exists to amortize
     toward; the first call (and the driver's single correctness run)
     still pays the build. Returns the index path."""
@@ -1781,9 +1786,18 @@ def _ann_index_cache(sf_dir: str, kind: str, params: str, build_fn) -> str:
         return path
     _os.makedirs(root_dir, exist_ok=True)
     for entry in _os.listdir(root_dir):
+        if ".build." not in entry:
+            continue
         d = _os.path.join(root_dir, entry)
         try:
-            stale = ".build." in entry and _time.time() - _os.path.getmtime(d) > 1800
+            owner = int(entry.rsplit(".build.", 1)[1])
+            _os.kill(owner, 0)  # raises if the builder is gone
+            # owner alive: only reap if implausibly old (pid-reuse guard)
+            stale = _time.time() - _os.path.getmtime(d) > 86400
+        except (ValueError, ProcessLookupError):
+            stale = True  # unparsable tag or dead builder: crashed leftover
+        except PermissionError:
+            stale = False  # pid exists under another uid — leave it
         except OSError:
             continue  # a concurrent sweep already removed it
         if stale:

@@ -1480,10 +1480,28 @@ def ivfpq_recommend(
         for rank, (cid, cvec) in enumerate(byd, start=1):
             q_res = [float(a) - b for a, b in zip(qv, cvec)]
             lut_rows.append((qid, cid, rank, _pq_lut(books, q_res)))
+    # schema carries the CALLER's id type for query_id (r11 review: a
+    # hardcoded 'long' broke string-keyed corpora despite the generic
+    # id_col contract everywhere else in this module)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = queries.select(F.col(id_col)).schema[0].dataType
     lut_df = spark.createDataFrame(
         lut_rows,
-        "query_id long, centroid_id int, probe_rank int, "
-        "lut array<array<double>>",
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField("centroid_id", IntegerType()),
+                StructField("probe_rank", IntegerType()),
+                StructField("lut", ArrayType(ArrayType(DoubleType()))),
+            ]
+        ),
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(mm - 1)),
@@ -1547,17 +1565,28 @@ def ivfpq_recommend(
         return round(float(row[0]), 4)
 
     # recall CEILING per (nprobe, truth): the fraction of true neighbors
-    # whose list is probed at all — no refine width can recover the rest
-    def _ceiling(nprobe: int, truth: DataFrame) -> float:
+    # whose list is probed at all — no refine width can recover the rest.
+    # Computed ONCE per (nprobe, metric) and the truth counts once per
+    # metric (r11 review: recomputing per refine cell tripled the
+    # ceiling jobs for identical answers).
+    n_true_cos, n_true_l2 = truth_cos.count(), truth_l2.count()
+
+    def _ceiling(nprobe: int, truth: DataFrame, n_true: int) -> float:
         reach = scored.where(F.col("probe_rank") <= nprobe).select(
             "query_id", "neighbor_id"
         )
         hit = truth.join(reach, ["query_id", "neighbor_id"], "left_semi")
-        n_true = truth.count()
         return round(hit.count() / n_true, 4) if n_true else 0.0
 
+    qvec_df = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("__rq"), F.col(vec_col).alias("__rqvec")
+        )
+    )
     frontier: list[dict] = []
     for nprobe in nprobe_grid:
+        ceil_cos = _ceiling(nprobe, truth_cos, n_true_cos)
+        ceil_l2 = _ceiling(nprobe, truth_l2, n_true_l2)
         cands = scored.where(F.col("probe_rank") <= nprobe)
         w_adc = Window.partitionBy("query_id").orderBy(
             F.col("adc_d2").asc(), F.col("neighbor_id").asc()
@@ -1568,12 +1597,6 @@ def ivfpq_recommend(
             if width:
                 shortlist = ranked.where(F.col("rank") <= width).select(
                     "query_id", "neighbor_id"
-                )
-                qvec_df = F.broadcast(
-                    queries.select(
-                        F.col(id_col).alias("__rq"),
-                        F.col(vec_col).alias("__rqvec"),
-                    )
                 )
                 rescored = (
                     shortlist.join(
@@ -1594,10 +1617,10 @@ def ivfpq_recommend(
                     rescored.withColumn("rank", F.row_number().over(w_cos))
                     .where(F.col("rank") <= k)
                 )
-                rec, ceil_ = _mean_recall(approx, truth_cos), _ceiling(nprobe, truth_cos)
+                rec, ceil_ = _mean_recall(approx, truth_cos), ceil_cos
             else:
                 approx = ranked.where(F.col("rank") <= k)
-                rec, ceil_ = _mean_recall(approx, truth_l2), _ceiling(nprobe, truth_l2)
+                rec, ceil_ = _mean_recall(approx, truth_l2), ceil_l2
             frontier.append(
                 {"nprobe": nprobe, "refine": float(refine),
                  "recall": rec, "ceiling": ceil_}

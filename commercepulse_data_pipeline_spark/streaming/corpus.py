@@ -50,6 +50,7 @@ def clean_corpus_batch(
     strip_repeats: bool = False,
     repeat_window: int = 8,
     min_repeats: int = 2,
+    min_remaining_tokens: int = 1,
 ) -> None:
     """Process one micro-batch of (doc_id, text, ...) rows: optional
     within-doc repeated-span removal, scrub, exact-dedup, near-dup-filter
@@ -61,7 +62,10 @@ def clean_corpus_batch(
     cross-batch store at all: the repeat decision is doc-local
     (operators/text.py::strip_intradoc_repeats), so the batch boundary
     cannot change the result — unlike the passage/boilerplate twins,
-    which need fingerprint stores for their cross-doc counts."""
+    which need fingerprint stores for their cross-doc counts.
+    ``min_remaining_tokens`` mirrors the CLI's --min-remaining-tokens
+    hollowed-doc drop (r11 review: without the knob the two deployments'
+    corpora silently diverged whenever the batch run used a threshold)."""
     p = dict(DEFAULT_PARAMS, **(params or {}))
     spark = batch_df.sparkSession
 
@@ -69,8 +73,13 @@ def clean_corpus_batch(
         derep = tx.strip_intradoc_repeats(
             batch_df, window_tokens=repeat_window, min_repeats=min_repeats
         )
-        batch_df = derep.withColumn("text", F.col("text_derepeated")).drop(
-            "text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows"
+        batch_df = (
+            derep.where(
+                F.col("n_tokens") - F.col("n_tokens_removed")
+                >= min_remaining_tokens
+            )
+            .withColumn("text", F.col("text_derepeated"))
+            .drop("text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows")
         )
     scrubbed = (
         tx.scrub(batch_df, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
@@ -173,6 +182,7 @@ def stream_clean_corpus(
     strip_repeats: bool = False,
     repeat_window: int = 8,
     min_repeats: int = 2,
+    min_remaining_tokens: int = 1,
 ):
     """Tail a directory of document parquet drops and maintain a cleaned,
     near-dup-free corpus continuously. Returns the started query."""
@@ -186,7 +196,7 @@ def stream_clean_corpus(
         clean_corpus_batch(
             batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket,
             strip_repeats=strip_repeats, repeat_window=repeat_window,
-            min_repeats=min_repeats,
+            min_repeats=min_repeats, min_remaining_tokens=min_remaining_tokens,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

@@ -101,12 +101,17 @@ def test_ann_index_cache_cleans_failed_builds_and_respects_version(tmp_path, mon
     and bumping _ANN_CACHE_VERSION yields a different key so an index
     written by an older code revision is never silently served."""
     import os
+    import uuid
 
     src = str(tmp_path / "corpus")
     os.makedirs(f"{src}/embeddings.parquet", exist_ok=True)
     with open(f"{src}/embeddings.parquet/part-0.parquet", "wb") as fh:
         fh.write(b"x" * 16)
 
+    # unique kind per invocation: the cache root is the REAL shared
+    # /tmp/cp_ann_cache, so a fixed name would collide with leftovers
+    # from a crashed/concurrent run and flake (r11 review)
+    kind = f"t{uuid.uuid4().hex[:8]}"
     calls = []
 
     def failing(dest):
@@ -124,23 +129,37 @@ def test_ann_index_cache_cleans_failed_builds_and_respects_version(tmp_path, mon
         import pytest
 
         with pytest.raises(RuntimeError):
-            E._ann_index_cache(src, "t", "p1", failing)
+            E._ann_index_cache(src, kind, "p1", failing)
         root = "/tmp/cp_ann_cache"
-        leftovers = [e for e in os.listdir(root) if "t_p1" in e]
+        leftovers = [e for e in os.listdir(root) if f"{kind}_p1" in e]
         assert leftovers == [], leftovers  # failed build fully cleaned
-        path = E._ann_index_cache(src, "t", "p1", ok)
+        path = E._ann_index_cache(src, kind, "p1", ok)
         assert os.path.exists(f"{path}/_BUILT") and os.path.exists(f"{path}/payload")
         assert len(calls) == 2  # the failure did not poison the key
         # cached: a third call must not rebuild
-        assert E._ann_index_cache(src, "t", "p1", ok) == path
+        assert E._ann_index_cache(src, kind, "p1", ok) == path
         assert len(calls) == 2
         # version bump -> new key (stale-layout index never served)
         monkeypatch.setattr(E, "_ANN_CACHE_VERSION", "v999")
-        path2 = E._ann_index_cache(src, "t", "p1", ok)
+        path2 = E._ann_index_cache(src, kind, "p1", ok)
         assert path2 != path and len(calls) == 3
+        # stale-build sweep is PID-liveness based (r11 review: an mtime
+        # cutoff deletes a live long build whose writes land deep inside
+        # the dir): a dir tagged with a dead pid is reaped on the next
+        # entry; one tagged with THIS live process survives
+        root = "/tmp/cp_ann_cache"
+        dead = os.path.join(root, f"{kind}_p1_x.build.999999999")
+        live = os.path.join(root, f"{kind}_p1_y.build.{os.getpid()}")
+        os.makedirs(dead)
+        os.makedirs(live)
+        # the sweep runs on cache MISS only (hits return before it), so
+        # trigger it with a params string not yet built
+        E._ann_index_cache(src, kind, "p2", ok)
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
     finally:
         import shutil
 
         for e in os.listdir("/tmp/cp_ann_cache"):
-            if "t_p1" in e:
+            if f"{kind}_p1" in e:
                 shutil.rmtree(os.path.join("/tmp/cp_ann_cache", e), ignore_errors=True)
