@@ -3778,6 +3778,87 @@ def _cluster_safe_split_oracle_sql() -> str:
     """
 
 
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source crawl-novelty report (r11): for an ARRIVING batch
+    (every 10th doc, the minhash_incremental split), how much of it is
+    near-duplicate of the already-indexed corpus — the dashboard number
+    a continuous-crawl pipeline watches to decide whether a source is
+    still yielding new data ("dedup rate" in the Common-Crawl-curation
+    sense), plus the genuinely novel token mass the batch contributes.
+    Composition of the incremental-dedup primitives: index side banded
+    once (operators/dedup.py::minhash_bands), arriving side probed via
+    minhash_pairs_between (O(batch) against the persisted-index shape),
+    then one groupBy(source). The oracle replays the banding join and
+    the per-source aggregate."""
+    d = _docs(spark, sf_dir)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    idx_bands = dd.minhash_bands(
+        old, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    )
+    pairs = dd.minhash_pairs_between(
+        new, idx_bands, "text", "doc_id",
+        num_hashes=8, bands=4, shingle_n=3, max_bucket=100000,
+    )
+    dup_ids = (
+        pairs.selectExpr("id_a AS doc_id")
+        .union(pairs.selectExpr("id_b AS doc_id"))
+        .join(new.select("doc_id"), "doc_id", "left_semi")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flagged = new.join(dup_ids, "doc_id", "left").withColumn(
+        "__tok",
+        F.when(
+            F.col("text").isNotNull(), F.size(tx.tokens(F.col("text")))
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arriving"),
+        F.sum(F.when(F.col("__dup") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_vs_index"),
+        F.round(
+            F.sum(F.when(F.col("__dup") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.sum(F.when(F.col("__dup").isNull(), F.col("__tok")).otherwise(0))
+        .cast("long")
+        .alias("novel_tokens"),
+    )
+
+
+def _corpus_novelty_oracle_sql() -> str:
+    """DuckDB twin of q_corpus_novelty: the shared banding CTE, the
+    old×new band-collision join (the minhash_incremental replay), a
+    left join marking arriving dups, one per-source aggregate."""
+    return f"""
+        WITH {_MINHASH_PAIRS_CTE},
+        dups AS (
+            SELECT DISTINCT n.doc_id
+            FROM bands o
+            JOIN bands n
+              ON o.band_id = n.band_id AND o.band_key = n.band_key
+            WHERE o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+        ),
+        arriving AS (
+            SELECT d.doc_id, d.source,
+                   coalesce(len({_TOKS}), 0) AS n_tok,
+                   CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM documents d LEFT JOIN dups dup USING (doc_id)
+            WHERE d.doc_id % 10 = 0
+        )
+        SELECT source,
+               count(*) AS n_arriving,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_vs_index,
+               round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               CAST(sum(CASE WHEN is_dup = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS novel_tokens
+        FROM arriving GROUP BY source
+    """
+
+
 def q_docs_derepeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-span removal (r11 — operators/text.py::
     strip_intradoc_repeats): the acting complement to the Gopher
@@ -3940,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_safe_split": q_docs_cluster_safe_split,
         "embedding_label_outliers": q_embedding_label_outliers,
         "docs_derepeated": q_docs_derepeated,
+        "corpus_novelty": q_corpus_novelty,
         # -- r9-green block: last driver rows r9 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r12 rotation
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5692,6 +5774,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cluster_safe_split": _cluster_safe_split_oracle_sql(),
         "embedding_label_outliers": _label_outliers_oracle_sql(),
         "docs_derepeated": _derepeated_oracle_sql(),
+        "corpus_novelty": _corpus_novelty_oracle_sql(),
         "corpus_summary": f"""
             WITH t AS (
                 SELECT doc_id, lang, n_chars, len({_TOKS}) AS tok FROM documents

@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "docs_cluster_safe_split",
     "embedding_label_outliers",
     "docs_derepeated",
+    "corpus_novelty",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
