@@ -2139,6 +2139,42 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
+    simhash_pairs_between, the simhash sibling of minhash_incremental):
+    every 10th doc plays the NEW ingest batch; the rest is the indexed
+    corpus, whose entire index state is just (id, sig) — 8 bytes/doc.
+    The batch's pigeonhole block keys broadcast as a semi-join filter, so
+    per-ingest cost is O(batch) + a pruned index scan, never a corpus
+    re-sign. Pigeonhole (threshold < blocks) makes the output exactly
+    the cross-split hamming<=threshold pairs, so the oracle replays
+    signatures on both splits and joins them."""
+    d = _docs(spark, sf_dir)
+    new = d.where(F.col("doc_id") % 10 == 0)
+    old = d.where(F.col("doc_id") % 10 != 0)
+    index_sigs = dd.simhash_table(old, "text", "doc_id")
+    out = dd.simhash_pairs_between(
+        new, index_sigs, "text", "doc_id",
+        hamming_threshold=6, max_bucket=100000,
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_incremental_oracle_sql(hamming_threshold: int = 6) -> str:
+    """DuckDB twin of q_simhash_incremental: the shared signature replay,
+    then the old-split × new-split hamming join (pigeonhole makes the
+    block-LSH output equal to the all-cross-pairs filter)."""
+    return f"""
+        WITH {_simhash_sigs_cte()}
+        SELECT least(o.doc_id, n.doc_id) AS id_a,
+               greatest(o.doc_id, n.doc_id) AS id_b,
+               CAST(bit_count(xor(o.sig, n.sig)) AS BIGINT) AS hamming
+        FROM sigs o JOIN sigs n
+          ON o.doc_id % 10 <> 0 AND n.doc_id % 10 = 0
+        WHERE bit_count(xor(o.sig, n.sig)) <= {hamming_threshold}
+    """
+
+
 def q_docs_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic. Oracle-checked: argmax via
     array_max(struct(score, lang)) ties deterministically on the
@@ -4022,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_outliers": q_embedding_label_outliers,
         "docs_derepeated": q_docs_derepeated,
         "corpus_novelty": q_corpus_novelty,
+        "simhash_incremental": q_simhash_incremental,
         # -- r9-green block: last driver rows r9 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r12 rotation
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4382,19 +4419,38 @@ def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
     sig_terms.append("(CASE WHEN 2 * b63 > n THEN (-9223372036854775807 - 1) ELSE 0 END)")
     sig = " + ".join(sig_terms)
     return f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        WITH {_simhash_sigs_cte()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
+    """
+
+
+def _simhash_sigs_cte() -> str:
+    """Shared CTE body replaying simhash_table over the documents table
+    (md5-derived signed 64-bit shingle hashes, per-bit majority vote) —
+    defines ``sigs(doc_id, sig)`` for both the self-pairs oracle
+    (simhash_pairs) and the incremental between-split oracle
+    (simhash_incremental)."""
+    nib = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    terms = [f"(CASE WHEN {nib.format(pos=1)} >= 8 THEN {nib.format(pos=1)} - 16 ELSE {nib.format(pos=1)} END) * {16**15}"]
+    terms += [f"{nib.format(pos=j + 1)} * {16 ** (15 - j)}" for j in range(1, 16)]
+    v64 = " + ".join(terms)
+    bit_sums = ",\n                   ".join(
+        f"sum(CAST((v >> {i}) & 1 AS BIGINT)) AS b{i}" for i in range(64)
+    )
+    sig_terms = [f"(CASE WHEN 2 * b{i} > n THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(63)]
+    sig_terms.append("(CASE WHEN 2 * b63 > n THEN (-9223372036854775807 - 1) ELSE 0 END)")
+    sig = " + ".join(sig_terms)
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         sh AS (SELECT doc_id, unnest({_SHINGLES2}) AS s FROM toks),
         hx AS (SELECT doc_id, md5(s) AS h FROM sh),
         hv AS (SELECT doc_id, {v64} AS v FROM hx),
         bits AS (SELECT doc_id, count(*) AS n,
                    {bit_sums}
                  FROM hv GROUP BY doc_id),
-        sigs AS (SELECT doc_id, {sig} AS sig FROM bits WHERE n > 0)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
-    """
+        sigs AS (SELECT doc_id, {sig} AS sig FROM bits WHERE n > 0)"""
 
 
 def _bloom_oracle_sql(m_bits: int = 4096, k: int = 4) -> str:
@@ -5775,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_outliers": _label_outliers_oracle_sql(),
         "docs_derepeated": _derepeated_oracle_sql(),
         "corpus_novelty": _corpus_novelty_oracle_sql(),
+        "simhash_incremental": _simhash_incremental_oracle_sql(hamming_threshold=6),
         "corpus_summary": f"""
             WITH t AS (
                 SELECT doc_id, lang, n_chars, len({_TOKS}) AS tok FROM documents

@@ -636,6 +636,26 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
     return _simhash_from_hashes(hashes, F.size(shingles), bits)
 
 
+def _sig_blocks(
+    sigs: DataFrame, id_col: str, blocks: int, width: int
+) -> DataFrame:
+    """Explode a (id, sig) table into pigeonhole block keys: one row per
+    (id, block_id, block_val), sig carried along for the exact-verify
+    step. Shared by the self-pair and incremental simhash forms."""
+    blocks_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftrightunsigned(F.col("sig"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("block_val"),
+        )
+        for i in range(blocks)
+    ])
+    return sigs.select(
+        id_col, "sig", F.explode_outer(blocks_arr).alias("b")
+    ).select(id_col, "sig", "b.block_id", "b.block_val")
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -664,16 +684,7 @@ def simhash_candidate_pairs(
         blocks = min(64, hamming_threshold + 1)
     sh = simhash_table(df, text_col, id_col).where(F.col("sig").isNotNull())
     width = max(1, 64 // blocks)
-    blocks_arr = F.array(*[
-        F.struct(
-            F.lit(i).alias("block_id"),
-            F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("block_val"),
-        )
-        for i in range(blocks)
-    ])
-    exploded = sh.select(id_col, "sig", F.explode_outer(blocks_arr).alias("b")).select(
-        id_col, "sig", "b.block_id", "b.block_val"
-    )
+    exploded = _sig_blocks(sh, id_col, blocks, width)
     # Posting-list candidate generation (same shape as minhash_candidate_pairs):
     # one shuffle on the block key, singleton buckets pruned, pairs built
     # in-array. Each item carries its signature for the exact-verify step.
@@ -699,6 +710,73 @@ def simhash_candidate_pairs(
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_between(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    hamming_threshold: int = 3,
+    blocks: int | None = None,
+    max_bucket: int = 1000,
+    new_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs between a NEW batch and an existing
+    signature table — the simhash sibling of :func:`minhash_pairs_between`
+    (r11): per-ingest work is O(new batch) + one pruned scan of the
+    index, instead of re-signing the whole corpus per arrival. The index
+    side is just (id, sig) rows — 8 bytes per doc, the cheapest near-dup
+    index there is.
+
+    Scale shape mirrors the minhash form: the new batch's block keys
+    BROADCAST as a semi-join filter, so the only index rows that shuffle
+    are those whose pigeonhole block the batch actually probes; probed
+    keys are width-capped (``max_bucket``) before the pair join; the
+    exact Hamming verify runs on the joined (sig, sig) pair — pigeonhole
+    (threshold < blocks) keeps the output exactly "all cross pairs with
+    hamming <= threshold", engine-independent given the signatures.
+
+    ``new_sigs``: pass a precomputed ``simhash_table`` for the batch when
+    the caller reuses it (consumed twice here: probe keys + pair join).
+    Returns distinct (id_a < id_b, hamming); ids shared between batch
+    and index (re-ingest) never pair with themselves."""
+    if blocks is None:
+        blocks = min(64, hamming_threshold + 1)
+    width = max(1, 64 // blocks)
+    if new_sigs is None:
+        new_sigs = simhash_table(new_df, text_col, id_col).where(
+            F.col("sig").isNotNull()
+        )
+    nb = _sig_blocks(
+        new_sigs.select(F.col(id_col).alias("__new_id"), "sig"), "__new_id",
+        blocks, width,
+    ).withColumnRenamed("sig", "__sig_new")
+    ib = _sig_blocks(
+        index_sigs.select(F.col(id_col).alias("__old_id"), "sig"), "__old_id",
+        blocks, width,
+    ).withColumnRenamed("sig", "__sig_old")
+    probe_keys = F.broadcast(nb.select("block_id", "block_val").distinct())
+    matched = ib.join(probe_keys, ["block_id", "block_val"], "left_semi")
+    w = Window.partitionBy("block_id", "block_val")
+    matched = (
+        matched.withColumn("__key_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__key_n") <= max_bucket)
+        .drop("__key_n")
+    )
+    hamming = F.bit_count(F.col("__sig_old").bitwiseXOR(F.col("__sig_new")))
+    return (
+        matched.join(F.broadcast(nb), ["block_id", "block_val"])
+        .where(F.col("__old_id") != F.col("__new_id"))
+        .select(
+            F.least("__old_id", "__new_id").alias("id_a"),
+            F.greatest("__old_id", "__new_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+        .distinct()
     )
 
 

@@ -1767,3 +1767,42 @@ def test_strip_intradoc_repeats_planted(spark):
         assert out[d]["text_derepeated"] == rows[d - 1][1]
     assert out[4]["text_derepeated"] == "w"
     assert out[4]["n_tokens_removed"] == 5 and out[4]["n_repeat_windows"] == 3
+
+
+def test_simhash_pairs_between_planted(spark):
+    """simhash_pairs_between (r11): a new doc that is a near-dup of an
+    indexed doc pairs across the split (hamming small); an unrelated new
+    doc doesn't; a re-ingested identical id never self-pairs; and the
+    result equals the self-pair operator's output restricted to cross
+    pairs (the pigeonhole-exactness contract)."""
+    # long base doc: the one-token suffix flips few majority votes, so
+    # the planted pair lands WELL inside the hamming threshold (a short
+    # base would flip ~8 bits — measured — and slip past it)
+    base = " ".join(f"w{i} token{i} alpha{i}" for i in range(12))
+    rows_old = [(1, base), (2, "completely different indexed text about cooking recipes")]
+    rows_new = [(10, base + " tonight"),            # near-dup of 1
+                (11, "fresh unrelated arrival text on astronomy and physics"),
+                (1, base)]                            # re-ingest of id 1
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    index_sigs = dd.simhash_table(old, "text", "doc_id")
+    out = dd.simhash_pairs_between(
+        new, index_sigs, hamming_threshold=6, max_bucket=1000
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 10) in got
+    assert all(11 not in p for p in got)
+    assert (1, 1) not in got
+    # cross-restricted self-pair equivalence on the union corpus
+    both = old.union(new.where(F.col("doc_id") != 1))
+    all_pairs = dd.simhash_candidate_pairs(
+        both, hamming_threshold=6, max_bucket=1000
+    ).collect()
+    cross = {
+        (r["id_a"], r["id_b"], r["hamming"]) for r in all_pairs
+        if (r["id_a"] < 10) != (r["id_b"] < 10)
+    }
+    got_h = {(r["id_a"], r["id_b"], r["hamming"]) for r in out if r["id_b"] != 1}
+    # drop pairs involving the re-ingested id 1 on the new side (absent
+    # from `both`), then the sets must match exactly
+    assert got_h == cross, (got_h, cross)

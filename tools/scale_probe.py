@@ -108,6 +108,7 @@ PROBE_QUERIES = [
     "embedding_label_outliers",
     "docs_derepeated",
     "corpus_novelty",
+    "simhash_incremental",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
