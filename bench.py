@@ -256,6 +256,21 @@ def main() -> None:
         train_runs[name] = runs
     train_timings = {name: round(min(runs), 3) for name, runs in train_runs.items()}
 
+    # Per-run detail goes to STDERR: the driver records only the last
+    # ~2000 chars of stdout and parses the FINAL line as JSON — the full
+    # payload with `runs`/`extended_runs` blew past that window, so
+    # BENCH_r10/r11 landed with `parsed: null`. The last stdout line must
+    # stay a compact, self-contained JSON object (~1 KB).
+    print(
+        json.dumps(
+            {
+                "runs": all_runs,
+                "extended_runs": ext_runs,
+                "ann_train_runs": train_runs,
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -263,12 +278,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs": all_runs,
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
-                "extended_runs": ext_runs,
                 "ann_train": train_timings,
-                "ann_train_runs": train_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
