@@ -229,11 +229,19 @@ def assign_splits_grouped(
     two groups and move members to the surviving group's split. That is
     the correct behavior (the alternative leaves a leak across the old
     boundary); re-emit the manifest whenever the cluster table changes.
-    Output: ``df`` + ``key_out`` (the effective group key, string) +
-    ``split_col``."""
+    The membership table is reduced to ONE row per member before the
+    join — if a member appears under several groups, the smallest group
+    id wins (deterministic MIN) — so a malformed multi-row membership
+    can never fan the left join out and silently duplicate manifest rows
+    (ADVICE r11). Output: ``df`` + ``key_out`` (the effective group key,
+    string) + ``split_col``."""
     member_col = member_col or key_col
-    m = membership.select(
-        F.col(member_col).alias(key_col), F.col(group_col).alias("__grp")
+    m = (
+        membership.select(
+            F.col(member_col).alias(key_col), F.col(group_col).alias("__grp")
+        )
+        .groupBy(key_col)
+        .agg(F.min("__grp").alias("__grp"))
     )
     joined = df.join(m, key_col, "left")
     keyed = joined.withColumn(

@@ -552,7 +552,14 @@ def _check_query_side(queries: DataFrame, max_queries: int | None, op: str) -> N
     never scans past ``max_queries + 1`` rows — and is cheap next to the
     broadcast the operator is about to do anyway. Pass ``max_queries=None``
     to opt out explicitly (e.g. a deliberately large one-off batch on a
-    cluster sized for it)."""
+    cluster sized for it).
+
+    Note the probe EVALUATES the query-side plan once more than the
+    operator alone would (the limit+count job here, then the broadcast
+    re-executes the same lineage): for a query side derived through
+    expensive lineage, cache()/localCheckpoint() it before calling — or
+    pass ``max_queries=None`` — to avoid paying that lineage twice
+    (ADVICE r11)."""
     if max_queries is None:
         return
     n = queries.limit(max_queries + 1).count()
@@ -1677,7 +1684,14 @@ def label_centroid_outliers(
     Ranking is on the 6-dp ROUNDED distance with id tiebreak (the
     ``hard_negatives`` contract: band/rank decisions agree bit-for-bit
     with the SQL replay). Output: label, vec_id, centroid_d2, rank."""
-    dim = len(df.select(vec_col).head()[0])
+    first = df.select(vec_col).head()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "label_centroid_outliers: cannot infer vector dimension — the "
+            f"corpus is empty or its first `{vec_col}` is NULL (ADVICE r11; "
+            "the ivfpq_recommend empty-sample contract)."
+        )
+    dim = len(first[0])
     sums = df.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -1709,4 +1723,45 @@ def label_centroid_outliers(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach embedding cosine similarity to an EXISTING candidate-pair
+    list — the semantic CONFIRM stage of a two-signal dedup: a lexical
+    blocker (MinHash / SimHash / n-gram posting lists) proposes pairs,
+    this scores each pair against the vector table, and the caller
+    thresholds. It never generates pairs itself, so the cost is
+    O(|pairs|) join work over a candidate-sized (bucket-capped upstream)
+    list — the quadratic pair space stays dead.
+
+    Scale shape: two equi-joins pair-list↔vectors (shuffle keys
+    ``id_a`` then ``id_b``; Catalyst broadcasts the vector side when its
+    stats allow); the cosine is the same codegen'd sequential fold as
+    ``knn_join`` (:func:`_dot`), so scores replay bit-for-bit in a SQL
+    twin. A pair whose vector is missing or zero-norm gets NULL
+    ``cosine_sim`` (kept — the caller decides what a missing signal
+    means). Output: the pair list's columns + ``cosine_sim`` (rounded
+    6dp — the ``hard_negatives`` tie/threshold contract)."""
+    va = vectors.select(F.col(id_col).alias(id_a), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias(id_b), F.col(vec_col).alias("__vb"))
+    denom = _norm(F.col("__va")) * _norm(F.col("__vb"))
+    return (
+        pairs.join(va, id_a, "left")
+        .join(vb, id_b, "left")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.when(denom > 0, _dot(F.col("__va"), F.col("__vb")) / denom), 6
+            ),
+        )
+        .select(*pairs.columns, "cosine_sim")
     )

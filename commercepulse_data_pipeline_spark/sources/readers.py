@@ -537,7 +537,16 @@ def is_missing_store_error(exc: BaseException, root: str | None = None) -> bool:
     of silently treating a compaction race as "first batch" and skipping
     cross-batch dedup. A root that exists counts as absent only when it
     holds nothing but marker entries (``_SUCCESS``, ``_FOLDED.json*``,
-    …) — i.e. created-but-never-written."""
+    …) — i.e. created-but-never-written.
+
+    The filesystem confirmation is LOCAL-FILESYSTEM-ONLY (the same
+    explicit contract as :func:`fold_consistent_read`): for a root with
+    a non-file scheme (``s3a://``, ``hdfs://``, …) there is no driver-
+    local listing to probe, so the probe is skipped and the error
+    classification alone decides — i.e. remote stores get NO
+    compaction-race protection from this function. Callers folding a
+    remote store concurrently with readers must serialize externally
+    (ADVICE r11)."""
     import os as _os
 
     def _classified_missing() -> bool:
@@ -568,6 +577,12 @@ def is_missing_store_error(exc: BaseException, root: str | None = None) -> bool:
     if not _classified_missing():
         return False
     if root is None:
+        return True
+    if "://" in root and not root.startswith("file://"):
+        # Non-local scheme: no driver-local listing exists, so the race
+        # probe below would ALWAYS read "absent". Skip it explicitly and
+        # let the error classification decide (documented local-only
+        # contract above).
         return True
     path = root[len("file:"):] if root.startswith("file:") else root
     if not _os.path.exists(path):

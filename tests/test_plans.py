@@ -549,11 +549,15 @@ def test_label_centroid_outliers_plan_shape(spark):
 
 
 def test_assign_splits_grouped_no_extra_shuffle(spark):
-    """assign_splits_grouped plan guarantees (r11): beyond the one
-    sanctioned membership equi-join, the split assignment itself is a
-    pure projection — no added Exchange, no window, no aggregation; and
-    the bucket CASE runs post-join (split_key is join-derived, so it
-    cannot be computed earlier)."""
+    """assign_splits_grouped plan guarantees (r11, tightened r12): ONE
+    sanctioned membership equi-join plus the ADVICE-r11 one-row-per-
+    member MIN reduction on the membership side — and that reduction
+    must add NO exchange of its own (its final-aggregate partitioning on
+    the member key IS the join's membership-side input requirement, so
+    the plan reuses one shuffle for both). The split assignment itself
+    stays a pure projection — no window, no aggregation on the corpus
+    side; the bucket CASE runs post-join (split_key is join-derived, so
+    it cannot be computed earlier)."""
     from pyspark.sql import functions as F
 
     from commercepulse_data_pipeline_spark.operators.sampling import (
@@ -567,13 +571,14 @@ def test_assign_splits_grouped_no_extra_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    # exactly ONE join and zero aggregates/windows: the bucket CASE is a
-    # pure projection over the join output, so the only exchanges in the
-    # whole plan are the join's own input requirements (≤2; AQE may
+    # exactly ONE join; the only aggregates are the membership MIN
+    # reduction's partial+final pair (never more — nothing aggregates
+    # the corpus side); no window; and STILL ≤2 exchanges total (the
+    # reduction shares the join's membership-side shuffle; AQE may
     # replace them with a broadcast at runtime — membership size is the
     # caller's data, so the static plan can't promise which)
-    assert "HashAggregate" not in final, plan
     assert "Window" not in final, plan
+    assert final.count("HashAggregate") <= 2, plan
     import re as _re
 
     joins = _re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", final)
