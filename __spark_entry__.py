@@ -858,6 +858,66 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rejected side of the curation funnel with the FIRST failing
+    gate per doc (operators/text.py::quarantine_report): exact_dup →
+    low_quality → wrong_lang, the funnel's own stage order — the
+    exclusion table that makes corpus drops auditable and reversible.
+    Same single-pass scale shape as docs_curation_funnel (one md5 window
+    shuffle, reason is a pure CASE projection); the oracle replays the
+    identical quality twin, canonical window, and CASE order."""
+    d = _docs(spark, sf_dir)
+    return tx.quarantine_report(d, "text")
+
+
+def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report (operators/graph.py::cluster_size_histogram):
+    MinHash pair graph → connected-component clusters → one row per
+    cluster SIZE with n_clusters / n_docs, singletons included so n_docs
+    sums to the corpus — the table that quantifies what "keep one per
+    cluster" buys before anyone runs it. Kilobytes out at any corpus
+    size (clusters reduce per-cluster first, then a size-keyed agg; the
+    singleton row is one left-anti count). The oracle replays the
+    recursive-CTE hull and the same histogram + anti-join."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    clusters = graph.dedup_clusters(pairs)
+    return graph.cluster_size_histogram(clusters, corpus=d).select(
+        "cluster_size",
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_dup_pairs_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal near-dup confirmation (operators/similarity.py::
+    score_pairs): the MinHash blocker proposes lexical candidate pairs,
+    the embedding table scores each with exact pairwise cosine, and the
+    output carries the confirm verdict at τ=0.9 — the precision pass a
+    curation pipeline runs before acting on lexical candidates. Cost is
+    O(|pairs|) joins (the blocker already collapsed the pair space);
+    cosine is the shared codegen fold, so the oracle replays it
+    bit-for-bit from the same pair CTE."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.score_pairs(pairs, emb).select(
+        "id_a",
+        "id_b",
+        "cosine_sim",
+        F.when(F.col("cosine_sim") >= 0.9, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("semantically_confirmed"),
+    )
+
+
 def q_docs_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-window manifest via sharded next-fit sequence packing
     (operators/packing.py): docs shard by md5 bucket, pack in id order
@@ -4027,70 +4087,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8-r10 recorded exactly 50). r11
-    # executes the rotation written in COVERAGE.md after r10 (VERDICT r10
-    # item 1): (a) the 15 r8-head-tail entries whose last driver rows were
-    # r8 go FIRST; (b) queries NEW this round; (c) the r9-green block (last
-    # driver rows r9 — the oldest remaining); (d) the r10-green block (all
-    # green in CORRECTNESS_r10.json) closes the list. After r11 every
-    # oracle-backed entry again has a driver row within two rounds; the
-    # r9-block tail past position 50 heads the r12 rotation (COVERAGE.md).
+    # the number of rows it records (~50; r8-r11 recorded exactly 50). r12
+    # executes the rotation written in COVERAGE.md after r11: (a) the 20
+    # r9-green entries the r11 cap could not reach go FIRST; (b) queries NEW
+    # this round; (c) the r10-green block (the oldest remaining — its tail
+    # past the cap heads the r13 rotation); (d) the r11-green block closes
+    # the oracle-backed list. After r12 every oracle-backed entry again has
+    # a driver row within two rounds.
     return {
-        # -- r8-verification debt: last driver rows r8 (operators
-        # --    untouched since, per git) — rotate in first (VERDICT r10 item 1)
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_packed_windows": q_docs_packed_windows,
-        "docs_contamination": q_docs_contamination,
-        "kmv_set_overlap": q_kmv_set_overlap,
-        "containment_pairs": q_containment_pairs,
-        "docs_epoch_shuffle": q_docs_epoch_shuffle,
-        "skew_report": q_skew_report,
-        "corpus_collocations": q_corpus_collocations,
-        "embedding_gram": q_embedding_gram,
-        "revenue_anomalies": q_revenue_anomalies,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "order_value_hist_quantiles": q_order_value_hist_quantiles,
-        "funnel_steps": q_funnel_steps,
-        "bloom_range_members": q_bloom_range_members,
-        # -- new in r11
-        "docs_cluster_safe_split": q_docs_cluster_safe_split,
-        "embedding_label_outliers": q_embedding_label_outliers,
-        "docs_derepeated": q_docs_derepeated,
-        "corpus_novelty": q_corpus_novelty,
-        "simhash_incremental": q_simhash_incremental,
-        # -- r9-green block: last driver rows r9 — the oldest remaining;
-        # --    the tail past the driver's ~50-row cap heads the r12 rotation
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "split_leakage": q_split_leakage,
-        "docs_passage_dedup": q_docs_passage_dedup,
-        "media_features_check": q_media_features_check,
-        "docs_decontaminated": q_docs_decontaminated,
-        "ann_pq_topk": q_ann_pq_topk,
-        "docs_mixture_applied": q_docs_mixture_applied,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
-        "pricing_summary": q_pricing_summary,
-        "daily_revenue": q_daily_revenue,
-        "order_daily_rollup": q_order_daily_rollup,
-        "dedup_last_writer": q_dedup_last_writer,
-        "dedup_keep_first": q_dedup_keep_first,
-        "drift_coalesce": q_drift_coalesce,
-        "status_canonical": q_status_canonical,
-        "timestamp_multiformat": q_timestamp_multiformat,
-        "calendar_dim": q_calendar_dim,
-        "customer_first_order": q_customer_first_order,
-        "orphan_customers": q_orphan_customers,
-        "big_spender_segments": q_big_spender_segments,
-        "ship_latency": q_ship_latency,
-        "fact_shipments_rollup": q_fact_shipments_rollup,
-        "completeness": q_completeness,
-        "top_customers": q_top_customers,
-        "status_pivot": q_status_pivot,
-        "sql_regional_revenue": q_sql_regional_revenue,
-        "order_value_percentiles": q_order_value_percentiles,
-        "revenue_rollup": q_revenue_rollup,
+        # -- r9-verification debt: last driver rows r9 (operators
+        # --    untouched since, per git) — the r9-block tail past r11's
+        # --    50-row cap rotates in FIRST (COVERAGE.md r12 plan)
         "revenue_cube": q_revenue_cube,
         "month_over_month": q_month_over_month,
         "docs_shared_passages": q_docs_shared_passages,
@@ -4111,8 +4118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_deciles": q_docs_length_deciles,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "docs_exact_dedup": q_docs_exact_dedup,
-        # -- r10-green block: every entry below has a green row in
-        # --    CORRECTNESS_r10.json (checked last round)
+        # -- new in r12
+        "docs_quarantine": q_docs_quarantine,
+        "dup_cluster_size_hist": q_dup_cluster_size_hist,
+        "dup_pairs_confirmed": q_dup_pairs_confirmed,
+        # -- r10-green block: last driver rows r10 — the oldest remaining;
+        # --    the tail past the driver's ~50-row cap heads the r13 rotation
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_lang_breakdown": q_docs_lang_breakdown,
@@ -4163,6 +4174,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
         "docs_pii_scrub": q_docs_pii_scrub,
+        # -- r11-green block: every entry below has a green row in
+        # --    CORRECTNESS_r11.json (checked last round)
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
+        "kmv_set_overlap": q_kmv_set_overlap,
+        "containment_pairs": q_containment_pairs,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "skew_report": q_skew_report,
+        "corpus_collocations": q_corpus_collocations,
+        "embedding_gram": q_embedding_gram,
+        "revenue_anomalies": q_revenue_anomalies,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "order_value_hist_quantiles": q_order_value_hist_quantiles,
+        "funnel_steps": q_funnel_steps,
+        "bloom_range_members": q_bloom_range_members,
+        "docs_cluster_safe_split": q_docs_cluster_safe_split,
+        "embedding_label_outliers": q_embedding_label_outliers,
+        "docs_derepeated": q_docs_derepeated,
+        "corpus_novelty": q_corpus_novelty,
+        "simhash_incremental": q_simhash_incremental,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "split_leakage": q_split_leakage,
+        "docs_passage_dedup": q_docs_passage_dedup,
+        "media_features_check": q_media_features_check,
+        "docs_decontaminated": q_docs_decontaminated,
+        "ann_pq_topk": q_ann_pq_topk,
+        "docs_mixture_applied": q_docs_mixture_applied,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
+        "pricing_summary": q_pricing_summary,
+        "daily_revenue": q_daily_revenue,
+        "order_daily_rollup": q_order_daily_rollup,
+        "dedup_last_writer": q_dedup_last_writer,
+        "dedup_keep_first": q_dedup_keep_first,
+        "drift_coalesce": q_drift_coalesce,
+        "status_canonical": q_status_canonical,
+        "timestamp_multiformat": q_timestamp_multiformat,
+        "calendar_dim": q_calendar_dim,
+        "customer_first_order": q_customer_first_order,
+        "orphan_customers": q_orphan_customers,
+        "big_spender_segments": q_big_spender_segments,
+        "ship_latency": q_ship_latency,
+        "fact_shipments_rollup": q_fact_shipments_rollup,
+        "completeness": q_completeness,
+        "top_customers": q_top_customers,
+        "status_pivot": q_status_pivot,
+        "sql_regional_revenue": q_sql_regional_revenue,
+        "order_value_percentiles": q_order_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
         # -- rows-only block rides at the very end (contract: never
         # --    displaces an oracle-backed query from the driver's cap;
         # --    each has an oracle-backed *_check companion above)
@@ -5823,6 +5886,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_score,
                    cluster_size, cluster_size - 1 AS n_dropped
             FROM ranked WHERE rn = 1
+        """,
+        "docs_quarantine": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            b AS (
+                SELECT doc_id, source, lang, len({_TOKS}) AS n_tokens,
+                       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS canon
+                FROM documents
+            ),
+            r AS (
+                SELECT b.doc_id, b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                       CASE WHEN NOT b.canon THEN 'exact_dup'
+                            WHEN q.quality_score < 0.8 THEN 'low_quality'
+                            WHEN b.lang <> 'en' THEN 'wrong_lang' END AS reason
+                FROM b JOIN q USING (doc_id)
+            )
+            SELECT doc_id, source, n_tokens, reason FROM r WHERE reason IS NOT NULL
+        """,
+        "dup_cluster_size_hist": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, m) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+            ),
+            cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component),
+            hist AS (
+                SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                       CAST(count(*) AS BIGINT) AS n_clusters,
+                       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+                FROM sizes GROUP BY cluster_size
+            ),
+            singles AS (
+                SELECT CAST(1 AS BIGINT) AS cluster_size,
+                       CAST(count(*) AS BIGINT) AS n_clusters,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents WHERE doc_id NOT IN (SELECT node FROM cc)
+                HAVING count(*) > 0
+            )
+            SELECT * FROM hist UNION ALL SELECT * FROM singles
+        """,
+        "dup_pairs_confirmed": f"""
+            WITH {_MINHASH_PAIRS_CTE},
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       CASE WHEN sqrt(list_sum(list_transform(a.embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(b.embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                            THEN round(
+                                list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                                / (sqrt(list_sum(list_transform(a.embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                   * sqrt(list_sum(list_transform(b.embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                                6)
+                       END AS cosine_sim
+                FROM pairs p
+                LEFT JOIN embeddings a ON a.vec_id = p.id_a
+                LEFT JOIN embeddings b ON b.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cosine_sim,
+                   CAST(CASE WHEN cosine_sim >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+                       AS semantically_confirmed
+            FROM scored
         """,
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_curation_funnel": _curation_funnel_oracle_sql(),

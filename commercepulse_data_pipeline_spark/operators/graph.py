@@ -264,3 +264,47 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def cluster_size_histogram(
+    clusters: DataFrame,
+    corpus: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup savings report: how much of the corpus sits in near-dup
+    clusters of each size — one row per ``cluster_size`` with
+    ``n_clusters`` and ``n_docs`` (keeping one canonical per cluster
+    drops ``n_docs - n_clusters`` docs, the number this table exists to
+    publish). Pass ``corpus`` to also count UNclustered docs as size-1
+    singletons, so ``sum(n_docs)`` equals the whole corpus.
+
+    Scale shape: the cluster table reduces to one row per ``cluster_id``
+    first (map-side-combinable distinct on (cluster_id, cluster_size) —
+    the pair is functionally dependent, so which duplicate survives is
+    immaterial), then a cluster_size-keyed aggregate: kilobytes out
+    regardless of corpus size. The optional singleton row is ONE
+    left-anti count aggregate — no collect, no driver state."""
+    per_cluster = clusters.select("cluster_id", "cluster_size").dropDuplicates(
+        ["cluster_id"]
+    )
+    hist = per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    if corpus is not None:
+        singles = (
+            corpus.select(F.col(id_col))
+            .join(
+                clusters.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .where(F.col("n_clusters") > 0)
+            .select(
+                F.lit(1).cast("long").alias("cluster_size"),
+                "n_clusters",
+                F.col("n_clusters").alias("n_docs"),
+            )
+        )
+        hist = hist.unionByName(singles)
+    return hist.orderBy("cluster_size")

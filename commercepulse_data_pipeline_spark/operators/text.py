@@ -1227,3 +1227,47 @@ def hashed_doc_vectors(
             ).alias("vector"),
         )
     )
+
+
+def quarantine_report(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    keep_lang: str = "en",
+    quality_threshold: float = 0.8,
+) -> DataFrame:
+    """The REJECTED side of the curation funnel, with the reason: one row
+    per dropped doc carrying the FIRST gate it failed — ``exact_dup`` →
+    ``low_quality`` → ``wrong_lang``, the funnel's own stage order — plus
+    its token count. This is the exclusion/quarantine table production
+    curation pipelines write next to every corpus drop so removals stay
+    auditable and reversible (the complement of the survivor counts
+    ``docs_curation_funnel`` publishes; the funnel's *sampled* stage is a
+    rate decision, not a quality gate, so it is deliberately NOT a
+    quarantine reason). Survivors do not appear in the output.
+
+    Scale shape: identical to the funnel — ONE corpus pass; the
+    md5(``text_col``) canonical window is the only shuffle; the reason is
+    a pure CASE projection over flags computed in the same projection;
+    survivors are filtered out before anything else moves. A NULL
+    ``lang_col`` never matches ``wrong_lang`` (three-valued ``<>`` — the
+    SQL twin agrees by construction)."""
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col)
+    w = Window.partitionBy(F.md5(text_col))
+    canonical = F.col(id_col) == F.min(id_col).over(w)
+    reason = (
+        F.when(~canonical, F.lit("exact_dup"))
+        .when(F.col("quality_score") < quality_threshold, F.lit("low_quality"))
+        .when(F.col(lang_col) != keep_lang, F.lit("wrong_lang"))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        reason.alias("reason"),
+    ).where(F.col("reason").isNotNull())

@@ -629,3 +629,83 @@ def test_label_centroid_outliers_planted(spark):
     assert got[(1, 1)]["vec_id"] == 200 and got[(1, 2)]["vec_id"] == 201
     assert got[(1, 1)]["centroid_d2"] == got[(1, 2)]["centroid_d2"]
     assert out.groupBy("label").count().agg(F.max("count")).head()[0] <= 2
+
+
+def test_assign_splits_grouped_multi_row_membership_no_fanout(spark):
+    """ADVICE r11: a malformed membership table with SEVERAL rows per
+    member must not fan the left join out — the manifest stays one row
+    per doc, and when a member appears under several groups the smallest
+    group id wins deterministically (documented MIN reduction)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        assign_splits_grouped,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    membership = spark.createDataFrame(
+        [(0, 7), (0, 3), (0, 3), (1, 5), (1, 5)],
+        "doc_id long, cluster_id long",
+    )
+    out = assign_splits_grouped(
+        docs, "doc_id", membership, {"train": 0.8, "val": 0.2}, salt="t-v1:"
+    )
+    rows = out.collect()
+    assert len(rows) == 10  # no fan-out despite 2-3 rows per member
+    keyed = {r["doc_id"]: r for r in rows}
+    assert keyed[0]["split_key"] == "3"  # MIN group id wins, not "7"
+    assert keyed[1]["split_key"] == "5"
+    assert keyed[2]["split_key"] == "2"  # singleton untouched
+
+
+def test_label_centroid_outliers_empty_or_null_first_raises(spark):
+    """ADVICE r11: an empty corpus (head() is None) or a NULL first
+    vector must raise a clear ValueError, not an opaque TypeError from
+    len(None)."""
+    from commercepulse_data_pipeline_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="empty or its first"):
+        label_centroid_outliers(empty)
+    null_first = spark.createDataFrame(
+        [(1, None, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="empty or its first"):
+        label_centroid_outliers(null_first)
+
+
+def test_cluster_size_histogram_with_and_without_singletons(spark):
+    """cluster_size_histogram (r12): one row per size with cluster and
+    doc counts; the corpus argument adds unclustered docs as size-1
+    singletons so n_docs sums to the whole corpus."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    # clusters: {0,1,2} and {10,11} and {20,21}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    hist = {r["cluster_size"]: r for r in cluster_size_histogram(clusters).collect()}
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_docs"] == 3
+    assert hist[2]["n_clusters"] == 2 and hist[2]["n_docs"] == 4
+    assert set(hist) == {2, 3}
+
+    corpus = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    full = {
+        r["cluster_size"]: r
+        for r in cluster_size_histogram(clusters, corpus).collect()
+    }
+    assert full[1]["n_clusters"] == 23 and full[1]["n_docs"] == 23
+    assert sum(r["n_docs"] for r in full.values()) == 30
+
+    # all-clustered corpus: no size-1 row materializes
+    tight = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11, 20, 21)], "doc_id long")
+    no_single = {
+        r["cluster_size"] for r in cluster_size_histogram(clusters, tight).collect()
+    }
+    assert no_single == {2, 3}

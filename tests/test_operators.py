@@ -1806,3 +1806,60 @@ def test_simhash_pairs_between_planted(spark):
     # drop pairs involving the re-ingested id 1 on the new side (absent
     # from `both`), then the sets must match exactly
     assert got_h == cross, (got_h, cross)
+
+
+def test_quarantine_report_first_failing_gate(spark):
+    """quarantine_report (r12): each rejected doc carries the FIRST gate
+    it failed in funnel order (exact_dup -> low_quality -> wrong_lang);
+    survivors never appear; NULL lang never matches wrong_lang."""
+    from commercepulse_data_pipeline_spark.operators.text import quarantine_report
+
+    good = (  # >=20 DISTINCT alpha tokens: quality_score >= 0.8
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray "
+    )
+    rows = [
+        (1, good + "one", "en", "s1"),          # survivor
+        (2, good + "two", "en", "s1"),          # canonical of the dup pair
+        (3, good + "two", "en", "s1"),          # exact dup of 2 (also en)
+        (4, good + "two", "de", "s2"),          # dup AND wrong lang -> exact_dup wins
+        (5, "x y", "en", "s2"),                 # too short -> low quality
+        (6, good + "six", "de", "s2"),          # quality ok, lang de -> wrong_lang
+        (7, good + "seven", None, "s3"),        # NULL lang: no gate fires -> survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in quarantine_report(df, "text").collect()}
+    assert set(out) == {3, 4, 5, 6}
+    assert out[3]["reason"] == "exact_dup"
+    assert out[4]["reason"] == "exact_dup"  # dup gate fires before lang
+    assert out[5]["reason"] == "low_quality"
+    assert out[6]["reason"] == "wrong_lang"
+    assert out[6]["source"] == "s2" and out[6]["n_tokens"] > 20
+
+
+def test_score_pairs_cosine_and_missing_vectors(spark):
+    """score_pairs (r12): pair list gains the exact pairwise cosine; a
+    pair with a missing or zero-norm vector scores NULL and is KEPT; the
+    pair list's own columns pass through unchanged."""
+    from commercepulse_data_pipeline_spark.operators.similarity import score_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+            (4, [0.0, 0.0]),  # zero norm
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, "lex"), (1, 3, "lex"), (1, 4, "lex"), (1, 99, "lex")],
+        "id_a long, id_b long, origin string",
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in score_pairs(pairs, vecs).collect()}
+    assert len(got) == 4 and all(r["origin"] == "lex" for r in got.values())
+    assert got[(1, 2)]["cosine_sim"] == 1.0
+    assert got[(1, 3)]["cosine_sim"] == 0.0
+    assert got[(1, 4)]["cosine_sim"] is None  # zero norm
+    assert got[(1, 99)]["cosine_sim"] is None  # missing vector

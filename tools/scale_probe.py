@@ -109,6 +109,10 @@ PROBE_QUERIES = [
     "docs_derepeated",
     "corpus_novelty",
     "simhash_incremental",
+    # round-12 additions
+    "docs_quarantine",
+    "dup_cluster_size_hist",
+    "dup_pairs_confirmed",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
