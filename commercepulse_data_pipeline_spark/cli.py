@@ -212,7 +212,26 @@ def cmd_clean_corpus(args) -> int:
 
     Writes <out>/corpus (cleaned docs + window assignment) and
     <out>/windows (one row per context window) as parquet. Every stage is
-    the same operator the oracle-checked queries exercise."""
+    the same operator the oracle-checked queries exercise.
+
+    ``--quarantine`` additionally writes <out>/quarantine: one
+    (doc_id, reason) row per INPUT doc absent from the output, tagged
+    with the FIRST stage that dropped it (stage order: repetitive →
+    boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
+    passage_hollowed → not_dsir_selected → not_sampled) — the auditable
+    exclusion table (the CLI-chain form of
+    operators/text.py::quarantine_report; the last two reasons are RATE
+    decisions, not quality judgments). Each stage's complement is taken
+    against that stage's own input, so quarantine ∪ kept partitions the
+    input exactly. The flag localCheckpoints the stage outputs the
+    complements re-consume (stripped/derep/clusters/deduped/spliced/
+    topk), so the rejected sides never re-run the expensive
+    splice/pair-generation lineage; with the flag off the plan is
+    unchanged."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import DataFrame
+
     from commercepulse_data_pipeline_spark.operators import dedup as dd
     from commercepulse_data_pipeline_spark.operators import graph
     from commercepulse_data_pipeline_spark.operators import packing
@@ -225,20 +244,25 @@ def cmd_clean_corpus(args) -> int:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
 
+    quarantine = bool(getattr(args, "quarantine", False))
+    rejects: list[DataFrame] = []
+
+    def _reject(ids: DataFrame, reason: str) -> None:
+        rejects.append(ids.select(F.col("doc_id"), F.lit(reason).alias("reason")))
+
     if args.max_dup_line_frac < 1.0 or args.max_top_ngram_frac < 1.0:
         # Gopher-style boilerplate gate (map-only), on the RAW text and
         # BEFORE scrub: scrub's line-dedup removes exactly the repeats
         # dup_line_frac measures, so gating after it would be a no-op.
         # Dropping repetitive docs first also shrinks the shingle volume
         # the pairwise dedup stages shuffle.
-        docs = (
-            tx.repetition_scores(docs, "text")
-            .where(
-                (F.col("dup_line_frac") <= args.max_dup_line_frac)
-                & (F.col("top_ngram_frac") <= args.max_top_ngram_frac)
-            )
-            .drop("dup_line_frac", "top_ngram_frac")
+        scores = tx.repetition_scores(docs, "text")
+        keep_rep = (F.col("dup_line_frac") <= args.max_dup_line_frac) & (
+            F.col("top_ngram_frac") <= args.max_top_ngram_frac
         )
+        if quarantine:
+            _reject(scores.where(~keep_rep), "repetitive")
+        docs = scores.where(keep_rep).drop("dup_line_frac", "top_ngram_frac")
     if args.strip_boilerplate:
         # per-source template removal BEFORE dedup: shared chrome makes
         # otherwise-distinct docs look like near-dups, so stripping it
@@ -252,11 +276,16 @@ def cmd_clean_corpus(args) -> int:
             window_tokens=args.passage_window,
             min_docs=args.min_passage_docs,
         )
+        keep_strip = (
+            F.col("n_tokens") - F.col("n_tokens_removed")
+            >= args.min_remaining_tokens
+        )
+        if quarantine:
+            # consumed twice below (keep + reject) — cut the splice lineage
+            stripped = stripped.localCheckpoint(eager=True)
+            _reject(stripped.where(~keep_strip), "boilerplate_hollowed")
         docs = (
-            stripped.where(
-                F.col("n_tokens") - F.col("n_tokens_removed")
-                >= args.min_remaining_tokens
-            )
+            stripped.where(keep_strip)
             .withColumn("text", F.col("text_stripped"))
             .drop(
                 "text_stripped", "n_tokens", "n_tokens_removed",
@@ -273,11 +302,15 @@ def cmd_clean_corpus(args) -> int:
             window_tokens=args.passage_window,
             min_repeats=args.min_repeats,
         )
+        keep_derep = (
+            F.col("n_tokens") - F.col("n_tokens_removed")
+            >= args.min_remaining_tokens
+        )
+        if quarantine:
+            derep = derep.localCheckpoint(eager=True)
+            _reject(derep.where(~keep_derep), "repeat_hollowed")
         docs = (
-            derep.where(
-                F.col("n_tokens") - F.col("n_tokens_removed")
-                >= args.min_remaining_tokens
-            )
+            derep.where(keep_derep)
             .withColumn("text", F.col("text_derepeated"))
             .drop("text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows")
         )
@@ -291,6 +324,11 @@ def cmd_clean_corpus(args) -> int:
     # posture as connected_components' default (pass a reliable
     # checkpoint dir there for the preemptible-cluster variant).
     exact = dd.exact_dedup(scrubbed, "text", "doc_id").localCheckpoint(eager=True)
+    if quarantine:
+        _reject(
+            scrubbed.join(exact.select("doc_id"), "doc_id", "left_anti"),
+            "exact_dup",
+        )
 
     if args.pair_source == "semantic":
         # model-free SEMANTIC near-dup pairs: tfidf hashed vectors →
@@ -332,6 +370,10 @@ def cmd_clean_corpus(args) -> int:
     else:
         pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
     clusters = graph.dedup_clusters(pairs)
+    if quarantine:
+        # losers is consumed twice under the flag (reject + anti-join);
+        # cut the pair-generation + iterative-CC lineage above it
+        clusters = clusters.localCheckpoint(eager=True)
     quality = tx.quality_score(exact, "text").select("doc_id", "quality_score")
     keep = graph.keep_best_per_cluster(clusters, quality)
     # drop clustered docs that are NOT the kept representative
@@ -339,6 +381,10 @@ def cmd_clean_corpus(args) -> int:
         keep.select(F.col("kept_doc_id").alias("doc_id")), "doc_id", "left_anti"
     ).select("doc_id")
     deduped = exact.join(losers, "doc_id", "left_anti")
+    if quarantine:
+        _reject(losers, "near_dup")
+        # downstream complements (dsir/sample) re-consume deduped
+        deduped = deduped.localCheckpoint(eager=True)
 
     if args.passage_dedup:
         # whole-doc dedup above removes duplicate DOCUMENTS; this splices
@@ -349,11 +395,15 @@ def cmd_clean_corpus(args) -> int:
             window_tokens=args.passage_window,
             min_docs=args.min_passage_docs,
         )
+        keep_passage = (
+            F.col("n_tokens") - F.col("n_tokens_removed")
+            >= args.min_remaining_tokens
+        )
+        if quarantine:
+            spliced = spliced.localCheckpoint(eager=True)
+            _reject(spliced.where(~keep_passage), "passage_hollowed")
         deduped = (
-            spliced.where(
-                F.col("n_tokens") - F.col("n_tokens_removed")
-                >= args.min_remaining_tokens
-            )
+            spliced.where(keep_passage)
             .withColumn("text", F.col("text_deduped"))
             .drop("text_deduped", "n_tokens", "n_tokens_removed", "n_dup_windows")
         )
@@ -377,9 +427,20 @@ def cmd_clean_corpus(args) -> int:
             .limit(args.dsir_top_k)
             .select("doc_id")
         )
+        if quarantine:
+            # topk is consumed twice under the flag; it is a <= top_k-row
+            # id frame, so the checkpoint is pennies next to re-running
+            # the DSIR scoring join for the reject side
+            topk = topk.localCheckpoint(eager=True)
+            _reject(deduped.join(topk, "doc_id", "left_anti"), "not_dsir_selected")
         deduped = deduped.join(F.broadcast(topk), "doc_id", "left_semi")
 
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
+    if quarantine:
+        _reject(
+            deduped.join(sampled.select("doc_id"), "doc_id", "left_anti"),
+            "not_sampled",
+        )
 
     if args.splits:
         # train/val/test manifest AFTER all dedup/sampling (so the split
@@ -418,10 +479,19 @@ def cmd_clean_corpus(args) -> int:
 
     corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
     packing.packed_windows(packed).write.mode("overwrite").parquet(f"{args.out}/windows")
+    quarantine_msg = ""
+    if quarantine:
+        qdf = _reduce(DataFrame.unionByName, rejects)
+        qdf.write.mode("overwrite").parquet(f"{args.out}/quarantine")
+        n_q = spark.read.parquet(f"{args.out}/quarantine").count()
+        quarantine_msg = f", {n_q} quarantined with reasons"
     n_in, n_out = docs.count(), corpus.count()  # corpus is cached by its write
     packed.unpersist()
     corpus.unpersist()
-    print(f"clean-corpus: {n_in} docs in -> {n_out} kept, windows written to {args.out}")
+    print(
+        f"clean-corpus: {n_in} docs in -> {n_out} kept{quarantine_msg}, "
+        f"windows written to {args.out}"
+    )
     return 0
 
 
@@ -700,6 +770,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--splits", default=None,
                    help="train/val/test manifest, e.g. 'train=0.9,val=0.05,test=0.05' "
                         "(content-keyed: stable under incremental reruns)")
+    c.add_argument("--quarantine", action="store_true",
+                   help="also write <out>/quarantine: one (doc_id, reason) row "
+                        "per dropped input doc, tagged with the FIRST stage "
+                        "that dropped it (auditable/reversible exclusions)")
     c.set_defaults(fn=cmd_clean_corpus)
 
     g = sub.add_parser(

@@ -478,3 +478,56 @@ def test_clean_corpus_strip_repeats_stage(spark, tmp_path):
     assert out[1].startswith("unique article text here buy now limited offer")
     assert "middle words" in out[1] and out[1].endswith("tail words")
     assert out[2] == rows[1][1]
+
+
+def test_clean_corpus_quarantine_reasons(spark, tmp_path):
+    """--quarantine (r12): the exclusion table partitions the input —
+    quarantine ∪ kept == input ids, disjoint — and each dropped doc
+    carries the FIRST stage that dropped it in stage order."""
+    from commercepulse_data_pipeline_spark import cli
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, near),                                   # near-dup of 1
+        (4, "mail me at a@b.co\n" + "unique words entirely different content here"),
+        (5, "another completely distinct document with its own vocabulary set"),
+        (6, "spam spam spam spam spam spam spam spam"),  # repetition gate
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--max-top-ngram-frac", "0.5",
+        "--quarantine",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out/corpus")).select("doc_id").collect()}
+    q = {r.doc_id: r.reason for r in
+         spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
+    # exact partition of the input, one reason per dropped doc
+    assert kept.isdisjoint(q)
+    assert kept | set(q) == {1, 2, 3, 4, 5, 6}
+    assert q[6] == "repetitive"   # gate fires BEFORE dedup sees it
+    assert q[2] == "exact_dup"
+    near_loser = ({1, 3} - kept).pop()
+    assert q[near_loser] == "near_dup"
+    assert set(q) == {2, 6, near_loser}
+
+    # default run (no flag): no quarantine output is written
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out_noq"),
+        "--capacity", "64",
+    ])
+    assert rc == 0
+    import os
+    assert not os.path.exists(str(tmp_path / "out_noq/quarantine"))
