@@ -528,7 +528,9 @@ def cmd_stream_clean_corpus(args) -> int:
 
     spark = _spark()
     q = stream_clean_corpus(
-        spark, args.docs, args.store, args.checkpoint, trigger_once=not args.follow
+        spark, args.docs, args.store, args.checkpoint,
+        trigger_once=not args.follow,
+        quarantine=bool(getattr(args, "quarantine", False)),
     )
     q.awaitTermination()
     print(f"stream-clean-corpus: corpus maintained at {args.store}/corpus")
@@ -796,6 +798,9 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--checkpoint", required=True)
     sc.add_argument("--follow", action="store_true",
                     help="keep running for new files (default: drain once)")
+    sc.add_argument("--quarantine", action="store_true",
+                    help="also maintain <store>/quarantine: one (doc_id, "
+                         "reason) row per dropped doc per batch")
     sc.set_defaults(fn=cmd_stream_clean_corpus)
 
     sp = sub.add_parser(

@@ -51,11 +51,23 @@ def clean_corpus_batch(
     repeat_window: int = 8,
     min_repeats: int = 2,
     min_remaining_tokens: int = 1,
+    quarantine: bool = False,
 ) -> None:
     """Process one micro-batch of (doc_id, text, ...) rows: optional
     within-doc repeated-span removal, scrub, exact-dedup, near-dup-filter
     against the accumulated index, append survivors + their bands under
     this batch's own directory.
+
+    ``quarantine`` is the streaming twin of the CLI's ``--quarantine``:
+    each batch also writes ``{store}/quarantine/ingest_batch=N`` with one
+    (doc_id, reason) row per dropped doc, FIRST failing stage in stage
+    order (repeat_hollowed → exact_dup → near_dup) — same
+    replay-idempotent per-batch overwrite as the other two sinks, so
+    quarantine ∪ kept partitions every batch exactly. Documented
+    taxonomy divergence from the batch CLI: a CROSS-batch exact
+    duplicate reports as ``near_dup`` here (in-batch exact dedup only
+    sees its own batch; the identical doc's MinHash signature collides
+    on every band, so the cross-batch index probe is what catches it).
 
     ``strip_repeats`` is the streaming twin of the CLI's
     ``--strip-repeats`` and is EXACTLY batch-equivalent with no
@@ -69,15 +81,24 @@ def clean_corpus_batch(
     p = dict(DEFAULT_PARAMS, **(params or {}))
     spark = batch_df.sparkSession
 
+    rejects: list[DataFrame] = []
+
+    def _reject(ids: DataFrame, reason: str) -> None:
+        rejects.append(ids.select(F.col("doc_id"), F.lit(reason).alias("reason")))
+
     if strip_repeats:
         derep = tx.strip_intradoc_repeats(
             batch_df, window_tokens=repeat_window, min_repeats=min_repeats
         )
+        keep_derep = (
+            F.col("n_tokens") - F.col("n_tokens_removed") >= min_remaining_tokens
+        )
+        if quarantine:
+            # consumed twice below (keep + reject): cut the splice lineage
+            derep = derep.localCheckpoint(eager=True)
+            _reject(derep.where(~keep_derep), "repeat_hollowed")
         batch_df = (
-            derep.where(
-                F.col("n_tokens") - F.col("n_tokens_removed")
-                >= min_remaining_tokens
-            )
+            derep.where(keep_derep)
             .withColumn("text", F.col("text_derepeated"))
             .drop("text_derepeated", "n_tokens", "n_tokens_removed", "n_repeat_windows")
         )
@@ -85,6 +106,11 @@ def clean_corpus_batch(
         tx.scrub(batch_df, "text").withColumn("text", F.col("scrubbed")).drop("scrubbed")
     )
     batch = dd.exact_dedup(scrubbed, "text", "doc_id")
+    if quarantine:
+        _reject(
+            scrubbed.join(batch.select("doc_id"), "doc_id", "left_anti"),
+            "exact_dup",
+        )
 
     # band the batch ONCE (eager checkpoint): consumed by within-batch
     # pairs, probe keys, the pair join, and the survivors' index write —
@@ -146,12 +172,27 @@ def clean_corpus_batch(
         )
         drop = within.union(arriving).distinct()
 
-    kept = batch.join(drop.distinct(), "doc_id", "left_anti")
+    dropped = drop.distinct()
+    if quarantine:
+        # all near-dup losers, within-batch and cross-batch alike (both
+        # sides are this batch's ids by construction); dropped is a tiny
+        # id frame but its lineage spans the band build + both pair
+        # joins, and it now has two consumers — cut it once
+        dropped = dropped.localCheckpoint(eager=True)
+        _reject(dropped, "near_dup")
+    kept = batch.join(dropped, "doc_id", "left_anti")
 
     # idempotent two-sink write: both land under this batch's directory
     kept.write.mode("overwrite").parquet(
         f"{store_dir}/corpus/ingest_batch={batch_id}"
     )
+    if quarantine:
+        from functools import reduce as _reduce
+
+        qdf = _reduce(DataFrame.unionByName, rejects)
+        qdf.write.mode("overwrite").parquet(
+            f"{store_dir}/quarantine/ingest_batch={batch_id}"
+        )
     kept_bands = batch_bands.join(
         F.broadcast(kept.select("doc_id")), "doc_id", "left_semi"
     )
@@ -183,9 +224,13 @@ def stream_clean_corpus(
     repeat_window: int = 8,
     min_repeats: int = 2,
     min_remaining_tokens: int = 1,
+    quarantine: bool = False,
 ):
     """Tail a directory of document parquet drops and maintain a cleaned,
-    near-dup-free corpus continuously. Returns the started query."""
+    near-dup-free corpus continuously. Returns the started query.
+    ``quarantine`` also maintains ``{store}/quarantine`` — one
+    (doc_id, reason) row per dropped doc per batch (see
+    :func:`clean_corpus_batch`)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -197,6 +242,7 @@ def stream_clean_corpus(
             batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket,
             strip_repeats=strip_repeats, repeat_window=repeat_window,
             min_repeats=min_repeats, min_remaining_tokens=min_remaining_tokens,
+            quarantine=quarantine,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

@@ -1767,3 +1767,65 @@ def test_stream_clean_corpus_strip_repeats(spark, tmp_path):
     # the streaming path scrubs after stripping; this fixture has no PII,
     # so the texts compare verbatim
     assert corpus[1] == twin["text_derepeated"]
+
+
+def test_stream_clean_corpus_quarantine_reasons(spark, tmp_path):
+    """Streaming --quarantine twin (r12): each batch's quarantine
+    partition carries the FIRST failing stage per dropped doc
+    (exact_dup within the batch, near_dup within AND cross-batch);
+    quarantine ∪ kept partitions every batch exactly, and a direct
+    batch replay overwrites its own partition (idempotent, like the
+    corpus/index sinks)."""
+    from commercepulse_data_pipeline_spark.streaming.corpus import clean_corpus_batch
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # exact dup of 1 (same batch)
+            (3, base + " tonight"),             # within-batch near-dup of 1
+            (4, "entirely unrelated first content"),
+        ],
+        "doc_id long, text string",
+    )
+    clean_corpus_batch(b0, 0, store, max_bucket=100000, quarantine=True)
+    kept0 = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    q0 = {r.doc_id: r.reason for r in
+          spark.read.parquet(f"{store}/quarantine/ingest_batch=0").collect()}
+    assert kept0 == {1, 4}
+    assert q0 == {2: "exact_dup", 3: "near_dup"}
+    assert kept0.isdisjoint(q0) and kept0 | set(q0) == {1, 2, 3, 4}
+
+    # batch 1: cross-batch near-dup AND cross-batch exact dup — both
+    # report as near_dup (documented taxonomy divergence: in-batch exact
+    # dedup can't see earlier batches; the band collision catches both)
+    b1 = spark.createDataFrame(
+        [
+            (10, base + " as well"),            # cross-batch near-dup of 1
+            (11, base),                         # cross-batch EXACT dup of 1
+            (12, "fresh second batch content"),
+        ],
+        "doc_id long, text string",
+    )
+    clean_corpus_batch(b1, 1, store, max_bucket=100000, quarantine=True)
+    q1 = {r.doc_id: r.reason for r in
+          spark.read.parquet(f"{store}/quarantine/ingest_batch=1").collect()}
+    kept_all = {r.doc_id for r in spark.read.parquet(f"{store}/corpus").collect()}
+    assert kept_all == {1, 4, 12}
+    assert q1 == {10: "near_dup", 11: "near_dup"}
+
+    # replay batch 1: same quarantine partition, no duplication
+    clean_corpus_batch(b1, 1, store, max_bucket=100000, quarantine=True)
+    q1_again = [
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(f"{store}/quarantine/ingest_batch=1").collect()
+    ]
+    assert sorted(q1_again) == sorted(q1.items())
+    # flag off: no quarantine partition is written for that batch
+    b2 = spark.createDataFrame(
+        [(20, "third batch totally novel text")], "doc_id long, text string"
+    )
+    clean_corpus_batch(b2, 2, store, max_bucket=100000)
+    import os
+    assert not os.path.exists(f"{store}/quarantine/ingest_batch=2")
