@@ -369,11 +369,12 @@ def cmd_clean_corpus(args) -> int:
         )
     else:
         pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
-    clusters = graph.dedup_clusters(pairs)
-    if quarantine:
-        # losers is consumed twice under the flag (reject + anti-join);
-        # cut the pair-generation + iterative-CC lineage above it
-        clusters = clusters.localCheckpoint(eager=True)
+    # clusters is ALWAYS double-consumed (keep_best_per_cluster + the
+    # losers anti-join put its subtree in the final plan twice), and its
+    # lineage is the pair generation + iterative CC — the r12 quarantine
+    # probe measured the cut paying for itself even on the base chain
+    # (20k-doc chain ran FASTER with the flag on before this hoist)
+    clusters = graph.dedup_clusters(pairs).localCheckpoint(eager=True)
     quality = tx.quality_score(exact, "text").select("doc_id", "quality_score")
     keep = graph.keep_best_per_cluster(clusters, quality)
     # drop clustered docs that are NOT the kept representative

@@ -927,3 +927,110 @@ def test_strip_boilerplate_matches_python_model(spark, docs, w):
         ]
         want = (" ".join(kept), len(toks), len(toks) - len(kept), len(dp))
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    vecs=st.dictionaries(
+        st.integers(0, 9),
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    pair_ids=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=12
+    ),
+)
+@settings(**_SETTINGS)
+def test_score_pairs_matches_python_cosine_model(spark, vecs, pair_ids):
+    """score_pairs (r12) ≡ a pure-Python pairwise cosine over the vector
+    dict: identical 6dp values for resolvable pairs, NULL for pairs with
+    a missing or zero-norm vector, every input pair kept exactly once."""
+    import math
+
+    from commercepulse_data_pipeline_spark.operators.similarity import score_pairs
+
+    vec_rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    vdf = spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>")
+    # arrays land as float32 — the model must read back the same values
+    stored = {r.vec_id: list(r.embedding) for r in vdf.collect()}
+    pdf = spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(pair_ids)],
+        "id_a long, id_b long, pos long",
+    )
+    got = {r.pos: r.cosine_sim for r in score_pairs(pdf, vdf).collect()}
+    assert len(got) == len(pair_ids)
+
+    def model(a, b):
+        va, vb = stored.get(a), stored.get(b)
+        if va is None or vb is None:
+            return None
+        na = math.sqrt(math.fsum(x * x for x in va))
+        nb = math.sqrt(math.fsum(x * x for x in vb))
+        if not na * nb > 0:
+            return None
+        dot = 0.0
+        for x, y in zip(va, vb):  # sequential fold, like _dot
+            dot += x * y
+        return round(dot / (na * nb), 6)
+
+    for i, (a, b) in enumerate(pair_ids):
+        want = model(a, b)
+        if want is None:
+            assert got[i] is None, (a, b, got[i])
+        else:
+            assert got[i] is not None and abs(got[i] - want) < 1e-9, (a, b, got[i], want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=15,
+    ),
+    n_corpus=st.integers(15, 25),
+)
+@settings(**_SETTINGS)
+def test_cluster_size_histogram_matches_python_model(spark, edges, n_corpus):
+    """cluster_size_histogram (r12) ≡ a pure-Python union-find model:
+    per-size cluster/doc counts match, and with a corpus the singleton
+    row completes the partition (sum(n_docs) == corpus size)."""
+    from collections import Counter
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    clusters = dedup_clusters(pairs)
+    corpus = spark.createDataFrame([(i,) for i in range(n_corpus)], "doc_id long")
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in cluster_size_histogram(clusters, corpus).collect()
+    }
+
+    # union-find model
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = Counter(find(x) for x in parent)
+    hist = Counter(sizes.values())
+    want = {s: (n, s * n) for s, n in hist.items()}
+    n_single = n_corpus - len(parent)
+    if n_single:
+        w1 = want.get(1, (0, 0))
+        want[1] = (w1[0] + n_single, w1[1] + n_single)
+    assert got == want
+    assert sum(d for _, d in got.values()) == n_corpus

@@ -134,6 +134,22 @@ def main() -> None:
     e2 = results["e2e_2k"]["min"]
     e20 = results["e2e_20k"]["min"]
     results["ratio_10x"] = round(e20 / e2, 2)
+
+    # r12: --quarantine overhead at the large size — the per-stage reject
+    # complements + flag-gated localCheckpoints should cost a small
+    # constant factor over the full chain, not re-run it (the checkpoints
+    # exist precisely so the reject sides never re-execute splice/pair
+    # lineage)
+    q_runs = [
+        run_cli(
+            docs20,
+            os.path.join(outdir, f"out_20k_q_{i}"),
+            full_flags + ["--quarantine"],
+        )
+        for i in range(2)
+    ]
+    results["e2e_20k_quarantine"] = {"runs": q_runs, "min": min(q_runs)}
+    results["quarantine_overhead_x"] = round(min(q_runs) / e20, 2)
     print(json.dumps(results))
     spark.stop()
 
