@@ -196,6 +196,9 @@ def cmd_clean_corpus(args) -> int:
         → exact dedup (content hash, lowest id wins)
         → near-dup clusters (MinHash pairs — or, with --pair-source
           semantic, model-free tfidf-hashed-vector cosine pairs —
+          optionally gated by --confirm-embeddings: pairs must ALSO
+          score cosine ≥ --confirm-tau on a provided embedding table
+          before anything is dropped (two-signal precision mode)
           → connected components)
           → keep the best-quality member per cluster
         → optional substring-level passage dedup (--passage-dedup:
@@ -369,6 +372,26 @@ def cmd_clean_corpus(args) -> int:
         )
     else:
         pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
+    if args.confirm_embeddings:
+        # two-signal dedup (precision mode): the lexical blocker's
+        # candidate pairs must ALSO agree semantically before any doc is
+        # dropped — score each pair with exact pairwise cosine over the
+        # provided embedding table (operators/similarity.py::score_pairs,
+        # O(|pairs|) joins, never generates pairs) and keep only pairs at
+        # or above --confirm-tau. A pair with a missing or zero-norm
+        # vector has NO semantic evidence and is NOT confirmed — both
+        # docs survive (conservative: precision mode never drops a doc on
+        # lexical evidence alone).
+        from commercepulse_data_pipeline_spark.operators import (
+            similarity as _simc,
+        )
+
+        emb = spark.read.parquet(args.confirm_embeddings)
+        pairs = (
+            _simc.score_pairs(pairs, emb)
+            .where(F.col("cosine_sim") >= args.confirm_tau)
+            .select("id_a", "id_b")
+        )
     # clusters is ALWAYS double-consumed (keep_best_per_cluster + the
     # losers anti-join put its subtree in the final plan twice), and its
     # lineage is the pair generation + iterative CC — the r12 quarantine
@@ -760,6 +783,13 @@ def main(argv: list[str] | None = None) -> int:
                         "(default) or model-free semantic (tfidf hashed "
                         "vectors + LSH self-kNN, cosine >= --semantic-tau)")
     c.add_argument("--semantic-tau", type=float, default=0.85, dest="semantic_tau")
+    c.add_argument("--confirm-embeddings", default=None, dest="confirm_embeddings",
+                   help="parquet with (vec_id, embedding): two-signal dedup — "
+                        "near-dup candidate pairs must also score cosine >= "
+                        "--confirm-tau on these embeddings before a doc is "
+                        "dropped (pairs without vector evidence are NOT "
+                        "confirmed; both docs survive)")
+    c.add_argument("--confirm-tau", type=float, default=0.9, dest="confirm_tau")
     c.add_argument("--strip-boilerplate", action="store_true", dest="strip_boilerplate",
                    help="per-source template removal before dedup (needs a "
                         "'source' column; window/min-docs from the passage flags)")

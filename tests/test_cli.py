@@ -531,3 +531,59 @@ def test_clean_corpus_quarantine_reasons(spark, tmp_path):
     assert rc == 0
     import os
     assert not os.path.exists(str(tmp_path / "out_noq/quarantine"))
+
+
+def test_clean_corpus_confirm_embeddings_gate(spark, tmp_path):
+    """--confirm-embeddings (r12): a lexical near-dup pair is dropped
+    only when the provided embeddings ALSO agree (cosine >= tau);
+    semantically-dissimilar pairs and pairs without vector evidence
+    keep both docs."""
+    from commercepulse_data_pipeline_spark import cli
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                      # near-dup pair (1,3): embeddings agree
+        (3, base + " tonight"),
+        (5, base + " tomorrow"),        # near-dup of 1 too: embeddings DISAGREE
+        (7, base + " yesterday"),       # near-dup of 1: NO embedding row
+        (9, "completely unrelated content with its own words"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    emb = [
+        (1, [1.0, 0.0, 0.0]),
+        (3, [1.0, 0.01, 0.0]),          # cos(1,3) ~ 1.0 -> confirmed
+        (5, [0.0, 1.0, 0.0]),           # cos(1,5) = 0  -> not confirmed
+        (9, [0.0, 0.0, 1.0]),
+    ]
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "emb"))
+
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--confirm-embeddings", str(tmp_path / "emb"),
+        "--confirm-tau", "0.9",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out/corpus")).select("doc_id").collect()}
+    # (1,3) confirmed -> one survivor; 5 (disagree) and 7 (no vector) survive
+    assert len(kept & {1, 3}) == 1
+    assert 5 in kept and 7 in kept and 9 in kept
+
+    # control: without the gate, the whole lexical cluster collapses
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out_ctl"),
+        "--capacity", "64",
+    ])
+    assert rc == 0
+    kept_ctl = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "out_ctl/corpus")).select("doc_id").collect()}
+    assert len(kept_ctl & {1, 3, 5, 7}) == 1
