@@ -3728,6 +3728,24 @@ def q_docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_cross_entropy(d, "text", "doc_id")
 
 
+def q_docs_ce_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail banding (operators/sampling.py::score_bands,
+    Wenzek et al. 2020 §4.3): per-LANGUAGE perplexity bands over the
+    corpus's own unigram LM score — the selection CCNet runs before
+    keeping head+middle. The window partitions by lang (exactly how
+    CCNet applies it), so no global sort; the (bits_per_token, doc_id)
+    order is total, so every ntile verdict is deterministic and the
+    oracle replays band labels exactly."""
+    from commercepulse_data_pipeline_spark.operators.sampling import score_bands
+
+    d = _docs(spark, sf_dir)
+    ce = tx.unigram_cross_entropy(d, "text", "doc_id")
+    scored = ce.join(d.select("doc_id", "lang"), "doc_id")
+    return score_bands(scored, "bits_per_token", partition_col="lang").select(
+        "doc_id", "lang", "bits_per_token", "band"
+    )
+
+
 def q_docs_bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-2 LM quality scoring (operators/text.py::bigram_cross_entropy):
     per-doc bits-per-bigram under the corpus's add-1 bigram LM — the
@@ -4122,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quarantine": q_docs_quarantine,
         "dup_cluster_size_hist": q_dup_cluster_size_hist,
         "dup_pairs_confirmed": q_dup_pairs_confirmed,
+        "docs_ce_bands": q_docs_ce_bands,
         # -- r10-green block: last driver rows r10 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r13 rotation
         "docs_token_stats": q_docs_token_stats,
@@ -6519,6 +6538,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY 1
         """,
 
+        "docs_ce_bands": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
+                            AS DECIMAL(30,4)) AS bits
+                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+            ),
+            ce AS (
+                SELECT doc_id,
+                       round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
+                FROM scored GROUP BY 1
+            ),
+            ranked AS (
+                SELECT ce.doc_id, d.lang, ce.bits_per_token,
+                       ntile(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY ce.bits_per_token ASC, ce.doc_id ASC
+                       ) AS nt
+                FROM ce JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, bits_per_token,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS band
+            FROM ranked
+        """,
         "docs_bigram_ce": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             grams AS (

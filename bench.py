@@ -94,6 +94,11 @@ EXTENDED = [
     "cross_source_fuzzy_join",
     "docs_boilerplate_strip",
     "docs_dsir_sample",
+    # r12 additions — no frozen baseline yet; compare round-over-round
+    # (the frozen extended_probe covers the seven rows above)
+    "dup_cluster_size_hist",
+    "docs_quarantine",
+    "dup_pairs_confirmed",
 ]
 
 HEADLINE = [

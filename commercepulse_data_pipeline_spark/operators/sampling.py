@@ -470,3 +470,45 @@ def temperature_mixture(
         .where(hash_bucket(F.col(id_col).cast("string"), salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def score_bands(
+    df: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+    n_bands: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    band_col: str = "band",
+) -> DataFrame:
+    """CCNet-style score banding (Wenzek et al. 2020 §4.3): rank rows by
+    ``score_col`` inside each ``partition_col`` group on the
+    deterministic (score, id) total order, split each group into
+    ``n_bands`` equal-count ntiles, and label them. CCNet's
+    head/middle/tail perplexity split is the n_bands=3 instance over
+    per-language LM scores (low score = fluent/corpus-typical); the
+    standard selection then keeps head+middle and drops the tail. The
+    band label — not a filtered subset — is the output, so callers can
+    keep, down-weight, or audit bands independently.
+
+    Scale shape: the window is PARTITIONED (per language / domain /
+    source — exactly how CCNet applies it), so there is no global sort;
+    each partition's ntile is a within-partition rank over its own sort.
+    For a corpus dominated by ONE giant partition value, swap the
+    per-row window for the histogram two-pass the docs_length_deciles
+    docstring describes. ``partition_col=None`` degrades to a single
+    global window — correct, but single-task; only for small tables."""
+    if len(labels) != n_bands:
+        raise ValueError(
+            f"score_bands: {n_bands} bands need {n_bands} labels, got {labels!r}"
+        )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col) if partition_col is not None else Window.partitionBy()
+    ).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.withColumn(
+        band_col,
+        F.element_at(F.array(*[F.lit(x) for x in labels]), F.ntile(n_bands).over(w)),
+    )

@@ -709,3 +709,29 @@ def test_cluster_size_histogram_with_and_without_singletons(spark):
         r["cluster_size"] for r in cluster_size_histogram(clusters, tight).collect()
     }
     assert no_single == {2, 3}
+
+
+def test_score_bands_partitioned_ntile_semantics(spark):
+    """score_bands (r12): per-partition head/middle/tail on the
+    deterministic (score, id) order — uneven groups give the earlier
+    bands the extra rows (SQL NTILE), ties break by id, partitions band
+    independently, and a labels/n_bands mismatch raises."""
+    from commercepulse_data_pipeline_spark.operators.sampling import score_bands
+
+    rows = [
+        # lang a: 7 docs, scores ascending by doc_id; ntile(3) -> 3/2/2
+        *[("a", i, float(i)) for i in range(7)],
+        # lang b: 3 docs all TIED on score -> id order decides bands
+        ("b", 10, 1.0), ("b", 11, 1.0), ("b", 12, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    out = {(r.lang, r.doc_id): r.band
+           for r in score_bands(df, "score", partition_col="lang").collect()}
+    assert [out[("a", i)] for i in range(7)] == [
+        "head", "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert (out[("b", 10)], out[("b", 11)], out[("b", 12)]) == (
+        "head", "middle", "tail"
+    )
+    with pytest.raises(ValueError, match="labels"):
+        score_bands(df, "score", partition_col="lang", n_bands=4)

@@ -113,6 +113,7 @@ PROBE_QUERIES = [
     "docs_quarantine",
     "dup_cluster_size_hist",
     "dup_pairs_confirmed",
+    "docs_ce_bands",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
