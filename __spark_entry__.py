@@ -3746,6 +3746,27 @@ def q_docs_ce_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_ce_bands_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL perplexity banding via the histogram two-pass
+    (operators/sampling.py::score_bands_histogram) — the 100 TB-safe form
+    the per-partition ntile cannot give for one giant group: the corpus
+    reduces to a distinct-score histogram (kilobytes — scores are
+    4dp-quantized), the band thresholds are exact integer arithmetic
+    over the histogram's cumulative counts, and the score→band map
+    broadcast-joins back. Ties share a band by construction. The oracle
+    replays the identical histogram, cumulative window, and integer
+    floor-division."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        score_bands_histogram,
+    )
+
+    d = _docs(spark, sf_dir)
+    ce = tx.unigram_cross_entropy(d, "text", "doc_id")
+    return score_bands_histogram(ce, "bits_per_token").select(
+        "doc_id", "bits_per_token", "band"
+    )
+
+
 def q_docs_bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-2 LM quality scoring (operators/text.py::bigram_cross_entropy):
     per-doc bits-per-bigram under the corpus's add-1 bigram LM — the
@@ -4141,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_hist": q_dup_cluster_size_hist,
         "dup_pairs_confirmed": q_dup_pairs_confirmed,
         "docs_ce_bands": q_docs_ce_bands,
+        "docs_ce_bands_global": q_docs_ce_bands_global,
         # -- r10-green block: last driver rows r10 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r13 rotation
         "docs_token_stats": q_docs_token_stats,
@@ -6567,6 +6589,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                            ELSE 'tail' END AS band
             FROM ranked
+        """,
+        "docs_ce_bands_global": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
+                            AS DECIMAL(30,4)) AS bits
+                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+            ),
+            ce AS (
+                SELECT doc_id,
+                       round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
+                FROM scored GROUP BY 1
+            ),
+            hist AS (
+                SELECT bits_per_token AS s, count(*) AS c FROM ce GROUP BY 1
+            ),
+            cum AS (
+                SELECT s,
+                       sum(c) OVER (ORDER BY s ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - c AS cum_start,
+                       sum(c) OVER () AS total
+                FROM hist
+            ),
+            bands AS (
+                SELECT s,
+                       least(CAST(cum_start AS BIGINT) * 3 // CAST(total AS BIGINT), 2) AS b
+                FROM cum
+            )
+            SELECT ce.doc_id, ce.bits_per_token,
+                   CASE b.b WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                            ELSE 'tail' END AS band
+            FROM ce JOIN bands b ON ce.bits_per_token = b.s
         """,
         "docs_bigram_ce": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

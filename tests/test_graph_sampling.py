@@ -735,3 +735,37 @@ def test_score_bands_partitioned_ntile_semantics(spark):
     )
     with pytest.raises(ValueError, match="labels"):
         score_bands(df, "score", partition_col="lang", n_bands=4)
+
+
+def test_score_bands_histogram_ties_share_band(spark):
+    """score_bands_histogram (r12): global banding via the histogram
+    two-pass — band by integer floor((cum_start*n)/total) over the
+    distinct-score histogram, so rows TIED on the score always share a
+    band even when that makes band sizes uneven; distinct scores split
+    evenly; label arity is enforced."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        score_bands_histogram,
+    )
+
+    # 6 distinct scores x 1 row -> bands of 2/2/2
+    even = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r.band for r in score_bands_histogram(even, "score").collect()}
+    assert [got[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+
+    # heavy tie mass: 7 rows at score 1.0, then 2.0, 3.0 -> cum_start of
+    # 1.0 is 0 (head), 2.0 starts at 7 of 9 -> floor(21/9)=2 (tail),
+    # 3.0 starts at 8 of 9 -> tail. All ties share 'head'.
+    tied = spark.createDataFrame(
+        [(i, 1.0) for i in range(7)] + [(10, 2.0), (11, 3.0)],
+        "doc_id long, score double",
+    )
+    got2 = {r.doc_id: r.band for r in score_bands_histogram(tied, "score").collect()}
+    assert all(got2[i] == "head" for i in range(7))
+    assert got2[10] == "tail" and got2[11] == "tail"
+
+    with pytest.raises(ValueError, match="labels"):
+        score_bands_histogram(even, "score", n_bands=5)

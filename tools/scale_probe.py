@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "dup_cluster_size_hist",
     "dup_pairs_confirmed",
     "docs_ce_bands",
+    "docs_ce_bands_global",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
