@@ -496,9 +496,11 @@ def score_bands(
     source — exactly how CCNet applies it), so there is no global sort;
     each partition's ntile is a within-partition rank over its own sort.
     For a corpus dominated by ONE giant partition value, swap the
-    per-row window for the histogram two-pass the docs_length_deciles
-    docstring describes. ``partition_col=None`` degrades to a single
-    global window — correct, but single-task; only for small tables."""
+    per-row window for the histogram two-pass
+    (:func:`score_bands_histogram`). ``partition_col=None`` degrades to
+    a single global window — correct, but single-task; only for small
+    tables. NULL scores sort FIRST under Spark's ascending order (into
+    the head band) — score every row first if NULLs are possible."""
     if len(labels) != n_bands:
         raise ValueError(
             f"score_bands: {n_bands} bands need {n_bands} labels, got {labels!r}"
@@ -538,7 +540,9 @@ def score_bands_histogram(
     sizes are equal only up to tie mass. For banding decisions that is
     usually the better contract — two identical scores never straddle a
     threshold — and it is what makes the global form scale: the only
-    ordered structure is the distinct-score histogram."""
+    ordered structure is the distinct-score histogram. Rows with a NULL
+    score are EXCLUDED (the score→band map is an equi-join): a NULL has
+    no place in a score order — score first, band second."""
     if len(labels) != n_bands:
         raise ValueError(
             f"score_bands_histogram: {n_bands} bands need {n_bands} labels, "
