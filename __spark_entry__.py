@@ -3078,9 +3078,9 @@ def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the window is PARTITIONED by source (no global sort).
     For a corpus dominated by one giant source, swap the per-row window
-    for the histogram two-pass (groupBy (source, n_chars) counts →
-    cumulative sums over the far smaller histogram); at driver scale the
-    partitioned window is the simpler correct plan."""
+    for the histogram two-pass — now shipped as
+    operators/sampling.py::score_bands_histogram (r12) — at driver scale
+    the partitioned window is the simpler correct plan."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
     ranked = d.select(
