@@ -3767,6 +3767,21 @@ def q_docs_ce_bands_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.py::
+    margin_knn_join, Artetxe & Schwenk 2019 ratio margin): even vec_ids
+    play the source language, odd the target; each source's best target
+    is kept by MARGIN — cosine relative to both sides' neighborhood
+    averages, the hubness-suppressing criterion raw cosine lacks. The
+    oracle replays both kNN directions from one symmetric similarity
+    CTE and the same exact-decimal margin arithmetic; margins
+    hash-check, not just the matched ids."""
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.where(F.col("vec_id") % 2 == 0)
+    tgt = e.where(F.col("vec_id") % 2 == 1)
+    return sim.margin_knn_join(src, tgt, k=4).where(F.col("margin_rank") == 1)
+
+
 def q_docs_bigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-2 LM quality scoring (operators/text.py::bigram_cross_entropy):
     per-doc bits-per-bigram under the corpus's add-1 bigram LM — the
@@ -4163,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs_confirmed": q_dup_pairs_confirmed,
         "docs_ce_bands": q_docs_ce_bands,
         "docs_ce_bands_global": q_docs_ce_bands_global,
+        "bitext_margin_pairs": q_bitext_margin_pairs,
         # -- r10-green block: last driver rows r10 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r13 rotation
         "docs_token_stats": q_docs_token_stats,
@@ -6589,6 +6605,62 @@ def oracle_sql() -> dict[str, str]:
                    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                            ELSE 'tail' END AS band
             FROM ranked
+        """,
+        "bitext_margin_pairs": """
+            WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+            fs AS (
+                SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                       list_sum(list_transform(range(1, len(s.embedding) + 1),
+                           i -> CAST(s.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                FROM s, t
+                WHERE sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+            ),
+            fwd AS (
+                SELECT src_id, tgt_id, round(sim, 6) AS cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS r
+                FROM fs
+            ),
+            bwd AS (
+                SELECT tgt_id, src_id, round(sim, 6) AS cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS r
+                FROM fs
+            ),
+            af AS (
+                SELECT src_id, sum(CAST(cosine_sim AS DECIMAL(18,6))) AS sf,
+                       count(*) AS cf
+                FROM fwd WHERE r <= 4 GROUP BY 1
+            ),
+            ab AS (
+                SELECT tgt_id, sum(CAST(cosine_sim AS DECIMAL(18,6))) AS sb,
+                       count(*) AS cb
+                FROM bwd WHERE r <= 4 GROUP BY 1
+            ),
+            m AS (
+                SELECT f.src_id, f.tgt_id, f.cosine_sim,
+                       CASE WHEN CAST(af.sf * ab.cb + ab.sb * af.cf AS DOUBLE) > 0
+                            THEN round(
+                                f.cosine_sim * CAST(2 * af.cf * ab.cb AS DOUBLE)
+                                / CAST(af.sf * ab.cb + ab.sb * af.cf AS DOUBLE), 6)
+                       END AS margin
+                FROM fwd f JOIN af USING (src_id) JOIN ab USING (tgt_id)
+                WHERE f.r <= 4
+            ),
+            ranked AS (
+                SELECT src_id, tgt_id, cosine_sim, margin,
+                       row_number() OVER (
+                           PARTITION BY src_id
+                           ORDER BY margin DESC NULLS LAST, tgt_id ASC) AS margin_rank
+                FROM m
+            )
+            SELECT src_id, tgt_id, cosine_sim, margin,
+                   CAST(margin_rank AS INT) AS margin_rank
+            FROM ranked WHERE margin_rank = 1
         """,
         "docs_ce_bands_global": f"""
             WITH toks AS (

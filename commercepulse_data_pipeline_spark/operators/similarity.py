@@ -1765,3 +1765,84 @@ def score_pairs(
         )
         .select(*pairs.columns, "cosine_sim")
     )
+
+
+def margin_knn_join(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold: float | None = None,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
+    ratio margin): for every ``src`` row, its k nearest ``tgt`` rows
+    scored by cosine RELATIVE to both sides' own neighborhood averages —
+
+        margin(x, y) = cos(x, y) / ((avgk_fwd(x) + avgk_bwd(y)) / 2)
+
+    — the criterion that suppresses hubness: a target close to
+    EVERYTHING has a high avgk_bwd, so its raw-cosine false friends fall
+    below threshold, which is why mining on raw cosine alone is known to
+    be unreliable. The standard rule keeps margin_rank=1 pairs above a
+    threshold (~1.05); pass ``margin_threshold`` to filter, ``None``
+    returns all k candidates with margins.
+
+    Cross-engine determinism: neighbor cosines are the 6dp-rounded
+    ``knn_join`` outputs; each side's neighborhood average stays an
+    EXACT decimal sum with its own count, and the margin is computed as
+    ONE double division of exact-ingredient products —
+    ``cos · (2·cf·cb) / (sf·cb + sb·cf)`` — then rounded to 6dp, so
+    margins and margin ranks replay bit-for-bit in a SQL twin.
+
+    Scale shape: two broadcast-query ``knn_join`` passes (src→tgt and
+    tgt→src; each side is broadcast ONCE, so ``max_queries`` applies to
+    both — bitext mining runs per language-pair shard in practice), two
+    per-row average aggregates, and two joins of the k·|src| candidate
+    list against them. For corpus-scale self-mining use the LSH-blocked
+    ``knn_join_self`` shape instead of broadcasting. Output: src_id,
+    tgt_id, cosine_sim, margin, margin_rank (per src: margin desc,
+    tgt_id tiebreak)."""
+    fwd = knn_join(
+        tgt, src, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_self=False, max_queries=max_queries,
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cosine_sim",
+    )
+    bwd = knn_join(
+        src, tgt, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_self=False, max_queries=max_queries,
+    )
+    dec = "decimal(18,6)"
+    af = fwd.groupBy("src_id").agg(
+        F.sum(F.col("cosine_sim").cast(dec)).alias("__sf"),
+        F.count(F.lit(1)).alias("__cf"),
+    )
+    ab = bwd.groupBy("query_id").agg(
+        F.sum(F.col("cosine_sim").cast(dec)).alias("__sb"),
+        F.count(F.lit(1)).alias("__cb"),
+    ).select(F.col("query_id").alias("tgt_id"), "__sb", "__cb")
+    num = F.col("cosine_sim") * (
+        F.lit(2) * F.col("__cf") * F.col("__cb")
+    ).cast("double")
+    den = (
+        F.col("__sf") * F.col("__cb") + F.col("__sb") * F.col("__cf")
+    ).cast("double")
+    scored = (
+        fwd.join(af, "src_id")
+        .join(ab, "tgt_id")
+        .withColumn("margin", F.round(F.when(den > 0, num / den), 6))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    out = scored.withColumn("margin_rank", F.row_number().over(w)).select(
+        "src_id", "tgt_id", "cosine_sim", "margin", "margin_rank"
+    )
+    if margin_threshold is not None:
+        out = out.where(F.col("margin") >= margin_threshold)
+    return out

@@ -1863,3 +1863,43 @@ def test_score_pairs_cosine_and_missing_vectors(spark):
     assert got[(1, 3)]["cosine_sim"] == 0.0
     assert got[(1, 4)]["cosine_sim"] is None  # zero norm
     assert got[(1, 99)]["cosine_sim"] is None  # missing vector
+
+
+def test_margin_knn_join_suppresses_hub(spark):
+    """margin_knn_join (r12): a hub target closest to EVERY source by
+    raw cosine loses to the genuinely-aligned target under the ratio
+    margin (Artetxe & Schwenk 2019) — the exact failure mode raw-cosine
+    mining is known for; threshold filtering keeps only confident
+    pairs."""
+    from commercepulse_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        margin_knn_join,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # hub: cos 0.7 to BOTH sources; ta/tb: cos 0.68 to exactly one
+    tgt = spark.createDataFrame(
+        [
+            (101, [0.7, 0.7, 0.140]),
+            (103, [0.68, 0.0, 0.733]),
+            (105, [0.0, 0.68, 0.733]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # raw cosine picks the hub for every source...
+    raw = {r.query_id: r.neighbor_id
+           for r in knn_join(tgt, src, k=1, exclude_self=False).collect()}
+    assert raw == {0: 101, 2: 101}
+    # ...the margin picks each source's true counterpart
+    out = margin_knn_join(src, tgt, k=2)
+    top = {r.src_id: r for r in out.where(F.col("margin_rank") == 1).collect()}
+    assert top[0]["tgt_id"] == 103 and top[2]["tgt_id"] == 105
+    assert top[0]["margin"] > 1.2  # well above the mining threshold
+    hub_rows = {(r.src_id, r.tgt_id): r.margin for r in out.collect()}
+    assert hub_rows[(0, 101)] < hub_rows[(0, 103)]
+    # threshold filter drops the hub pairs entirely
+    mined = margin_knn_join(src, tgt, k=2, margin_threshold=1.2)
+    assert {(r.src_id, r.tgt_id) for r in mined.collect()} == {(0, 103), (2, 105)}

@@ -115,6 +115,10 @@ PROBE_QUERIES = [
     "dup_pairs_confirmed",
     "docs_ce_bands",
     "docs_ce_bands_global",
+    # bitext_margin_pairs is deliberately NOT probed: its cost model is
+    # |src|x|tgt| (both sides grow under replication -> quadratic BY
+    # CONTRACT, which is why margin_knn_join is max_queries-guarded and
+    # documented as a per-language-pair-shard operator; see SCALE.md r12)
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
