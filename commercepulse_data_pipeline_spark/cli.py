@@ -510,12 +510,18 @@ def cmd_clean_corpus(args) -> int:
     corpus.write.mode("overwrite").parquet(f"{args.out}/corpus")
     packing.packed_windows(packed).write.mode("overwrite").parquet(f"{args.out}/windows")
     quarantine_msg = ""
+    n_out = corpus.count()  # corpus is cached by its write
     if quarantine:
         qdf = _reduce(DataFrame.unionByName, rejects)
         qdf.write.mode("overwrite").parquet(f"{args.out}/quarantine")
         n_q = spark.read.parquet(f"{args.out}/quarantine").count()
         quarantine_msg = f", {n_q} quarantined with reasons"
-    n_in, n_out = docs.count(), corpus.count()  # corpus is cached by its write
+        # kept + quarantined partitions the INPUT exactly, so derive the
+        # input count instead of counting `docs` (which by this point is
+        # the post-gate/post-strip frame and would understate it)
+        n_in = n_out + n_q
+    else:
+        n_in = docs.count()
     packed.unpersist()
     corpus.unpersist()
     print(
