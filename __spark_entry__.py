@@ -4334,6 +4334,27 @@ _QUALITY_SQL = f"""
 
 # MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows) — shared between the
 # minhash_pairs oracle and the docs_dup_clusters recursive-CTE oracle.
+# Add-1 unigram cross-entropy fragment (kept identical across the CE
+# oracle and both banding oracles — the _QUALITY_SQL discipline: one
+# definition so twins cannot drift; r12 review finding).
+_UNIGRAM_CE_CTE = f"""toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
+                            AS DECIMAL(30,4)) AS bits
+                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+            ),
+            ce AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
+                FROM scored GROUP BY 1
+            )"""
+
+
 _MINHASH_PAIRS_CTE = f"""
             t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             sh AS (
@@ -6560,39 +6581,12 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "docs_unigram_ce": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-            ),
-            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
-            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
-            scored AS (
-                SELECT t.doc_id,
-                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
-                            AS DECIMAL(30,4)) AS bits
-                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
-            )
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
-            FROM scored GROUP BY 1
+            WITH {_UNIGRAM_CE_CTE}
+            SELECT doc_id, n_tokens, bits_per_token FROM ce
         """,
 
         "docs_ce_bands": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-            ),
-            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
-            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
-            scored AS (
-                SELECT t.doc_id,
-                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
-                            AS DECIMAL(30,4)) AS bits
-                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
-            ),
-            ce AS (
-                SELECT doc_id,
-                       round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
-                FROM scored GROUP BY 1
-            ),
+            WITH {_UNIGRAM_CE_CTE},
             ranked AS (
                 SELECT ce.doc_id, d.lang, ce.bits_per_token,
                        ntile(3) OVER (
@@ -6663,22 +6657,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE margin_rank = 1
         """,
         "docs_ce_bands_global": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-            ),
-            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
-            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
-            scored AS (
-                SELECT t.doc_id,
-                       CAST(-log2((c.c + 1) / CAST(tot.n + tot.v AS DOUBLE))
-                            AS DECIMAL(30,4)) AS bits
-                FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
-            ),
-            ce AS (
-                SELECT doc_id,
-                       round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS bits_per_token
-                FROM scored GROUP BY 1
-            ),
+            WITH {_UNIGRAM_CE_CTE},
             hist AS (
                 SELECT bits_per_token AS s, count(*) AS c FROM ce GROUP BY 1
             ),

@@ -226,11 +226,13 @@ def cmd_clean_corpus(args) -> int:
     operators/text.py::quarantine_report; the last two reasons are RATE
     decisions, not quality judgments). Each stage's complement is taken
     against that stage's own input, so quarantine ∪ kept partitions the
-    input exactly. The flag localCheckpoints the stage outputs the
-    complements re-consume (stripped/derep/clusters/deduped/spliced/
+    input exactly. The flag adds localCheckpoints on the stage outputs
+    ONLY its complements re-consume (stripped/derep/deduped/spliced/
     topk), so the rejected sides never re-run the expensive
-    splice/pair-generation lineage; with the flag off the plan is
-    unchanged."""
+    splice/pair-generation lineage; the clusters and with_tokens
+    checkpoints are UNCONDITIONAL — those frames are double-consumed on
+    the default path too (the r12 chain probe measured both cuts paying
+    for themselves flag-off, SCALE.md)."""
     from functools import reduce as _reduce
 
     from pyspark.sql import DataFrame

@@ -505,8 +505,6 @@ def score_bands(
         raise ValueError(
             f"score_bands: {n_bands} bands need {n_bands} labels, got {labels!r}"
         )
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy(partition_col) if partition_col is not None else Window.partitionBy()
     ).orderBy(F.col(score_col).asc(), F.col(id_col).asc())

@@ -1750,7 +1750,17 @@ def score_pairs(
     twin. A pair whose vector is missing or zero-norm gets NULL
     ``cosine_sim`` (kept — the caller decides what a missing signal
     means). Output: the pair list's columns + ``cosine_sim`` (rounded
-    6dp — the ``hard_negatives`` tie/threshold contract)."""
+    6dp — the ``hard_negatives`` tie/threshold contract). ``cosine_sim``
+    is a RESERVED output name: a pair list that already carries one
+    (e.g. raw ``knn_join_self`` output) raises — rename or drop the
+    blocker's score first, so two scores from different vector tables
+    can never be silently confused (r12 review finding)."""
+    if "cosine_sim" in pairs.columns:
+        raise ValueError(
+            "score_pairs: the pair list already has a 'cosine_sim' column "
+            "(the reserved output name) — rename or drop the blocker's "
+            "score before re-scoring, so the two signals stay distinct."
+        )
     va = vectors.select(F.col(id_col).alias(id_a), F.col(vec_col).alias("__va"))
     vb = vectors.select(F.col(id_col).alias(id_b), F.col(vec_col).alias("__vb"))
     denom = _norm(F.col("__va")) * _norm(F.col("__vb"))

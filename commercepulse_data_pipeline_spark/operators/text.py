@@ -213,11 +213,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", *, n_tokens_col: str | None = None
+) -> DataFrame:
     """Heuristic document quality in [0,1]: combines length band, lexical
     diversity, mean word length band, and alpha ratio. The exact formula is
     arbitrary (as all quality heuristics are); what matters at scale is
-    that it's a single codegen'd projection."""
+    that it's a single codegen'd projection. Pass ``n_tokens_col`` to also
+    emit the token count from the SAME staged token array — callers that
+    need both would otherwise tokenize every document twice (HOF subtrees
+    are not subexpression-eliminated; r12 review finding)."""
     df = df.withColumn("__toks", tokens(F.col(text_col)))  # staged once (see with_text_stats)
     t = F.col(text_col)
     toks = F.col("__toks")
@@ -235,7 +240,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     word_band = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     score = (distinct_ratio + alpha_ratio + len_band + word_band) / F.lit(4.0)
-    return df.withColumn("quality_score", F.round(score, 6)).drop("__toks")
+    out = df.withColumn("quality_score", F.round(score, 6))
+    if n_tokens_col is not None:
+        out = out.withColumn(n_tokens_col, F.size(F.col("__toks")).cast("long"))
+    return out.drop("__toks")
 
 
 def language_scores(toks: Column) -> dict[str, Column]:
@@ -1257,7 +1265,10 @@ def quarantine_report(
     SQL twin agrees by construction)."""
     from pyspark.sql import Window
 
-    scored = quality_score(df, text_col)
+    # one staged tokenization feeds BOTH the quality score and the token
+    # count (HOF subtrees are not subexpression-eliminated — recomputing
+    # F.size(tokens(text)) here would tokenize every doc twice)
+    scored = quality_score(df, text_col, n_tokens_col="__qr_ntok")
     w = Window.partitionBy(F.md5(text_col))
     canonical = F.col(id_col) == F.min(id_col).over(w)
     reason = (
@@ -1268,6 +1279,6 @@ def quarantine_report(
     return scored.select(
         F.col(id_col),
         F.col(source_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.col("__qr_ntok").alias("n_tokens"),
         reason.alias("reason"),
     ).where(F.col("reason").isNotNull())

@@ -1863,6 +1863,12 @@ def test_score_pairs_cosine_and_missing_vectors(spark):
     assert got[(1, 3)]["cosine_sim"] == 0.0
     assert got[(1, 4)]["cosine_sim"] is None  # zero norm
     assert got[(1, 99)]["cosine_sim"] is None  # missing vector
+    # reserved output name: re-scoring a list that already carries a
+    # blocker cosine raises instead of silently overwriting it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cosine_sim"):
+        score_pairs(score_pairs(pairs, vecs), vecs)
 
 
 def test_margin_knn_join_suppresses_hub(spark):
