@@ -208,6 +208,10 @@ def cmd_clean_corpus(args) -> int:
         → optional DSIR selection (--dsir-target: keep the --dsir-top-k
           docs ranked by hashed-ngram log-likelihood ratio vs the target
           corpus, Xie et al. 2023 — after dedup, before the rate sample)
+        → optional CE-band selection (--ce-bands: keep only the listed
+          CCNet perplexity bands — head,middle,tail over the corpus's own
+          unigram LM, histogram two-pass; Wenzek et al. 2020 keep
+          head+middle)
         → deterministic sample (md5-bucket, reproducible/incremental)
         → optional train/val/test split manifest (--splits; content-keyed,
           stable under incremental reruns)
@@ -221,7 +225,8 @@ def cmd_clean_corpus(args) -> int:
     (doc_id, reason) row per INPUT doc absent from the output, tagged
     with the FIRST stage that dropped it (stage order: repetitive →
     boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
-    passage_hollowed → not_dsir_selected → not_sampled) — the auditable
+    passage_hollowed → not_dsir_selected → ce_band_dropped →
+    not_sampled) — the auditable
     exclusion table (the CLI-chain form of
     operators/text.py::quarantine_report; the last two reasons are RATE
     decisions, not quality judgments). Each stage's complement is taken
@@ -460,6 +465,35 @@ def cmd_clean_corpus(args) -> int:
             topk = topk.localCheckpoint(eager=True)
             _reject(deduped.join(topk, "doc_id", "left_anti"), "not_dsir_selected")
         deduped = deduped.join(F.broadcast(topk), "doc_id", "left_semi")
+
+    if args.ce_bands:
+        # CCNet-style perplexity-band selection AFTER dedup (scoring
+        # duplicates would weight copies) and BEFORE the rate sample:
+        # band every doc by unigram-LM bits-per-token via the histogram
+        # two-pass (global, no per-row sort — works with or without a
+        # lang column), keep only the requested bands. Wenzek et al.
+        # 2020 keep head+middle; tail = rare-word soup / noise.
+        from commercepulse_data_pipeline_spark.operators.sampling import (
+            score_bands_histogram,
+        )
+
+        keep_bands = {b.strip() for b in args.ce_bands.split(",") if b.strip()}
+        bad = keep_bands - {"head", "middle", "tail"}
+        if bad or not keep_bands:
+            raise SystemExit(
+                f"--ce-bands: want a comma list from head,middle,tail — got {args.ce_bands!r}"
+            )
+        ce = tx.unigram_cross_entropy(deduped.select("doc_id", "text"), "text")
+        banded = score_bands_histogram(ce, "bits_per_token")
+        kept_ids = banded.where(F.col("band").isin(*sorted(keep_bands))).select(
+            "doc_id"
+        )
+        if quarantine:
+            kept_ids = kept_ids.localCheckpoint(eager=True)
+            _reject(
+                deduped.join(kept_ids, "doc_id", "left_anti"), "ce_band_dropped"
+            )
+        deduped = deduped.join(kept_ids, "doc_id", "left_semi")
 
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
     if quarantine:
@@ -817,6 +851,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--splits", default=None,
                    help="train/val/test manifest, e.g. 'train=0.9,val=0.05,test=0.05' "
                         "(content-keyed: stable under incremental reruns)")
+    c.add_argument("--ce-bands", default=None, dest="ce_bands",
+                   help="keep only these CCNet perplexity bands (comma list "
+                        "from head,middle,tail; unigram-LM bits-per-token, "
+                        "histogram two-pass) — e.g. 'head,middle' drops the "
+                        "rare-word-soup tail")
     c.add_argument("--quarantine", action="store_true",
                    help="also write <out>/quarantine: one (doc_id, reason) row "
                         "per dropped input doc, tagged with the FIRST stage "

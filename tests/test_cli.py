@@ -587,3 +587,57 @@ def test_clean_corpus_confirm_embeddings_gate(spark, tmp_path):
     kept_ctl = {r.doc_id for r in
                 spark.read.parquet(str(tmp_path / "out_ctl/corpus")).select("doc_id").collect()}
     assert len(kept_ctl & {1, 3, 5, 7}) == 1
+
+
+def test_clean_corpus_ce_band_selection(spark, tmp_path):
+    """--ce-bands (r12): after dedup, docs band by unigram-LM
+    bits-per-token (histogram two-pass) and only the requested bands
+    survive — 'head,middle' drops the rare-word-soup tail; with
+    --quarantine the dropped docs carry ce_band_dropped."""
+    from commercepulse_data_pipeline_spark import cli
+
+    rows = [
+        # six corpus-typical docs: shared vocabulary in orders chosen so
+        # NO 3-shingle repeats across docs (verified: zero MinHash
+        # candidate pairs), one unique token each
+        (1, "the cat alpha dog runs fast big house tree the cat dog"),
+        (2, "dog the bravo cat fast runs tree house big dog the cat runs"),
+        (3, "runs dog kilo the big cat house fast tree runs dog the big cat"),
+        (4, "fast house zulu tree dog big cat the runs fast house tree dog big"),
+        (5, "tree big echo house cat dog the fast runs tree big house cat"),
+        (6, "house fast nova big runs tree cat dog the house fast big runs tree"),
+        # two rare-word-soup docs: every token unique in the corpus ->
+        # highest bits-per-token, and the tie-sharing histogram bands
+        # put BOTH in the tail (cum_start 6 of 8)
+        (7, "qq ww ee rr tt yy uu ii oo pp"),
+        (8, "aa ss dd ff gg hh jj kk ll mm nn"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
+        str(tmp_path / "docs")
+    )
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--ce-bands", "head,middle",
+        "--quarantine",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out/corpus")).select("doc_id").collect()}
+    q = {r.doc_id: r.reason for r in
+         spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
+    assert kept == {1, 2, 3, 4, 5, 6}
+    assert q == {7: "ce_band_dropped", 8: "ce_band_dropped"}
+
+    # a bad band name fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="ce-bands"):
+        cli.main([
+            "clean-corpus",
+            "--docs", str(tmp_path / "docs"),
+            "--out", str(tmp_path / "out_bad"),
+            "--ce-bands", "head,bogus",
+        ])
