@@ -4141,70 +4141,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8-r11 recorded exactly 50). r12
-    # executes the rotation written in COVERAGE.md after r11: (a) the 20
-    # r9-green entries the r11 cap could not reach go FIRST; (b) queries NEW
-    # this round; (c) the r10-green block (the oldest remaining — its tail
-    # past the cap heads the r13 rotation); (d) the r11-green block closes
-    # the oracle-backed list. After r12 every oracle-backed entry again has
-    # a driver row within two rounds.
+    # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
+    # executes the rotation written in COVERAGE.md after r12: (a) the 26
+    # r10-green entries past r12's 50-row cap go FIRST; (b) queries NEW this
+    # round; (c) the r11-green block (the oldest remaining — its tail past
+    # the cap heads the r14 rotation); (d) the r12-green block closes the
+    # oracle-backed list. After r13 every oracle-backed entry again has a
+    # driver row within two rounds.
     return {
-        # -- r9-verification debt: last driver rows r9 (operators
-        # --    untouched since, per git) — the r9-block tail past r11's
-        # --    50-row cap rotates in FIRST (COVERAGE.md r12 plan)
-        "revenue_cube": q_revenue_cube,
-        "month_over_month": q_month_over_month,
-        "docs_shared_passages": q_docs_shared_passages,
-        "token_budget": q_token_budget,
-        "running_total": q_running_total,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
-        "event_daily_stats": q_event_daily_stats,
-        "minhash_signature": q_minhash_signature,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "approx_stats_check": q_approx_stats_check,
-        "order_value_percentiles_check": q_order_value_percentiles_check,
-        "purge_audit": q_purge_audit,
-        "sketch_range_users": q_sketch_range_users,
-        "token_heavy_hitters": q_token_heavy_hitters,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_length_deciles": q_docs_length_deciles,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        # -- new in r12
-        "docs_quarantine": q_docs_quarantine,
-        "dup_cluster_size_hist": q_dup_cluster_size_hist,
-        "dup_pairs_confirmed": q_dup_pairs_confirmed,
-        "docs_ce_bands": q_docs_ce_bands,
-        "docs_ce_bands_global": q_docs_ce_bands_global,
-        "bitext_margin_pairs": q_bitext_margin_pairs,
-        # -- r10-green block: last driver rows r10 — the oldest remaining;
-        # --    the tail past the driver's ~50-row cap heads the r13 rotation
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "docs_boilerplate_strip": q_docs_boilerplate_strip,
-        "docs_dsir_sample": q_docs_dsir_sample,
-        "embedding_hard_negatives": q_embedding_hard_negatives,
-        "ann_pq_knn_join": q_ann_pq_knn_join,
-        "docs_bigram_ce": q_docs_bigram_ce,
-        "docs_temperature_mixture": q_docs_temperature_mixture,
-        "docs_hashed_vectors": q_docs_hashed_vectors,
-        "docs_tfidf_vectors": q_docs_tfidf_vectors,
-        "fx_normalized_revenue": q_fx_normalized_revenue,
-        "last_touch_asof": q_last_touch_asof,
-        "scd2_asof": q_scd2_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "docs_unigram_ce": q_docs_unigram_ce,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
+        # -- r10-verification debt: last driver rows r10 (operators
+        # --    untouched since, per git) — the r10-block tail past r12's
+        # --    50-row cap rotates in FIRST (COVERAGE.md r13 plan)
         "merge_upsert_state": q_merge_upsert_state,
         "salted_revenue": q_salted_revenue,
         "incident_impact": q_incident_impact,
@@ -4231,8 +4178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "docs_lang_detect": q_docs_lang_detect,
         "docs_pii_scrub": q_docs_pii_scrub,
-        # -- r11-green block: every entry below has a green row in
-        # --    CORRECTNESS_r11.json (checked last round)
+        # -- new in r13
+        # -- r11-green block: last driver rows r11 — the oldest remaining;
+        # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_packed_windows": q_docs_packed_windows,
@@ -4283,6 +4231,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
+        # -- r12-green block: every entry below has a green row in
+        # --    CORRECTNESS_r12.json (checked last round)
+        "revenue_cube": q_revenue_cube,
+        "month_over_month": q_month_over_month,
+        "docs_shared_passages": q_docs_shared_passages,
+        "token_budget": q_token_budget,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "event_daily_stats": q_event_daily_stats,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "approx_stats_check": q_approx_stats_check,
+        "order_value_percentiles_check": q_order_value_percentiles_check,
+        "purge_audit": q_purge_audit,
+        "sketch_range_users": q_sketch_range_users,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_deciles": q_docs_length_deciles,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_quarantine": q_docs_quarantine,
+        "dup_cluster_size_hist": q_dup_cluster_size_hist,
+        "dup_pairs_confirmed": q_dup_pairs_confirmed,
+        "docs_ce_bands": q_docs_ce_bands,
+        "docs_ce_bands_global": q_docs_ce_bands_global,
+        "bitext_margin_pairs": q_bitext_margin_pairs,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "docs_boilerplate_strip": q_docs_boilerplate_strip,
+        "docs_dsir_sample": q_docs_dsir_sample,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        "ann_pq_knn_join": q_ann_pq_knn_join,
+        "docs_bigram_ce": q_docs_bigram_ce,
+        "docs_temperature_mixture": q_docs_temperature_mixture,
+        "docs_hashed_vectors": q_docs_hashed_vectors,
+        "docs_tfidf_vectors": q_docs_tfidf_vectors,
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
         # -- rows-only block rides at the very end (contract: never
         # --    displaces an oracle-backed query from the driver's cap;
         # --    each has an oracle-backed *_check companion above)
