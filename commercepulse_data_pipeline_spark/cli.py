@@ -225,8 +225,10 @@ def cmd_clean_corpus(args) -> int:
     (doc_id, reason) row per INPUT doc absent from the output, tagged
     with the FIRST stage that dropped it (stage order: repetitive →
     boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
-    passage_hollowed → not_dsir_selected → ce_band_dropped →
-    not_sampled) — the auditable
+    passage_hollowed → not_dsir_selected → no_tokens → ce_band_dropped →
+    not_sampled; no_tokens = the doc tokenizes to zero tokens, so no CE
+    score exists and --ce-bands drops it even when all three bands are
+    requested) — the auditable
     exclusion table (the CLI-chain form of
     operators/text.py::quarantine_report; the last two reasons are RATE
     decisions, not quality judgments). Each stage's complement is taken
@@ -250,6 +252,39 @@ def cmd_clean_corpus(args) -> int:
         assign_splits,
         deterministic_sample,
     )
+
+    # Parse + validate CLI stage specs UP FRONT (ADVICE r12): a typo like
+    # --ce-bands 'head,bogus' used to be caught only inside the pipeline,
+    # AFTER the eager exact-dedup and cluster localCheckpoint jobs had
+    # already burned the whole scrub/dedup/clustering compute. Same class
+    # of late failure for a malformed --splits spec — both now exit
+    # before a SparkSession even starts, with the same messages.
+    keep_bands: set[str] | None = None
+    if args.ce_bands:
+        keep_bands = {b.strip() for b in args.ce_bands.split(",") if b.strip()}
+        bad = keep_bands - {"head", "middle", "tail"}
+        if bad or not keep_bands:
+            raise SystemExit(
+                f"--ce-bands: want a comma list from head,middle,tail — got {args.ce_bands!r}"
+            )
+    split_fracs: dict[str, float] | None = None
+    if args.splits:
+        split_fracs = {}
+        for spec in args.splits.split(","):
+            name, eq, frac = spec.partition("=")
+            name = name.strip()
+            try:
+                value = float(frac)
+            except ValueError:
+                value = None
+            if not eq or not name or value is None:
+                raise SystemExit(
+                    f"--splits: bad spec {spec!r} (want name=fraction, "
+                    f"e.g. 'train=0.9,val=0.05,test=0.05')"
+                )
+            if name in split_fracs:
+                raise SystemExit(f"--splits: duplicate split name {name!r}")
+            split_fracs[name] = value
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
@@ -477,21 +512,33 @@ def cmd_clean_corpus(args) -> int:
             score_bands_histogram,
         )
 
-        keep_bands = {b.strip() for b in args.ce_bands.split(",") if b.strip()}
-        bad = keep_bands - {"head", "middle", "tail"}
-        if bad or not keep_bands:
-            raise SystemExit(
-                f"--ce-bands: want a comma list from head,middle,tail — got {args.ce_bands!r}"
-            )
+        # (keep_bands parsed + validated up front, before any Spark job)
         ce = tx.unigram_cross_entropy(deduped.select("doc_id", "text"), "text")
+        if quarantine:
+            # ce is consumed twice under the flag (the band map AND the
+            # no_tokens anti-join below) and its lineage is the vocab
+            # join — cut it BEFORE deriving the band map so the CE
+            # scoring runs once
+            ce = ce.localCheckpoint(eager=True)
         banded = score_bands_histogram(ce, "bits_per_token")
         kept_ids = banded.where(F.col("band").isin(*sorted(keep_bands))).select(
             "doc_id"
         )
         if quarantine:
+            # a doc whose text tokenizes to ZERO tokens has no CE row at
+            # all (no perplexity is defined for it), so it can never band
+            # — it is dropped even by '--ce-bands head,middle,tail'.
+            # Quarantine it under its own reason (ADVICE r12: tagging it
+            # ce_band_dropped misstated why it vanished).
             kept_ids = kept_ids.localCheckpoint(eager=True)
             _reject(
-                deduped.join(kept_ids, "doc_id", "left_anti"), "ce_band_dropped"
+                deduped.join(ce.select("doc_id"), "doc_id", "left_anti"),
+                "no_tokens",
+            )
+            _reject(
+                deduped.join(ce.select("doc_id"), "doc_id", "left_semi")
+                .join(kept_ids, "doc_id", "left_anti"),
+                "ce_band_dropped",
             )
         deduped = deduped.join(kept_ids, "doc_id", "left_semi")
 
@@ -505,23 +552,9 @@ def cmd_clean_corpus(args) -> int:
     if args.splits:
         # train/val/test manifest AFTER all dedup/sampling (so the split
         # fractions apply to what actually ships) — content-keyed, so a
-        # doc keeps its split across incremental reruns (no eval leakage)
-        fracs = {}
-        for spec in args.splits.split(","):
-            name, eq, frac = spec.partition("=")
-            name = name.strip()
-            try:
-                value = float(frac)
-            except ValueError:
-                value = None
-            if not eq or not name or value is None:
-                raise SystemExit(
-                    f"--splits: bad spec {spec!r} (want name=fraction, "
-                    f"e.g. 'train=0.9,val=0.05,test=0.05')"
-                )
-            if name in fracs:
-                raise SystemExit(f"--splits: duplicate split name {name!r}")
-            fracs[name] = value
+        # doc keeps its split across incremental reruns (no eval leakage);
+        # fracs parsed + validated up front, before any Spark job
+        fracs = split_fracs
         # salt MUST differ from deterministic_sample's: with the same salt,
         # every sample survivor has bucket < rate*2^32, so the split
         # boundaries (computed over the full [0, 2^32) range) collapse —

@@ -271,6 +271,7 @@ def cluster_size_histogram(
     corpus: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
+    member_col: str | None = None,
 ) -> DataFrame:
     """Dedup savings report: how much of the corpus sits in near-dup
     clusters of each size — one row per ``cluster_size`` with
@@ -279,12 +280,21 @@ def cluster_size_histogram(
     publish). Pass ``corpus`` to also count UNclustered docs as size-1
     singletons, so ``sum(n_docs)`` equals the whole corpus.
 
+    ``id_col`` names the corpus id column; ``member_col`` names the
+    cluster table's member column and DEFAULTS to ``id_col`` so a
+    non-default id renames both sides consistently (ADVICE r12: the
+    clusters side used to be hard-coded ``doc_id``, so a custom
+    ``id_col`` against a standard ``dedup_clusters`` table either
+    AnalysisException'd or miscounted singletons). A standard table with
+    a custom corpus id is ``member_col="doc_id"``.
+
     Scale shape: the cluster table reduces to one row per ``cluster_id``
     first (map-side-combinable distinct on (cluster_id, cluster_size) —
     the pair is functionally dependent, so which duplicate survives is
     immaterial), then a cluster_size-keyed aggregate: kilobytes out
     regardless of corpus size. The optional singleton row is ONE
     left-anti count aggregate — no collect, no driver state."""
+    member = member_col if member_col is not None else id_col
     per_cluster = clusters.select("cluster_id", "cluster_size").dropDuplicates(
         ["cluster_id"]
     )
@@ -296,7 +306,7 @@ def cluster_size_histogram(
         singles = (
             corpus.select(F.col(id_col))
             .join(
-                clusters.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+                clusters.select(F.col(member).alias(id_col)), id_col, "left_anti"
             )
             .agg(F.count(F.lit(1)).alias("n_clusters"))
             .where(F.col("n_clusters") > 0)
@@ -308,3 +318,91 @@ def cluster_size_histogram(
         )
         hist = hist.unionByName(singles)
     return hist.orderBy("cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Persisted cluster-table artifact (VERDICT r12 item 3)
+# ---------------------------------------------------------------------------
+# The dedup REPORT consumers — cluster_size_histogram, keep_best_per_cluster,
+# quarantine complements, pair-confirm joins — all consume the same
+# (doc_id, cluster_id, cluster_size) table, and each re-deriving it means
+# re-running MinHash banding + iterative connected components per report. At
+# 100 TB that is the dominant cost repeated N times. The artifact pair below
+# makes the "compute once, publish, fan out readers" pattern durable, the
+# same shape the MinHash/ANN indexes already use (dedup.py::
+# write_minhash_index): parquet rows + a JSON meta sidecar pinning
+# provenance, so a reader can refuse a table whose lineage it doesn't
+# expect. Self-contained driver queries keep their from-scratch form; the
+# clean-corpus CLI's localCheckpoint hoist (r12) is the in-session twin of
+# this on-disk artifact.
+
+_CLUSTER_TABLE_COLS = ("doc_id", "cluster_id", "cluster_size")
+
+
+def write_cluster_table(
+    clusters: DataFrame,
+    path: str,
+    *,
+    provenance: dict | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a ``dedup_clusters`` result as the corpus's CLUSTER
+    TABLE artifact: ``path/clusters`` parquet with the pinned
+    (doc_id, cluster_id, cluster_size) schema plus a ``path/meta`` JSON
+    sidecar carrying caller-supplied ``provenance`` (banding parameters,
+    source snapshot id, CC algorithm — whatever the reader needs to
+    decide the table is the one it wants). Readers get ONE materialized
+    CC run; nothing re-derives the pair graph.
+
+    The write repartitions by ``cluster_id`` so each cluster's members
+    are co-located on disk: per-cluster consumers (keep-best windows,
+    histogram reduces) then shuffle rows that are already
+    partition-local. Cluster tables are small relative to the corpus
+    (clustered docs only), so file count follows the session's shuffle
+    parallelism."""
+    import json
+
+    missing = [c for c in _CLUSTER_TABLE_COLS if c not in clusters.columns]
+    if missing:
+        raise ValueError(
+            f"cluster table missing columns {missing}; expected "
+            f"{_CLUSTER_TABLE_COLS} (dedup_clusters output)"
+        )
+    spark = clusters.sparkSession
+    (
+        clusters.select(*_CLUSTER_TABLE_COLS)
+        .repartition("cluster_id")
+        .write.mode(mode)
+        .parquet(f"{path}/clusters")
+    )
+    meta = {"schema": list(_CLUSTER_TABLE_COLS), "provenance": provenance or {}}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def read_cluster_table(spark, path: str) -> DataFrame:
+    """Read a ``write_cluster_table`` artifact back as a DataFrame with
+    the pinned schema — the input every cluster consumer
+    (``cluster_size_histogram``, ``keep_best_per_cluster``, left-anti
+    survivor complements, ``similarity.score_pairs`` confirm joins)
+    accepts directly. Raises if the artifact's pinned schema is not the
+    expected one (a foreign parquet directory is not a cluster table)."""
+    import json
+
+    row = spark.read.json(f"{path}/meta").head()
+    meta = json.loads(row.meta)
+    if list(meta.get("schema", [])) != list(_CLUSTER_TABLE_COLS):
+        raise ValueError(
+            f"{path} is not a cluster-table artifact: meta schema "
+            f"{meta.get('schema')} != {_CLUSTER_TABLE_COLS}"
+        )
+    return spark.read.parquet(f"{path}/clusters").select(*_CLUSTER_TABLE_COLS)
+
+
+def read_cluster_table_meta(spark, path: str) -> dict:
+    """The artifact's provenance dict (empty if the writer passed none)."""
+    import json
+
+    row = spark.read.json(f"{path}/meta").head()
+    return dict(json.loads(row.meta).get("provenance", {}))

@@ -472,6 +472,45 @@ def temperature_mixture(
     )
 
 
+def _null_score_guard(df: DataFrame, score_col: str, null_scores: str, fn: str):
+    """Shared NULL-score contract for the two banding forms (VERDICT r12:
+    the siblings used to carry OPPOSITE documented NULL semantics — ntile
+    put NULLs in the head band, histogram dropped them — so a NULL-scored
+    doc survived one form and vanished from the other; ``'raise'`` is now
+    the shared default so the disagreement can never be silent).
+
+    ``'raise'``: any NULL score fails the JOB with a clear message — as a
+    lazy column expression (``raise_error`` fired per-row), not an eager
+    count, so no extra pass over the corpus. ``'head'``: NULLs band into
+    the first label (each form implements its mechanism). ``'exclude'``:
+    NULL-scored rows are dropped BEFORE any threshold arithmetic (they
+    neither band nor shift other rows' thresholds). Returns the possibly
+    rewritten df."""
+    if null_scores not in ("raise", "head", "exclude"):
+        raise ValueError(
+            f"{fn}: null_scores must be 'raise' | 'head' | 'exclude', "
+            f"got {null_scores!r}"
+        )
+    s = F.col(score_col)
+    if null_scores == "raise":
+        dt = df.schema[score_col].dataType.simpleString()
+        return df.withColumn(
+            score_col,
+            F.when(s.isNotNull(), s).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"{fn}: NULL value in score column {score_col!r} "
+                        "(null_scores='raise'; pass 'head' or 'exclude' "
+                        "to band or drop unscored rows)"
+                    )
+                ).cast(dt)
+            ),
+        )
+    if null_scores == "exclude":
+        return df.where(s.isNotNull())
+    return df  # 'head': caller's ordering/join handles placement
+
+
 def score_bands(
     df: DataFrame,
     score_col: str,
@@ -481,6 +520,7 @@ def score_bands(
     n_bands: int = 3,
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     band_col: str = "band",
+    null_scores: str = "raise",
 ) -> DataFrame:
     """CCNet-style score banding (Wenzek et al. 2020 §4.3): rank rows by
     ``score_col`` inside each ``partition_col`` group on the
@@ -499,12 +539,18 @@ def score_bands(
     per-row window for the histogram two-pass
     (:func:`score_bands_histogram`). ``partition_col=None`` degrades to
     a single global window — correct, but single-task; only for small
-    tables. NULL scores sort FIRST under Spark's ascending order (into
-    the head band) — score every row first if NULLs are possible."""
+    tables.
+
+    ``null_scores`` (shared contract with the histogram form, so the
+    siblings can never silently disagree on unscored rows): ``'raise'``
+    (default) fails the job on any NULL score; ``'head'`` bands NULLs
+    into the first label (they sort FIRST under Spark's ascending
+    order); ``'exclude'`` drops them before ranking."""
     if len(labels) != n_bands:
         raise ValueError(
             f"score_bands: {n_bands} bands need {n_bands} labels, got {labels!r}"
         )
+    df = _null_score_guard(df, score_col, null_scores, "score_bands")
     w = (
         Window.partitionBy(partition_col) if partition_col is not None else Window.partitionBy()
     ).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
@@ -521,6 +567,7 @@ def score_bands_histogram(
     n_bands: int = 3,
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     band_col: str = "band",
+    null_scores: str = "raise",
 ) -> DataFrame:
     """GLOBAL score banding without a global row sort — the 100 TB-safe
     variant the :func:`score_bands` docstring promises for the
@@ -538,14 +585,21 @@ def score_bands_histogram(
     sizes are equal only up to tie mass. For banding decisions that is
     usually the better contract — two identical scores never straddle a
     threshold — and it is what makes the global form scale: the only
-    ordered structure is the distinct-score histogram. Rows with a NULL
-    score are EXCLUDED (the score→band map is an equi-join): a NULL has
-    no place in a score order — score first, band second."""
+    ordered structure is the distinct-score histogram.
+
+    ``null_scores`` (shared contract with the ntile form): ``'raise'``
+    (default) fails the job on any NULL score; ``'head'`` bands NULLs
+    into the first label (the NULL histogram group sorts first and the
+    map joins back null-safely); ``'exclude'`` drops NULL-scored rows
+    BEFORE the histogram, so they no longer shift other rows' band
+    thresholds (pre-r13, they were dropped by the equi-join but still
+    counted in the cumulative positions)."""
     if len(labels) != n_bands:
         raise ValueError(
             f"score_bands_histogram: {n_bands} bands need {n_bands} labels, "
             f"got {labels!r}"
         )
+    df = _null_score_guard(df, score_col, null_scores, "score_bands_histogram")
     hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
     w = Window.orderBy(F.col(score_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -568,4 +622,14 @@ def score_bands_histogram(
             (F.least(F.col("__b"), F.lit(n_bands - 1)) + 1).cast("int"),
         ).alias(band_col),
     )
+    if null_scores == "head":
+        # the NULL histogram group sorts first (band 0 = head); a plain
+        # equi-join would drop it, so the map joins back null-safely
+        b = banded.withColumnRenamed(score_col, "__score_b")
+        return (
+            df.join(
+                F.broadcast(b), F.col(score_col).eqNullSafe(F.col("__score_b"))
+            )
+            .drop("__score_b")
+        )
     return df.join(F.broadcast(banded), score_col)

@@ -611,6 +611,10 @@ def test_clean_corpus_ce_band_selection(spark, tmp_path):
         # put BOTH in the tail (cum_start 6 of 8)
         (7, "qq ww ee rr tt yy uu ii oo pp"),
         (8, "aa ss dd ff gg hh jj kk ll mm nn"),
+        # a zero-token doc: no CE row exists, so it cannot band — dropped
+        # even though head+middle+tail would cover every scored doc, and
+        # quarantined under its own no_tokens reason (ADVICE r12)
+        (9, "   "),
     ]
     spark.createDataFrame(rows, ["doc_id", "text"]).write.mode("overwrite").parquet(
         str(tmp_path / "docs")
@@ -629,15 +633,32 @@ def test_clean_corpus_ce_band_selection(spark, tmp_path):
     q = {r.doc_id: r.reason for r in
          spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
     assert kept == {1, 2, 3, 4, 5, 6}
-    assert q == {7: "ce_band_dropped", 8: "ce_band_dropped"}
+    assert q == {7: "ce_band_dropped", 8: "ce_band_dropped", 9: "no_tokens"}
 
-    # a bad band name fails loudly
+    # a bad band name fails loudly, and BEFORE any Spark work (ADVICE
+    # r12: validation used to sit past the eager dedup/cluster jobs) —
+    # with _spark stubbed to explode, the early SystemExit must win
     import pytest as _pytest
 
-    with _pytest.raises(SystemExit, match="ce-bands"):
-        cli.main([
-            "clean-corpus",
-            "--docs", str(tmp_path / "docs"),
-            "--out", str(tmp_path / "out_bad"),
-            "--ce-bands", "head,bogus",
-        ])
+    def _boom():
+        raise AssertionError("Spark started before --ce-bands validation")
+
+    orig = cli._spark
+    cli._spark = _boom
+    try:
+        with _pytest.raises(SystemExit, match="ce-bands"):
+            cli.main([
+                "clean-corpus",
+                "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "out_bad"),
+                "--ce-bands", "head,bogus",
+            ])
+        with _pytest.raises(SystemExit, match="splits"):
+            cli.main([
+                "clean-corpus",
+                "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / "out_bad"),
+                "--splits", "train=0.9,oops",
+            ])
+    finally:
+        cli._spark = orig

@@ -769,3 +769,175 @@ def test_score_bands_histogram_ties_share_band(spark):
 
     with pytest.raises(ValueError, match="labels"):
         score_bands_histogram(even, "score", n_bands=5)
+
+
+def test_cluster_size_histogram_member_col(spark):
+    """ADVICE r12: id_col used to rename only the corpus side while the
+    clusters side stayed hard-coded 'doc_id'. member_col now defaults to
+    id_col so both sides rename together, and can be set independently
+    for a standard cluster table joined against a custom corpus id."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(0, 1), (10, 11)], "id_a long, id_b long")
+    clusters = dedup_clusters(pairs)
+
+    # standard table + custom corpus id: member_col picks the clusters side
+    corpus = spark.createDataFrame([(i,) for i in range(5)], "item_id long")
+    full = {
+        r["cluster_size"]: r
+        for r in cluster_size_histogram(
+            clusters, corpus, id_col="item_id", member_col="doc_id"
+        ).collect()
+    }
+    # members 0,1 clustered; 2,3,4 singles; 10,11 not in corpus
+    assert full[1]["n_docs"] == 3 and full[2]["n_docs"] == 4
+
+    # custom id on BOTH sides: renamed cluster table works via the default
+    renamed = clusters.withColumnRenamed("doc_id", "item_id").withColumnRenamed(
+        "item_id", "doc_id"
+    )  # no-op round-trip keeps schema; exercise the id_col=member default
+    both = {
+        r["cluster_size"]: r
+        for r in cluster_size_histogram(
+            clusters.withColumnRenamed("doc_id", "item_id"),
+            corpus,
+            id_col="item_id",
+        ).collect()
+    }
+    assert both == {k: v for k, v in full.items()}
+
+
+def test_cluster_table_artifact_roundtrip_and_single_cc(spark, tmp_path):
+    """write_cluster_table / read_cluster_table (r13, VERDICT item 3):
+    the pair graph + CC run is materialized ONCE; every report consumer
+    reads the artifact, so the composed plan for any consumer contains a
+    parquet scan of the artifact and NO connected-components subtree
+    (no iterative join rounds, no localCheckpoint scans)."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        cluster_size_histogram,
+        dedup_clusters,
+        keep_best_per_cluster,
+        read_cluster_table,
+        read_cluster_table_meta,
+        write_cluster_table,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    path = str(tmp_path / "cluster_table")
+    write_cluster_table(
+        clusters, path, provenance={"blocker": "minhash", "bands": 4}
+    )
+    assert read_cluster_table_meta(spark, path) == {
+        "blocker": "minhash",
+        "bands": 4,
+    }
+
+    art = read_cluster_table(spark, path)
+    # artifact equals the from-scratch derivation
+    assert sorted(map(tuple, art.collect())) == sorted(
+        map(tuple, clusters.select("doc_id", "cluster_id", "cluster_size").collect())
+    )
+
+    # consumers accept the artifact directly, and their plans are pure
+    # parquet-scan reports: FileScans only, zero CC iterations (iterative
+    # CC surfaces as ExistingRDD scans of localCheckpoint'd label state —
+    # none may appear; corpus is parquet-backed so the assertion is clean)
+    spark.createDataFrame([(i,) for i in range(15)], "doc_id long").write.parquet(
+        str(tmp_path / "corpus")
+    )
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    hist = cluster_size_histogram(art, corpus)
+    scores = corpus.select("doc_id", (F.col("doc_id") % 3).alias("quality_score"))
+    best = keep_best_per_cluster(art, scores)
+    for consumer in (hist, best):
+        plan = consumer._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in plan
+        assert "ExistingRDD" not in plan  # no localCheckpoint'd CC state
+    assert {r["cluster_size"]: r["n_docs"] for r in hist.collect()} == {
+        1: 10,
+        2: 2,
+        3: 3,
+    }
+    assert {r["cluster_id"]: r["kept_doc_id"] for r in best.collect()} == {
+        0: 2,   # scores 0,1,2 -> doc 2 wins
+        10: 11,  # scores 1,2 -> doc 11 wins
+    }
+
+
+def test_cluster_table_artifact_rejects_foreign_schema(spark, tmp_path):
+    """A parquet directory that is not a cluster table is refused at both
+    ends: write raises on missing pinned columns; read raises when the
+    meta sidecar's pinned schema disagrees."""
+    import json
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+        write_cluster_table,
+    )
+
+    bad = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="missing columns"):
+        write_cluster_table(bad, str(tmp_path / "nope"))
+
+    path = tmp_path / "foreign"
+    bad.write.parquet(str(path / "clusters"))
+    spark.createDataFrame(
+        [(json.dumps({"schema": ["a", "b"], "provenance": {}}),)], "meta string"
+    ).coalesce(1).write.json(str(path / "meta"))
+    with pytest.raises(ValueError, match="not a cluster-table artifact"):
+        read_cluster_table(spark, str(path))
+
+
+def test_score_bands_null_scores_contract(spark):
+    """null_scores (r13, VERDICT item 4): the two banding forms share one
+    NULL contract — 'raise' (default) fails the job, 'head' bands NULLs
+    first, 'exclude' drops them before threshold arithmetic — so a
+    NULL-scored doc can never survive one form and vanish from the other."""
+    from pyspark.errors import SparkRuntimeException
+
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        score_bands,
+        score_bands_histogram,
+    )
+
+    rows = [(i, float(i)) for i in range(9)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+
+    for fn in (
+        lambda d, **kw: score_bands(d, "score", partition_col=None, **kw),
+        lambda d, **kw: score_bands_histogram(d, "score", **kw),
+    ):
+        # default raises lazily, at job time, with the column named
+        with pytest.raises(SparkRuntimeException, match="NULL value in score column"):
+            fn(df).collect()
+
+        # 'head': NULLs take the first label; scored rows band as usual
+        got = {r["doc_id"]: r["band"] for r in fn(df, null_scores="head").collect()}
+        assert got[100] == "head" and got[101] == "head"
+        assert got[8] == "tail" and got[0] == "head"
+
+        # 'exclude': NULL rows gone, and thresholds computed WITHOUT them:
+        # 9 scored rows split 3/3/3 in both forms
+        ex = {r["doc_id"]: r["band"] for r in fn(df, null_scores="exclude").collect()}
+        assert 100 not in ex and 101 not in ex
+        assert [ex[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+        with pytest.raises(ValueError, match="null_scores"):
+            fn(df, null_scores="bogus")
+
+    # no-NULL input: 'raise' is a no-op wrapper — results identical to 'head'
+    clean = spark.createDataFrame(rows[:9], "doc_id long, score double")
+    a = {r["doc_id"]: r["band"] for r in score_bands_histogram(clean, "score").collect()}
+    b = {
+        r["doc_id"]: r["band"]
+        for r in score_bands_histogram(clean, "score", null_scores="head").collect()
+    }
+    assert a == b
