@@ -4139,6 +4139,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_daily_revenue(spark, "/root/testdata/sf0.001")
 
 
+def q_dup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings (operators/graph.py::
+    dedup_savings_by_source): MinHash pair graph -> CC clusters -> one
+    row per ingest source with n_docs / n_clustered / n_dropped /
+    dup_frac — the report that names which source feeds the corpus
+    mirrors. Consumes the same cluster table the histogram does (and, in
+    production, the write_cluster_table artifact — ONE materialized CC
+    run fans out to every report); here self-contained by driver
+    contract. The oracle replays the recursive-CTE hull + the same
+    left-join aggregate."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    clusters = graph.dedup_clusters(pairs)
+    return graph.dedup_savings_by_source(clusters, d, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_clustered").cast("long").alias("n_clustered"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "dup_frac",
+    )
+
+
+def q_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confirm-threshold calibration (operators/similarity.py::
+    pair_threshold_sweep): the MinHash candidates are scored once with
+    exact pairwise embedding cosine (score_pairs), then ONE aggregation
+    pass reports, per candidate tau, how many pairs the semantic gate
+    would confirm — the table that picks clean-corpus --confirm-tau
+    without re-scoring runs. Output is len(thresholds) rows at any
+    corpus size. The oracle replays the identical scored-pair CTE and
+    per-tau conditional counts."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = sim.score_pairs(pairs, emb)
+    return sim.pair_threshold_sweep(scored, (0.80, 0.85, 0.90, 0.95))
+
+
+def q_dup_pair_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-detection matrix (operators/dedup.py::pair_group_matrix):
+    every MinHash candidate pair classified by the unordered pair of
+    sources its docs come from — heavy off-diagonal cells are two
+    sources re-hosting the same content, heavy diagonal cells are one
+    source re-ingesting itself. Two id-keyed joins over the bucket-capped
+    candidate list, then a (#sources)^2-bounded aggregate. The oracle
+    replays the pair CTE + the same least/greatest cell arithmetic."""
+    d = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    return dd.pair_group_matrix(pairs, d, "source")
+
+
+def q_docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py::cdc_chunks — the
+    Rabin/FastCDC idea over tokens): chunk boundaries fall where the
+    md5-bucket of the 2-token window hits 0 mod 16, so boundaries depend
+    only on local content and chunk hashes survive upstream insertions —
+    the shift-robust granularity for chunk-level dedup of re-crawled
+    pages (fixed windows shift; CDC re-synchronizes). One posexplode +
+    one doc-keyed window cumsum + one (doc, chunk) aggregate. The oracle
+    replays the same hex-digit boundary hash, cumulative window and
+    order-safe chunk reassembly."""
+    d = _docs(spark, sf_dir)
+    return tx.cdc_chunks(d, "text", "doc_id", gram=2, divisor=16).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4179,6 +4258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_detect": q_docs_lang_detect,
         "docs_pii_scrub": q_docs_pii_scrub,
         # -- new in r13
+        "dup_savings_by_source": q_dup_savings_by_source,
+        "dup_threshold_sweep": q_dup_threshold_sweep,
+        "dup_pair_source_matrix": q_dup_pair_source_matrix,
+        "docs_cdc_chunks": q_docs_cdc_chunks,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -4471,6 +4554,41 @@ def _packed_windows_oracle_sql(capacity: int = 512, n_shards: int = 8) -> str:
         )
         SELECT shard, bin_idx, count(*) AS n_docs, max(fill) AS window_tokens
         FROM walk GROUP BY 1, 2
+    """
+
+
+def _cdc_chunks_oracle_sql() -> str:
+    """DuckDB twin of q_docs_cdc_chunks: identical whitespace tokens,
+    identical hex-digit md5 bucket over the salted 2-token gram (the
+    sampling.hash_bucket idiom), identical 0-mod-16 boundary rule,
+    cumulative-window chunk ids, and order-safe chunk reassembly."""
+    gram = "array_to_string(t[greatest(i - 1, 1):i], ' ')"
+    bucket = _sample_bucket_sql(gram, "cdc-v1:")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        p AS (
+            SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM t WHERE len(t) > 0
+        ),
+        b AS (
+            SELECT doc_id, i, t[i] AS tok,
+                   CASE WHEN ({bucket}) % 16 = 0 THEN 1 ELSE 0 END AS bnd
+            FROM p
+        ),
+        c AS (
+            SELECT doc_id, i, tok,
+                   COALESCE(SUM(bnd) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS chunk_idx
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(min(i) - 1 AS BIGINT) AS start_pos,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+        FROM c GROUP BY doc_id, chunk_idx
     """
 
 
@@ -6035,6 +6153,92 @@ def oracle_sql() -> dict[str, str]:
                        AS semantically_confirmed
             FROM scored
         """,
+        "dup_savings_by_source": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, m) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+            ),
+            cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+            SELECT d.source AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(cc.component) AS BIGINT) AS n_clustered,
+                   CAST(sum(CASE WHEN cc.component IS NOT NULL
+                                  AND cc.component <> d.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   round(CAST(sum(CASE WHEN cc.component IS NOT NULL
+                                        AND cc.component <> d.doc_id
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+            GROUP BY d.source
+        """,
+        "dup_threshold_sweep": f"""
+            WITH {_MINHASH_PAIRS_CTE},
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       CASE WHEN sqrt(list_sum(list_transform(a.embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(b.embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                            THEN round(
+                                list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                                / (sqrt(list_sum(list_transform(a.embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                   * sqrt(list_sum(list_transform(b.embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                                6)
+                       END AS cosine_sim
+                FROM pairs p
+                LEFT JOIN embeddings a ON a.vec_id = p.id_a
+                LEFT JOIN embeddings b ON b.vec_id = p.id_b
+            ),
+            sums AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(count(cosine_sim) AS BIGINT) AS n_scored
+                FROM scored
+            ),
+            taus AS (
+                SELECT unnest([CAST(0.80 AS DOUBLE), CAST(0.85 AS DOUBLE),
+                               CAST(0.90 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS tau
+            ),
+            conf AS (
+                SELECT t.tau, CAST(count(s.id_a) AS BIGINT) AS n_confirmed
+                FROM taus t LEFT JOIN scored s ON s.cosine_sim >= t.tau
+                GROUP BY t.tau
+            )
+            SELECT c.tau, m.n_pairs, m.n_scored, c.n_confirmed,
+                   CASE WHEN m.n_scored > 0
+                        THEN round(CAST(c.n_confirmed AS DOUBLE)
+                                   / CAST(m.n_scored AS DOUBLE), 6)
+                   END AS confirm_rate
+            FROM conf c CROSS JOIN sums m
+        """,
+        "dup_pair_source_matrix": f"""
+            WITH {_MINHASH_PAIRS_CTE},
+            cells AS (
+                SELECT least(da.source, db.source) AS group_a,
+                       greatest(da.source, db.source) AS group_b,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pairs p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n_pairs) AS t FROM cells)
+            SELECT group_a, group_b, n_pairs,
+                   CAST(CASE WHEN group_a = group_b THEN 1 ELSE 0 END AS BIGINT)
+                       AS within,
+                   round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+            FROM cells CROSS JOIN tot
+        """,
+        "docs_cdc_chunks": _cdc_chunks_oracle_sql(),
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_curation_funnel": _curation_funnel_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),

@@ -1125,3 +1125,56 @@ def fuzzy_text_join(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+
+
+def pair_group_matrix(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    group_col: str = "source",
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Where do the near-dups come from? Classify every candidate pair by
+    the (unordered) pair of ``group_col`` values its two docs belong to —
+    the mirror-detection matrix: a heavy OFF-diagonal cell is two sources
+    re-hosting the same content (dedup by canonical-source preference);
+    a heavy diagonal cell is one source re-ingesting itself (fix the
+    crawler). The group pair is ordered lexically so (a,b) and (b,a)
+    land in one cell.
+
+    Output: one row per observed group pair — ``group_a`` ≤ ``group_b``,
+    ``n_pairs``, ``within`` (1 if same group), ``share`` (of all
+    classified pairs, 6dp). Pairs whose docs are missing from ``corpus``
+    are dropped (no group evidence). Scale shape: two id-keyed equi-joins
+    of the candidate list against a two-column corpus projection
+    (blocker output is bucket-capped upstream, so O(|pairs|)), then a
+    group-pair-keyed aggregate bounded by (#groups)² rows; the share
+    denominator is a 1-row broadcast."""
+    g = corpus.select(F.col(id_col), F.col(group_col).alias("__g"))
+    j = (
+        pairs.select(id_a, id_b)
+        .join(g.select(F.col(id_col).alias(id_a), F.col("__g").alias("__ga")), id_a)
+        .join(g.select(F.col(id_col).alias(id_b), F.col("__g").alias("__gb")), id_b)
+        .select(
+            F.least("__ga", "__gb").alias("group_a"),
+            F.greatest("__ga", "__gb").alias("group_b"),
+        )
+    )
+    cells = j.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    tot = cells.agg(F.sum("n_pairs").alias("__tot"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "group_a",
+            "group_b",
+            "n_pairs",
+            (F.col("group_a") == F.col("group_b")).cast("long").alias("within"),
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("share"),
+        )
+    )

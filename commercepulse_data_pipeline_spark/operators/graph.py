@@ -406,3 +406,57 @@ def read_cluster_table_meta(spark, path: str) -> dict:
 
     row = spark.read.json(f"{path}/meta").head()
     return dict(json.loads(row.meta).get("provenance", {}))
+
+
+def dedup_savings_by_source(
+    clusters: DataFrame,
+    corpus: DataFrame,
+    group_col: str = "source",
+    *,
+    id_col: str = "doc_id",
+    member_col: str | None = None,
+) -> DataFrame:
+    """Per-source dedup savings: for each ``group_col`` value, how many
+    docs sit in near-dup clusters and how many the min-id keep policy
+    would DROP — the report that tells a curation team which ingest
+    source is feeding the corpus mirrors (one source with a high
+    ``dup_frac`` usually means a crawler re-ingesting a site it already
+    has). Attribution is by each doc's OWN source, so a cluster spanning
+    sources charges each side for its own members; the canonical (the
+    member whose id equals the cluster id under min-id convention) is
+    never counted dropped.
+
+    Output: one row per group — n_docs, n_clustered, n_dropped,
+    dup_frac (= n_dropped / n_docs, 6dp). Consumes either a live
+    ``dedup_clusters`` frame or :func:`read_cluster_table` — with the
+    artifact, the report is ONE id-keyed left join plus a group-keyed
+    aggregate (kilobytes out); the pair graph never re-derives.
+    ``member_col`` defaults to ``id_col`` (same contract as
+    :func:`cluster_size_histogram`)."""
+    member = member_col if member_col is not None else id_col
+    m = clusters.select(
+        F.col(member).alias(id_col),
+        F.col("cluster_id").alias("__cid"),
+    )
+    j = corpus.select(F.col(group_col), F.col(id_col)).join(m, id_col, "left")
+    dropped = F.col("__cid").isNotNull() & (F.col("__cid") != F.col(id_col))
+    n_docs = F.count(F.lit(1))
+    n_dropped = F.sum(dropped.cast("long"))
+    return (
+        j.groupBy(group_col)
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum(F.col("__cid").isNotNull().cast("long")).alias("n_clustered"),
+            n_dropped.alias("n_dropped"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_clustered",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

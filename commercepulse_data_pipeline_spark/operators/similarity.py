@@ -1856,3 +1856,71 @@ def margin_knn_join(
     if margin_threshold is not None:
         out = out.where(F.col("margin") >= margin_threshold)
     return out
+
+
+def pair_threshold_sweep(
+    scored_pairs: DataFrame,
+    thresholds: tuple[float, ...] = (0.80, 0.85, 0.90, 0.95),
+    *,
+    score_col: str = "cosine_sim",
+) -> DataFrame:
+    """Confirm-threshold calibration for two-signal dedup: given a
+    candidate-pair list already scored by :func:`score_pairs`, report —
+    for each candidate τ — how many pairs the semantic gate would
+    confirm. The table a curation team reads before picking
+    ``--confirm-tau``: too low and the gate rubber-stamps the lexical
+    blocker, too high and near-verbatim mirrors survive (every
+    threshold decision should be made from this sweep, not re-scoring
+    runs).
+
+    Output: one row per τ — ``tau``, ``n_pairs`` (candidates),
+    ``n_scored`` (pairs with vector evidence; NULL-scored pairs can
+    never confirm), ``n_confirmed`` (score ≥ τ), ``confirm_rate``
+    (= n_confirmed / n_scored, 6dp; NULL when nothing is scored).
+
+    Scale shape: ONE aggregation pass over the pair list computing every
+    threshold as a conditional sum (map-side combinable), then a
+    constant-size ``stack`` unpivot of the single wide row — the pair
+    list is never exploded |thresholds|×, and the output is
+    len(thresholds) rows regardless of corpus size."""
+    if not thresholds:
+        raise ValueError("pair_threshold_sweep: need at least one threshold")
+    taus = [float(t) for t in thresholds]
+    if len(set(taus)) != len(taus):
+        raise ValueError(f"pair_threshold_sweep: duplicate thresholds in {taus}")
+    s = F.col(score_col)
+    aggs = [
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.count(s).alias("__n_scored"),
+    ] + [
+        F.sum((s >= F.lit(t)).cast("long")).alias(f"__c{i}")
+        for i, t in enumerate(taus)
+    ]
+    wide = scored_pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), __c{i}" for i, t in enumerate(taus)
+    )
+    return (
+        wide.select(
+            "__n_pairs",
+            "__n_scored",
+            F.expr(
+                f"stack({len(taus)}, {stack_args}) AS (tau, n_confirmed)"
+            ),
+        )
+        .select(
+            "tau",
+            F.col("__n_pairs").alias("n_pairs"),
+            F.col("__n_scored").alias("n_scored"),
+            F.coalesce(F.col("n_confirmed"), F.lit(0)).alias("n_confirmed"),
+            F.when(
+                F.col("__n_scored") > 0,
+                F.round(
+                    F.col("n_confirmed").cast("double")
+                    / F.col("__n_scored").cast("double"),
+                    6,
+                ),
+            ).alias("confirm_rate"),
+        )
+        .orderBy("tau")
+    )

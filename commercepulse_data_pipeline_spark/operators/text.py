@@ -9,7 +9,7 @@ parallel).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
@@ -1282,3 +1282,112 @@ def quarantine_report(
         F.col("__qr_ntok").alias("n_tokens"),
         reason.alias("reason"),
     ).where(F.col("reason").isNotNull())
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    gram: int = 2,
+    divisor: int = 16,
+    salt: str = "cdc-v1:",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea re-expressed over
+    tokens): a chunk boundary falls AFTER token *i* whenever the hash of
+    the ``gram``-token window ending at *i* lands on a multiple of
+    ``divisor`` — so boundaries depend only on LOCAL content, never on
+    absolute position. That is the property fixed-window chunking
+    (:func:`chunk_documents`) lacks: insert one sentence at the top of a
+    doc and every fixed window downstream shifts (all chunk hashes
+    change), while CDC boundaries re-synchronize after ~``gram`` tokens
+    and every downstream chunk hashes identically — chunk-level exact
+    dedup then recognizes the unchanged 99% of a re-crawled page.
+    Expected chunk length ≈ ``divisor`` tokens (geometric).
+
+    Output: one row per chunk — ``doc_id``, ``chunk_idx`` (0-based),
+    ``start_pos`` (0-based token offset), ``n_tokens``, ``chunk_md5``
+    (hash of the space-joined chunk text — the chunk-dedup key; join
+    back to the doc for text when needed).
+
+    Scale shape: tokens and per-position boundary flags are built as
+    arrays in TWO staged projections (the Catalyst re-expansion pitfall:
+    an array expression referenced N times inlines N times unless staged
+    — SKILL.md), then ONE posexplode to token rows, one window cumsum
+    partitioned by doc (the only shuffle — linear in corpus tokens, keyed
+    by doc id so it's uniform), and a (doc, chunk) aggregate that
+    reassembles chunk text order-safely via sort-by-position. The hash is
+    the shared md5/hex idiom (``sampling.hash_bucket``), so a DuckDB twin
+    replays boundaries bit-for-bit."""
+    if gram < 1 or divisor < 1:
+        raise ValueError("cdc_chunks: gram and divisor must be >= 1")
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    # boundary flag per 1-based position i: md5-bucket of the gram window
+    # [max(1, i-gram+1) .. i] hits 0 mod divisor
+    start = F.greatest(F.lit(1), F.col("i") - F.lit(gram - 1))
+
+    def _bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    flagged = toks.select(
+        id_col,
+        "__toks",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: (
+                _bucket(
+                    F.concat(
+                        F.lit(salt),
+                        F.array_join(
+                            F.slice(
+                                F.col("__toks"),
+                                F.greatest(F.lit(1), i - F.lit(gram - 1)),
+                                i - F.greatest(F.lit(1), i - F.lit(gram - 1)) + F.lit(1),
+                            ),
+                            " ",
+                        ),
+                    )
+                )
+                % divisor
+                == 0
+            ).cast("int"),
+        ).alias("__bnd"),
+    )
+    rows = flagged.select(
+        id_col,
+        F.posexplode(F.arrays_zip("__toks", "__bnd")).alias("pos", "z"),
+    ).select(
+        id_col,
+        "pos",
+        F.col("z.__toks").alias("__tok"),
+        F.col("z.__bnd").alias("__b"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = rows.select(
+        id_col,
+        "pos",
+        "__tok",
+        F.coalesce(F.sum("__b").over(w), F.lit(0)).cast("long").alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                        lambda s: s["__tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )

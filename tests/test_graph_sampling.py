@@ -941,3 +941,33 @@ def test_score_bands_null_scores_contract(spark):
         for r in score_bands_histogram(clean, "score", null_scores="head").collect()
     }
     assert a == b
+
+
+def test_dedup_savings_by_source(spark):
+    """dedup_savings_by_source (r13): per-source member/drop counts under
+    the min-id keep policy; cross-source clusters charge each side only
+    for its own members; the canonical is never counted dropped; works
+    against a read_cluster_table artifact unchanged."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        dedup_savings_by_source,
+        read_cluster_table,
+        write_cluster_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (10, "b"), (11, "b"), (20, "c")],
+        "doc_id long, source string",
+    )
+    # cluster {1,2,3} spans a/b (canonical 1 in a); {10,11} inside b
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    clusters = dedup_clusters(pairs)
+    got = {r["source"]: r for r in
+           dedup_savings_by_source(clusters, corpus, "source").collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_clustered"] == 2
+    assert got["a"]["n_dropped"] == 1  # doc 2; canonical 1 not dropped
+    assert got["b"]["n_docs"] == 3 and got["b"]["n_clustered"] == 3
+    assert got["b"]["n_dropped"] == 2  # doc 3 (cluster 1) + doc 11
+    assert got["c"]["n_docs"] == 1 and got["c"]["n_clustered"] == 0
+    assert got["c"]["n_dropped"] == 0 and got["c"]["dup_frac"] == 0.0
+    assert got["b"]["dup_frac"] == round(2 / 3, 6)

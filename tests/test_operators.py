@@ -1909,3 +1909,141 @@ def test_margin_knn_join_suppresses_hub(spark):
     # threshold filter drops the hub pairs entirely
     mined = margin_knn_join(src, tgt, k=2, margin_threshold=1.2)
     assert {(r.src_id, r.tgt_id) for r in mined.collect()} == {(0, 103), (2, 105)}
+
+
+def test_pair_threshold_sweep_counts_and_guards(spark):
+    """pair_threshold_sweep (r13): one aggregation pass -> one row per
+    tau with candidate/scored/confirmed counts; NULL-scored pairs count
+    as candidates but can never confirm; guards reject empty/duplicate
+    threshold grids."""
+    import pytest
+
+    from commercepulse_data_pipeline_spark.operators.similarity import (
+        pair_threshold_sweep,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 0.95),
+            (1, 3, 0.90),
+            (2, 3, 0.82),
+            (4, 5, 0.10),
+            (6, 7, None),  # no vector evidence
+        ],
+        "id_a long, id_b long, cosine_sim double",
+    )
+    got = {
+        r["tau"]: r
+        for r in pair_threshold_sweep(scored, (0.80, 0.90, 0.95)).collect()
+    }
+    assert set(got) == {0.80, 0.90, 0.95}
+    for r in got.values():
+        assert r["n_pairs"] == 5 and r["n_scored"] == 4
+    assert got[0.80]["n_confirmed"] == 3
+    assert got[0.90]["n_confirmed"] == 2
+    assert got[0.95]["n_confirmed"] == 1
+    assert got[0.95]["confirm_rate"] == 0.25
+
+    # a tau no pair reaches still gets a row, with zero confirmed
+    z = pair_threshold_sweep(scored, (0.99,)).head()
+    assert z["n_confirmed"] == 0 and z["confirm_rate"] == 0.0
+
+    # empty pair list: counts zero, rate NULL (nothing scored)
+    empty = spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+    e = pair_threshold_sweep(empty, (0.9,)).head()
+    assert e["n_pairs"] == 0 and e["n_confirmed"] == 0
+    assert e["confirm_rate"] is None
+
+    with pytest.raises(ValueError, match="at least one"):
+        pair_threshold_sweep(scored, ())
+    with pytest.raises(ValueError, match="duplicate"):
+        pair_threshold_sweep(scored, (0.9, 0.9))
+
+
+def test_pair_group_matrix_cells(spark):
+    """pair_group_matrix (r13): pairs classify into unordered source
+    cells; diagonal cells flag within=1; shares sum to 1 over classified
+    pairs; pairs missing group evidence drop."""
+    from commercepulse_data_pipeline_spark.operators.dedup import pair_group_matrix
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 4), (5, 3), (1, 99)],  # (1,99): 99 not in corpus
+        "id_a long, id_b long",
+    )
+    rows = {(r["group_a"], r["group_b"]): r
+            for r in pair_group_matrix(pairs, corpus).collect()}
+    assert rows[("a", "a")]["n_pairs"] == 1 and rows[("a", "a")]["within"] == 1
+    assert rows[("a", "b")]["n_pairs"] == 2 and rows[("a", "b")]["within"] == 0
+    assert rows[("b", "c")]["n_pairs"] == 1
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+    assert rows[("a", "b")]["share"] == 0.5
+
+
+def test_cdc_chunks_shift_robust_and_exact(spark):
+    """cdc_chunks (r13): boundaries depend only on local content, so a
+    prefix insertion re-synchronizes and downstream chunk hashes are
+    IDENTICAL (the property fixed windows lack); chunks partition each
+    doc exactly; a pure-Python replica agrees on every boundary."""
+    import hashlib
+
+    import pytest
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark woods tonight while stars shine above")
+    edited = "inserted new prefix " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "one"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = tx.cdc_chunks(df, gram=2, divisor=4)
+    rows = sorted(
+        [(r.doc_id, r.chunk_idx, r.start_pos, r.n_tokens, r.chunk_md5)
+         for r in out.collect()]
+    )
+
+    # pure-Python replica of the boundary rule
+    def py_chunks(text, gram=2, divisor=4, salt="cdc-v1:"):
+        toks = [t for t in text.lower().split() if t]
+        bnd = []
+        for i in range(1, len(toks) + 1):
+            g = " ".join(toks[max(1, i - gram + 1) - 1:i])
+            h = int(hashlib.md5((salt + g).encode()).hexdigest()[:8], 16)
+            bnd.append(1 if h % divisor == 0 else 0)
+        chunks, cur = [], []
+        for i, t in enumerate(toks):
+            cur.append((i, t))
+            if bnd[i]:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        return [
+            (ci, c[0][0], len(c),
+             hashlib.md5(" ".join(t for _, t in c).encode()).hexdigest())
+            for ci, c in enumerate(chunks)
+        ]
+
+    for doc_id, text in [(1, base), (2, edited), (3, "one")]:
+        want = [(doc_id, ci, sp, n, h) for ci, sp, n, h in py_chunks(text)]
+        got = [r for r in rows if r[0] == doc_id]
+        assert got == sorted(want), doc_id
+    assert not [r for r in rows if r[0] == 4]  # zero-token doc: no chunks
+
+    # shift robustness: a base boundary at 1-based position i is
+    # preserved in the edited doc iff its whole gram window sits in the
+    # shared suffix (i >= gram) — so every base chunk that STARTS at a
+    # preserved boundary (start_pos >= gram) reappears hash-identical
+    h2 = {r[4] for r in rows if r[0] == 2}
+    surv = [r[4] for r in rows if r[0] == 1 and r[2] >= 2]
+    assert set(surv) <= h2 and len(surv) >= 3
+
+    # chunks partition the doc: token counts sum to the doc's token count
+    n1 = sum(r[3] for r in rows if r[0] == 1)
+    assert n1 == len(base.split())
+
+    with pytest.raises(ValueError, match="gram and divisor"):
+        tx.cdc_chunks(df, gram=0)

@@ -1034,3 +1034,52 @@ def test_cluster_size_histogram_matches_python_model(spark, edges, n_corpus):
         want[1] = (w1[0] + n_single, w1[1] + n_single)
     assert got == want
     assert sum(d for _, d in got.values()) == n_corpus
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f42"]),
+                 min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    divisor=st.sampled_from([2, 4, 8]),
+)
+@settings(**_SETTINGS)
+def test_cdc_chunks_matches_python_model(spark, docs, divisor):
+    """cdc_chunks vs a pure-Python CDC walk (r13): identical boundary
+    decisions (salted md5-bucket of the gram window, 0 mod divisor),
+    identical chunk partition, counts and hashes, on random token
+    sequences over a tiny colliding vocabulary."""
+    import hashlib
+
+    from commercepulse_data_pipeline_spark.operators.text import cdc_chunks
+
+    def model(toks, gram=2, salt="cdc-v1:"):
+        out, cur, ci = [], [], 0
+        for i in range(1, len(toks) + 1):
+            cur.append((i - 1, toks[i - 1]))
+            g = " ".join(toks[max(1, i - gram + 1) - 1:i])
+            h = int(hashlib.md5((salt + g).encode()).hexdigest()[:8], 16)
+            if h % divisor == 0:
+                out.append((ci, cur[0][0], len(cur),
+                            hashlib.md5(" ".join(t for _, t in cur).encode()).hexdigest()))
+                ci, cur = ci + 1, []
+        if cur:
+            out.append((ci, cur[0][0], len(cur),
+                        hashlib.md5(" ".join(t for _, t in cur).encode()).hexdigest()))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_pos, r.n_tokens, r.chunk_md5)
+        for r in cdc_chunks(df, gram=2, divisor=divisor).collect()
+    )
+    want = sorted(
+        (i, ci, sp, n, h)
+        for i, toks in enumerate(docs)
+        for ci, sp, n, h in model(toks)
+    )
+    assert got == want
