@@ -780,6 +780,96 @@ def cmd_media_features(args) -> int:
     return 0
 
 
+def cmd_cluster_table(args) -> int:
+    """Build the corpus's near-dup CLUSTER TABLE once and persist it as
+    the report artifact (operators/graph.py::write_cluster_table): MinHash
+    candidate pairs (optionally gated by --confirm-embeddings, the same
+    two-signal precision mode clean-corpus uses) → connected components →
+    (doc_id, cluster_id, cluster_size) parquet + a provenance meta
+    sidecar. Every dedup report (`dedup-report`, keep-best policies,
+    survivor complements) then consumes this ONE materialized CC run —
+    the pair graph never re-derives per consumer."""
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    pairs = dd.minhash_candidate_pairs(
+        docs, "text", "doc_id",
+        num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
+    )
+    provenance = {
+        "blocker": "minhash", "num_hashes": 8, "bands": 4, "shingle_n": 3,
+        "max_bucket": args.max_bucket, "docs": args.docs,
+    }
+    if args.confirm_embeddings:
+        from commercepulse_data_pipeline_spark.operators import (
+            similarity as _simc,
+        )
+
+        emb = spark.read.parquet(args.confirm_embeddings)
+        pairs = (
+            _simc.score_pairs(pairs, emb)
+            .where(F.col("cosine_sim") >= args.confirm_tau)
+            .select("id_a", "id_b")
+        )
+        provenance.update(
+            {"confirm_embeddings": args.confirm_embeddings,
+             "confirm_tau": args.confirm_tau}
+        )
+    clusters = graph.dedup_clusters(pairs)
+    graph.write_cluster_table(clusters, args.out, provenance=provenance)
+    stats = graph.read_cluster_table(spark, args.out).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("c"),
+    ).head()
+    print(
+        f"cluster-table: {stats['n']} docs in {stats['c']} near-dup "
+        f"clusters written to {args.out}"
+    )
+    return 0
+
+
+def cmd_dedup_report(args) -> int:
+    """Dedup reports from a persisted cluster table — the consumer side
+    of `cluster-table`: reads the artifact ONCE and derives (a) the
+    cluster-size histogram with singleton completion against --docs and
+    (b) the per---group-col savings table (skipped when the column is
+    absent). Plans are pure parquet-scan aggregates; no pair graph, no
+    CC iterations. With --out, both land as parquet next to a printed
+    summary."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    spark = _spark()
+    art = graph.read_cluster_table(spark, args.cluster_table)
+    docs = spark.read.parquet(args.docs)
+    hist = graph.cluster_size_histogram(art, docs)
+    rows = hist.collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_clusters = sum(r["n_clusters"] for r in rows)
+    print(f"dedup-report: {n_docs} docs in {n_clusters} clusters "
+          f"(keep-one-per-cluster drops {n_docs - n_clusters})")
+    for r in rows:
+        print(f"  size {r['cluster_size']}: {r['n_clusters']} clusters, "
+              f"{r['n_docs']} docs")
+    savings = None
+    if args.group_col in docs.columns:
+        savings = graph.dedup_savings_by_source(art, docs, args.group_col)
+        for r in savings.orderBy(F.col("n_dropped").desc()).limit(10).collect():
+            print(f"  {args.group_col}={r[args.group_col]}: "
+                  f"{r['n_dropped']}/{r['n_docs']} dropped "
+                  f"(dup_frac {r['dup_frac']})")
+    else:
+        print(f"  (no {args.group_col!r} column in --docs; "
+              "skipping per-group savings)")
+    if args.out:
+        hist.write.mode("overwrite").parquet(f"{args.out}/size_histogram")
+        if savings is not None:
+            savings.write.mode("overwrite").parquet(f"{args.out}/savings_by_group")
+        print(f"dedup-report: tables written to {args.out}")
+    return 0
+
+
 def cmd_skew_report(args) -> int:
     """Key-distribution diagnostics for a parquet dataset: exact group
     quantiles, skew ratio, recommended salt width, heaviest keys — the
@@ -970,6 +1060,32 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("keys", nargs="+")
     pg.add_argument("--partition-col", default=None)
     pg.set_defaults(fn=cmd_purge)
+
+    ct = sub.add_parser(
+        "cluster-table",
+        help="build + persist the near-dup cluster table artifact "
+             "(one CC run, many report consumers)",
+    )
+    ct.add_argument("--docs", required=True, help="parquet with (doc_id, text, ...)")
+    ct.add_argument("--out", required=True, help="artifact directory")
+    ct.add_argument("--max-bucket", type=int, default=1000, dest="max_bucket",
+                    help="LSH bucket cap for candidate pair generation")
+    ct.add_argument("--confirm-embeddings", default=None, dest="confirm_embeddings",
+                    help="parquet with (vec_id, embedding): keep only pairs "
+                         "scoring cosine >= --confirm-tau (two-signal mode)")
+    ct.add_argument("--confirm-tau", type=float, default=0.9, dest="confirm_tau")
+    ct.set_defaults(fn=cmd_cluster_table)
+
+    dr = sub.add_parser(
+        "dedup-report",
+        help="size histogram + per-group savings from a persisted cluster table",
+    )
+    dr.add_argument("--cluster-table", required=True, dest="cluster_table")
+    dr.add_argument("--docs", required=True,
+                    help="parquet corpus for singleton completion / grouping")
+    dr.add_argument("--group-col", default="source", dest="group_col")
+    dr.add_argument("--out", default=None, help="also write tables as parquet here")
+    dr.set_defaults(fn=cmd_dedup_report)
 
     sk = sub.add_parser(
         "skew-report", help="key-distribution / salt-width diagnostics"

@@ -662,3 +662,48 @@ def test_clean_corpus_ce_band_selection(spark, tmp_path):
             ])
     finally:
         cli._spark = orig
+
+
+def test_cli_cluster_table_and_dedup_report(spark, tmp_path, capsys):
+    """cluster-table + dedup-report (r13): one persisted CC run feeds the
+    report consumers; the report's numbers equal the self-contained
+    derivation, and the artifact's provenance records the blocker."""
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table_meta,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    rows = [
+        (1, base, "a"),
+        (2, base + " tail", "a"),          # near-dup of 1
+        (3, base + " other tail", "b"),    # near-dup of 1
+        (4, "completely different words here nothing shared at all "
+            "seven eight nine ten eleven twelve thirteen fourteen", "b"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    art = str(tmp_path / "ct")
+    rc = cli.main(["cluster-table", "--docs", str(tmp_path / "docs"), "--out", art])
+    assert rc == 0
+    assert read_cluster_table_meta(spark, art)["blocker"] == "minhash"
+
+    rc = cli.main([
+        "dedup-report",
+        "--cluster-table", art,
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "rpt"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "keep-one-per-cluster drops 2" in out
+
+    hist = {r.cluster_size: r.n_docs for r in
+            spark.read.parquet(str(tmp_path / "rpt/size_histogram")).collect()}
+    assert hist == {1: 1, 3: 3}
+    sav = {r.source: (r.n_docs, r.n_dropped) for r in
+           spark.read.parquet(str(tmp_path / "rpt/savings_by_group")).collect()}
+    # cluster {1,2,3} canonical=1 (source a): drops doc 2 (a) + doc 3 (b)
+    assert sav == {"a": (2, 1), "b": (2, 1)}
