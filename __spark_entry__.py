@@ -4218,6 +4218,44 @@ def q_docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks: CDC chunk hashes
+    shared by >= 2 docs, with occurrence counts and the canonical (min
+    doc_id, min start_pos) occurrence — what chunk-level storage dedup /
+    re-crawl reconciliation acts on. Because boundaries are
+    content-defined, a re-crawled page with one edited paragraph still
+    collides on every other chunk — the fixed-window form would miss all
+    of them past the edit. One groupBy on chunk_md5 over the cdc_chunks
+    output; emitted cells are duplicate chunks only (corpus-sublinear)."""
+    d = _docs(spark, sf_dir)
+    ch = tx.cdc_chunks(d, "text", "doc_id", gram=2, divisor=16)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # lexicographic (doc_id, start_pos) min as ONE exact integer
+            # key (start_pos < 2^32 tokens/doc, doc_id < 2^31): replays
+            # identically in any engine, unlike struct-min; decomposition
+            # uses INTEGER division (div / //) — a double round-trip
+            # would lose exactness past 2^53 for replica-offset ids
+            F.min(
+                F.col("doc_id") * F.lit(4294967296) + F.col("start_pos")
+            ).alias("__c"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "chunk_md5",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.expr("__c div 4294967296").alias("canonical_doc_id"),
+            (F.col("__c") % 4294967296).cast("long").alias("canonical_start_pos"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4262,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_threshold_sweep": q_dup_threshold_sweep,
         "dup_pair_source_matrix": q_dup_pair_source_matrix,
         "docs_cdc_chunks": q_docs_cdc_chunks,
+        "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -4554,6 +4593,27 @@ def _packed_windows_oracle_sql(capacity: int = 512, n_shards: int = 8) -> str:
         )
         SELECT shard, bin_idx, count(*) AS n_docs, max(fill) AS window_tokens
         FROM walk GROUP BY 1, 2
+    """
+
+
+def _cdc_dup_chunks_oracle_sql() -> str:
+    """DuckDB twin of q_docs_cdc_dup_chunks: the cdc-chunks CTE grouped by
+    chunk hash, duplicate (>= 2 docs) chunks only, min-(doc, start)
+    canonical."""
+    inner = _cdc_chunks_oracle_sql()
+    return f"""
+        WITH chunks AS ({inner})
+        SELECT chunk_md5,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(doc_id * 4294967296 + start_pos) // 4294967296
+                    AS BIGINT) AS canonical_doc_id,
+               CAST(min(doc_id * 4294967296 + start_pos) % 4294967296
+                    AS BIGINT) AS canonical_start_pos
+        FROM chunks
+        GROUP BY chunk_md5
+        HAVING count(DISTINCT doc_id) >= 2
     """
 
 
@@ -6239,6 +6299,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells CROSS JOIN tot
         """,
         "docs_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "docs_cdc_dup_chunks": _cdc_dup_chunks_oracle_sql(),
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_curation_funnel": _curation_funnel_oracle_sql(),
         "docs_split_manifest": _split_manifest_oracle_sql(),

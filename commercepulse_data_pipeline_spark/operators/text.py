@@ -1321,9 +1321,10 @@ def cdc_chunks(
     replays boundaries bit-for-bit."""
     if gram < 1 or divisor < 1:
         raise ValueError("cdc_chunks: gram and divisor must be >= 1")
-    toks = df.select(id_col, tokens(F.col(text_col)).alias("__toks")).where(
-        F.size("__toks") > 0
-    )
+    # no empty-array filter here: posexplode of an empty array emits no
+    # rows anyway, and a size() predicate would PUSH DOWN through the
+    # projection by substitution — one more inlined tokens() copy
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
     # boundary flag per 1-based position i: md5-bucket of the gram window
     # [max(1, i-gram+1) .. i] hits 0 mod divisor
     start = F.greatest(F.lit(1), F.col("i") - F.lit(gram - 1))
@@ -1358,6 +1359,13 @@ def cdc_chunks(
     rows = flagged.select(
         id_col,
         F.posexplode(F.arrays_zip("__toks", "__bnd")).alias("pos", "z"),
+    ).where(
+        # zero-token docs: sequence(1, 0) DESCENDS in Spark, so __bnd has
+        # two phantom flags while __toks is empty — arrays_zip pads with
+        # NULL tokens; drop those rows (a real token is never NULL, the
+        # tokenizer filters empties). Cheap post-explode filter — a
+        # size() predicate upstream would re-inline the token build.
+        F.col("z.__toks").isNotNull()
     ).select(
         id_col,
         "pos",
