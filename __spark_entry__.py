@@ -4256,6 +4256,39 @@ def q_docs_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (operators/graph.py::
+    merge_cluster_update): every 10th doc plays the NEW ingest batch —
+    the established cluster table folds the batch's pairs in WITHOUT
+    re-running CC over the corpus (affected clusters via two semi-joins;
+    the iterative CC sees only the batch-proportional affected subgraph,
+    star edges keeping old clusters diameter <= 2). The oracle is the
+    FROM-SCRATCH recursive-CTE membership over all pairs: hash equality
+    IS the incremental-exactness claim (fold == rebuild, bit for bit)."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    pairs_all = dd.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
+    )
+    new_ids = d.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    # banding is per-doc, so the full pair set splits EXACTLY into
+    # old-old pairs (the established table's inputs) and pairs touching
+    # the batch (what ingest hands the fold)
+    old_pairs = pairs_all.join(
+        F.broadcast(new_ids.withColumnRenamed("doc_id", "id_a")), "id_a", "left_anti"
+    ).join(
+        F.broadcast(new_ids.withColumnRenamed("doc_id", "id_b")), "id_b", "left_anti"
+    )
+    new_pairs = pairs_all.exceptAll(old_pairs)
+    established = graph.dedup_clusters(old_pairs)
+    return graph.merge_cluster_update(established, new_pairs).select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4301,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pair_source_matrix": q_dup_pair_source_matrix,
         "docs_cdc_chunks": q_docs_cdc_chunks,
         "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
+        "dup_clusters_incremental": q_dup_clusters_incremental,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -6299,6 +6333,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cells CROSS JOIN tot
         """,
         "docs_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "dup_clusters_incremental": f"""
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, m) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+            ),
+            cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+            sizes AS (
+                SELECT component, count(*) AS cluster_size FROM cc GROUP BY component
+            )
+            SELECT cc.node AS doc_id,
+                   CAST(cc.component AS BIGINT) AS cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size
+            FROM cc JOIN sizes s ON s.component = cc.component
+        """,
         "docs_cdc_dup_chunks": _cdc_dup_chunks_oracle_sql(),
         "docs_stratified_sample": _stratified_sample_oracle_sql(),
         "docs_curation_funnel": _curation_funnel_oracle_sql(),

@@ -460,3 +460,85 @@ def dedup_savings_by_source(
             ).alias("dup_frac"),
         )
     )
+
+
+def merge_cluster_update(
+    clusters: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "hash_to_min",
+) -> DataFrame:
+    """Incremental cluster maintenance: fold a NEW batch's candidate
+    pairs into an existing cluster table WITHOUT re-running connected
+    components over the whole corpus — the operation that keeps a
+    10B-doc cluster table alive under continuous ingest (a from-scratch
+    CC per batch is the one cost that cannot amortize).
+
+    Exactness: an old cluster's id IS one of its members (the min), so
+    replacing its internal pair edges with star edges doc→cluster_id
+    preserves both connectivity and the component minimum. CC over
+    (star edges of AFFECTED clusters ∪ new pairs) therefore yields
+    exactly the from-scratch labels for every touched component, and
+    untouched rows pass through unchanged — the result is row-identical
+    to ``dedup_clusters`` over the union of all pairs ever seen
+    (property-tested).
+
+    Scale shape: the new batch's endpoints are batch-sized; finding
+    affected clusters is one id-keyed semi-join + one cluster-keyed
+    semi-join; the iterative CC runs over the batch-proportional
+    affected subgraph ONLY (star edges keep it shallow — old clusters
+    contribute diameter ≤ 2). Untouched clusters are an anti-join
+    passthrough that never enters the loop."""
+    nodes = (
+        new_pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    affected_cids = (
+        clusters.join(nodes, "doc_id", "left_semi").select("cluster_id").distinct()
+    )
+    affected = clusters.join(affected_cids, "cluster_id", "left_semi")
+    edges = affected.select(
+        F.col("doc_id").alias(id_a), F.col("cluster_id").alias(id_b)
+    ).unionByName(new_pairs.select(id_a, id_b))
+    merged = dedup_clusters(
+        edges, id_a, id_b,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir, algorithm=algorithm,
+    )
+    untouched = clusters.join(affected_cids, "cluster_id", "left_anti")
+    return untouched.select("doc_id", "cluster_id", "cluster_size").unionByName(
+        merged
+    )
+
+
+def update_cluster_table(
+    spark,
+    path: str,
+    new_pairs: DataFrame,
+    *,
+    provenance: dict | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "hash_to_min",
+) -> DataFrame:
+    """Artifact form of :func:`merge_cluster_update`: read the persisted
+    cluster table, fold ``new_pairs`` in, overwrite the artifact, return
+    the updated frame. The updated table is MATERIALIZED (eager
+    localCheckpoint) before the overwrite — the read and the write
+    target the same directory, and a lazy plan would re-list the path
+    mid-overwrite. ``provenance`` replaces the sidecar's dict when
+    given; otherwise the existing provenance is carried forward."""
+    cur = read_cluster_table(spark, path)
+    upd = merge_cluster_update(
+        cur, new_pairs,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir, algorithm=algorithm,
+    ).localCheckpoint(eager=True)
+    keep_prov = (
+        provenance if provenance is not None else read_cluster_table_meta(spark, path)
+    )
+    write_cluster_table(upd, path, provenance=keep_prov)
+    return upd

@@ -971,3 +971,63 @@ def test_dedup_savings_by_source(spark):
     assert got["c"]["n_docs"] == 1 and got["c"]["n_clustered"] == 0
     assert got["c"]["n_dropped"] == 0 and got["c"]["dup_frac"] == 0.0
     assert got["b"]["dup_frac"] == round(2 / 3, 6)
+
+
+def test_merge_cluster_update_equals_from_scratch(spark):
+    """merge_cluster_update (r13): folding batch pairs into an existing
+    cluster table is row-identical to from-scratch CC over the union of
+    all pairs — including cluster merges ACROSS old clusters, new-only
+    clusters, and untouched passthrough."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        merge_cluster_update,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    # batch: bridges old clusters {1,2,3} and {10,11}; extends {20,21};
+    # creates a brand-new cluster {40,41}; {30,31} untouched
+    new_pairs = spark.createDataFrame(
+        [(3, 10), (21, 22), (40, 41)], "id_a long, id_b long"
+    )
+    old = dedup_clusters(old_pairs)
+    got = sorted(
+        map(tuple, merge_cluster_update(old, new_pairs).collect())
+    )
+    want = sorted(
+        map(tuple, dedup_clusters(old_pairs.unionByName(new_pairs)).collect())
+    )
+    assert got == want
+    merged = {r[0]: (r[1], r[2]) for r in got}
+    assert merged[11] == (1, 5)   # bridged cluster: min id 1, size 5
+    assert merged[22] == (20, 3)
+    assert merged[40] == (40, 2) and merged[30] == (30, 2)
+
+
+def test_update_cluster_table_artifact_roundtrip(spark, tmp_path):
+    """update_cluster_table (r13): the artifact folds a batch in place —
+    read-back equals the from-scratch table, provenance carries forward
+    by default and replaces when given."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        read_cluster_table,
+        read_cluster_table_meta,
+        update_cluster_table,
+        write_cluster_table,
+    )
+
+    path = str(tmp_path / "ct")
+    p1 = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    p2 = spark.createDataFrame([(2, 10), (50, 51)], "id_a long, id_b long")
+    write_cluster_table(dedup_clusters(p1), path, provenance={"gen": 1})
+
+    upd = update_cluster_table(spark, path, p2)
+    want = sorted(map(tuple, dedup_clusters(p1.unionByName(p2)).collect()))
+    assert sorted(map(tuple, upd.collect())) == want
+    assert sorted(map(tuple, read_cluster_table(spark, path).collect())) == want
+    assert read_cluster_table_meta(spark, path) == {"gen": 1}  # carried
+
+    p3 = spark.createDataFrame([(60, 61)], "id_a long, id_b long")
+    update_cluster_table(spark, path, p3, provenance={"gen": 2})
+    assert read_cluster_table_meta(spark, path) == {"gen": 2}

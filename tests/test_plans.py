@@ -584,3 +584,23 @@ def test_assign_splits_grouped_no_extra_shuffle(spark):
     joins = _re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", final)
     assert len(joins) == 1, plan
     assert final.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_cdc_chunks_plan_single_tokenize_single_shuffle(spark):
+    """cdc_chunks (r13): the token build evaluates ONCE per row (the
+    Catalyst re-expansion pitfall — a pushed-down size() predicate or a
+    collapsed projection re-inlines tokens() per reference; the r13 plan
+    audit caught a 3x version), and the whole operator is one explode +
+    one doc-keyed window shuffle."""
+    from commercepulse_data_pipeline_spark.operators.text import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p")],
+        "doc_id long, text string",
+    )
+    plan = _plan(cdc_chunks(df))
+    assert plan.count("split(") == 1, plan
+    assert plan.count("Generate") == 1  # one posexplode
+    # one shuffle for the window cumsum; the final groupBy reuses its
+    # doc-keyed partitioning (id is a prefix of the grouping key)
+    assert plan.count("Exchange") <= 2

@@ -1083,3 +1083,31 @@ def test_cdc_chunks_matches_python_model(spark, docs, divisor):
         for ci, sp, n, h in model(toks)
     )
     assert got == want
+
+
+@given(
+    e1=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=20
+    ),
+    e2=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=12
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_cluster_update_matches_from_scratch(spark, e1, e2):
+    """Incremental CC fold (r13) vs from-scratch CC over the pair union,
+    on random small graphs (self-loops filtered like the operators do;
+    duplicate edges allowed — banding emits distinct pairs but the fold
+    must not care)."""
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        merge_cluster_update,
+    )
+
+    e1 = [(a, b) for a, b in e1 if a != b] or [(0, 1)]
+    e2 = [(a, b) for a, b in e2 if a != b] or [(2, 3)]
+    d1 = spark.createDataFrame(e1, "id_a long, id_b long")
+    d2 = spark.createDataFrame(e2, "id_a long, id_b long")
+    got = sorted(map(tuple, merge_cluster_update(dedup_clusters(d1), d2).collect()))
+    want = sorted(map(tuple, dedup_clusters(d1.unionByName(d2)).collect()))
+    assert got == want
