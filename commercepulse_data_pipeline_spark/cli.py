@@ -788,19 +788,71 @@ def cmd_cluster_table(args) -> int:
     (doc_id, cluster_id, cluster_size) parquet + a provenance meta
     sidecar. Every dedup report (`dedup-report`, keep-best policies,
     survivor complements) then consumes this ONE materialized CC run —
-    the pair graph never re-derives per consumer."""
+    the pair graph never re-derives per consumer.
+
+    With ``--index`` the fresh build also persists the corpus's MinHash
+    band index; ``--update`` then folds a NEW batch in incrementally:
+    the batch probes the index for cross-batch pairs (O(batch) banding,
+    appending its own bands), and ``merge_cluster_update`` re-clusters
+    only the affected subgraph — continuous clustered dedup with
+    batch-proportional per-ingest cost."""
     from commercepulse_data_pipeline_spark.operators import dedup as dd
     from commercepulse_data_pipeline_spark.operators import graph
 
+    if args.update and not args.index:
+        raise SystemExit(
+            "cluster-table --update needs --index (the persisted MinHash "
+            "index the batch probes for cross-batch pairs; build the "
+            "table once with --index to enable updates)"
+        )
     spark = _spark()
     docs = spark.read.parquet(args.docs)
+    if args.update:
+        # incremental ingest: the batch probes the persisted index
+        # (O(batch) banding + a key-restricted index scan, appending its
+        # own bands), and the resulting pairs fold into the cluster
+        # table via merge_cluster_update — per-batch cost is
+        # batch-proportional on BOTH stages; neither the corpus nor its
+        # pair graph is ever re-derived
+        pairs = dd.minhash_pairs_incremental(
+            docs, spark, args.index,
+            max_bucket=args.max_bucket, update_index=True,
+        )
+        if args.confirm_embeddings:
+            from commercepulse_data_pipeline_spark.operators import (
+                similarity as _simc,
+            )
+
+            emb = spark.read.parquet(args.confirm_embeddings)
+            pairs = (
+                _simc.score_pairs(pairs, emb)
+                .where(F.col("cosine_sim") >= args.confirm_tau)
+                .select("id_a", "id_b")
+            )
+        graph.update_cluster_table(spark, args.out, pairs)
+        stats = graph.read_cluster_table(spark, args.out).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cluster_id").alias("c"),
+        ).head()
+        print(
+            f"cluster-table: updated — {stats['n']} docs in {stats['c']} "
+            f"near-dup clusters at {args.out}"
+        )
+        return 0
     pairs = dd.minhash_candidate_pairs(
         docs, "text", "doc_id",
         num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
     )
+    if args.index:
+        # persist the batch's bands as the probe index so later
+        # --update calls dedup against everything seen so far
+        dd.write_minhash_index(
+            docs, args.index, num_hashes=8, bands=4, shingle_n=3
+        )
     provenance = {
         "blocker": "minhash", "num_hashes": 8, "bands": 4, "shingle_n": 3,
         "max_bucket": args.max_bucket, "docs": args.docs,
+        "index": args.index,
     }
     if args.confirm_embeddings:
         from commercepulse_data_pipeline_spark.operators import (
@@ -1074,6 +1126,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet with (vec_id, embedding): keep only pairs "
                          "scoring cosine >= --confirm-tau (two-signal mode)")
     ct.add_argument("--confirm-tau", type=float, default=0.9, dest="confirm_tau")
+    ct.add_argument("--index", default=None,
+                    help="persisted MinHash index path: written on a fresh "
+                         "build, probed+appended on --update")
+    ct.add_argument("--update", action="store_true",
+                    help="fold --docs (a NEW batch) into the existing "
+                         "cluster table at --out: pairs vs --index + "
+                         "within-batch, then merge_cluster_update — "
+                         "batch-proportional, no corpus re-derivation")
     ct.set_defaults(fn=cmd_cluster_table)
 
     dr = sub.add_parser(

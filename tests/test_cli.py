@@ -707,3 +707,52 @@ def test_cli_cluster_table_and_dedup_report(spark, tmp_path, capsys):
            spark.read.parquet(str(tmp_path / "rpt/savings_by_group")).collect()}
     # cluster {1,2,3} canonical=1 (source a): drops doc 2 (a) + doc 3 (b)
     assert sav == {"a": (2, 1), "b": (2, 1)}
+
+
+def test_cli_cluster_table_incremental_update(spark, tmp_path):
+    """cluster-table --index / --update (r13): a fresh build persists the
+    MinHash index; a later --update folds a new batch in (pairs vs index
+    + within batch -> merge_cluster_update) and the resulting table
+    equals the from-scratch build over all docs seen."""
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        read_cluster_table,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    first = [(1, base), (2, base + " tail one"),
+             (3, "totally unrelated words nothing shared here at all "
+                 "uno dos tres cuatro cinco seis siete ocho nueve diez")]
+    batch = [(10, base + " tail two"),            # near-dup of indexed 1/2
+             (11, "brand new unique content snow rain wind cloud storm "
+                  "river mountain valley forest meadow ocean desert")]
+    spark.createDataFrame(first, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs1"))
+    spark.createDataFrame(batch, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs2"))
+
+    art, idx = str(tmp_path / "ct"), str(tmp_path / "idx")
+    assert cli.main(["cluster-table", "--docs", str(tmp_path / "docs1"),
+                     "--out", art, "--index", idx]) == 0
+    assert cli.main(["cluster-table", "--docs", str(tmp_path / "docs2"),
+                     "--out", art, "--index", idx, "--update"]) == 0
+
+    got = sorted(map(tuple, read_cluster_table(spark, art).collect()))
+    everything = spark.createDataFrame(first + batch, ["doc_id", "text"])
+    want = sorted(map(tuple, dedup_clusters(
+        minhash_candidate_pairs(everything, "text", "doc_id")
+    ).collect()))
+    assert got == want
+    by_doc = {r[0]: r[1:] for r in got}
+    assert by_doc[10] == (1, 3)  # joined the indexed cluster {1,2}
+
+    # --update without --index fails loudly before Spark work
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="--index"):
+        cli.main(["cluster-table", "--docs", str(tmp_path / "docs2"),
+                  "--out", art, "--update"])
