@@ -4289,6 +4289,24 @@ def q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_blocker_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker recall measurement (operators/dedup.py::
+    blocker_recall_report): on a deterministic half-sample of the corpus,
+    exact n-gram Jaccard >= 0.5 is the ground truth and the 8-hash/4-band
+    MinHash blocker is the candidate generator — the one-row report says
+    what fraction of truly-similar pairs the banding actually surfaces
+    (the S-curve gives the theory; this measures the corpus). The recall
+    companion to dup_threshold_sweep's precision calibration. The oracle
+    replays the same md5-bucket sample, exact posting-list Jaccard,
+    banding, and the semi-join count."""
+    d = _docs(spark, sf_dir)
+    return dd.blocker_recall_report(
+        d, "text", "doc_id",
+        sample_rate=0.5, salt="recall-v1:", tau=0.5,
+        shingle_n=3, num_hashes=8, bands=4, max_bucket=100000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4335,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_chunks": q_docs_cdc_chunks,
         "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
         "dup_clusters_incremental": q_dup_clusters_incremental,
+        "dup_blocker_recall": q_dup_blocker_recall,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -4627,6 +4646,70 @@ def _packed_windows_oracle_sql(capacity: int = 512, n_shards: int = 8) -> str:
         )
         SELECT shard, bin_idx, count(*) AS n_docs, max(fill) AS window_tokens
         FROM walk GROUP BY 1, 2
+    """
+
+
+def _blocker_recall_oracle_sql() -> str:
+    """DuckDB twin of q_dup_blocker_recall: identical md5-bucket sample,
+    exact shingle-join Jaccard truth at tau=0.5, the 8-hash/4-band
+    MinHash banding over the SAME sample, and the semi-join recall
+    count."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    bucket = _sample_bucket_sql("doc_id", "recall-v1:")
+    return f"""
+        WITH sampled AS (
+            SELECT doc_id, text FROM documents WHERE {bucket} < {threshold_for(0.5)}
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS t FROM sampled),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES3}) AS s FROM t WHERE len(t) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT s.id_a, s.id_b
+            FROM shared s
+            JOIN sizes sa ON s.id_a = sa.doc_id
+            JOIN sizes sb ON s.id_b = sb.doc_id
+            WHERE s.shared / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+        ),
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+                   min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+                   min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+                   min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+            UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+            UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+        ),
+        blocked AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        hit AS (
+            SELECT t.id_a FROM truth t
+            JOIN blocked p ON p.id_a = t.id_a AND p.id_b = t.id_b
+        )
+        SELECT CAST((SELECT count(*) FROM sampled) AS BIGINT) AS n_sampled_docs,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT count(*) FROM blocked) AS BIGINT) AS n_blocked_pairs,
+               CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                               / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+               END AS recall
     """
 
 
@@ -6333,6 +6416,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells CROSS JOIN tot
         """,
         "docs_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "dup_blocker_recall": _blocker_recall_oracle_sql(),
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},
             edges AS (

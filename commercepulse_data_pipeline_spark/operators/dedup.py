@@ -1178,3 +1178,78 @@ def pair_group_matrix(
             ).alias("share"),
         )
     )
+
+
+def blocker_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sample_rate: float = 0.1,
+    salt: str = "recall-v1:",
+    tau: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    max_shingle_freq: int = 1000000,
+) -> DataFrame:
+    """Measured RECALL of the MinHash LSH blocker against exact n-gram
+    Jaccard ground truth, on a deterministic md5-bucket sample of the
+    corpus — the "measure, don't guess" companion to
+    ``similarity.pair_threshold_sweep`` (which calibrates the confirm
+    stage's PRECISION): before trusting a banding configuration at
+    100 TB, compute on a sample what fraction of truly-similar pairs
+    (exact Jaccard ≥ ``tau``) the bands actually surface. Tuning
+    num_hashes/bands from the theoretical S-curve alone misses the
+    corpus's real similarity distribution; this reports the observed
+    number.
+
+    Scale shape: the sample is rate-bounded (hash-bucket, reproducible);
+    ground truth is the exact posting-list Jaccard (never all-pairs) and
+    the blocker is the banded pair generation, both over sample-sized
+    inputs; the comparison is one pair-keyed left join and a single-row
+    aggregate. Output: one row — n_sampled_docs, n_true_pairs,
+    n_blocked_pairs, n_found (true pairs the blocker surfaced), recall
+    (6dp; NULL when the sample has no true pairs)."""
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    sample = deterministic_sample(df, id_col, sample_rate, salt=salt)
+    truth = ngram_jaccard_pairs(
+        sample, text_col, id_col,
+        shingle_n=shingle_n, threshold=tau, max_shingle_freq=max_shingle_freq,
+    ).select("id_a", "id_b")
+    blocked = minhash_candidate_pairs(
+        sample, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    hit = truth.join(blocked, ["id_a", "id_b"], "left_semi")
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_sampled_docs")
+    )
+    agg = (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(F.broadcast(blocked.agg(F.count(F.lit(1)).alias("n_blocked_pairs"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_found"))))
+    )
+    return (
+        F.broadcast(n_docs)
+        .crossJoin(agg)
+        .select(
+            F.col("n_sampled_docs").cast("long").alias("n_sampled_docs"),
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.col("n_blocked_pairs").cast("long").alias("n_blocked_pairs"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(
+                    F.col("n_found").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )

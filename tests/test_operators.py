@@ -2047,3 +2047,35 @@ def test_cdc_chunks_shift_robust_and_exact(spark):
 
     with pytest.raises(ValueError, match="gram and divisor"):
         tx.cdc_chunks(df, gram=0)
+
+
+def test_blocker_recall_report_counts(spark):
+    """blocker_recall_report (r13): exact-Jaccard truth vs MinHash
+    blocker on a deterministic sample — counts and the recall ratio are
+    consistent, identical docs always recall at 1.0 (full-signature
+    collision hits every band), and an all-unique corpus reports NULL
+    recall with zero true pairs."""
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen")
+    rows = [(i, base) for i in range(8)] + [
+        (100 + i,
+         f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e "
+         f"unique{i}f unique{i}g unique{i}h")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dd.blocker_recall_report(df, sample_rate=1.0, tau=0.5).head()
+    n = r["n_sampled_docs"]
+    assert n == 16
+    assert r["n_true_pairs"] == 8 * 7 // 2  # the identical-doc clique
+    assert r["n_found"] == r["n_true_pairs"] and r["recall"] == 1.0
+    assert r["n_blocked_pairs"] >= r["n_found"]
+
+    uniq = spark.createDataFrame(rows[8:], "doc_id long, text string")
+    r2 = dd.blocker_recall_report(uniq, sample_rate=1.0, tau=0.5).head()
+    assert r2["n_true_pairs"] == 0 and r2["recall"] is None
+
+    # sampling is deterministic: same salt -> same report twice
+    a = dd.blocker_recall_report(df, sample_rate=0.6, salt="x:").head()
+    b = dd.blocker_recall_report(df, sample_rate=0.6, salt="x:").head()
+    assert a == b
