@@ -4307,6 +4307,24 @@ def q_dup_blocker_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate (operators/text.py::code_detect): three
+    regex-count signals — code-punctuation density, indented-line
+    fraction, terminator-line fraction — vote is_code per doc; a mixed
+    web corpus routes flagged docs to a code-specific pipeline (different
+    tokenizer, dedup granularity, quality filters). One map-only
+    codegen'd projection on simple character classes, so the RE2-based
+    oracle replays every count bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    return tx.code_detect(d, "text", "doc_id").select(
+        "doc_id",
+        "symbol_ratio",
+        "indent_frac",
+        "term_frac",
+        F.col("is_code").cast("int").cast("long").alias("is_code"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4354,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
         "dup_clusters_incremental": q_dup_clusters_incremental,
         "dup_blocker_recall": q_dup_blocker_recall,
+        "docs_code_detect": q_docs_code_detect,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -6417,6 +6436,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_cdc_chunks": _cdc_chunks_oracle_sql(),
         "dup_blocker_recall": _blocker_recall_oracle_sql(),
+        "docs_code_detect": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '[{}\[\]();=<>]'))
+                            AS DOUBLE) AS sym,
+                       list_filter(string_split(text, chr(10)), x -> x <> '')
+                           AS lines
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       CASE WHEN n_chars > 0 THEN round(sym / n_chars, 6) END
+                           AS symbol_ratio,
+                       CASE WHEN len(lines) > 0 THEN round(
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '^(  |\t)'))) AS DOUBLE)
+                           / CAST(len(lines) AS DOUBLE), 6) END AS indent_frac,
+                       CASE WHEN len(lines) > 0 THEN round(
+                           CAST(len(list_filter(lines,
+                               x -> regexp_matches(x, '[;{}]\s*$'))) AS DOUBLE)
+                           / CAST(len(lines) AS DOUBLE), 6) END AS term_frac
+                FROM m
+            )
+            SELECT doc_id, symbol_ratio, indent_frac, term_frac,
+                   CAST((COALESCE(CAST(symbol_ratio >= 0.06 AS INT), 0)
+                         + COALESCE(CAST(indent_frac >= 0.2 AS INT), 0)
+                         + COALESCE(CAST(term_frac >= 0.5 AS INT), 0)) >= 2
+                        AS BIGINT) AS is_code
+            FROM r
+        """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},
             edges AS (

@@ -1399,3 +1399,59 @@ def cdc_chunks(
             ).alias("chunk_md5"),
         )
     )
+
+
+def code_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    symbol_threshold: float = 0.06,
+    indent_threshold: float = 0.2,
+    min_signals: int = 2,
+) -> DataFrame:
+    """Code-vs-prose detection — the routing gate a mixed web corpus
+    applies before training (code wants different tokenization, dedup
+    granularity and quality filters than prose; classifying by file
+    extension misses code pasted into HTML/forum/markdown pages). Pure
+    regex-count heuristics, no model: a doc is flagged ``is_code`` when
+    at least ``min_signals`` of three signals fire —
+
+      symbol_ratio  — code-punctuation chars ``{}[]();=<>`` per char
+                      (prose sits well under 2%, code 6-15%)
+      indent_frac   — fraction of lines starting with 2+ spaces or a tab
+                      (block-structured indentation)
+      semi_or_brace — >= 1 semicolon-or-brace line terminator per 2
+                      lines (statement-terminated languages)
+
+    Scale shape: one map-only codegen'd projection — counts via
+    regexp_count / length arithmetic on simple character classes (no
+    backreferences or lookarounds, so RE2-based engines replay the same
+    counts — the oracle-parity discipline of bpe_ish_tokens). NULL text
+    yields NULL metrics and is_code=false (no evidence)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    sym = F.regexp_count(t, F.lit(r"[{}\[\]();=<>]")).cast("double")
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    n_lines = F.size(lines).cast("double")
+    indented = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^(  |\t)"))
+    ).cast("double")
+    terminated = F.size(
+        F.filter(lines, lambda x: x.rlike(r"[;{}]\s*$"))
+    ).cast("double")
+    symbol_ratio = F.when(n_chars > 0, F.round(sym / n_chars, 6))
+    indent_frac = F.when(n_lines > 0, F.round(indented / n_lines, 6))
+    term_frac = F.when(n_lines > 0, F.round(terminated / n_lines, 6))
+    signals = (
+        F.coalesce((symbol_ratio >= symbol_threshold).cast("int"), F.lit(0))
+        + F.coalesce((indent_frac >= indent_threshold).cast("int"), F.lit(0))
+        + F.coalesce((term_frac >= 0.5).cast("int"), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        symbol_ratio.alias("symbol_ratio"),
+        indent_frac.alias("indent_frac"),
+        term_frac.alias("term_frac"),
+        (signals >= min_signals).alias("is_code"),
+    )

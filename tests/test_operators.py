@@ -2079,3 +2079,28 @@ def test_blocker_recall_report_counts(spark):
     a = dd.blocker_recall_report(df, sample_rate=0.6, salt="x:").head()
     b = dd.blocker_recall_report(df, sample_rate=0.6, salt="x:").head()
     assert a == b
+
+
+def test_code_detect_signals(spark):
+    """code_detect (r13): code-punctuation density, indentation and
+    terminator lines vote is_code; prose and NULL text stay false; the
+    min_signals knob tightens the vote."""
+    code = ("def f(x):\n    y = x + 1;\n    return {\"k\": [y]};\n"
+            "    z = [i for i in range(3)];")
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was a bright cold day in April and the clocks chimed.")
+    indented_poem = "  roses are red\n  violets are blue\n  no code here\n  just verse"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, None), (4, indented_poem)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.code_detect(df).collect()}
+    assert got[1]["is_code"] is True and got[1]["symbol_ratio"] > 0.06
+    assert got[2]["is_code"] is False and got[2]["indent_frac"] == 0.0
+    assert got[3]["is_code"] is False and got[3]["symbol_ratio"] is None
+    # indentation alone (one signal) must not flag poetry as code
+    assert got[4]["is_code"] is False and got[4]["indent_frac"] == 1.0
+    # ...unless the caller lowers the vote
+    one = {r.doc_id: r.is_code
+           for r in tx.code_detect(df, min_signals=1).collect()}
+    assert one[4] is True
