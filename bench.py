@@ -94,11 +94,15 @@ EXTENDED = [
     "cross_source_fuzzy_join",
     "docs_boilerplate_strip",
     "docs_dsir_sample",
-    # r12 additions — no frozen baseline yet; compare round-over-round
-    # (the frozen extended_probe covers the seven rows above)
+    # r12 additions — frozen into extended_probe at r13
     "dup_cluster_size_hist",
     "docs_quarantine",
     "dup_pairs_confirmed",
+    # r13 additions — no frozen baseline yet; compare round-over-round
+    # and freeze from the driver's clean BENCH_r13.json next round
+    "dup_savings_by_source",
+    "docs_cdc_chunks",
+    "dup_clusters_incremental",
 ]
 
 HEADLINE = [
