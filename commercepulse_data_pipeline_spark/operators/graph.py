@@ -526,12 +526,25 @@ def update_cluster_table(
     algorithm: str = "hash_to_min",
 ) -> DataFrame:
     """Artifact form of :func:`merge_cluster_update`: read the persisted
-    cluster table, fold ``new_pairs`` in, overwrite the artifact, return
-    the updated frame. The updated table is MATERIALIZED (eager
-    localCheckpoint) before the overwrite — the read and the write
-    target the same directory, and a lazy plan would re-list the path
-    mid-overwrite. ``provenance`` replaces the sidecar's dict when
-    given; otherwise the existing provenance is carried forward."""
+    cluster table, fold ``new_pairs`` in, swap the artifact's rows
+    crash-safely, return the updated frame. The updated table is
+    MATERIALIZED (eager localCheckpoint) before anything moves — the
+    read and the write target the same directory — and the swap is
+    RENAME-aside (write to ``clusters.tmp``, rename live → ``.old``,
+    rename ``.tmp`` → live; a stranded ``.old`` is adopted back on the
+    next update), so a crash at any point leaves a readable table: the
+    cron/stream-shaped ingest loop can die mid-update without losing
+    the corpus's cluster state. ``provenance`` replaces the sidecar's
+    dict when given; otherwise the existing sidecar stays as-is."""
+    import os
+    import shutil
+
+    # crash recovery: a prior update that died between its two swap
+    # renames leaves the rows reachable only at clusters.old — adopt it
+    # back before reading (the gold_upsert rename-aside discipline)
+    rows_dir = f"{path}/clusters"
+    if not os.path.exists(rows_dir) and os.path.exists(rows_dir + ".old"):
+        os.replace(rows_dir + ".old", rows_dir)
     cur = read_cluster_table(spark, path)
     upd = merge_cluster_update(
         cur, new_pairs,
@@ -540,5 +553,32 @@ def update_cluster_table(
     keep_prov = (
         provenance if provenance is not None else read_cluster_table_meta(spark, path)
     )
-    write_cluster_table(upd, path, provenance=keep_prov)
+    # write against the OLD rows, then swap by rename-aside: a plain
+    # mode("overwrite") on clusters/ deletes before it writes, so a crash
+    # mid-write would leave NO live copy of the table (the next update
+    # would misread the missing dir). With renames the rows are always
+    # reachable at clusters/ or clusters.old; the localCheckpoint above
+    # pins the update's content before anything moves. local-fs renames
+    # only — object stores route updates through their own commit layer.
+    tmp = rows_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        upd.select(*_CLUSTER_TABLE_COLS)
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old_dir = rows_dir + ".old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)  # stale backup from a prior crash; rows_dir is live
+    os.replace(rows_dir, old_dir)
+    os.replace(tmp, rows_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if provenance is not None:
+        import json
+
+        meta = {"schema": list(_CLUSTER_TABLE_COLS), "provenance": provenance}
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{path}/meta")
     return upd

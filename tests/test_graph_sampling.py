@@ -1031,3 +1031,38 @@ def test_update_cluster_table_artifact_roundtrip(spark, tmp_path):
     p3 = spark.createDataFrame([(60, 61)], "id_a long, id_b long")
     update_cluster_table(spark, path, p3, provenance={"gen": 2})
     assert read_cluster_table_meta(spark, path) == {"gen": 2}
+
+
+def test_update_cluster_table_crash_between_swap_renames(spark, tmp_path):
+    """update_cluster_table's rename-aside swap (r13): simulate a crash
+    between the two renames (rows stranded at clusters.old) — the next
+    update adopts the backup and converges to the same table a clean run
+    produces; a plain-overwrite formulation would misread the missing
+    dir and lose the corpus's cluster state."""
+    import os
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        read_cluster_table,
+        update_cluster_table,
+        write_cluster_table,
+    )
+
+    path = str(tmp_path / "ct")
+    p1 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    p2 = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    write_cluster_table(dedup_clusters(p1), path, provenance={})
+    update_cluster_table(spark, path, p2)
+
+    # crash simulation: live rows renamed aside, .tmp never landed
+    os.replace(f"{path}/clusters", f"{path}/clusters.old")
+    p3 = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    upd = update_cluster_table(spark, path, p3)
+    want = sorted(
+        map(tuple, dedup_clusters(
+            p1.unionByName(p2).unionByName(p3)
+        ).collect())
+    )
+    assert sorted(map(tuple, upd.collect())) == want
+    assert sorted(map(tuple, read_cluster_table(spark, path).collect())) == want
+    assert not os.path.exists(f"{path}/clusters.old")
