@@ -4268,19 +4268,19 @@ def q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
+    # one materialization: the pair table feeds BOTH sides of the split
+    # below, and its lineage is the full banding build
     pairs_all = dd.minhash_candidate_pairs(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
-    )
-    new_ids = d.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    ).localCheckpoint(eager=True)
     # banding is per-doc, so the full pair set splits EXACTLY into
     # old-old pairs (the established table's inputs) and pairs touching
-    # the batch (what ingest hands the fold)
-    old_pairs = pairs_all.join(
-        F.broadcast(new_ids.withColumnRenamed("doc_id", "id_a")), "id_a", "left_anti"
-    ).join(
-        F.broadcast(new_ids.withColumnRenamed("doc_id", "id_b")), "id_b", "left_anti"
-    )
-    new_pairs = pairs_all.exceptAll(old_pairs)
+    # the batch (what ingest hands the fold); batch membership is a pure
+    # predicate here, so the split is two map-only filters — no joins,
+    # no exceptAll shuffle
+    is_new_a, is_new_b = F.col("id_a") % 10 == 0, F.col("id_b") % 10 == 0
+    old_pairs = pairs_all.where(~is_new_a & ~is_new_b)
+    new_pairs = pairs_all.where(is_new_a | is_new_b)
     established = graph.dedup_clusters(old_pairs)
     return graph.merge_cluster_update(established, new_pairs).select(
         "doc_id",
