@@ -1829,3 +1829,74 @@ def test_stream_clean_corpus_quarantine_reasons(spark, tmp_path):
     clean_corpus_batch(b2, 2, store, max_bucket=100000)
     import os
     assert not os.path.exists(f"{store}/quarantine/ingest_batch=2")
+
+
+def test_stream_cluster_table_cross_batch_and_replay(spark, tmp_path):
+    """stream_cluster_table (r13): three drops with a near-dup spanning
+    batches converge to the SAME cluster table a from-scratch batch
+    build over all docs produces; a direct replay of the last batch
+    changes nothing (pair derivation excludes the batch's own index
+    partition, and folding identical pairs is a CC fixpoint)."""
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        read_cluster_table,
+    )
+    from commercepulse_data_pipeline_spark.streaming.clusters import (
+        cluster_table_batch,
+        stream_cluster_table,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    drops = [
+        [(1, base), (2, "unrelated uno dos tres cuatro cinco seis siete "
+                        "ocho nueve diez once doce trece catorce")],
+        [(10, base + " tail one"),
+         (11, "fresh words maple cedar birch willow aspen poplar "
+              "spruce alder rowan hazel elm oak")],
+        [(20, base + " tail two"), (21, base + " tail two")],  # in-batch exact pair
+    ]
+    incoming = str(tmp_path / "incoming")
+    import os as _os
+
+    _os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            f"{incoming}/drop{i}", mode="overwrite"
+        )
+        # nested dirs aren't a stream source: flatten files into incoming/
+        for f in _os.listdir(f"{incoming}/drop{i}"):
+            if f.endswith(".parquet"):
+                _os.rename(f"{incoming}/drop{i}/{f}", f"{incoming}/b{i}_{f}")
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{incoming}/drop{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_cluster_table(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True,
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_cluster_table(spark, f"{store}/clusters").collect()))
+    everything = spark.createDataFrame(
+        [r for rows in drops for r in rows], ["doc_id", "text"]
+    )
+    want = sorted(map(tuple, dedup_clusters(
+        minhash_candidate_pairs(everything, "text", "doc_id")
+    ).collect()))
+    assert got == want
+    by_doc = {r[0]: r[1:] for r in got}
+    # docs 1,10,20,21 share the base shingles -> one cluster, min id 1
+    assert by_doc[10] == (1, 4) and by_doc[21] == (1, 4)
+
+    # direct replay of the LAST batch: table unchanged
+    last = spark.createDataFrame(drops[2], ["doc_id", "text"])
+    # the stream processed 3 single-file batches: ids 0,1,2
+    cluster_table_batch(last, 2, store)
+    again = sorted(map(tuple, read_cluster_table(spark, f"{store}/clusters").collect()))
+    assert again == got
