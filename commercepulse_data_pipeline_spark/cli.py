@@ -642,6 +642,31 @@ def cmd_stream_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_stream_cluster_table(args) -> int:
+    """Continuous cluster-table maintenance: tail a directory of document
+    parquet drops and fold each batch's near-dup pairs into the persisted
+    cluster table (streaming/clusters.py — the "cluster, then decide"
+    twin of stream-clean-corpus: every doc lands; downstream keep-best /
+    savings / quarantine policy reads the table via `dedup-report`).
+    ``--follow`` keeps the query alive; without it the query drains
+    what's available and exits."""
+    from commercepulse_data_pipeline_spark.streaming.clusters import (
+        stream_cluster_table,
+    )
+
+    spark = _spark()
+    q = stream_cluster_table(
+        spark, args.docs, args.store, args.checkpoint,
+        trigger_once=not args.follow,
+    )
+    q.awaitTermination()
+    print(
+        f"stream-cluster-table: cluster table maintained at "
+        f"{args.store}/clusters"
+    )
+    return 0
+
+
 def cmd_stream_passage_dedup(args) -> int:
     """Continuous substring-level passage dedup: tail a directory of
     document parquet drops and splice cross-doc duplicated passages as
@@ -1061,6 +1086,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain <store>/quarantine: one (doc_id, "
                          "reason) row per dropped doc per batch")
     sc.set_defaults(fn=cmd_stream_clean_corpus)
+
+    sct = sub.add_parser(
+        "stream-cluster-table",
+        help="continuously fold document drops into the persisted near-dup cluster table",
+    )
+    sct.add_argument("--docs", required=True, help="directory of document parquet files")
+    sct.add_argument("--store", required=True,
+                     help="state dir: cluster table + minhash band index")
+    sct.add_argument("--checkpoint", required=True)
+    sct.add_argument("--follow", action="store_true",
+                     help="keep running for new files (default: drain once)")
+    sct.set_defaults(fn=cmd_stream_cluster_table)
 
     sp = sub.add_parser(
         "stream-passage-dedup",

@@ -756,3 +756,28 @@ def test_cli_cluster_table_incremental_update(spark, tmp_path):
     with _pytest.raises(SystemExit, match="--index"):
         cli.main(["cluster-table", "--docs", str(tmp_path / "docs2"),
                   "--out", art, "--update"])
+
+
+def test_cli_stream_cluster_table(spark, tmp_path):
+    """stream-cluster-table subcommand: drains document drops and leaves
+    a readable cluster table + dedup-report consumes it."""
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    spark.createDataFrame(
+        [(1, base), (2, base + " tail")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(tmp_path / "in"))
+    rc = cli.main([
+        "stream-cluster-table",
+        "--docs", str(tmp_path / "in"),
+        "--store", str(tmp_path / "store"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in
+            read_cluster_table(spark, str(tmp_path / "store/clusters")).collect()}
+    assert rows == {1: (1, 2), 2: (1, 2)}
