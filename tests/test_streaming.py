@@ -1900,3 +1900,70 @@ def test_stream_cluster_table_cross_batch_and_replay(spark, tmp_path):
     cluster_table_batch(last, 2, store)
     again = sorted(map(tuple, read_cluster_table(spark, f"{store}/clusters").collect()))
     assert again == got
+
+
+def test_cluster_stream_crash_replay_from_checkpoint(spark, tmp_path):
+    """Kill the cluster-table stream AFTER batch 1 folded the table but
+    with its bands partition torn away and the table rows STRANDED at
+    clusters.old (crash mid-rename-swap, before the checkpoint commit).
+    Restarting from the same checkpoint must re-deliver batch 1, adopt
+    the stranded rows, and converge to the from-scratch table."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+        read_cluster_table,
+    )
+    from commercepulse_data_pipeline_spark.streaming.clusters import (
+        stream_cluster_table,
+    )
+
+    drops = _two_doc_drops(tmp_path)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    from commercepulse_data_pipeline_spark.streaming.clusters import (
+        cluster_table_batch,
+    )
+
+    def crashing(bdf, bid):
+        cluster_table_batch(bdf, bid, store, max_bucket=100000)
+        if bid == 1:
+            # torn crash: bands partition gone AND the swap interrupted
+            # between its two renames (rows only reachable at .old)
+            shutil.rmtree(f"{store}/index/bands/ingest_batch=1")
+            os.replace(
+                f"{store}/clusters/clusters", f"{store}/clusters/clusters.old"
+            )
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert not os.path.exists(f"{store}/clusters/clusters")  # mid-swap state
+
+    q2 = stream_cluster_table(
+        spark, drops, store, ckpt, max_files_per_trigger=1, max_bucket=100000
+    )
+    q2.awaitTermination(120)
+
+    everything = spark.read.parquet(drops)
+    want = sorted(map(tuple, dedup_clusters(
+        minhash_candidate_pairs(everything, "text", "doc_id", max_bucket=100000)
+    ).collect()))
+    got = sorted(map(tuple, read_cluster_table(spark, f"{store}/clusters").collect()))
+    assert got == want
+    # the torn bands partition healed on replay
+    assert os.path.exists(f"{store}/index/bands/ingest_batch=1")
