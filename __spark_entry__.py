@@ -4325,6 +4325,23 @@ def q_docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py::winnow_fingerprints —
+    Schleimer et al. 2003, the MOSS algorithm): per doc, the rightmost
+    minimum of each 4-window of 3-gram hashes, distinct — a fingerprint
+    set carrying the guarantee that any shared run of >= w+k-1 = 6
+    tokens between two docs shares a fingerprint, at ~2/(w+1) the
+    density of keeping every gram. Pure per-row fold, no shuffle; the
+    oracle replays the selection as a row_number pick over the exploded
+    window space (min hash, rightmost tie)."""
+    d = _docs(spark, sf_dir)
+    return tx.winnow_fingerprints(d, "text", "doc_id", k=3, w=4).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4373,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_incremental": q_dup_clusters_incremental,
         "dup_blocker_recall": q_dup_blocker_recall,
         "docs_code_detect": q_docs_code_detect,
+        "docs_winnow_fp": q_docs_winnow_fp,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -4729,6 +4747,47 @@ def _blocker_recall_oracle_sql() -> str:
                     THEN round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                                / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
                END AS recall
+    """
+
+
+def _winnow_fp_oracle_sql(k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of q_docs_winnow_fp: positional k-gram hashes via the
+    shared hex-digit md5 bucket, the window space exploded row-wise, and
+    the paper's selection (min hash, RIGHTMOST tie) as a row_number pick
+    — short docs (< w grams) winnow as one whole-doc window."""
+    gram = f"array_to_string(t[i:i+{k - 1}], ' ')"
+    bucket = _sample_bucket_sql(gram, "winnow-v1:")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g AS (
+            SELECT doc_id, i, CAST({bucket} AS BIGINT) AS h
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS i
+                FROM t
+            )
+        ),
+        c AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+        wins AS (
+            SELECT doc_id, least({w}, ng) AS wl,
+                   unnest(range(1, greatest(ng - {w - 1}, 1) + 1)) AS wi
+            FROM c
+        ),
+        j AS (
+            SELECT wn.doc_id, wn.wi, g.i, g.h
+            FROM wins wn JOIN g
+              ON g.doc_id = wn.doc_id
+             AND g.i BETWEEN wn.wi AND wn.wi + wn.wl - 1
+        ),
+        pick AS (
+            SELECT doc_id, wi, i, h,
+                   row_number() OVER (
+                       PARTITION BY doc_id, wi ORDER BY h ASC, i DESC
+                   ) AS rn
+            FROM j
+        )
+        SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
+        FROM pick WHERE rn = 1
     """
 
 
@@ -6466,6 +6525,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS is_code
             FROM r
         """,
+        "docs_winnow_fp": _winnow_fp_oracle_sql(),
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},
             edges AS (

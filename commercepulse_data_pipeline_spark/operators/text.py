@@ -1455,3 +1455,86 @@ def code_detect(
         term_frac.alias("term_frac"),
         (signals >= min_signals).alias("is_code"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    w: int = 4,
+    salt: str = "winnow-v1:",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of ``w`` consecutive gram hashes, select each window's
+    MINIMUM (ties → rightmost position), emit the distinct selected
+    (position, hash) pairs as the doc's fingerprint set. The selection
+    carries winnowing's GUARANTEE: any shared token run of at least
+    ``w + k - 1`` tokens between two docs shares at least one
+    fingerprint — so joining on ``fp`` finds every sufficiently-long
+    overlap, with expected density 2/(w+1) fingerprints per gram
+    (vs keeping every gram). The rightmost-tie rule is what makes the
+    selection position-independent (robust to upstream insertions, the
+    same property as :func:`cdc_chunks` boundaries).
+
+    Docs with fewer than ``w`` grams winnow as ONE whole-doc window
+    (the paper's short-document convention); docs with no k-gram at all
+    emit nothing.
+
+    Scale shape: grams and their hashes build in staged projections
+    (token array let-bound per the repo-wide discipline); window minima
+    are an O(grams × w) per-row fold — pure codegen, NO explode of the
+    window space and no shuffle at all; the only rows that leave the
+    doc are the selected fingerprints (≈ 2/(w+1) per gram). Output:
+    (doc_id, pos, fp) — pos is the 1-based gram index, fp the shared
+    md5-bucket hash, so a DuckDB twin replays the selection exactly."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+
+    def _bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    staged = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    hashed = staged.select(
+        id_col,
+        F.transform(
+            token_ngrams(F.col("__toks"), k),
+            lambda g: _bucket(F.concat(F.lit(salt), g)),
+        ).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    ng = F.size(hs)
+    n_windows = F.greatest(ng - F.lit(w - 1), F.lit(1))
+    win_len = F.least(F.lit(w), ng)
+    init = F.struct(
+        F.lit(2**63 - 1).cast("long").alias("h"), F.lit(-1).cast("long").alias("p")
+    )
+    sel = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.aggregate(
+            F.sequence(i, i + win_len - F.lit(1)),
+            init,
+            # <= : a later (righter) equal hash replaces the held one —
+            # the paper's rightmost-tie rule
+            lambda acc, j: F.when(
+                F.element_at(hs, j.cast("int")) <= acc["h"],
+                F.struct(
+                    F.element_at(hs, j.cast("int")).alias("h"),
+                    j.cast("long").alias("p"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    picked = hashed.select(
+        id_col,
+        F.when(ng >= 1, F.array_distinct(sel)).alias("__sel"),
+    )
+    return picked.select(
+        id_col, F.explode("__sel").alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.p").alias("pos"),
+        F.col("__s.h").alias("fp"),
+    )

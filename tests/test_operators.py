@@ -2104,3 +2104,54 @@ def test_code_detect_signals(spark):
     one = {r.doc_id: r.is_code
            for r in tx.code_detect(df, min_signals=1).collect()}
     assert one[4] is True
+
+
+def test_winnow_fingerprints_model_and_guarantee(spark):
+    """winnow_fingerprints (r13): equals a pure-Python winnowing walk
+    (min hash per window, rightmost tie) on every doc; the w+k-1
+    guarantee holds on a planted shared run; short docs take the
+    whole-doc window; sub-k docs emit nothing."""
+    import hashlib
+
+    import pytest
+
+    k, w = 3, 4
+
+    def model(text, salt="winnow-v1:"):
+        toks = [t for t in text.lower().split() if t]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5((salt + g).encode()).hexdigest()[:8], 16)
+              for g in grams]
+        if not hs:
+            return set()
+        wl = min(w, len(hs))
+        out = set()
+        for i in range(max(len(hs) - w + 1, 1)):
+            win = hs[i:i + wl]
+            m = min(win)
+            p = i + max(j for j, h in enumerate(win) if h == m)
+            out.add((p + 1, m))  # 1-based gram index
+        return out
+
+    docs = [
+        (1, "a b c d e f g h i j k l m n o"),
+        (2, "xx yy zz a b c d e f g h new tail words"),
+        (3, "p q r"),
+        (4, "p q"),
+        (5, "w1 w2 w3 w4 w5 w6"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in tx.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == model(text), doc_id
+
+    # guarantee: docs 1 and 2 share a 9-token run >= w+k-1=6 -> at least
+    # one shared fingerprint HASH (positions shift; hashes survive)
+    f1 = {h for _, h in got[1]}
+    f2 = {h for _, h in got[2]}
+    assert f1 & f2
+
+    with pytest.raises(ValueError, match="k and w"):
+        tx.winnow_fingerprints(df, k=0)
