@@ -1493,48 +1493,60 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
 
+    from commercepulse_data_pipeline_spark.functions.expr import let
+
     def _bucket(col):
         return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
-    staged = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
-    hashed = staged.select(
-        id_col,
-        F.transform(
-            token_ngrams(F.col("__toks"), k),
-            lambda g: _bucket(F.concat(F.lit(salt), g)),
-        ).alias("__hs"),
+    hash_array = F.transform(
+        token_ngrams(tokens(F.col(text_col)), k),
+        lambda g: _bucket(F.concat(F.lit(salt), g)),
     )
-    hs = F.col("__hs")
-    ng = F.size(hs)
-    n_windows = F.greatest(ng - F.lit(w - 1), F.lit(1))
-    win_len = F.least(F.lit(w), ng)
-    init = F.struct(
-        F.lit(2**63 - 1).cast("long").alias("h"), F.lit(-1).cast("long").alias("p")
-    )
-    sel = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.aggregate(
-            F.sequence(i, i + win_len - F.lit(1)),
-            init,
-            # <= : a later (righter) equal hash replaces the held one —
-            # the paper's rightmost-tie rule
-            lambda acc, j: F.when(
-                F.element_at(hs, j.cast("int")) <= acc["h"],
-                F.struct(
-                    F.element_at(hs, j.cast("int")).alias("h"),
-                    j.cast("long").alias("p"),
-                ),
-            ).otherwise(acc),
-        ),
-    )
-    picked = hashed.select(
-        id_col,
-        F.when(ng >= 1, F.array_distinct(sel)).alias("__sel"),
-    )
-    return picked.select(
-        id_col, F.explode("__sel").alias("__s")
-    ).select(
-        id_col,
-        F.col("__s.p").alias("pos"),
-        F.col("__s.h").alias("fp"),
+
+    # the hash array is referenced many times (sizes, window bounds, and
+    # per-element inside the NESTED aggregate lambda) — let-bind it so
+    # every reference is a lambda-variable read. A staged column is NOT
+    # enough here: CollapseProject inlined it into all seven reference
+    # sites, and the copy inside the window fold recomputed the whole
+    # gram-hash build PER WINDOW ELEMENT — O(grams² · w) hashing,
+    # measured 30s at sf0.1 (the r13 scale probe caught it; post-fix the
+    # plan carries exactly one md5-gram build).
+    def body(hs: Column) -> Column:
+        ng = F.size(hs)
+        n_windows = F.greatest(ng - F.lit(w - 1), F.lit(1))
+        win_len = F.least(F.lit(w), ng)
+        init = F.struct(
+            F.lit(2**63 - 1).cast("long").alias("h"),
+            F.lit(-1).cast("long").alias("p"),
+        )
+        sel = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.aggregate(
+                F.sequence(i, i + win_len - F.lit(1)),
+                init,
+                # <= : a later (righter) equal hash replaces the held one
+                # — the paper's rightmost-tie rule
+                lambda acc, j: F.when(
+                    F.element_at(hs, j.cast("int")) <= acc["h"],
+                    F.struct(
+                        F.element_at(hs, j.cast("int")).alias("h"),
+                        j.cast("long").alias("p"),
+                    ),
+                ).otherwise(acc),
+            ),
+        )
+        return F.when(ng >= 1, F.array_distinct(sel))
+
+    picked = df.select(id_col, let(hash_array, body).alias("__sel"))
+    # explode_outer + null-filter, NOT a plain explode: the inner form's
+    # inferred (size > 0 AND isnotnull) predicates push down and inline
+    # the __sel expression again (the ngram_jaccard_pairs lesson)
+    return (
+        picked.select(id_col, F.explode_outer("__sel").alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .select(
+            id_col,
+            F.col("__s.p").alias("pos"),
+            F.col("__s.h").alias("fp"),
+        )
     )
