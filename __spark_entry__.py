@@ -4342,6 +4342,23 @@ def q_docs_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match report (operators/text.py::winnow_match_pairs):
+    doc pairs ranked by shared winnowing-fingerprint count — every
+    shared run >= w+k-1 = 6 tokens contributes evidence by the winnowing
+    guarantee. Inverted-index shape: capped posting list per fp hash,
+    pair expansion inside the aggregation, one pair-keyed count (caps
+    effectively disabled at oracle SF, same discipline as
+    ngram_jaccard). The oracle replays the fingerprint CTE and the
+    distinct-fp self-join count."""
+    d = _docs(spark, sf_dir)
+    return tx.winnow_match_pairs(
+        d, "text", "doc_id", k=3, w=4, min_shared=2, max_posting=100000
+    ).select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4391,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_blocker_recall": q_dup_blocker_recall,
         "docs_code_detect": q_docs_code_detect,
         "docs_winnow_fp": q_docs_winnow_fp,
+        "docs_winnow_matches": q_docs_winnow_matches,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -6526,6 +6544,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "docs_winnow_fp": _winnow_fp_oracle_sql(),
+        "docs_winnow_matches": f"""
+            WITH fps AS ({_winnow_fp_oracle_sql()}),
+            d AS (SELECT DISTINCT doc_id, fp FROM fps)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},
             edges AS (

@@ -1550,3 +1550,48 @@ def winnow_fingerprints(
             F.col("__s.h").alias("fp"),
         )
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    w: int = 4,
+    salt: str = "winnow-v1:",
+    min_shared: int = 2,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """MOSS-style match detection over winnowing fingerprints: doc pairs
+    ranked by how many fingerprints they share — the report a
+    plagiarism / re-hosting / template investigation reads
+    (:func:`winnow_fingerprints` carries the guarantee, so every shared
+    token run of >= ``w + k - 1`` tokens contributes evidence here; a
+    high ``n_shared`` means long or many shared runs).
+
+    Scale shape: the fingerprint table feeds the standard inverted-index
+    machinery — posting list per fp hash with the cap enforced BEFORE
+    collect (``dedup.capped_posting_lists``: singleton and over-cap
+    postings never reach the aggregation buffer), pair expansion inside
+    the aggregation stage, then one (pair)-keyed count. A
+    corpus-common fingerprint (boilerplate phrase) is dropped by the
+    cap instead of emitting its quadratic pair block — the same
+    stop-shingle discipline as ``ngram_jaccard_pairs``. Output:
+    (id_a < id_b, n_shared) with ``n_shared >= min_shared``."""
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        _pairs_in_group,
+        capped_posting_lists,
+    )
+
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, salt=salt)
+    # a doc may select the same fp hash at several positions; one vote
+    # per (doc, fp) keeps n_shared = |shared fingerprint HASHES|
+    keyed = fps.select(F.col("fp"), F.col(id_col).alias("__id")).distinct()
+    posts = capped_posting_lists(keyed, ["fp"], F.col("__id"), max_bucket=max_posting)
+    pairs = posts.select(F.explode(_pairs_in_group(F.col("__ids"))).alias("p"))
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

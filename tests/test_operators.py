@@ -2155,3 +2155,33 @@ def test_winnow_fingerprints_model_and_guarantee(spark):
 
     with pytest.raises(ValueError, match="k and w"):
         tx.winnow_fingerprints(df, k=0)
+
+
+def test_winnow_match_pairs_evidence_and_caps(spark):
+    """winnow_match_pairs (r13): a long shared run yields a pair with
+    multiple shared fingerprints; unrelated docs never pair; one vote
+    per (doc, fp) even when a fingerprint is selected at several
+    positions; the posting cap silences corpus-common fingerprints."""
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [(1, base), (2, "xx yy " + base + " zz"),
+         (3, "totally different words here none shared at all today friend")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in tx.winnow_match_pairs(df, min_shared=1).collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+
+    # a fingerprint shared by EVERY doc exceeds max_posting=2 -> dropped;
+    # the remaining evidence still pairs only the true match
+    boiler = "same boiler plate phrase everywhere "
+    df2 = spark.createDataFrame(
+        [(i, boiler + t) for i, t in
+         [(1, base), (2, base), (3, "uvw xyz unrelated content entirely"),
+          (4, "other words again nothing common")]],
+        "doc_id long, text string",
+    )
+    capped = {(r.id_a, r.id_b)
+              for r in tx.winnow_match_pairs(df2, min_shared=2,
+                                             max_posting=2).collect()}
+    assert capped == {(1, 2)}
