@@ -224,7 +224,7 @@ def cmd_clean_corpus(args) -> int:
     ``--quarantine`` additionally writes <out>/quarantine: one
     (doc_id, reason) row per INPUT doc absent from the output, tagged
     with the FIRST stage that dropped it (stage order: repetitive →
-    boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
+    code → boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
     passage_hollowed → not_dsir_selected → no_tokens → ce_band_dropped →
     not_sampled; no_tokens = the doc tokenizes to zero tokens, so no CE
     score exists and --ce-bands drops it even when all three bands are
@@ -308,6 +308,18 @@ def cmd_clean_corpus(args) -> int:
         if quarantine:
             _reject(scores.where(~keep_rep), "repetitive")
         docs = scores.where(keep_rep).drop("dup_line_frac", "top_ngram_frac")
+    if args.drop_code:
+        # code-vs-prose routing gate (map-only, RAW text — scrub's
+        # redaction would perturb the symbol counts): a prose corpus
+        # drops flagged docs here so the dedup stages never shingle
+        # them; route the quarantine table to a code-specific pipeline
+        # instead of discarding (the operator's intended use)
+        flags = tx.code_detect(docs, "text", "doc_id").where(F.col("is_code"))
+        if quarantine:
+            _reject(flags, "code")
+        docs = docs.join(
+            F.broadcast(flags.select("doc_id")), "doc_id", "left_anti"
+        )
     if args.strip_boilerplate:
         # per-source template removal BEFORE dedup: shared chrome makes
         # otherwise-distinct docs look like near-dups, so stripping it
@@ -1056,6 +1068,11 @@ def main(argv: list[str] | None = None) -> int:
                         "from head,middle,tail; unigram-LM bits-per-token, "
                         "histogram two-pass) — e.g. 'head,middle' drops the "
                         "rare-word-soup tail")
+    c.add_argument("--drop-code", action="store_true", dest="drop_code",
+                   help="drop docs the code-vs-prose gate flags (2 of 3 "
+                        "regex signals: punctuation density, indentation, "
+                        "terminator lines) — quarantine reason 'code'; "
+                        "route the quarantine table to a code pipeline")
     c.add_argument("--quarantine", action="store_true",
                    help="also write <out>/quarantine: one (doc_id, reason) row "
                         "per dropped input doc, tagged with the FIRST stage "

@@ -781,3 +781,35 @@ def test_cli_stream_cluster_table(spark, tmp_path):
     rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in
             read_cluster_table(spark, str(tmp_path / "store/clusters")).collect()}
     assert rows == {1: (1, 2), 2: (1, 2)}
+
+
+def test_clean_corpus_drop_code_gate(spark, tmp_path):
+    """--drop-code (r13): the code-vs-prose gate runs on raw text before
+    dedup; flagged docs quarantine under 'code', prose survives."""
+    from commercepulse_data_pipeline_spark import cli
+
+    rows = [
+        (1, "def f(x):\n    y = x + 1;\n    return {\"k\": [y]};\n"
+            "    z = [i for i in range(3)];"),
+        (2, "The quick brown fox jumps over the lazy dog. It was a bright "
+            "cold day in April and all the clocks were striking thirteen."),
+        (3, "Another plain prose document with entirely ordinary sentences "
+            "and no block structure at all, written for people."),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs"))
+    rc = cli.main([
+        "clean-corpus",
+        "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"),
+        "--capacity", "64",
+        "--drop-code",
+        "--quarantine",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out/corpus")).select("doc_id").collect()}
+    q = {r.doc_id: r.reason for r in
+         spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
+    assert kept == {2, 3}
+    assert q == {1: "code"}
