@@ -4359,6 +4359,39 @@ def q_docs_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash regression pin, oracle-backed
+    (multimodal.image_ahash — r13): the checked-in raster-decodable
+    fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG) flow through the
+    Arrow-batched aHash path; pins were computed by an INDEPENDENT
+    pure-Python walk over the same bytes (the media_features_check
+    discipline). jpeg rides along as the documented
+    unsupported-for-raster case (metadata decodes; the raster path
+    raises tolerantly -> NULL hash). The hash feeds the text Hamming
+    machinery unchanged: dedup.sig_hamming_pairs(sig_col='ahash') is
+    image near-dup dedup."""
+    import os
+
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "media"
+    )
+    rows = []
+    for name in ("bmp", "png", "ppm", "jpeg"):
+        with open(os.path.join(fdir, f"{name}.bin"), "rb") as f:
+            rows.append((name, f.read()))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    out = mm.image_ahash(media)
+    return out.select(
+        "media_id",
+        "ahash",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("ahash").isNotNull().cast("long").alias("decodable"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
@@ -4409,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_code_detect": q_docs_code_detect,
         "docs_winnow_fp": q_docs_winnow_fp,
         "docs_winnow_matches": q_docs_winnow_matches,
+        "image_ahash_check": q_image_ahash_check,
         # -- r11-green block: last driver rows r11 — the oldest remaining;
         # --    the tail past the driver's ~50-row cap heads the r14 rotation
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -6552,6 +6586,14 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "image_ahash_check": """
+            SELECT * FROM (VALUES
+                ('bmp',  CAST(-1 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+                ('png',  CAST(8350736690173458488 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+                ('ppm',  CAST(-4340410370281639696 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+                ('jpeg', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(media_id, ahash, width, height, decodable)
         """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},

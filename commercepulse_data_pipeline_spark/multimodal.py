@@ -1520,3 +1520,198 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (r13): near-dup dedup for the image modality
+# ---------------------------------------------------------------------------
+# aHash (average hash — the classic perceptual fingerprint, public
+# algorithm): grayscale -> 8x8 box-averaged grid -> threshold by the grid
+# mean -> 64-bit signature. Two encodings of the SAME picture (BMP vs PPM
+# vs PNG filter choices), or a re-save with mild noise/brightness shift,
+# land within a few Hamming bits — so the TEXT near-dup machinery
+# (dedup.sig_hamming_pairs, the SimHash pigeonhole block-LSH) extends to
+# images unchanged: hash once, block-join, verify with bit_count(xor).
+
+_GRAY_WEIGHTS = (299, 587, 114)  # ITU-R BT.601 luma, integer form
+
+
+def image_gray_raster(content: bytes):
+    """Decode a supported still-image payload to an (h, w) uint8
+    grayscale numpy raster. Supported: PPM P6 (maxval <= 255), BMP
+    (24-bit uncompressed), PNG (8-bit depth, color types 0/2,
+    non-interlaced) — the formats whose full rasters the pure-stdlib
+    decoders reconstruct. Anything else raises ValueError (the tolerant
+    wrapper in :func:`image_ahash` turns that into an err row)."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] == b"P6":
+        meta = _decode_ppm(content)
+        w, h = meta["width"], meta["height"]
+        expected = 3 * w * h
+        px = content[len(content) - expected:]
+        if len(px) < expected:
+            raise ValueError("truncated PPM raster")
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        return _luma(arr)
+    if content[:2] == b"BM":
+        if len(content) < 34:
+            raise ValueError("truncated BMP header")
+        pixel_off = struct.unpack_from("<I", content, 10)[0]
+        w, h_signed = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        comp = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+        h = abs(h_signed)
+        stride = ((w * 3 + 3) // 4) * 4
+        need = stride * h
+        px = content[pixel_off:pixel_off + need]
+        if len(px) < need:
+            raise ValueError("truncated BMP raster")
+        rows = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        arr = rows.reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+        if h_signed > 0:
+            arr = arr[::-1]  # bottom-up storage
+        return _luma(arr)
+    if content[:8] == _PNG_MAGIC:
+        import zlib
+
+        pos, width, height = 8, None, None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(content):
+            clen, ctype = struct.unpack_from(">I4s", content, pos)
+            body = content[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _c, _f, interlace = (
+                    struct.unpack_from(">IIBBBBB", body, 0)
+                )
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if width is None:
+            raise ValueError("PNG without IHDR")
+        if interlace or bit_depth != 8 or color_type not in (0, 2):
+            raise ValueError(
+                "unsupported PNG for raster decode "
+                f"(depth={bit_depth}, color_type={color_type}, "
+                f"interlace={interlace})"
+            )
+        ch = _PNG_CHANNELS[color_type]
+        raster = _png_unfilter(
+            zlib.decompress(bytes(idat)), height, width * ch, ch
+        )
+        arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
+            height, width, ch
+        )
+        return _luma(arr) if ch == 3 else arr.reshape(height, width).copy()
+    raise ValueError("unsupported image container for raster decode")
+
+
+def _luma(rgb) -> "object":
+    """Integer BT.601 luma over an (h, w, 3) uint8 array -> (h, w) uint8
+    (floor division — engine/platform exact)."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return (
+        (r * _GRAY_WEIGHTS[0] + g * _GRAY_WEIGHTS[1] + b * _GRAY_WEIGHTS[2])
+        // 1000
+    ).astype(np.uint8)
+
+
+def ahash64(gray) -> int:
+    """64-bit average hash of an (h, w) uint8 grayscale raster: 8x8
+    box-averaged grid, bit i*8+j set iff its cell mean >= the grid mean.
+    All arithmetic is integer (cell sums, floor-divided means; the final
+    comparison uses the exact integer grid total), so the hash replays
+    bit-for-bit anywhere. Returned as a SIGNED 64-bit int (two's
+    complement for bit 63 — the simhash storage convention, so the
+    existing Hamming machinery applies unchanged)."""
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty raster")
+    cells = []
+    for i in range(8):
+        r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+        r1 = max(r1, r0 + 1) if r0 < h else h
+        r0 = min(r0, h - 1)
+        for j in range(8):
+            c0, c1 = (j * w) // 8, ((j + 1) * w) // 8
+            c1 = max(c1, c0 + 1) if c0 < w else w
+            c0 = min(c0, w - 1)
+            block = gray[r0:r1, c0:c1]
+            cells.append((int(block.sum()), block.size))
+    # exact mean comparison: cell_mean >= grid_mean without floats —
+    # (cell_sum / cell_n) >= (total_sum / total_n) <=>
+    # cell_sum * total_n >= total_sum * cell_n (all positive ints)
+    total_sum = sum(s for s, _ in cells)
+    total_n = sum(n for _, n in cells)
+    sig = 0
+    for b, (s, n) in enumerate(cells):
+        if s * total_n >= total_sum * n:
+            sig |= 1 << b
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def image_ahash(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Perceptual aHash per image row, Arrow-batched (mapInPandas — the
+    sanctioned Python path; binary payloads never convert row-at-a-time).
+    Undecodable/unsupported payloads yield (ahash NULL, err message)
+    instead of failing the job — the extract_features_tolerant contract.
+    Output joins the text near-dup machinery directly:
+    ``dedup.sig_hamming_pairs(image_ahash(media).where("ahash is not
+    null"), id_col="media_id", sig_col="ahash")``."""
+    src = media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in _chunked(batches, batch_rows):
+            out = []
+            for _, row in pdf.iterrows():
+                rec = {
+                    "media_id": row["media_id"], "ahash": None,
+                    "width": None, "height": None, "err": None,
+                }
+                try:
+                    gray = image_gray_raster(bytes(row["content"]))
+                    rec["height"], rec["width"] = (
+                        int(gray.shape[0]), int(gray.shape[1])
+                    )
+                    rec["ahash"] = ahash64(gray)
+                except Exception as exc:  # noqa: BLE001 — tolerant by contract
+                    rec["err"] = f"{type(exc).__name__}: {exc}"
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return src.mapInPandas(run, AHASH_SCHEMA)

@@ -680,9 +680,34 @@ def simhash_candidate_pairs(
     pigeonhole guarantee for its members (they have ``blocks - 1`` other
     chances); raise the cap when exact recall matters more than the
     degenerate-bucket O(n²)."""
+    sh = simhash_table(df, text_col, id_col).where(F.col("sig").isNotNull())
+    return sig_hamming_pairs(
+        sh, id_col=id_col,
+        hamming_threshold=hamming_threshold, blocks=blocks,
+        max_bucket=max_bucket,
+    )
+
+
+def sig_hamming_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    hamming_threshold: int = 3,
+    blocks: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """All pairs of a 64-bit signature table within a Hamming radius, via
+    pigeonhole block-LSH — the signature-agnostic core of
+    :func:`simhash_pairs` (r13): the same machinery now serves text
+    SimHash signatures AND image perceptual hashes
+    (``multimodal.image_ahash``) — hash once per item, block-join, verify
+    exactly with ``bit_count(xor)``. ``sigs`` is (id, sig) rows with
+    non-NULL sigs; returns distinct (id_a < id_b, hamming <= threshold).
+    Scale/guarantee notes as on :func:`simhash_pairs`."""
     if blocks is None:
         blocks = min(64, hamming_threshold + 1)
-    sh = simhash_table(df, text_col, id_col).where(F.col("sig").isNotNull())
+    sh = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
     width = max(1, 64 // blocks)
     exploded = _sig_blocks(sh, id_col, blocks, width)
     # Posting-list candidate generation (same shape as minhash_candidate_pairs):

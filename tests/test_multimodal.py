@@ -1553,3 +1553,87 @@ def test_real_decode_heif_avif_ispe():
     # non-HEIF brand keeps the MP4 path (duration from mvhd)
     d3 = real_decode(_mp4_bytes(3.25), "video")
     assert d3["duration_sec"] == pytest.approx(3.25, abs=1e-3)
+
+
+def _bmp_from_gray(gray) -> bytes:
+    """24-bit BMP with per-pixel values from an (h, w) uint8 array
+    (independent of the engine's decoder: bottom-up rows, BGR order)."""
+    import struct
+
+    h, w = gray.shape
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([gray[r, c]]) * 3 for c in range(w))
+        row += b"\x00" * ((4 - len(row) % 4) % 4)
+        rows += row
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return header + dib + rows
+
+
+def _ppm_from_gray(gray) -> bytes:
+    h, w = gray.shape
+    body = b"".join(
+        bytes([gray[r, c]]) * 3 for r in range(h) for c in range(w)
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_image_ahash_cross_format_and_neardup_pairs(spark):
+    """image_ahash (r13): the SAME picture encoded as BMP and PPM hashes
+    IDENTICALLY; a lightly-noised copy lands within a small Hamming
+    radius and sig_hamming_pairs (the text SimHash machinery, reused
+    verbatim) surfaces the pair; an unrelated picture stays far; an
+    undecodable payload yields a tolerant err row."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        ahash64,
+        image_ahash,
+        image_gray_raster,
+    )
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    pic = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    noisy = pic.copy()
+    noisy[::9, ::9] = np.clip(noisy[::9, ::9].astype(int) + 14, 0, 255)
+    other = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+
+    # local decode sanity: BMP and PPM round-trip to the same raster
+    assert (image_gray_raster(_bmp_from_gray(pic)) == pic).all()
+    assert (image_gray_raster(_ppm_from_gray(pic)) == pic).all()
+
+    media = spark.createDataFrame(
+        [
+            ("bmp", _bmp_from_gray(pic)),
+            ("ppm", _ppm_from_gray(pic)),
+            ("noisy", _ppm_from_gray(noisy)),
+            ("other", _ppm_from_gray(other)),
+            ("junk", b"not an image at all"),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r.media_id: r for r in image_ahash(media).collect()}
+    assert out["bmp"].ahash == out["ppm"].ahash == ahash64(pic)
+    assert (out["bmp"].width, out["bmp"].height) == (56, 40)
+    assert out["junk"].ahash is None and "unsupported" in out["junk"].err
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out["noisy"].ahash, out["ppm"].ahash) <= 6
+    assert ham(out["other"].ahash, out["ppm"].ahash) > 12
+
+    sigs = image_ahash(media).where("ahash is not null").select(
+        "media_id", F.col("ahash")
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in sig_hamming_pairs(
+        sigs, id_col="media_id", sig_col="ahash", hamming_threshold=6
+    ).collect()}
+    assert ("bmp", "ppm") in pairs and pairs[("bmp", "ppm")] == 0
+    assert ("noisy", "ppm") in pairs
+    assert not any("other" in p for p in pairs)
