@@ -768,13 +768,40 @@ def simhash_pairs_between(
     the caller reuses it (consumed twice here: probe keys + pair join).
     Returns distinct (id_a < id_b, hamming); ids shared between batch
     and index (re-ingest) never pair with themselves."""
-    if blocks is None:
-        blocks = min(64, hamming_threshold + 1)
-    width = max(1, 64 // blocks)
     if new_sigs is None:
         new_sigs = simhash_table(new_df, text_col, id_col).where(
             F.col("sig").isNotNull()
         )
+    return sig_hamming_pairs_between(
+        new_sigs, index_sigs, id_col=id_col,
+        hamming_threshold=hamming_threshold, blocks=blocks,
+        max_bucket=max_bucket,
+    )
+
+
+def sig_hamming_pairs_between(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    hamming_threshold: int = 3,
+    blocks: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross pairs within a Hamming radius between a NEW signature batch
+    and an index signature table — the signature-agnostic core of
+    :func:`simhash_pairs_between` (r13 refactor, the incremental sibling
+    of :func:`sig_hamming_pairs`): with ``multimodal.image_ahash``
+    output on both sides this is incremental IMAGE near-dup ingest —
+    hash the arriving batch, probe the persisted (id, ahash) table
+    (8 bytes/image, the cheapest image-dedup index there is), O(batch)
+    per ingest. Scale/guarantee notes as on :func:`simhash_pairs_between`."""
+    if blocks is None:
+        blocks = min(64, hamming_threshold + 1)
+    width = max(1, 64 // blocks)
+    new_sigs = new_sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
+    index_sigs = index_sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
     nb = _sig_blocks(
         new_sigs.select(F.col(id_col).alias("__new_id"), "sig"), "__new_id",
         blocks, width,

@@ -1637,3 +1637,36 @@ def test_image_ahash_cross_format_and_neardup_pairs(spark):
     assert ("bmp", "ppm") in pairs and pairs[("bmp", "ppm")] == 0
     assert ("noisy", "ppm") in pairs
     assert not any("other" in p for p in pairs)
+
+
+def test_image_ahash_incremental_between(spark):
+    """sig_hamming_pairs_between over image hashes (r13): an arriving
+    image batch probes a persisted (id, ahash) index — the re-crawled
+    near-copy pairs against its indexed original; the genuinely new
+    image pairs with nothing."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import image_ahash
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs_between,
+    )
+
+    rng = np.random.default_rng(11)
+    pic = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    recrawl = pic.copy()
+    recrawl[::7, ::7] = np.clip(recrawl[::7, ::7].astype(int) - 11, 0, 255)
+    fresh = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+
+    index_media = spark.createDataFrame(
+        [("orig", _ppm_from_gray(pic))], "media_id string, content binary"
+    )
+    batch_media = spark.createDataFrame(
+        [("recrawl", _ppm_from_gray(recrawl)), ("fresh", _ppm_from_gray(fresh))],
+        "media_id string, content binary",
+    )
+    idx = image_ahash(index_media).where("ahash is not null")
+    new = image_ahash(batch_media).where("ahash is not null")
+    pairs = {(r.id_a, r.id_b) for r in sig_hamming_pairs_between(
+        new, idx, id_col="media_id", sig_col="ahash", hamming_threshold=6
+    ).collect()}
+    assert pairs == {("orig", "recrawl")}
