@@ -4363,7 +4363,8 @@ def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash regression pin, oracle-backed
     (multimodal.image_ahash — r13): the checked-in raster-decodable
     fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG) flow through the
-    Arrow-batched aHash path; pins were computed by an INDEPENDENT
+    Arrow-batched aHash+dHash path (dHash: horizontal gradient signs over
+    an 8x9 grid — brightness/contrast-shift invariant); pins were computed by an INDEPENDENT
     pure-Python walk over the same bytes (the media_features_check
     discipline). jpeg rides along as the documented
     unsupported-for-raster case (metadata decodes; the raster path
@@ -4386,6 +4387,7 @@ def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "ahash",
+        "dhash",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("ahash").isNotNull().cast("long").alias("decodable"),
@@ -6589,11 +6591,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_ahash_check": """
             SELECT * FROM (VALUES
-                ('bmp',  CAST(-1 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
-                ('png',  CAST(8350736690173458488 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
-                ('ppm',  CAST(-4340410370281639696 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
-                ('jpeg', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT))
-            ) AS t(media_id, ahash, width, height, decodable)
+                ('bmp',  CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+                ('png',  CAST(8350736690173458488 AS BIGINT), CAST(9041530371175342047 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+                ('ppm',  CAST(-4340410370281639696 AS BIGINT), CAST(5787213827046397012 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+                ('jpeg', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(media_id, ahash, dhash, width, height, decodable)
         """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},

@@ -1663,10 +1663,49 @@ def ahash64(gray) -> int:
     return sig
 
 
+def dhash64(gray) -> int:
+    """64-bit difference hash (dHash — the gradient companion to aHash,
+    public algorithm): box-average the raster to an 8-row × 9-column
+    grid, bit i*8+j set iff cell (i, j) < cell (i, j+1) — each bit is a
+    LOCAL horizontal gradient sign, so dHash is invariant to global
+    brightness/contrast shifts that move every aHash cell across the
+    global mean together. Exact integer comparison per bit
+    (sum_a · n_b < sum_b · n_a); same signed-64 storage convention as
+    :func:`ahash64`, so the Hamming machinery applies unchanged.
+    Near-dup practice: require BOTH hashes within radius (two-signal,
+    the score_pairs philosophy) or pick dHash alone for photographic
+    content with exposure variation."""
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty raster")
+
+    def cell(i, j, rows, cols):
+        r0, r1 = (i * h) // rows, ((i + 1) * h) // rows
+        r1 = max(r1, r0 + 1) if r0 < h else h
+        r0 = min(r0, h - 1)
+        c0, c1 = (j * w) // cols, ((j + 1) * w) // cols
+        c1 = max(c1, c0 + 1) if c0 < w else w
+        c0 = min(c0, w - 1)
+        block = gray[r0:r1, c0:c1]
+        return int(block.sum()), block.size
+
+    grid = [[cell(i, j, 8, 9) for j in range(9)] for i in range(8)]
+    sig = 0
+    for i in range(8):
+        for j in range(8):
+            (sa, na), (sb, nb) = grid[i][j], grid[i][j + 1]
+            if sa * nb < sb * na:
+                sig |= 1 << (i * 8 + j)
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
         T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("err", T.StringType()),
@@ -1700,7 +1739,7 @@ def image_ahash(
             out = []
             for _, row in pdf.iterrows():
                 rec = {
-                    "media_id": row["media_id"], "ahash": None,
+                    "media_id": row["media_id"], "ahash": None, "dhash": None,
                     "width": None, "height": None, "err": None,
                 }
                 try:
@@ -1709,6 +1748,7 @@ def image_ahash(
                         int(gray.shape[0]), int(gray.shape[1])
                     )
                     rec["ahash"] = ahash64(gray)
+                    rec["dhash"] = dhash64(gray)
                 except Exception as exc:  # noqa: BLE001 — tolerant by contract
                     rec["err"] = f"{type(exc).__name__}: {exc}"
                 out.append(rec)

@@ -1670,3 +1670,38 @@ def test_image_ahash_incremental_between(spark):
         new, idx, id_col="media_id", sig_col="ahash", hamming_threshold=6
     ).collect()}
     assert pairs == {("orig", "recrawl")}
+
+
+def test_dhash_brightness_invariance(spark):
+    """dhash64 (r13): a global brightness shift leaves every horizontal
+    gradient sign — and therefore the ENTIRE dHash — unchanged, while
+    aHash may move cells across the shifted global mean; the noisy
+    re-crawl still lands within a small dHash radius."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        ahash64,
+        dhash64,
+        image_gray_raster,
+    )
+
+    rng = np.random.default_rng(23)
+    pic = rng.integers(40, 200, size=(24, 33), dtype=np.uint8)
+    brighter = (pic.astype(int) + 30).clip(0, 239).astype(np.uint8)
+
+    assert dhash64(pic) == dhash64(brighter)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    noisy = pic.copy()
+    noisy[::6, ::6] = np.clip(noisy[::6, ::6].astype(int) + 17, 0, 255)
+    assert ham(dhash64(pic), dhash64(noisy)) <= 8
+
+    # cross-format: dHash identical for the same raster via BMP and PPM
+    assert (
+        dhash64(image_gray_raster(_bmp_from_gray(pic)))
+        == dhash64(image_gray_raster(_ppm_from_gray(pic)))
+        == dhash64(pic)
+    )
+    assert ahash64(pic) is not None  # both signatures coexist per row
