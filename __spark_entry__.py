@@ -4362,7 +4362,7 @@ def q_docs_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash regression pin, oracle-backed
     (multimodal.image_ahash — r13): the checked-in raster-decodable
-    fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG) flow through the
+    fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG, palette GIF) flow through the
     Arrow-batched aHash+dHash path (dHash: horizontal gradient signs over
     an 8x9 grid — brightness/contrast-shift invariant); pins were computed by an INDEPENDENT
     pure-Python walk over the same bytes (the media_features_check
@@ -4379,7 +4379,7 @@ def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.abspath(__file__)), "fixtures", "media"
     )
     rows = []
-    for name in ("bmp", "png", "ppm", "jpeg"):
+    for name in ("bmp", "png", "ppm", "gif", "jpeg"):
         with open(os.path.join(fdir, f"{name}.bin"), "rb") as f:
             rows.append((name, f.read()))
     media = spark.createDataFrame(rows, "media_id string, content binary")
@@ -6594,6 +6594,7 @@ def oracle_sql() -> dict[str, str]:
                 ('bmp',  CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
                 ('png',  CAST(8350736690173458488 AS BIGINT), CAST(9041530371175342047 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
                 ('ppm',  CAST(-4340410370281639696 AS BIGINT), CAST(5787213827046397012 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+                ('gif',  CAST(-5275463701581154634 AS BIGINT), CAST(-7979177249087385199 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
                 ('jpeg', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(media_id, ahash, dhash, width, height, decodable)
         """,

@@ -351,6 +351,7 @@ def _decode_gif(content: bytes) -> dict:
     duration_cs = 0
     frames = 0
     first_rgb: bytes | None = None
+    first_frame: dict | None = None
     while pos < len(content):
         block = content[pos]
         if block == 0x3B:  # trailer
@@ -383,6 +384,11 @@ def _decode_gif(content: bytes) -> dict:
                 idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
                 pal = lct or gct
                 first_rgb = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+                first_frame = {
+                    "w": fw, "h": fh,
+                    "interlaced": bool(fpacked & 0x40),
+                    "rgb": first_rgb,
+                }
         else:
             raise ValueError(f"unknown GIF block id 0x{block:02x}")
     return {
@@ -391,6 +397,9 @@ def _decode_gif(content: bytes) -> dict:
         # animated GIF: delays are centiseconds; single frame → no duration
         "duration_sec": duration_cs / 100.0 if frames > 1 and duration_cs else None,
         "feature": _feature_from_bytes(first_rgb or b""),
+        # raster consumers (image_gray_raster) read the first frame;
+        # histogram consumers ignore the extra key
+        "first_frame": first_frame,
     }
 
 
@@ -1540,7 +1549,8 @@ def image_gray_raster(content: bytes):
     """Decode a supported still-image payload to an (h, w) uint8
     grayscale numpy raster. Supported: PPM P6 (maxval <= 255), BMP
     (24-bit uncompressed), PNG (8-bit depth, color types 0/2,
-    non-interlaced) — the formats whose full rasters the pure-stdlib
+    non-interlaced), GIF (first frame, LZW-decoded through its palette,
+    interlace undone) — the formats whose full rasters the pure-stdlib
     decoders reconstruct. Anything else raises ValueError (the tolerant
     wrapper in :func:`image_ahash` turns that into an err row)."""
     import struct
@@ -1575,6 +1585,26 @@ def image_gray_raster(content: bytes):
         arr = rows.reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
         if h_signed > 0:
             arr = arr[::-1]  # bottom-up storage
+        return _luma(arr)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        meta = _decode_gif(content)
+        frame = meta.get("first_frame")
+        if not frame:
+            raise ValueError("GIF without an image frame")
+        fw, fh, rgb = frame["w"], frame["h"], frame["rgb"]
+        if len(rgb) != 3 * fw * fh:
+            raise ValueError("GIF palette/raster size mismatch")
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(fh, fw, 3)
+        if frame["interlaced"]:
+            # GIF interlace stores rows in four passes (8k, 8k+4, 4k+2,
+            # 2k+1); undo the permutation so the raster is top-down
+            order = (
+                list(range(0, fh, 8)) + list(range(4, fh, 8))
+                + list(range(2, fh, 4)) + list(range(1, fh, 2))
+            )
+            out = np.empty_like(arr)
+            out[order] = arr
+            arr = out
         return _luma(arr)
     if content[:8] == _PNG_MAGIC:
         import zlib
