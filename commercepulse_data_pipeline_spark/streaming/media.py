@@ -137,3 +137,110 @@ def stream_media_features(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def image_hash_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    *,
+    hamming_threshold: int = 6,
+    sig_col: str = "ahash",
+    max_bucket: int = 1000,
+) -> None:
+    """Continuous image near-dup detection (r13): per micro-batch of
+    (media_id, content) rows, perceptual hashes land under
+    ``{store}/hashes/ingest_batch=N`` and the batch's near-dup pairs —
+    within-batch AND against every earlier batch's hashes — under
+    ``{store}/pairs/ingest_batch=N``. Both writes are replay-idempotent
+    per-batch overwrites; the cross-batch probe reads the hash store
+    fold-aware and EXCLUDES the batch's own partition (a replayed batch
+    must not pair against its first attempt — the streaming/corpus.py
+    replay lesson), so a replay reproduces its pair set bit-identically.
+
+    The pairs stream is POLICY-FREE: downstream decides (fold into a
+    cluster table via graph.update_cluster_table, keep-first drop,
+    human-review queue). ``sig_col`` picks the signature ('ahash'
+    default; 'dhash' for brightness-shifted re-crawl hunting). At scale:
+    per-batch cost is one Arrow decode pass + the pigeonhole block
+    probe of an (id, sig) store — 16 bytes per image, the cheapest
+    image-dedup index there is."""
+    from commercepulse_data_pipeline_spark.multimodal import image_ahash
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+        is_missing_store_error,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    hashes = image_ahash(batch_df).localCheckpoint(eager=True)
+    sigs = hashes.where(F.col(sig_col).isNotNull()).select(
+        "media_id", F.col(sig_col).alias("sig")
+    )
+    pairs = dd.sig_hamming_pairs(
+        sigs, id_col="media_id",
+        hamming_threshold=hamming_threshold, max_bucket=max_bucket,
+    )
+    hash_root = f"{store_dir}/hashes"
+    try:
+        idx = fold_consistent_read(spark, hash_root)
+        have_index = True
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc, hash_root):
+            raise  # transient != first batch: a skipped probe loses dups
+        have_index = False
+    if have_index:
+        idx = idx.where(F.col("ingest_batch") != F.lit(batch_id))
+        idx_sigs = idx.where(F.col(sig_col).isNotNull()).select(
+            "media_id", F.col(sig_col).alias("sig")
+        )
+        vs_index = dd.sig_hamming_pairs_between(
+            sigs, idx_sigs, id_col="media_id",
+            hamming_threshold=hamming_threshold, max_bucket=max_bucket,
+        )
+        pairs = pairs.unionByName(vs_index).distinct()
+    pairs.write.mode("overwrite").parquet(
+        f"{store_dir}/pairs/ingest_batch={batch_id}"
+    )
+    hashes.write.mode("overwrite").parquet(
+        f"{hash_root}/ingest_batch={batch_id}"
+    )
+
+
+def stream_image_hash_index(
+    spark: SparkSession,
+    media_path: str,
+    store_dir: str,
+    checkpoint: str,
+    *,
+    schema: str = "media_id string, content binary",
+    hamming_threshold: int = 6,
+    sig_col: str = "ahash",
+    max_bucket: int = 1000,
+    max_files_per_trigger: int = 10,
+    trigger_once: bool = True,
+):
+    """Tail a directory of media parquet drops and maintain the
+    perceptual-hash store + continuous near-dup pair stream. Returns the
+    started query; ``{store}/pairs`` is the policy-free match feed."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_path)
+    )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        image_hash_batch(
+            batch_df, batch_id, store_dir,
+            hamming_threshold=hamming_threshold, sig_col=sig_col,
+            max_bucket=max_bucket,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1705,3 +1705,64 @@ def test_dhash_brightness_invariance(spark):
         == dhash64(pic)
     )
     assert ahash64(pic) is not None  # both signatures coexist per row
+
+
+def test_stream_image_hash_index_cross_batch_and_replay(spark, tmp_path):
+    """stream_image_hash_index (r13): a re-crawled near-copy arriving two
+    batches after its original pairs against the indexed hash; the pair
+    feed is per-batch partitioned and a direct batch replay reproduces
+    its pair set exactly (own-partition exclusion)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        image_hash_batch,
+        stream_image_hash_index,
+    )
+
+    rng = np.random.default_rng(31)
+    pic = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+    recrawl = pic.copy()
+    recrawl[::8, ::8] = np.clip(recrawl[::8, ::8].astype(int) + 9, 0, 255)
+    other = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+
+    drops = [
+        [("orig", _ppm_from_gray(pic)), ("junk", b"not an image")],
+        [("other", _ppm_from_gray(other))],
+        [("recrawl", _ppm_from_gray(recrawl))],
+    ]
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "media_id string, content binary").coalesce(
+            1
+        ).write.parquet(f"{incoming}/d{i}")
+        for f in os.listdir(f"{incoming}/d{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{incoming}/d{i}/{f}", f"{incoming}/b{i}_{f}")
+        shutil.rmtree(f"{incoming}/d{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_image_hash_index(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True,
+    )
+    q.awaitTermination()
+
+    pairs = {(r.id_a, r.id_b) for r in
+             spark.read.parquet(f"{store}/pairs").collect()}
+    assert pairs == {("orig", "recrawl")}
+    hashes = spark.read.parquet(f"{store}/hashes")
+    assert hashes.where("media_id = 'junk'").head().ahash is None
+    assert hashes.count() == 4
+
+    # direct replay of the LAST batch: identical pair partition
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{store}/pairs/ingest_batch=2").collect()))
+    last = spark.createDataFrame(drops[2], "media_id string, content binary")
+    image_hash_batch(last, 2, store)
+    after = sorted(map(tuple, spark.read.parquet(
+        f"{store}/pairs/ingest_batch=2").collect()))
+    assert after == before and len(after) == 1
