@@ -4240,8 +4240,19 @@ def q_docs_cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identically in any engine, unlike struct-min; decomposition
             # uses INTEGER division (div / //) — a double round-trip
             # would lose exactness past 2^53 for replica-offset ids
+            # the pack is guarded: a doc_id >= 2^31 would silently wrap
+            # the 64-bit long in non-ANSI Spark, so out-of-range ids
+            # fail loudly instead of producing a wrong canonical id
             F.min(
-                F.col("doc_id") * F.lit(4294967296) + F.col("start_pos")
+                F.when(
+                    (F.col("doc_id") >= F.lit(2147483648))
+                    | (F.col("doc_id") < 0),
+                    F.raise_error(
+                        F.lit("doc_id out of packable range [0, 2^31)")
+                    ).cast("long"),
+                ).otherwise(
+                    F.col("doc_id") * F.lit(4294967296) + F.col("start_pos")
+                )
             ).alias("__c"),
         )
         .where(F.col("n_docs") >= 2)

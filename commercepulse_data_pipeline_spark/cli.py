@@ -317,9 +317,10 @@ def cmd_clean_corpus(args) -> int:
         flags = tx.code_detect(docs, "text", "doc_id").where(F.col("is_code"))
         if quarantine:
             _reject(flags, "code")
-        docs = docs.join(
-            F.broadcast(flags.select("doc_id")), "doc_id", "left_anti"
-        )
+        # no broadcast hint: the flagged set is corpus-proportional (code
+        # is commonly 10-30% of a mixed crawl), so let AQE pick the join
+        # strategy like the other quarantine stages do
+        docs = docs.join(flags.select("doc_id"), "doc_id", "left_anti")
     if args.strip_boilerplate:
         # per-source template removal BEFORE dedup: shared chrome makes
         # otherwise-distinct docs look like near-dups, so stripping it

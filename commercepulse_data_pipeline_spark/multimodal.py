@@ -272,6 +272,7 @@ def _decode_ppm(content: bytes) -> dict:
     return {
         "width": width,
         "height": height,
+        "maxval": maxval,
         "duration_sec": None,
         "feature": _feature_from_bytes(pixels),
     }
@@ -1560,6 +1561,14 @@ def image_gray_raster(content: bytes):
     if content[:2] == b"P6":
         meta = _decode_ppm(content)
         w, h = meta["width"], meta["height"]
+        if meta["maxval"] > 255:
+            # 16-bit P6 stores 2 bytes/sample; decoding it as 1 byte
+            # would yield a garbage raster and a WRONG non-NULL hash —
+            # raise so the tolerant wrapper emits an err row instead
+            raise ValueError(
+                f"unsupported PPM maxval {meta['maxval']} (> 255) for "
+                "raster decode"
+            )
         expected = 3 * w * h
         px = content[len(content) - expected:]
         if len(px) < expected:

@@ -570,10 +570,16 @@ def update_cluster_table(
     )
     old_dir = rows_dir + ".old"
     if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)  # stale backup from a prior crash; rows_dir is live
+        # backup from the PREVIOUS successful update (or a prior crash
+        # while rows_dir stayed live) — superseded now that a fresh swap
+        # is about to land
+        shutil.rmtree(old_dir)
     os.replace(rows_dir, old_dir)
     os.replace(tmp, rows_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    # clusters.old is RETAINED until the next successful update: it is
+    # the rollback copy if corruption is discovered after the swap, and
+    # costs one table's worth of disk. The adoption path above only
+    # reads it when rows_dir itself is gone.
     if provenance is not None:
         import json
 

@@ -1055,6 +1055,11 @@ def test_update_cluster_table_crash_between_swap_renames(spark, tmp_path):
     update_cluster_table(spark, path, p2)
 
     # crash simulation: live rows renamed aside, .tmp never landed
+    # (clear the retained rollback copy first — r14 keeps .old after a
+    # successful update, and os.replace refuses a non-empty dir target)
+    import shutil
+
+    shutil.rmtree(f"{path}/clusters.old", ignore_errors=True)
     os.replace(f"{path}/clusters", f"{path}/clusters.old")
     p3 = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
     upd = update_cluster_table(spark, path, p3)
@@ -1065,4 +1070,38 @@ def test_update_cluster_table_crash_between_swap_renames(spark, tmp_path):
     )
     assert sorted(map(tuple, upd.collect())) == want
     assert sorted(map(tuple, read_cluster_table(spark, path).collect())) == want
-    assert not os.path.exists(f"{path}/clusters.old")
+    # r14: clusters.old is RETAINED after a successful update as the
+    # rollback copy (ADVICE r13) — it must hold the PRE-update table...
+    pre = sorted(
+        map(tuple, dedup_clusters(p1.unionByName(p2)).collect())
+    )
+    got_old = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/clusters.old")
+            .select("doc_id", "cluster_id", "cluster_size")
+            .collect(),
+        )
+    )
+    assert got_old == pre
+    # ...and adoption still only fires when the live dir is GONE: with
+    # rows_dir live, the stale backup is superseded by the next update
+    p4 = spark.createDataFrame([(4, 5)], "id_a long, id_b long")
+    update_cluster_table(spark, path, p4)
+    want4 = sorted(
+        map(tuple, dedup_clusters(
+            p1.unionByName(p2).unionByName(p3).unionByName(p4)
+        ).collect())
+    )
+    assert (
+        sorted(map(tuple, read_cluster_table(spark, path).collect())) == want4
+    )
+    got_old4 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/clusters.old")
+            .select("doc_id", "cluster_id", "cluster_size")
+            .collect(),
+        )
+    )
+    assert got_old4 == want  # backup advanced to the p3-era table

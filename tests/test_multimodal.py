@@ -1580,6 +1580,32 @@ def _ppm_from_gray(gray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + body
 
 
+def test_image_gray_raster_rejects_16bit_ppm(spark):
+    """16-bit P6 (maxval > 255) stores 2 bytes/sample — decoding it as
+    1 byte/sample would produce a garbage raster and a WRONG non-NULL
+    hash, so the raster path must raise and the tolerant wrapper must
+    emit an err row (ADVICE r13)."""
+    import numpy as np
+    import pytest
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        image_ahash,
+        image_gray_raster,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 12, 9
+    body = rng.integers(0, 256, size=6 * w * h, dtype=np.uint8).tobytes()
+    payload = f"P6\n{w} {h}\n65535\n".encode() + body
+    with pytest.raises(ValueError, match="maxval"):
+        image_gray_raster(payload)
+    media = spark.createDataFrame(
+        [("deep", payload)], "media_id string, content binary"
+    )
+    row = image_ahash(media).collect()[0]
+    assert row.ahash is None and "maxval" in row.err
+
+
 def test_image_ahash_cross_format_and_neardup_pairs(spark):
     """image_ahash (r13): the SAME picture encoded as BMP and PPM hashes
     IDENTICALLY; a lightly-noised copy lands within a small Hamming

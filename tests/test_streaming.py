@@ -1936,6 +1936,11 @@ def test_cluster_stream_crash_replay_from_checkpoint(spark, tmp_path):
             # torn crash: bands partition gone AND the swap interrupted
             # between its two renames (rows only reachable at .old)
             shutil.rmtree(f"{store}/index/bands/ingest_batch=1")
+            # r14: a successful update now RETAINS .old as the rollback
+            # copy, so clear it before simulating the mid-swap strand
+            shutil.rmtree(
+                f"{store}/clusters/clusters.old", ignore_errors=True
+            )
             os.replace(
                 f"{store}/clusters/clusters", f"{store}/clusters/clusters.old"
             )
