@@ -4372,16 +4372,20 @@ def q_docs_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash regression pin, oracle-backed
-    (multimodal.image_ahash — r13): the checked-in raster-decodable
-    fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG, palette GIF) flow through the
-    Arrow-batched aHash+dHash path (dHash: horizontal gradient signs over
-    an 8x9 grid — brightness/contrast-shift invariant); pins were computed by an INDEPENDENT
-    pure-Python walk over the same bytes (the media_features_check
-    discipline). jpeg rides along as the documented
-    unsupported-for-raster case (metadata decodes; the raster path
-    raises tolerantly -> NULL hash). The hash feeds the text Hamming
-    machinery unchanged: dedup.sig_hamming_pairs(sig_col='ahash') is
-    image near-dup dedup."""
+    (multimodal.image_ahash — r13; JPEG wired in r14): the checked-in
+    raster-decodable fixtures (24-bit BMP, PPM P6, 8-bit truecolor PNG,
+    palette GIF, and — r14 — baseline 4:2:0 JPEG, the dominant web-crawl
+    format) flow through the Arrow-batched aHash+dHash path (dHash:
+    horizontal gradient signs over an 8x9 grid — brightness/contrast-
+    shift invariant); pins were computed by an INDEPENDENT pure-Python
+    walk over the decoded rasters (the media_features_check
+    discipline). The JPEG fixture's raster additionally cross-checks
+    against the ENCODER-SOURCE exact luma (max |delta| = 1 gray level
+    across all 128 pixels — the encoder in tests/test_multimodal.py is
+    independent of the decoder), so the pin is anchored to ground truth,
+    not just decoder replay; progressive JPEG stays a rejected err row.
+    The hash feeds the text Hamming machinery unchanged:
+    dedup.sig_hamming_pairs(sig_col='ahash') is image near-dup dedup."""
     import os
 
     from commercepulse_data_pipeline_spark import multimodal as mm
@@ -6610,7 +6614,7 @@ def oracle_sql() -> dict[str, str]:
                 ('png',  CAST(8350736690173458488 AS BIGINT), CAST(9041530371175342047 AS BIGINT), CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
                 ('ppm',  CAST(-4340410370281639696 AS BIGINT), CAST(5787213827046397012 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
                 ('gif',  CAST(-5275463701581154634 AS BIGINT), CAST(-7979177249087385199 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
-                ('jpeg', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT))
+                ('jpeg', CAST(-218150868210360128 AS BIGINT), CAST(-1 AS BIGINT), CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(media_id, ahash, dhash, width, height, decodable)
         """,
         "dup_clusters_incremental": f"""

@@ -762,6 +762,13 @@ def _decode_jpeg(content: bytes) -> dict:
         "height": height,
         "duration_sec": None,
         "feature": _feature_from_bytes(raster),
+        # the full reconstructed raster (uint8, interleaved RGB for
+        # 3-component scans, single gray plane otherwise) — consumed by
+        # image_gray_raster so the perceptual-hash tier covers JPEG, the
+        # dominant web-crawl format (r14; metadata consumers read named
+        # fields via .get and ignore it)
+        "raster": raster,
+        "n_channels": 3 if len(full) == 3 else 1,
     }
 
 
@@ -1551,13 +1558,27 @@ def image_gray_raster(content: bytes):
     grayscale numpy raster. Supported: PPM P6 (maxval <= 255), BMP
     (24-bit uncompressed), PNG (8-bit depth, color types 0/2,
     non-interlaced), GIF (first frame, LZW-decoded through its palette,
-    interlace undone) — the formats whose full rasters the pure-stdlib
-    decoders reconstruct. Anything else raises ValueError (the tolerant
-    wrapper in :func:`image_ahash` turns that into an err row)."""
+    interlace undone), baseline JPEG (SOF0/1 — huffman + dequant + IDCT
+    + upsample via :func:`_decode_jpeg`; progressive/arithmetic stay
+    rejected) — the formats whose full rasters the pure-stdlib decoders
+    reconstruct. Anything else raises ValueError (the tolerant wrapper
+    in :func:`image_ahash` turns that into an err row)."""
     import struct
 
     import numpy as np
 
+    if content[:2] == b"\xff\xd8":
+        # JPEG — the dominant web-crawl image format. _decode_jpeg
+        # reconstructs the full raster (it always did, for the feature
+        # summary); hashing goes through the SAME RGB -> BT.601 integer
+        # luma as every other format, so cross-format re-encodes of one
+        # scene land within a small Hamming radius.
+        meta = _decode_jpeg(content)
+        w, h = meta["width"], meta["height"]
+        buf = np.frombuffer(meta["raster"], dtype=np.uint8)
+        if meta["n_channels"] == 3:
+            return _luma(buf.reshape(h, w, 3))
+        return buf.reshape(h, w).copy()
     if content[:2] == b"P6":
         meta = _decode_ppm(content)
         w, h = meta["width"], meta["height"]

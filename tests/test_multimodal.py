@@ -1665,6 +1665,89 @@ def test_image_ahash_cross_format_and_neardup_pairs(spark):
     assert not any("other" in p for p in pairs)
 
 
+def test_image_ahash_jpeg_cross_format_neardup(spark):
+    """JPEG wired into the image-hash tier (r14): the SAME scene encoded
+    as 24-bit BMP (exact) and baseline 4:2:0 JPEG (lossy) lands within a
+    small Hamming radius on BOTH hashes, and sig_hamming_pairs surfaces
+    the cross-format pair — the test the tier exists for (a web crawl's
+    re-encodes of one image must cluster). An unrelated scene stays far;
+    a PROGRESSIVE JPEG stays a tolerant err row (documented boundary)."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        image_ahash,
+        image_gray_raster,
+    )
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs,
+    )
+
+    # smooth synthetic scene (low-frequency content — what JPEG's
+    # quantization preserves; noise would be a different image after
+    # compression, not a re-encode)
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    scene = (
+        96
+        + 64 * np.sin(xx / 9.0)
+        + 48 * np.cos(yy / 7.0)
+        + 0.45 * xx
+    ).clip(0, 255)
+    other = (255 - scene.T[:h, :w].copy()).clip(0, 255)
+
+    def rgb(g):
+        return np.stack([g, g, g], axis=-1)
+
+    jpeg_scene = _jpeg_bytes(rgb(scene), subsample=(2, 2))
+    bmp_scene = _bmp_from_gray(scene.astype(np.uint8))
+    jpeg_other = _jpeg_bytes(rgb(other), subsample=(2, 2))
+
+    # direct decode sanity: jpeg raster close to the exact gray source
+    g = image_gray_raster(jpeg_scene)
+    assert g.shape == (h, w)
+    assert np.abs(g.astype(int) - scene.astype(np.uint8).astype(int)).max() <= 3
+
+    media = spark.createDataFrame(
+        [
+            ("jpeg", jpeg_scene),
+            ("bmp", bmp_scene),
+            ("jpeg_other", jpeg_other),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r.media_id: r for r in image_ahash(media).collect()}
+    assert out["jpeg"].ahash is not None and out["jpeg"].dhash is not None
+    assert (out["jpeg"].width, out["jpeg"].height) == (w, h)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out["jpeg"].ahash, out["bmp"].ahash) <= 4
+    assert ham(out["jpeg"].dhash, out["bmp"].dhash) <= 4
+    assert ham(out["jpeg_other"].ahash, out["bmp"].ahash) > 10
+
+    sigs = image_ahash(media).where("ahash is not null").select(
+        "media_id", "ahash"
+    )
+    pairs = {(r.id_a, r.id_b) for r in sig_hamming_pairs(
+        sigs, id_col="media_id", sig_col="ahash", hamming_threshold=4
+    ).collect()}
+    assert ("bmp", "jpeg") in pairs
+    assert not any("jpeg_other" in p for p in pairs)
+
+    # progressive JPEG: metadata boundary holds — err row, NULL hash
+    prog = bytearray(jpeg_scene)
+    sof = prog.find(b"\xff\xc0")
+    assert sof > 0
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2
+    prow = image_ahash(
+        spark.createDataFrame(
+            [("prog", bytes(prog))], "media_id string, content binary"
+        )
+    ).collect()[0]
+    assert prow.ahash is None and prow.err is not None
+
+
 def test_image_ahash_incremental_between(spark):
     """sig_hamming_pairs_between over image hashes (r13): an arriving
     image batch probes a persisted (id, ahash) index — the re-crawled
