@@ -98,8 +98,8 @@ EXTENDED = [
     "dup_cluster_size_hist",
     "docs_quarantine",
     "dup_pairs_confirmed",
-    # r13 additions — no frozen baseline yet; compare round-over-round
-    # and freeze from the driver's clean BENCH_r13.json next round
+    # r13 additions — frozen into extended_probe at r14 (min of driver
+    # BENCH_r13 and the r13 clean-box probes; see r13_additions_note)
     "dup_savings_by_source",
     "docs_cdc_chunks",
     "dup_clusters_incremental",
@@ -129,23 +129,13 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    # Bench against multi-row-group copies (see materialize_split_copies):
-    # same bytes, realistic split layout. Falls back to the original dir if
-    # the rewrite fails (e.g. read-only /tmp).
-    try:
-        bench_dir = materialize_split_copies(sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        print(f"split-copy materialization failed ({exc}); using {sf_dir}", file=sys.stderr)
-        bench_dir = sf_dir
-
+def _bench_session(cpus: str):
+    """The exact bench session conf, shared by the full-suite sweep and
+    the --isolated mode (one conf, so isolated numbers adjudicate suite
+    numbers without a config delta)."""
     from pyspark.sql import SparkSession
 
-    spark = (
+    return (
         SparkSession.builder.appName("commercepulse-bench")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -168,6 +158,159 @@ def main() -> None:
         .config("spark.sql.codegen.cache.maxEntries", "10000")
         .getOrCreate()
     )
+
+
+def _time_train_rows(spark, entrymod, bench_dir: str, n_runs: int) -> dict:
+    """Build each ANN index fresh into a throwaway dir n_runs times,
+    returning every per-run wall time (the caller picks min or median).
+    The collect-per-iteration k-means loop has a measured ~±18% envelope
+    on this box (SCALE.md / BENCH_BASELINE ann_train note) — judge these
+    rows against that envelope, not a point estimate."""
+    import shutil
+    import tempfile
+
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    emb = entrymod._t(spark, bench_dir, "embeddings")
+    pq_p, ivfpq_p = entrymod._PQ_TOPK, entrymod._IVFPQ_TOPK
+
+    def _build_pq(dest: str) -> None:
+        books = sim.pq_train(
+            emb, m=pq_p["m"], n_codes=pq_p["n_codes"], iters=pq_p["iters"]
+        )
+        sim.write_pq_index(sim.pq_encode(emb, books), dest, books=books)
+
+    def _build_ivfpq(dest: str) -> None:
+        sim.write_ivfpq_index(
+            emb, dest, n_centroids=ivfpq_p["n_centroids"], m=ivfpq_p["m"],
+            n_codes=ivfpq_p["n_codes"], iters=ivfpq_p["iters"],
+        )
+
+    train_runs: dict[str, list[float]] = {}
+    for name, build in (("ann_pq_train", _build_pq), ("ann_ivfpq_train", _build_ivfpq)):
+        runs = []
+        for _ in range(n_runs):
+            d = tempfile.mkdtemp(prefix=f"{name}_", dir="/tmp")
+            shutil.rmtree(d)  # the parquet writers create the path themselves
+            t0 = time.monotonic()
+            build(d)
+            runs.append(round(time.monotonic() - t0, 3))
+            shutil.rmtree(d, ignore_errors=True)
+        train_runs[name] = runs
+    return train_runs
+
+
+def trains_main(n_runs: int) -> None:
+    """Isolated ANN-train mode (VERDICT r13 item 5): time ONLY the two
+    index-training rows, n_runs each, reporting median + min + all runs
+    — the stable measurement for a path whose per-run variance (~±18%)
+    exceeds any plausible regression signal at min-of-2.
+
+    Usage: python bench.py --trains [--runs N]   (default N=5)
+    """
+    import statistics
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        bench_dir = materialize_split_copies(sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"split-copy materialization failed ({exc}); using {sf_dir}", file=sys.stderr)
+        bench_dir = sf_dir
+    spark = _bench_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    train_runs = _time_train_rows(spark, entrymod, bench_dir, n_runs=n_runs)
+    print(
+        json.dumps(
+            {
+                "metric": "ann_train_isolated",
+                "unit": "sec",
+                "median": {
+                    k: round(statistics.median(v), 3) for k, v in train_runs.items()
+                },
+                "min": {k: round(min(v), 3) for k, v in train_runs.items()},
+                "runs": train_runs,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def isolated_main(names: list[str], n_warm: int, n_runs: int) -> None:
+    """Isolated per-query mode (VERDICT r13 item 4): N untimed warm runs
+    of THE SAME query, then min-of-N_RUNS timed back-to-back runs — no
+    interleaving, so the number excludes the suite-composition inflation
+    (JIT/GC pressure from the ~33 queries that run between two sweeps of
+    one query grows as the suite grows) that the full-sweep min carries.
+    Use this to adjudicate a round-over-round delta on an unchanged
+    plan: if the isolated number is flat, the suite delta is composition
+    or box drift, not a regression.
+
+    Usage: python bench.py --isolated q1 [q2 ...] [--warm N] [--runs N]
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        bench_dir = materialize_split_copies(sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"split-copy materialization failed ({exc}); using {sf_dir}", file=sys.stderr)
+        bench_dir = sf_dir
+    spark = _bench_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    all_runs: dict[str, list[float]] = {}
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        for _ in range(n_warm):
+            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(min(runs), 3)
+    print(json.dumps({"isolated_runs": all_runs}), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_queries",
+                "unit": "sec",
+                "queries": timings,
+                "warm": n_warm,
+                "runs": n_runs,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Bench against multi-row-group copies (see materialize_split_copies):
+    # same bytes, realistic split layout. Falls back to the original dir if
+    # the rewrite fails (e.g. read-only /tmp).
+    try:
+        bench_dir = materialize_split_copies(sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"split-copy materialization failed ({exc}); using {sf_dir}", file=sys.stderr)
+        bench_dir = sf_dir
+
+    spark = _bench_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -232,37 +375,7 @@ def main() -> None:
     # for — a serving-path regression is no longer masked by train-time
     # noise. Training cost stays visible as its OWN rows here, measured by
     # building each index fresh into a throwaway dir (min of 2).
-    import shutil
-    import tempfile
-
-    from commercepulse_data_pipeline_spark.operators import similarity as sim
-
-    emb = entrymod._t(spark, bench_dir, "embeddings")
-    pq_p, ivfpq_p = entrymod._PQ_TOPK, entrymod._IVFPQ_TOPK
-
-    def _build_pq(dest: str) -> None:
-        books = sim.pq_train(
-            emb, m=pq_p["m"], n_codes=pq_p["n_codes"], iters=pq_p["iters"]
-        )
-        sim.write_pq_index(sim.pq_encode(emb, books), dest, books=books)
-
-    def _build_ivfpq(dest: str) -> None:
-        sim.write_ivfpq_index(
-            emb, dest, n_centroids=ivfpq_p["n_centroids"], m=ivfpq_p["m"],
-            n_codes=ivfpq_p["n_codes"], iters=ivfpq_p["iters"],
-        )
-
-    train_runs: dict[str, list[float]] = {}
-    for name, build in (("ann_pq_train", _build_pq), ("ann_ivfpq_train", _build_ivfpq)):
-        runs = []
-        for _ in range(2):
-            d = tempfile.mkdtemp(prefix=f"{name}_", dir="/tmp")
-            shutil.rmtree(d)  # the parquet writers create the path themselves
-            t0 = time.monotonic()
-            build(d)
-            runs.append(round(time.monotonic() - t0, 3))
-            shutil.rmtree(d, ignore_errors=True)
-        train_runs[name] = runs
+    train_runs = _time_train_rows(spark, entrymod, bench_dir, n_runs=2)
     train_timings = {name: round(min(runs), 3) for name, runs in train_runs.items()}
 
     # Per-run detail goes to STDERR: the driver records only the last
@@ -298,4 +411,33 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    argv = sys.argv[1:]
+    if "--trains" in argv:
+        argv.remove("--trains")
+        n_runs = 5
+        if "--runs" in argv:
+            i = argv.index("--runs")
+            n_runs = int(argv[i + 1])
+            del argv[i : i + 2]
+        trains_main(n_runs)
+    elif "--isolated" in argv:
+        argv.remove("--isolated")
+        # default warm=5: tiered JIT on this box needs ~25s of execution
+        # before steady state; 3 warm runs of a ~3s query measurably
+        # under-warms (first r14 probe: 4.67s at warm=3 settling to
+        # 3.05s at warm=5 on an idle box)
+        n_warm, n_runs = 5, 3
+        if "--warm" in argv:
+            i = argv.index("--warm")
+            n_warm = int(argv[i + 1])
+            del argv[i : i + 2]
+        if "--runs" in argv:
+            i = argv.index("--runs")
+            n_runs = int(argv[i + 1])
+            del argv[i : i + 2]
+        names = [a for a in argv if not a.startswith("--")]
+        if not names:
+            sys.exit("--isolated needs at least one query name")
+        isolated_main(names, n_warm, n_runs)
+    else:
+        main()
