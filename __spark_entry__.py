@@ -4409,6 +4409,47 @@ def q_image_ahash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup regression pin, oracle-backed (r14 —
+    multimodal.video_frame_hashes + video_neardup_pairs): the checked-in
+    clip fixtures (fixtures/media/clips/*.bin, deterministic animated
+    GIFs from tools/make_media_fixtures.py --clips) flow through the
+    Arrow-batched per-frame decode+hash path, the signature-agnostic
+    Hamming pair core (dedup.sig_hamming_pairs over (video, frame)
+    keys), and the video-level containment aggregation. The oracle pins
+    were computed by a PURE-PYTHON replay of the contract over the
+    construction-parameter rasters (palette lookup + integer luma +
+    independent aHash walk — no decoder, no Spark): the palette-shifted
+    re-encode pairs with every frame matched (min_hamming 0 — aHash is
+    mean-relative, so a global +6 brightness shift is invisible), the
+    3-frame excerpt pairs by CONTAINMENT (its frac is 1.0, the full
+    clip's 0.5), and the unrelated clip produces no row (the generator
+    aborts if that separation ever breaks)."""
+    import os
+
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    cdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "media", "clips",
+    )
+    rows = []
+    for fn in sorted(os.listdir(cdir)):
+        if fn.endswith(".bin"):
+            with open(os.path.join(cdir, fn), "rb") as f:
+                rows.append((fn[:-4], f.read()))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    frames = mm.video_frame_hashes(media, max_frames=16)
+    return mm.video_neardup_pairs(
+        frames, hamming_threshold=4, min_match_frac=0.5
+    ).select(
+        "id_a", "id_b",
+        F.col("n_frames_a").cast("long").alias("n_frames_a"),
+        F.col("n_frames_b").cast("long").alias("n_frames_b"),
+        "n_matched_a", "n_matched_b", "frac_a", "frac_b", "min_hamming",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r13 recorded exactly 50). r14
@@ -4464,6 +4505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r14 (+ image_ahash_check re-pinned: the JPEG raster
         # --    wiring flips its jpeg fixture row to decodable=1)
         "image_ahash_check": q_image_ahash_check,
+        "video_neardup_check": q_video_neardup_check,
         # -- r12-green block: every entry below has a green row in
         # --    CORRECTNESS_r12.json
         "revenue_cube": q_revenue_cube,
@@ -6616,6 +6658,13 @@ def oracle_sql() -> dict[str, str]:
                 ('gif',  CAST(-5275463701581154634 AS BIGINT), CAST(-7979177249087385199 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
                 ('jpeg', CAST(-218150868210360128 AS BIGINT), CAST(-1 AS BIGINT), CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT))
             ) AS t(media_id, ahash, dhash, width, height, decodable)
+        """,
+        "video_neardup_check": """
+            SELECT * FROM (VALUES
+                ('clip_a', 'clip_a_re', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT)),
+                ('clip_a', 'clip_a_sub', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT)),
+                ('clip_a_re', 'clip_a_sub', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT))
+            ) AS t(id_a, id_b, n_frames_a, n_frames_b, n_matched_a, n_matched_b, frac_a, frac_b, min_hamming)
         """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},

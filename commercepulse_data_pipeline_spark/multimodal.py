@@ -1815,3 +1815,293 @@ def image_ahash(
             yield pd.DataFrame(out, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     return src.mapInPandas(run, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (r14): per-frame perceptual hashes -> the same Hamming
+# machinery -> a video-level match aggregation
+# ---------------------------------------------------------------------------
+# The decodable animated format in-tree is GIF (pure-LZW rasters — the
+# same boundary policy as the still tier: real bytes flow end to end;
+# compressed codecs like H.264 route to a codec-library build). A
+# re-encode of the same clip (palette re-ordered, mild brightness shift,
+# re-quantized) hashes each frame within a few Hamming bits, so
+# dedup.sig_hamming_pairs over (video, frame) signature rows + one
+# video-keyed aggregation is video near-dup dedup — no new pair
+# machinery, the sig_hamming_pairs contract extends along the frame axis.
+
+
+def gif_frame_rasters(content: bytes, max_frames: int | None = None):
+    """Decode EVERY frame of a GIF to (h, w) uint8 grayscale rasters on
+    the logical-screen canvas — the all-frames extension of the
+    first-frame path in :func:`image_gray_raster`. Real decode: per-frame
+    LZW through the local-or-global palette, interlace undone, subrect
+    frames COMPOSITED onto the persisting canvas (do-not-dispose
+    semantics; restore-to-background/previous disposal is approximated as
+    do-not-dispose — a documented simplification that only affects clips
+    using those modes with transparency), GCE transparency honored
+    (transparent pixels leave the canvas unchanged). Returns a list of
+    per-frame rasters, one snapshot of the canvas per image block."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        raise ValueError("not a GIF")
+    width, height = struct.unpack_from("<HH", content, 6)
+    packed = content[10]
+    bg_index = content[11]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    if gct and 3 * bg_index + 3 <= len(gct):
+        bg_rgb = gct[3 * bg_index : 3 * bg_index + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = np.tile(
+        np.frombuffer(bg_rgb, dtype=np.uint8), (height, width, 1)
+    ).reshape(height, width, 3).copy()
+    frames: list = []
+    transparent_idx: int | None = None
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos + 1]
+            if label == 0xF9 and pos + 2 < len(content) and content[pos + 2] >= 4:
+                gce_packed = content[pos + 3]
+                transparent_idx = (
+                    content[pos + 6] if gce_packed & 0x01 else None
+                )
+            pos = _gif_skip_subblocks(content, pos + 2)
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack_from("<HHHH", content, pos + 1)
+            fpacked = content[pos + 9]
+            pos += 10
+            lct = b""
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                lct = content[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                n = content[pos]
+                data += content[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("truncated GIF frame raster")
+            pal = lct or gct
+            if not pal:
+                raise ValueError("GIF frame without a palette")
+            arr = np.frombuffer(idx[: fw * fh], dtype=np.uint8).reshape(fh, fw)
+            if fpacked & 0x40:  # interlace: undo the four-pass row order
+                order = (
+                    list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2))
+                )
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
+            pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            if arr.max() >= len(pal_arr):
+                raise ValueError("GIF palette index out of range")
+            rgb = pal_arr[arr]  # (fh, fw, 3)
+            region = canvas[top : top + fh, left : left + fw]
+            if region.shape[:2] != (fh, fw):
+                raise ValueError("GIF frame rect outside logical screen")
+            if transparent_idx is not None:
+                opaque = arr != transparent_idx
+                region[opaque] = rgb[opaque]
+            else:
+                region[...] = rgb
+            frames.append(_luma(canvas))
+            transparent_idx = None  # GCE applies to ONE image block
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        else:
+            raise ValueError(f"unknown GIF block id 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF without an image frame")
+    return frames
+
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_frames: int = 16,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """Per-frame perceptual signature rows for the video near-dup tier,
+    Arrow-batched: one output row per decoded frame (media_id,
+    frame_index, n_frames, ahash, dhash, width, height). Animated GIFs
+    decode EVERY frame (up to ``max_frames``) via
+    :func:`gif_frame_rasters`; any payload :func:`image_gray_raster`
+    can decode rides along as a 1-frame clip (a still is a degenerate
+    video — mixed feeds need no routing); undecodable payloads yield a
+    single tolerant err row. Output feeds
+    ``dedup.sig_hamming_pairs``/``video_neardup_pairs`` directly."""
+    src = media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in _chunked(batches, batch_rows):
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                try:
+                    if content[:6] in (b"GIF87a", b"GIF89a"):
+                        rasters = gif_frame_rasters(content, max_frames=max_frames)
+                    else:
+                        rasters = [image_gray_raster(content)]
+                    n = len(rasters)
+                    for i, g in enumerate(rasters):
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_index": i,
+                                "n_frames": n,
+                                "ahash": ahash64(g),
+                                "dhash": dhash64(g),
+                                "width": int(g.shape[1]),
+                                "height": int(g.shape[0]),
+                                "err": None,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001 — tolerant by contract
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_index": None,
+                            "n_frames": None,
+                            "ahash": None,
+                            "dhash": None,
+                            "width": None,
+                            "height": None,
+                            "err": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_HASH_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, FRAME_HASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    frames: DataFrame,
+    *,
+    sig_col: str = "ahash",
+    hamming_threshold: int = 4,
+    min_match_frac: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Video near-dup candidate pairs from a per-frame signature table
+    (the :func:`video_frame_hashes` output, or any (media_id,
+    frame_index, n_frames, <sig>) rows): frame-level Hamming pairs via
+    the signature-agnostic ``dedup.sig_hamming_pairs`` (pigeonhole
+    block-LSH — NO all-pairs frame join), then ONE video-keyed
+    aggregation counting each side's distinct matched frames. A pair
+    survives when the better-covered side matches at least
+    ``min_match_frac`` of its frames — containment semantics, so a short
+    clip embedded in a longer video still pairs (the n-gram containment
+    philosophy applied along the time axis).
+
+    Returns (id_a < id_b, n_frames_a, n_frames_b, n_matched_a,
+    n_matched_b, frac_a, frac_b, min_hamming).
+
+    Scale shape: the frame table is <= max_frames x |videos| rows of
+    8-byte signatures; pair generation is the banded posting-list path
+    (bucket-capped); the video aggregation shuffles only surviving frame
+    pairs on the (id_a, id_b) key. Frame keys join media_id and
+    frame_index with a \\x01 separator — media ids must not contain
+    that control byte (same contract as every composite-key operator
+    here)."""
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs,
+    )
+
+    sep = "\x01"
+    sigs = frames.where(F.col(sig_col).isNotNull()).select(
+        F.concat_ws(
+            sep, F.col("media_id"), F.col("frame_index").cast("string")
+        ).alias("fid"),
+        F.col(sig_col).alias("sig"),
+    )
+    fpairs = sig_hamming_pairs(
+        sigs, id_col="fid", sig_col="sig",
+        hamming_threshold=hamming_threshold, max_bucket=max_bucket,
+    )
+    # split the composite frame key back on the separator (ids are
+    # contract-clean of \x01, so first == only occurrence)
+    vid_a = F.substring_index(F.col("id_a"), sep, 1)
+    vid_b = F.substring_index(F.col("id_b"), sep, 1)
+    fr_a = F.substring_index(F.col("id_a"), sep, -1)
+    fr_b = F.substring_index(F.col("id_b"), sep, -1)
+    cross = fpairs.select(
+        vid_a.alias("va"), fr_a.alias("fa"),
+        vid_b.alias("vb"), fr_b.alias("fb"),
+        "hamming",
+    ).where(F.col("va") != F.col("vb"))
+    # orient each frame pair so the video pair key is (least, greatest) —
+    # frame-key ordering does not imply video ordering
+    swap = F.col("va") > F.col("vb")
+    oriented = cross.select(
+        F.when(swap, F.col("vb")).otherwise(F.col("va")).alias("id_a"),
+        F.when(swap, F.col("fb")).otherwise(F.col("fa")).alias("f_a"),
+        F.when(swap, F.col("va")).otherwise(F.col("vb")).alias("id_b"),
+        F.when(swap, F.col("fa")).otherwise(F.col("fb")).alias("f_b"),
+        "hamming",
+    )
+    agg = oriented.groupBy("id_a", "id_b").agg(
+        F.countDistinct("f_a").cast("long").alias("n_matched_a"),
+        F.countDistinct("f_b").cast("long").alias("n_matched_b"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+    counts = (
+        frames.where(F.col(sig_col).isNotNull())
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+    out = (
+        agg.join(counts.withColumnRenamed("media_id", "id_a"), "id_a")
+        .withColumnRenamed("n_frames", "n_frames_a")
+        .join(counts.withColumnRenamed("media_id", "id_b"), "id_b")
+        .withColumnRenamed("n_frames", "n_frames_b")
+    )
+    frac_a = F.col("n_matched_a") / F.col("n_frames_a")
+    frac_b = F.col("n_matched_b") / F.col("n_frames_b")
+    return out.select(
+        "id_a", "id_b", "n_frames_a", "n_frames_b",
+        "n_matched_a", "n_matched_b",
+        F.round(frac_a, 6).alias("frac_a"),
+        F.round(frac_b, 6).alias("frac_b"),
+        "min_hamming",
+    ).where(F.greatest(frac_a, frac_b) >= F.lit(min_match_frac))

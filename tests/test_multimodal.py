@@ -1875,3 +1875,144 @@ def test_stream_image_hash_index_cross_batch_and_replay(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(
         f"{store}/pairs/ingest_batch=2").collect()))
     assert after == before and len(after) == 1
+
+
+def test_gif_frame_rasters_full_walk_and_compositing():
+    """gif_frame_rasters (r14): every frame of an animated GIF decodes to
+    the palette-mapped luma raster the construction parameters predict
+    (pure-python expectation, no decoder involved); a hand-assembled
+    SUBRECT frame with GCE transparency composites onto the persisting
+    canvas — transparent pixels leave the prior frame's pixels intact."""
+    import struct
+
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        gif_frame_rasters,
+    )
+
+    w, h = 14, 9
+    palette = bytes([250, 10, 10, 10, 250, 10, 10, 10, 250, 128, 128, 128])
+    f1 = bytes((x // 3 + y) % 4 for y in range(h) for x in range(w))
+    f2 = f1[::-1]
+    gif = _gif_bytes(w, h, [f1, f2], palette, delays=[25, 50])
+    frames = gif_frame_rasters(gif)
+    assert len(frames) == 2
+
+    def expected(idx):
+        out = np.zeros((h, w), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = palette[3 * idx[y * w + x]: 3 * idx[y * w + x] + 3]
+                out[y, x] = (r * 299 + g * 587 + b * 114) // 1000
+        return out
+
+    assert (frames[0] == expected(f1)).all()
+    assert (frames[1] == expected(f2)).all()
+
+    # max_frames caps the walk
+    assert len(gif_frame_rasters(gif, max_frames=1)) == 1
+
+    # subrect + transparency: frame 2 is a 4x3 patch at (5, 2) whose
+    # index-3 pixels are transparent — the canvas keeps frame 1 there
+    patch = bytes([0, 1, 3, 2, 3, 0, 1, 3, 2, 0, 3, 1])  # 4 wide, 3 tall
+    gce = b"\x21\xf9\x04\x01\x0a\x00\x03\x00"  # transparency on, idx 3
+    desc = b"\x2c" + struct.pack("<HHHH", 5, 2, 4, 3) + b"\x00"
+    data = _gif_lzw_encode(2, patch)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    frame2_block = gce + desc + bytes([2]) + blocks + b"\x00"
+    header_and_f1 = (
+        b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0])
+        + (palette + b"\x00" * 12)[:12]
+        + _gif_frame(w, h, f1, 2, None)
+    )
+    gif_sub = header_and_f1 + frame2_block + b"\x3b"
+    frames2 = gif_frame_rasters(gif_sub)
+    assert len(frames2) == 2
+    exp = expected(f1).copy()
+    for yy in range(3):
+        for xx in range(4):
+            pi = patch[yy * 4 + xx]
+            if pi == 3:
+                continue  # transparent: canvas keeps frame 1
+            r, g, b = palette[3 * pi : 3 * pi + 3]
+            exp[2 + yy, 5 + xx] = (r * 299 + g * 587 + b * 114) // 1000
+    assert (frames2[1] == exp).all()
+
+
+def _clip_gif(frames_idx, palette, w, h):
+    return _gif_bytes(w, h, frames_idx, palette, min_code_size=4,
+                      delays=[10] * len(frames_idx))
+
+
+def _clip_frames(kind: str, n: int, w: int = 32, h: int = 24):
+    """Deterministic clip content shared by the video near-dup tests."""
+    if kind == "scroll_h":
+        return [
+            bytes(((x + 3 * t) * 16 // w) % 16 for y in range(h) for x in range(w))
+            for t in range(n)
+        ]
+    if kind == "bands_v":
+        return [
+            bytes((y * 16 // h + 5 * t) % 16 for y in range(h) for x in range(w))
+            for t in range(n)
+        ]
+    raise ValueError(kind)
+
+
+def test_video_neardup_pairs_re_encode_and_containment(spark):
+    """video_frame_hashes + video_neardup_pairs (r14): a palette-shifted
+    re-encode of the same clip pairs with every frame matched; a 3-frame
+    excerpt pairs by CONTAINMENT (its own frac is 1.0 even though the
+    full clip's is 0.5); an unrelated clip stays out; an undecodable
+    payload is one tolerant err row; a still image rides along as a
+    1-frame clip."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    w, h, n = 32, 24, 6
+    pal_a = bytes(v for i in range(16) for v in (i * 16 + 4,) * 3)
+    pal_re = bytes(min(255, v + 6) for v in pal_a)
+    fa = _clip_frames("scroll_h", n, w, h)
+    fb = _clip_frames("bands_v", n, w, h)
+
+    rows = [
+        ("clip_a", _clip_gif(fa, pal_a, w, h)),
+        ("clip_a_re", _clip_gif(fa, pal_re, w, h)),
+        ("clip_a_sub", _clip_gif(fa[:3], pal_a, w, h)),
+        ("clip_b", _clip_gif(fb, pal_a, w, h)),
+        ("junk", b"not media"),
+        ("still", _bmp_from_gray(
+            __import__("numpy").frombuffer(fa[0], dtype="uint8")
+            .reshape(h, w) * 16
+        )),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    frames = video_frame_hashes(media, max_frames=16)
+    got = frames.collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id["clip_a"]) == n and all(r.err is None for r in by_id["clip_a"])
+    assert len(by_id["clip_a_sub"]) == 3
+    assert len(by_id["still"]) == 1 and by_id["still"][0].n_frames == 1
+    assert len(by_id["junk"]) == 1 and by_id["junk"][0].err is not None
+
+    pairs = {
+        (r.id_a, r.id_b): r
+    for r in video_neardup_pairs(
+            frames, hamming_threshold=4, min_match_frac=0.5
+        ).collect()
+    }
+    re_pair = pairs[("clip_a", "clip_a_re")]
+    assert re_pair.n_matched_a == n and re_pair.n_matched_b == n
+    assert re_pair.frac_a == 1.0 and re_pair.frac_b == 1.0
+    sub_pair = pairs[("clip_a", "clip_a_sub")]
+    assert sub_pair.n_matched_b == 3 and sub_pair.frac_b == 1.0
+    assert not any("clip_b" in k for k in pairs)
+    assert not any("junk" in k or "still" in k for k in pairs)

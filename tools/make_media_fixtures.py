@@ -201,5 +201,142 @@ def main() -> None:
         print(f"    ('{r[0]}', '{r[1]}', {w}, {h}, {dm}, '{r[5]}'),")
 
 
+def _indep_luma_raster(idx: bytes, palette: bytes, w: int, h: int):
+    """Expected gray raster from CONSTRUCTION PARAMETERS only — palette
+    lookup + integer BT.601 luma, no decoder involved."""
+    out = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            i = idx[y * w + x]
+            r, g, b = palette[3 * i : 3 * i + 3]
+            row.append((r * 299 + g * 587 + b * 114) // 1000)
+        out.append(row)
+    return out
+
+
+def _indep_ahash(gray) -> int:
+    """Independent aHash walk (pure python, no multimodal import) —
+    the documented convention: 8x8 box cells, bit set iff
+    cell_sum * total_n >= total_sum * cell_n, signed-64 storage."""
+    h, w = len(gray), len(gray[0])
+    cells = []
+    for i in range(8):
+        r0, r1 = (i * h) // 8, ((i + 1) * h) // 8
+        r1 = max(r1, r0 + 1) if r0 < h else h
+        r0 = min(r0, h - 1)
+        for j in range(8):
+            c0, c1 = (j * w) // 8, ((j + 1) * w) // 8
+            c1 = max(c1, c0 + 1) if c0 < w else w
+            c0 = min(c0, w - 1)
+            s = n = 0
+            for rr in range(r0, r1):
+                for cc in range(c0, c1):
+                    s += gray[rr][cc]
+                    n += 1
+            cells.append((s, n))
+    ts = sum(s for s, _ in cells)
+    tn = sum(n for _, n in cells)
+    sig = 0
+    for b, (s, n) in enumerate(cells):
+        if s * tn >= ts * n:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def build_clips() -> dict[str, tuple[bytes, list]]:
+    """Video near-dup fixture clips (r14): deterministic animated GIFs
+    for the ``video_neardup_check`` driver query. Each entry: (bytes,
+    per-frame construction params (idx, palette)) — the expected pair
+    table derives from the PARAMS via the independent luma/hash walks,
+    never from decoding the bytes."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    w, h, n = 32, 24, 6
+    pal_a = bytes(v for i in range(16) for v in (i * 16 + 4,) * 3)
+    pal_re = bytes(min(255, v + 6) for v in pal_a)
+    f_scroll = [
+        bytes(((x + 3 * t) * 16 // w) % 16 for y in range(h) for x in range(w))
+        for t in range(n)
+    ]
+    f_bands = [
+        bytes((y * 16 // h + 5 * t) % 16 for y in range(h) for x in range(w))
+        for t in range(n)
+    ]
+
+    def gif(frames, pal):
+        return tm._gif_bytes(w, h, frames, pal, min_code_size=4,
+                             delays=[10] * len(frames))
+
+    return {
+        "clip_a": (gif(f_scroll, pal_a), [(f, pal_a) for f in f_scroll]),
+        "clip_a_re": (gif(f_scroll, pal_re), [(f, pal_re) for f in f_scroll]),
+        "clip_a_sub": (gif(f_scroll[:3], pal_a), [(f, pal_a) for f in f_scroll[:3]]),
+        "clip_b": (gif(f_bands, pal_a), [(f, pal_a) for f in f_bands]),
+    }
+
+
+def expected_clip_pairs(clips: dict, hamming_threshold: int = 4,
+                        min_match_frac: float = 0.5) -> list[tuple]:
+    """Pure-python replay of the video_neardup_pairs CONTRACT over the
+    construction-parameter hashes: frame pairs within the Hamming
+    radius across different clips, per-clip distinct matched frames,
+    containment filter. This is the oracle pin — shared code with the
+    engine: none."""
+    w, h = 32, 24
+    sigs = {}  # clip -> [hash per frame]
+    for name, (_content, params) in clips.items():
+        sigs[name] = [
+            _indep_ahash(_indep_luma_raster(idx, pal, w, h))
+            for idx, pal in params
+        ]
+    names = sorted(sigs)
+    rows = []
+    for ia, a in enumerate(names):
+        for b in names[ia + 1 :]:
+            matched_a, matched_b, hams = set(), set(), []
+            for i, sa in enumerate(sigs[a]):
+                for j, sb in enumerate(sigs[b]):
+                    d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+                    if d <= hamming_threshold:
+                        matched_a.add(i)
+                        matched_b.add(j)
+                        hams.append(d)
+            if not hams:
+                continue
+            fa = len(matched_a) / len(sigs[a])
+            fb = len(matched_b) / len(sigs[b])
+            if max(fa, fb) >= min_match_frac:
+                rows.append((a, b, len(sigs[a]), len(sigs[b]),
+                             len(matched_a), len(matched_b),
+                             round(fa, 6), round(fb, 6), min(hams)))
+    return rows
+
+
+def main_clips() -> None:
+    outdir = os.path.join(REPO, "fixtures", "media", "clips")
+    os.makedirs(outdir, exist_ok=True)
+    clips = build_clips()
+    for name, (content, _params) in clips.items():
+        with open(os.path.join(outdir, f"{name}.bin"), "wb") as f:
+            f.write(content)
+    rows = expected_clip_pairs(clips)
+    # LOUD separation cross-check: the unrelated clip must not pair
+    if any("clip_b" in (r[0], r[1]) for r in rows):
+        raise SystemExit("clip_b pairs with the scroll family — redesign content")
+    if not any(set(r[:2]) == {"clip_a", "clip_a_re"} for r in rows):
+        raise SystemExit("re-encode pair missing — redesign content")
+    print("-- paste into the video_neardup_check oracle:")
+    for r in rows:
+        print(
+            f"    ('{r[0]}', '{r[1]}', CAST({r[2]} AS BIGINT), "
+            f"CAST({r[3]} AS BIGINT), CAST({r[4]} AS BIGINT), "
+            f"CAST({r[5]} AS BIGINT), CAST({r[6]} AS DOUBLE), "
+            f"CAST({r[7]} AS DOUBLE), CAST({r[8]} AS BIGINT)),"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--clips" in sys.argv:
+        main_clips()
+    else:
+        main()
