@@ -147,6 +147,7 @@ def image_hash_batch(
     hamming_threshold: int = 6,
     sig_col: str = "ahash",
     max_bucket: int = 1000,
+    cluster: bool = False,
 ) -> None:
     """Continuous image near-dup detection (r13): per micro-batch of
     (media_id, content) rows, perceptual hashes land under
@@ -160,7 +161,16 @@ def image_hash_batch(
 
     The pairs stream is POLICY-FREE: downstream decides (fold into a
     cluster table via graph.update_cluster_table, keep-first drop,
-    human-review queue). ``sig_col`` picks the signature ('ahash'
+    human-review queue). ``cluster=True`` (r14) performs that fold
+    inline: the batch's pairs land in the persisted cluster table at
+    ``{store}/clusters`` (created on the first pairing batch) via the
+    same affected-subgraph-only ``update_cluster_table`` the text tier
+    uses — media_id strings key the table directly (canonical = min id,
+    lexicographic), so images get the identical keep-best / savings /
+    quarantine downstream. Replay converges for the same reason the
+    text cluster stream's does: re-derived pairs are bit-identical
+    (own-partition exclusion) and folding an unchanged pair set is
+    idempotent. ``sig_col`` picks the signature ('ahash'
     default; 'dhash' for brightness-shifted re-crawl hunting). At scale:
     per-batch cost is one Arrow decode pass + the pigeonhole block
     probe of an (id, sig) store — 16 bytes per image, the cheapest
@@ -201,6 +211,27 @@ def image_hash_batch(
             hamming_threshold=hamming_threshold, max_bucket=max_bucket,
         )
         pairs = pairs.unionByName(vs_index).distinct()
+    if cluster:
+        import os
+
+        from commercepulse_data_pipeline_spark.operators import graph
+
+        # the pair set feeds BOTH the fold and the pairs write below —
+        # pin it once so the block-join lineage doesn't run twice
+        pairs = pairs.localCheckpoint(eager=True)
+        table_rows = f"{store_dir}/clusters/clusters"
+        if os.path.exists(table_rows) or os.path.exists(table_rows + ".old"):
+            graph.update_cluster_table(spark, f"{store_dir}/clusters", pairs)
+        elif pairs.limit(1).count():
+            graph.write_cluster_table(
+                graph.dedup_clusters(pairs),
+                f"{store_dir}/clusters",
+                provenance={
+                    "blocker": "sig_hamming", "sig_col": sig_col,
+                    "hamming_threshold": hamming_threshold,
+                    "max_bucket": max_bucket,
+                },
+            )
     pairs.write.mode("overwrite").parquet(
         f"{store_dir}/pairs/ingest_batch={batch_id}"
     )
@@ -221,10 +252,14 @@ def stream_image_hash_index(
     max_bucket: int = 1000,
     max_files_per_trigger: int = 10,
     trigger_once: bool = True,
+    cluster: bool = False,
 ):
     """Tail a directory of media parquet drops and maintain the
     perceptual-hash store + continuous near-dup pair stream. Returns the
-    started query; ``{store}/pairs`` is the policy-free match feed."""
+    started query; ``{store}/pairs`` is the policy-free match feed.
+    ``cluster=True`` additionally folds each batch's pairs into the
+    persisted cluster table at ``{store}/clusters`` (see
+    :func:`image_hash_batch`)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -235,7 +270,7 @@ def stream_image_hash_index(
         image_hash_batch(
             batch_df, batch_id, store_dir,
             hamming_threshold=hamming_threshold, sig_col=sig_col,
-            max_bucket=max_bucket,
+            max_bucket=max_bucket, cluster=cluster,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

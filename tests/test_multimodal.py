@@ -2016,3 +2016,71 @@ def test_video_neardup_pairs_re_encode_and_containment(spark):
     assert sub_pair.n_matched_b == 3 and sub_pair.frac_b == 1.0
     assert not any("clip_b" in k for k in pairs)
     assert not any("junk" in k or "still" in k for k in pairs)
+
+
+def test_stream_image_hash_cluster_table(spark, tmp_path):
+    """image_hash_batch(cluster=True) (r14, VERDICT r13 item 7): the
+    image pair feed folds into the SAME persisted cluster-table artifact
+    the text tier maintains — a re-crawled image arriving two batches
+    after its original lands in the original's cluster (canonical =
+    lexicographic min media_id), unrelated images stay singletons (no
+    row), and a direct batch replay leaves the table unchanged (fold of
+    an identical pair set is idempotent)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+        read_cluster_table_meta,
+    )
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        image_hash_batch,
+        stream_image_hash_index,
+    )
+
+    rng = np.random.default_rng(47)
+    pic = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+    recrawl = pic.copy()
+    recrawl[::8, ::8] = np.clip(recrawl[::8, ::8].astype(int) + 9, 0, 255)
+    other = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+
+    drops = [
+        [("orig", _ppm_from_gray(pic))],
+        [("other", _ppm_from_gray(other))],
+        [("recrawl", _ppm_from_gray(recrawl))],
+    ]
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "media_id string, content binary").coalesce(
+            1
+        ).write.parquet(f"{incoming}/d{i}")
+        for f in os.listdir(f"{incoming}/d{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{incoming}/d{i}/{f}", f"{incoming}/b{i}_{f}")
+        shutil.rmtree(f"{incoming}/d{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_image_hash_index(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True, cluster=True,
+    )
+    q.awaitTermination()
+
+    table = sorted(
+        map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
+    )
+    assert table == [("orig", "orig", 2), ("recrawl", "orig", 2)]
+    assert read_cluster_table_meta(spark, f"{store}/clusters")["blocker"] == (
+        "sig_hamming"
+    )
+
+    # replay the pairing batch: identical pair set folds to the same table
+    last = spark.createDataFrame(drops[2], "media_id string, content binary")
+    image_hash_batch(last, 2, store, cluster=True)
+    again = sorted(
+        map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
+    )
+    assert again == table
