@@ -4450,6 +4450,44 @@ def q_video_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup regression pin, oracle-backed (r14 —
+    multimodal.audio_pcm_mono + audio_ehash64 + audio_hash): the
+    checked-in audio fixtures (fixtures/media/audio/*.bin, deterministic
+    integer waveforms from tools/make_media_fixtures.py --audio) flow
+    through the Arrow-batched PCM-decode + energy-envelope-hash path.
+    Pins from an INDEPENDENT pure-python walk over the CONSTRUCTION
+    SAMPLES (no decoder involved); the generator aborts unless the
+    lossless WAV->FLAC re-encode and the exact-2x gain copy pin
+    IDENTICAL hashes (losslessness + the hash's exact gain invariance —
+    the properties the tier exists for) and the unrelated waveform stays
+    far. The mp3 row is the documented lossy-codec boundary: metadata
+    decodes, PCM does not -> tolerant NULL row. ehash feeds
+    dedup.sig_hamming_pairs(sig_col='ehash') unchanged — audio is the
+    third modality on the same Hamming machinery."""
+    import os
+
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    adir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "media", "audio",
+    )
+    rows = []
+    for fn in sorted(os.listdir(adir)):
+        if fn.endswith(".bin"):
+            with open(os.path.join(adir, fn), "rb") as f:
+                rows.append((fn[:-4], f.read()))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    return mm.audio_hash(media).select(
+        "media_id",
+        "ehash",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("ehash").isNotNull().cast("long").alias("decodable"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
     # the number of rows it records (~50; r8-r13 recorded exactly 50). r14
@@ -4506,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --    wiring flips its jpeg fixture row to decodable=1)
         "image_ahash_check": q_image_ahash_check,
         "video_neardup_check": q_video_neardup_check,
+        "audio_hash_check": q_audio_hash_check,
         # -- r12-green block: every entry below has a green row in
         # --    CORRECTNESS_r12.json
         "revenue_cube": q_revenue_cube,
@@ -6665,6 +6704,15 @@ def oracle_sql() -> dict[str, str]:
                 ('clip_a', 'clip_a_sub', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT)),
                 ('clip_a_re', 'clip_a_sub', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT))
             ) AS t(id_a, id_b, n_frames_a, n_frames_b, n_matched_a, n_matched_b, frac_a, frac_b, min_hamming)
+        """,
+        "audio_hash_check": """
+            SELECT * FROM (VALUES
+                ('mp3', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT)),
+                ('other_wav', CAST(-5378799039914912670 AS BIGINT), CAST(4000 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT)),
+                ('tone_flac', CAST(6510748030410732965 AS BIGINT), CAST(4000 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT)),
+                ('tone_gain2', CAST(6510748030410732965 AS BIGINT), CAST(4000 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT)),
+                ('tone_wav', CAST(6510748030410732965 AS BIGINT), CAST(4000 AS BIGINT), CAST(8000 AS BIGINT), CAST(1 AS BIGINT))
+            ) AS t(media_id, ehash, n_samples, sample_rate, decodable)
         """,
         "dup_clusters_incremental": f"""
             WITH RECURSIVE {_MINHASH_PAIRS_CTE},

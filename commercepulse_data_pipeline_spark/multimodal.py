@@ -2105,3 +2105,184 @@ def video_neardup_pairs(
         F.round(frac_b, 6).alias("frac_b"),
         "min_hamming",
     ).where(F.greatest(frac_a, frac_b) >= F.lit(min_match_frac))
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup (r14): temporal energy-envelope hash over REAL PCM ->
+# the same Hamming machinery — the third modality on sig_hamming_pairs
+# ---------------------------------------------------------------------------
+# The decodable-to-samples formats in-tree are WAV (RIFF/PCM) and FLAC
+# (full lossless sample decode, CRC-verified) — so a WAV->FLAC re-encode
+# of the same recording yields BIT-IDENTICAL PCM and an IDENTICAL hash,
+# and the envelope hash's gradient-sign construction makes it exactly
+# invariant under constant gain scaling (every window energy scales by
+# the same factor; the exact integer comparisons are unchanged). Lossy
+# codecs (MP3/Vorbis/Opus) stay at the documented metadata boundary.
+
+
+def audio_pcm_mono(content: bytes) -> tuple[int, list]:
+    """Decode an audio payload to (sample_rate, mono int samples):
+    RIFF/PCM WAV (format 1; 8-bit unsigned, 16/24/32-bit signed LE) and
+    FLAC (via the bit-exact :func:`_flac_pcm`). Multi-channel mixes down
+    as per-sample ``sum(channels) // n_channels`` — floor division, so
+    the mixdown replays identically anywhere. Anything else raises
+    ValueError (the tolerant wrapper turns that into an err row)."""
+    import struct
+
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        fmt = None
+        data = b""
+        pos = 12
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            csz = struct.unpack_from("<I", content, pos + 4)[0]
+            body = content[pos + 8 : pos + 8 + csz]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + csz + (csz & 1)
+        if fmt is None:
+            raise ValueError("WAV without a valid fmt chunk")
+        audio_fmt, n_ch, rate, _brate, _align, bits = fmt
+        if audio_fmt != 1:
+            raise ValueError(f"unsupported WAV format code {audio_fmt} (PCM only)")
+        if bits not in (8, 16, 24, 32) or n_ch < 1:
+            raise ValueError(f"unsupported WAV layout (bits={bits}, ch={n_ch})")
+        nbytes = bits // 8
+        frame = nbytes * n_ch
+        n = len(data) // frame
+        samples = []
+        for i in range(n):
+            acc = 0
+            base = i * frame
+            for c in range(n_ch):
+                off = base + c * nbytes
+                if bits == 8:
+                    acc += data[off] - 128
+                else:
+                    acc += int.from_bytes(
+                        data[off : off + nbytes], "little", signed=True
+                    )
+            samples.append(acc // n_ch)
+        return rate, samples
+    if content[:4] == b"fLaC":
+        # one metadata walk: STREAMINFO rate/bps + the frames offset
+        pos, rate, bps = 4, None, None
+        while pos + 4 <= len(content):
+            hdr = content[pos]
+            blen = int.from_bytes(content[pos + 1 : pos + 4], "big")
+            body = content[pos + 4 : pos + 4 + blen]
+            if (hdr & 0x7F) == 0 and rate is None:
+                if len(body) < 18:
+                    raise ValueError("truncated FLAC STREAMINFO block")
+                rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+                bps = (((body[12]) & 0x01) << 4 | (body[13] >> 4)) + 1
+            pos += 4 + blen
+            if hdr & 0x80:
+                break
+        if rate is None or not rate:
+            raise ValueError("FLAC container without a valid STREAMINFO")
+        if not (
+            pos + 2 <= len(content)
+            and content[pos] == 0xFF
+            and (content[pos + 1] & 0xFC) == 0xF8
+        ):
+            raise ValueError("FLAC payload has no audio frames to hash")
+        pcm_rate, channels = _flac_pcm(content, pos, rate, bps)
+        if not channels or not channels[0]:
+            raise ValueError("FLAC payload decoded to zero samples")
+        n_ch = len(channels)
+        n = len(channels[0])
+        if n_ch == 1:
+            return pcm_rate or rate, list(channels[0])
+        samples = [
+            sum(ch[i] for ch in channels) // n_ch for i in range(n)
+        ]
+        return pcm_rate or rate, samples
+    raise ValueError("unsupported audio container for PCM decode")
+
+
+def audio_ehash64(samples) -> int:
+    """64-bit temporal energy-envelope hash: split the sample sequence
+    into 65 windows (same boundary guards as the image grid), per-window
+    energy = sum of |sample| (exact integers), bit k set iff window k's
+    MEAN energy < window k+1's — the dHash construction along the time
+    axis, compared exactly as sum_a * n_b < sum_b * n_a. Gain-invariant
+    by construction: scaling every sample by a positive constant scales
+    both sides of each comparison equally. Signed-64 storage (the
+    simhash convention), so ``dedup.sig_hamming_pairs`` applies
+    unchanged."""
+    n = len(samples)
+    if n < 1:
+        raise ValueError("empty sample sequence")
+    wins = []
+    for k in range(65):
+        a, b = (k * n) // 65, ((k + 1) * n) // 65
+        b = max(b, a + 1) if a < n else n
+        a = min(a, n - 1)
+        e = 0
+        for i in range(a, b):
+            v = samples[i]
+            e += v if v >= 0 else -v
+        wins.append((e, b - a))
+    sig = 0
+    for k in range(64):
+        (ea, na), (eb, nb) = wins[k], wins[k + 1]
+        if ea * nb < eb * na:
+            sig |= 1 << k
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("ehash", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def audio_hash(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    batch_rows: int = 32,
+) -> DataFrame:
+    """Per-row audio energy-envelope hash, Arrow-batched — the audio
+    sibling of :func:`image_ahash`. Undecodable payloads yield
+    (ehash NULL, err) tolerant rows. Output feeds the text/image Hamming
+    machinery directly: ``dedup.sig_hamming_pairs(audio_hash(media)
+    .where("ehash is not null"), id_col="media_id", sig_col="ehash")``
+    is audio near-dup dedup."""
+    src = media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in _chunked(batches, batch_rows):
+            out = []
+            for _, row in pdf.iterrows():
+                rec = {
+                    "media_id": row["media_id"], "ehash": None,
+                    "n_samples": None, "sample_rate": None, "err": None,
+                }
+                try:
+                    rate, samples = audio_pcm_mono(bytes(row["content"]))
+                    rec["ehash"] = audio_ehash64(samples)
+                    rec["n_samples"] = len(samples)
+                    rec["sample_rate"] = int(rate)
+                except Exception as exc:  # noqa: BLE001 — tolerant by contract
+                    rec["err"] = f"{type(exc).__name__}: {exc}"
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_HASH_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, AUDIO_HASH_SCHEMA)

@@ -2084,3 +2084,111 @@ def test_stream_image_hash_cluster_table(spark, tmp_path):
         map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
     )
     assert again == table
+
+
+def _wav_from_samples(samples, rate=8000, channels=1) -> bytes:
+    """Independent mono/stereo 16-bit RIFF/PCM encoder from explicit
+    samples (``samples`` is per-channel lists when channels > 1)."""
+    import struct
+
+    if channels == 1:
+        frames = [(s,) for s in samples]
+    else:
+        frames = list(zip(*samples))
+    data = b"".join(
+        struct.pack(f"<{channels}h", *f) for f in frames
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _audio_test_samples(kind: str, n: int = 4000):
+    """Deterministic integer waveforms (no FP): triangle + square +
+    small pseudo-noise; 'other' uses different periods/phases."""
+    out = []
+    for i in range(n):
+        if kind == "tone":
+            tri = abs((i % 200) - 100) - 50          # period 200
+            sq = 20 if (i // 75) % 2 else -20        # period 150
+            noise = (i * 7919) % 31 - 15
+            out.append(tri * 40 + sq + noise)
+        elif kind == "other":
+            tri = abs((i % 37) - 18) - 9
+            sq = 30 if (i // 260) % 2 else -30
+            out.append(tri * 25 + sq * 40 + ((i * 104729) % 61 - 30))
+        else:
+            raise ValueError(kind)
+    return out
+
+
+def test_audio_hash_cross_format_gain_invariance_and_pairs(spark):
+    """Audio near-dup tier (r14): a WAV->FLAC re-encode of the SAME
+    recording hashes IDENTICALLY (FLAC is lossless — bit-identical PCM),
+    a 2x gain copy hashes IDENTICALLY (the envelope hash's gradient-sign
+    construction is exactly gain-invariant), a soft-scaled copy lands
+    within a small radius, an unrelated recording stays far, a stereo
+    L=R spread mixes down to the same mono hash, junk is a tolerant err
+    row — and sig_hamming_pairs surfaces exactly the near-dup family."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        audio_ehash64,
+        audio_hash,
+        audio_pcm_mono,
+    )
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs,
+    )
+
+    tone = _audio_test_samples("tone")
+    other = _audio_test_samples("other")
+    gain2 = [s * 2 for s in tone]
+    soft = [(s * 7) // 10 for s in tone]
+
+    wav = _wav_from_samples(tone)
+    fr1 = _flac_frame_enc([tone[:2000]], 16, 0, ["verbatim"])
+    fr2 = _flac_frame_enc([tone[2000:]], 16, 1, ["verbatim"])
+    flac = _flac_full([tone], 16, 8000, [fr1, fr2])
+
+    # decode sanity: both containers round-trip the exact samples
+    rate_w, pcm_w = audio_pcm_mono(wav)
+    rate_f, pcm_f = audio_pcm_mono(flac)
+    assert (rate_w, pcm_w) == (8000, tone)
+    assert (rate_f, pcm_f) == (8000, tone)
+
+    media = spark.createDataFrame(
+        [
+            ("wav", wav),
+            ("flac", flac),
+            ("gain2", _wav_from_samples(gain2)),
+            ("soft", _wav_from_samples(soft)),
+            ("stereo", _wav_from_samples([tone, tone], channels=2)),
+            ("other", _wav_from_samples(other)),
+            ("junk", b"definitely not audio"),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r.media_id: r for r in audio_hash(media).collect()}
+    want = audio_ehash64(tone)
+    assert out["wav"].ehash == out["flac"].ehash == want
+    assert out["wav"].n_samples == 4000 and out["wav"].sample_rate == 8000
+    assert out["gain2"].ehash == want      # exact gain invariance
+    assert out["stereo"].ehash == want     # L=R mixdown == mono
+    assert out["junk"].ehash is None and out["junk"].err is not None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out["soft"].ehash, want) <= 4
+    assert ham(out["other"].ehash, want) > 12
+
+    sigs = audio_hash(media).where("ehash is not null").select(
+        "media_id", "ehash"
+    )
+    pairs = {frozenset((r.id_a, r.id_b)) for r in sig_hamming_pairs(
+        sigs, id_col="media_id", sig_col="ehash", hamming_threshold=4
+    ).collect()}
+    family = {"wav", "flac", "gain2", "soft", "stereo"}
+    assert pairs == {frozenset(p) for p in
+                     __import__("itertools").combinations(sorted(family), 2)}

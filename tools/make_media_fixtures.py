@@ -335,8 +335,106 @@ def main_clips() -> None:
         )
 
 
+def _indep_ehash(samples) -> int:
+    """Independent audio energy-envelope hash walk (pure python, no
+    multimodal import) — the documented convention: 65 windows with the
+    grid boundary guards, energy = sum |x|, bit k iff mean energy rises
+    from window k to k+1 (exact integer cross-multiply), signed-64."""
+    n = len(samples)
+    wins = []
+    for k in range(65):
+        a, b = (k * n) // 65, ((k + 1) * n) // 65
+        b = max(b, a + 1) if a < n else n
+        a = min(a, n - 1)
+        wins.append((sum(abs(v) for v in samples[a:b]), b - a))
+    sig = 0
+    for k in range(64):
+        (ea, na), (eb, nb) = wins[k], wins[k + 1]
+        if ea * nb < eb * na:
+            sig |= 1 << k
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def _audio_samples(kind: str, n: int = 4000) -> list[int]:
+    """Deterministic integer waveforms shared with the audio fixtures —
+    triangle + square + pseudo-noise, all integer arithmetic."""
+    out = []
+    for i in range(n):
+        if kind == "tone":
+            tri = abs((i % 200) - 100) - 50
+            sq = 20 if (i // 75) % 2 else -20
+            out.append(tri * 40 + sq + ((i * 7919) % 31 - 15))
+        else:  # 'other'
+            tri = abs((i % 37) - 18) - 9
+            sq = 30 if (i // 260) % 2 else -30
+            out.append(tri * 25 + sq * 40 + ((i * 104729) % 61 - 30))
+    return out
+
+
+def _wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_audio() -> dict[str, tuple[bytes, list[int] | None]]:
+    """Audio near-dup fixtures (r14): (bytes, construction samples) —
+    expected hashes derive from the SAMPLES via the independent walk,
+    never from decoding the bytes. The FLAC entry re-encodes the SAME
+    samples (losslessly), the gain entry scales them exactly 2x, the mp3
+    entry is the documented lossy boundary (metadata-only -> err row)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    tone = _audio_samples("tone")
+    other = _audio_samples("other")
+    gain2 = [s * 2 for s in tone]
+    fr1 = tm._flac_frame_enc([tone[:2000]], 16, 0, ["verbatim"])
+    fr2 = tm._flac_frame_enc([tone[2000:]], 16, 1, ["verbatim"])
+    return {
+        "tone_wav": (_wav_pcm16(tone), tone),
+        "tone_flac": (tm._flac_full([tone], 16, 8000, [fr1, fr2]), tone),
+        "tone_gain2": (_wav_pcm16(gain2), gain2),
+        "other_wav": (_wav_pcm16(other), other),
+        "mp3": (tm._mp3_frames(20, version=1), None),
+    }
+
+
+def main_audio() -> None:
+    outdir = os.path.join(REPO, "fixtures", "media", "audio")
+    os.makedirs(outdir, exist_ok=True)
+    audio = build_audio()
+    rows = []
+    for name in sorted(audio):
+        content, samples = audio[name]
+        with open(os.path.join(outdir, f"{name}.bin"), "wb") as f:
+            f.write(content)
+        if samples is None:
+            rows.append((name, None, None, None, 0))
+        else:
+            rows.append((name, _indep_ehash(samples), len(samples), 8000, 1))
+    # LOUD cross-checks: lossless re-encode + exact gain invariance must
+    # pin IDENTICAL hashes; the unrelated waveform must stay far
+    pin = {r[0]: r[1] for r in rows}
+    if not (pin["tone_wav"] == pin["tone_flac"] == pin["tone_gain2"]):
+        raise SystemExit("lossless/gain invariance broke — redesign")
+    d = bin((pin["tone_wav"] ^ pin["other_wav"]) & ((1 << 64) - 1)).count("1")
+    if d <= 12:
+        raise SystemExit(f"other too close (hamming {d}) — redesign content")
+    print("-- paste into the audio_hash_check oracle:")
+    for r in rows:
+        eh = "CAST(NULL AS BIGINT)" if r[1] is None else f"CAST({r[1]} AS BIGINT)"
+        ns = "CAST(NULL AS BIGINT)" if r[2] is None else f"CAST({r[2]} AS BIGINT)"
+        sr = "CAST(NULL AS BIGINT)" if r[3] is None else f"CAST({r[3]} AS BIGINT)"
+        print(f"    ('{r[0]}', {eh}, {ns}, {sr}, CAST({r[4]} AS BIGINT)),")
+
+
 if __name__ == "__main__":
     if "--clips" in sys.argv:
         main_clips()
+    elif "--audio" in sys.argv:
+        main_audio()
     else:
         main()
