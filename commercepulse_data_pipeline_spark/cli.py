@@ -818,6 +818,71 @@ def cmd_media_features(args) -> int:
     return 0
 
 
+def cmd_media_dedup(args) -> int:
+    """Batch media near-dup detection (r14): read a parquet of
+    (media_id, content binary) rows, hash through the modality's
+    Arrow-batched path, emit the near-dup pair table — and, with
+    ``--cluster-table``, fold the pairs into a persisted cluster-table
+    artifact so media gets the same keep-best / savings / quarantine
+    downstream as text. ``--modality image`` uses aHash (or dHash with
+    ``--sig dhash``) per still image; ``video`` hashes EVERY decodable
+    frame and pairs clips by containment (``video_neardup_pairs``);
+    ``audio`` uses the gain-invariant energy-envelope hash. Undecodable
+    payloads are counted and skipped (tolerant err rows), never fail
+    the job."""
+    import os
+
+    from commercepulse_data_pipeline_spark import multimodal as mm
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    spark = _spark()
+    media = spark.read.parquet(args.media)
+    if args.modality == "video":
+        frames = mm.video_frame_hashes(
+            media, max_frames=args.max_frames
+        ).localCheckpoint(eager=True)
+        n_bad = frames.where(F.col("err").isNotNull()).count()
+        pairs = mm.video_neardup_pairs(
+            frames, sig_col=args.sig if args.sig != "ehash" else "ahash",
+            hamming_threshold=args.hamming, min_match_frac=args.min_match_frac,
+        )
+        pair_edges = pairs.select("id_a", "id_b")
+    else:
+        if args.modality == "image":
+            hashes = mm.image_ahash(media).localCheckpoint(eager=True)
+            sig = args.sig if args.sig in ("ahash", "dhash") else "ahash"
+        else:
+            hashes = mm.audio_hash(media).localCheckpoint(eager=True)
+            sig = "ehash"
+        n_bad = hashes.where(F.col("err").isNotNull()).count()
+        pairs = dd.sig_hamming_pairs(
+            hashes.where(F.col(sig).isNotNull()).select("media_id", sig),
+            id_col="media_id", sig_col=sig,
+            hamming_threshold=args.hamming, max_bucket=args.max_bucket,
+        )
+        pair_edges = pairs.select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+    n_pairs = pairs.count()
+    if args.cluster_table:
+        table_path = os.path.join(args.out, "clusters")
+        graph.write_cluster_table(
+            graph.dedup_clusters(pair_edges),
+            table_path,
+            provenance={
+                "modality": args.modality, "sig": args.sig,
+                "hamming_threshold": args.hamming,
+            },
+        )
+        print(f"media-dedup: cluster table at {table_path}")
+    print(
+        f"media-dedup[{args.modality}]: {n_pairs} near-dup pairs "
+        f"({n_bad} undecodable skipped) -> {args.out}/pairs"
+    )
+    return 0
+
+
 def cmd_cluster_table(args) -> int:
     """Build the corpus's near-dup CLUSTER TABLE once and persist it as
     the report artifact (operators/graph.py::write_cluster_table): MinHash
@@ -1222,6 +1287,27 @@ def main(argv: list[str] | None = None) -> int:
     mf.add_argument("--strict", action="store_true",
                     help="fail on undecodable payloads (default: quarantine as decode_error rows)")
     mf.set_defaults(fn=cmd_media_features)
+
+    md = sub.add_parser(
+        "media-dedup",
+        help="near-dup pair table (+ optional cluster table) over a media parquet",
+    )
+    md.add_argument("--media", required=True,
+                    help="parquet with (media_id, content binary)")
+    md.add_argument("--out", required=True)
+    md.add_argument("--modality", choices=("image", "video", "audio"),
+                    default="image")
+    md.add_argument("--sig", choices=("ahash", "dhash", "ehash"),
+                    default="ahash",
+                    help="signature column (image: ahash/dhash; audio always ehash)")
+    md.add_argument("--hamming", type=int, default=4)
+    md.add_argument("--min-match-frac", type=float, default=0.5,
+                    help="video: containment fraction a pair must reach")
+    md.add_argument("--max-frames", type=int, default=16)
+    md.add_argument("--max-bucket", type=int, default=1000)
+    md.add_argument("--cluster-table", action="store_true",
+                    help="also persist a cluster-table artifact from the pairs")
+    md.set_defaults(fn=cmd_media_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -813,3 +813,73 @@ def test_clean_corpus_drop_code_gate(spark, tmp_path):
          spark.read.parquet(str(tmp_path / "out/quarantine")).collect()}
     assert kept == {2, 3}
     assert q == {1: "code"}
+
+
+def test_media_dedup_cli_image_and_audio(spark, tmp_path):
+    """media-dedup (r14): the CLI form of the media near-dup tiers —
+    image mode pairs a re-crawled near-copy with its original and
+    persists a cluster-table artifact the dedup-report consumers accept;
+    audio mode pairs a WAV with its lossless FLAC re-encode; undecodable
+    payloads are counted and skipped."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import test_multimodal as tm
+
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+        read_cluster_table_meta,
+    )
+
+    rng = np.random.default_rng(53)
+    pic = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+    recrawl = pic.copy()
+    recrawl[::8, ::8] = np.clip(recrawl[::8, ::8].astype(int) + 9, 0, 255)
+    other = rng.integers(0, 256, size=(24, 36), dtype=np.uint8)
+    img_path = str(tmp_path / "imgs")
+    spark.createDataFrame(
+        [
+            ("orig", tm._ppm_from_gray(pic)),
+            ("recrawl", tm._ppm_from_gray(recrawl)),
+            ("other", tm._ppm_from_gray(other)),
+            ("junk", b"nope"),
+        ],
+        "media_id string, content binary",
+    ).write.parquet(img_path)
+    img_out = str(tmp_path / "img_out")
+    assert cli.main([
+        "media-dedup", "--media", img_path, "--out", img_out,
+        "--modality", "image", "--hamming", "6", "--cluster-table",
+    ]) == 0
+    pairs = {(r.id_a, r.id_b) for r in
+             spark.read.parquet(f"{img_out}/pairs").collect()}
+    assert pairs == {("orig", "recrawl")}
+    table = sorted(map(tuple, read_cluster_table(
+        spark, f"{img_out}/clusters").collect()))
+    assert table == [("orig", "orig", 2), ("recrawl", "orig", 2)]
+    assert read_cluster_table_meta(
+        spark, f"{img_out}/clusters")["modality"] == "image"
+
+    tone = tm._audio_test_samples("tone")
+    fr1 = tm._flac_frame_enc([tone[:2000]], 16, 0, ["verbatim"])
+    fr2 = tm._flac_frame_enc([tone[2000:]], 16, 1, ["verbatim"])
+    aud_path = str(tmp_path / "auds")
+    spark.createDataFrame(
+        [
+            ("wav", tm._wav_from_samples(tone)),
+            ("flac", tm._flac_full([tone], 16, 8000, [fr1, fr2])),
+            ("other", tm._wav_from_samples(tm._audio_test_samples("other"))),
+        ],
+        "media_id string, content binary",
+    ).write.parquet(aud_path)
+    aud_out = str(tmp_path / "aud_out")
+    assert cli.main([
+        "media-dedup", "--media", aud_path, "--out", aud_out,
+        "--modality", "audio", "--hamming", "4",
+    ]) == 0
+    apairs = {(r.id_a, r.id_b) for r in
+              spark.read.parquet(f"{aud_out}/pairs").collect()}
+    assert apairs == {("flac", "wav")}
