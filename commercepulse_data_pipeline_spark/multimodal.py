@@ -12,6 +12,15 @@ decode (MP3 PCM, H.264 frames, Vorbis/Opus…) stays behind a
 clearly-marked ``NotImplementedError``, and ``DeterministicFakeDecoder``
 remains the test stand-in for arbitrary bytes.
 
+Near-dup dedup covers all three modalities on ONE pair machinery
+(``dedup.sig_hamming_pairs`` — the signature-agnostic SimHash pigeonhole
+core): images via aHash/dHash over decoded rasters (BMP/PPM/PNG/GIF and,
+r14, baseline JPEG — the dominant web-crawl format), video via per-frame
+hashes + containment aggregation (``video_frame_hashes`` /
+``video_neardup_pairs``, all-frames GIF decode), audio via a
+gain-invariant temporal energy-envelope hash over REAL PCM
+(``audio_pcm_mono`` / ``audio_ehash64`` — WAV and lossless FLAC).
+
 Scale design:
 - media rows are big → ``repartition`` by size budget before mapInPandas
   so each Arrow batch stays within executor memory
