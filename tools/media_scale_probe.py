@@ -33,13 +33,26 @@ def _clip_bytes(seed: int, reencode: bool) -> bytes:
     pal = bytes(
         min(255, v + shift) for i in range(16) for v in ((i * 16 + 4),) * 3
     )
-    # per-seed distinct content: phase/periods keyed off the seed
-    frames = [
-        bytes(
-            ((x + (seed % 7) + 3 * t) * 16 // w + (seed * 5) % 16) % 16
-            for y in range(h)
-            for x in range(w)
+    # per-seed UNIQUE content: a Weyl-hash noise field keyed on (seed,
+    # x, y) + a motion term — distinct seeds hash ~uniformly far apart,
+    # so the only near-dup families are the PLANTED re-encodes. (Two
+    # earlier designs collided: a shared gradient rotated per seed
+    # collapsed into one bucket family — 30k unintended pairs at n=330,
+    # then a zero-pair bucket-cap collapse at 10x; a low-entropy
+    # frequency/orientation family still paired quadratically.)
+    def mix(x: int, y: int, t: int) -> int:
+        # murmur-style finalizer over xor'd coordinates — NONLINEAR in
+        # the seed (a linear Weyl offset made every clip a translate of
+        # one global pattern, which is exactly what aHash matches)
+        v = (x * 73856093) ^ (y * 19349663) ^ (seed * 83492791) ^ (
+            t * 2971215073
         )
+        v &= 0xFFFFFFFF
+        v = ((v ^ (v >> 13)) * 0x5BD1E995) & 0xFFFFFFFF
+        return (v ^ (v >> 15)) % 16
+
+    frames = [
+        bytes(mix(x, y, t) for y in range(h) for x in range(w))
         for t in range(n)
     ]
     return tm._gif_bytes(w, h, frames, pal, min_code_size=4,
@@ -50,14 +63,24 @@ def _wav_bytes_for(seed: int, gain2: bool) -> bytes:
     import struct
 
     n = 2000
-    p1 = 40 + (seed % 160)
-    p2 = 60 + (seed * 3) % 200
+    # per-seed unique ENVELOPE: the ehash bits are the 65-window energy
+    # gradient, so each of the 64 windows gets a seed-keyed pseudo-random
+    # amplitude level (Weyl hash over (seed, window)) — distinct seeds
+    # hash ~uniformly far apart and only the planted gain copies pair
     g = 2 if gain2 else 1
+    p1 = 40 + (seed * 7) % 163
     data = bytearray()
+    win = max(1, n // 64)
+
+    def level(k: int) -> int:
+        v = (k * 19349663) ^ (seed * 83492791)
+        v &= 0xFFFFFFFF
+        v = ((v ^ (v >> 13)) * 0x5BD1E995) & 0xFFFFFFFF
+        return 1 + (v ^ (v >> 15)) % 40
+
     for i in range(n):
         tri = abs((i % p1) - p1 // 2) - p1 // 4
-        sq = 20 if (i // p2) % 2 else -20
-        v = (tri * 40 + sq + ((i * 7919) % 31 - 15)) * g
+        v = (tri * level(i // win) + ((i * 7919) % 31 - 15)) * g
         data += struct.pack("<h", max(-32768, min(32767, v)))
     fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
