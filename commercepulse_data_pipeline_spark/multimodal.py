@@ -1770,6 +1770,27 @@ def dhash64(gray) -> int:
     return sig
 
 
+def _exact_frame(records: list, schema: "T.StructType") -> "pd.DataFrame":
+    """Build the pandas chunk a hash UDF yields WITHOUT pandas' silent
+    None -> float64 column coercion: `pd.DataFrame(list_of_dicts)` turns
+    an int column containing any None into float64, ROUNDING every
+    64-bit hash in the chunk past 2^53 (caught r14: an undecodable
+    payload sharing an Arrow chunk with real ones corrupted its
+    neighbors' hashes — test frames had hidden it because tiny
+    DataFrames spread rows one-per-partition). Object-dtype Series
+    preserve python ints exactly; Arrow converts them to the declared
+    schema types on the way out."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            f.name: pd.Series([r.get(f.name) for r in records], dtype=object)
+            for f in schema.fields
+        },
+        columns=[f.name for f in schema.fields],
+    )
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
@@ -1821,7 +1842,7 @@ def image_ahash(
                 except Exception as exc:  # noqa: BLE001 — tolerant by contract
                     rec["err"] = f"{type(exc).__name__}: {exc}"
                 out.append(rec)
-            yield pd.DataFrame(out, columns=[f.name for f in AHASH_SCHEMA.fields])
+            yield _exact_frame(out, AHASH_SCHEMA)
 
     return src.mapInPandas(run, AHASH_SCHEMA)
 
@@ -2017,9 +2038,7 @@ def video_frame_hashes(
                             "err": f"{type(exc).__name__}: {exc}",
                         }
                     )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in FRAME_HASH_SCHEMA.fields]
-            )
+            yield _exact_frame(out, FRAME_HASH_SCHEMA)
 
     return src.mapInPandas(run, FRAME_HASH_SCHEMA)
 
@@ -2290,8 +2309,6 @@ def audio_hash(
                 except Exception as exc:  # noqa: BLE001 — tolerant by contract
                     rec["err"] = f"{type(exc).__name__}: {exc}"
                 out.append(rec)
-            yield pd.DataFrame(
-                out, columns=[f.name for f in AUDIO_HASH_SCHEMA.fields]
-            )
+            yield _exact_frame(out, AUDIO_HASH_SCHEMA)
 
     return src.mapInPandas(run, AUDIO_HASH_SCHEMA)

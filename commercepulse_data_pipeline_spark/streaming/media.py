@@ -148,6 +148,7 @@ def image_hash_batch(
     sig_col: str = "ahash",
     max_bucket: int = 1000,
     cluster: bool = False,
+    modality: str = "image",
 ) -> None:
     """Continuous image near-dup detection (r13): per micro-batch of
     (media_id, content) rows, perceptual hashes land under
@@ -175,7 +176,10 @@ def image_hash_batch(
     per-batch cost is one Arrow decode pass + the pigeonhole block
     probe of an (id, sig) store — 16 bytes per image, the cheapest
     image-dedup index there is."""
-    from commercepulse_data_pipeline_spark.multimodal import image_ahash
+    from commercepulse_data_pipeline_spark.multimodal import (
+        audio_hash,
+        image_ahash,
+    )
     from commercepulse_data_pipeline_spark.operators import dedup as dd
     from commercepulse_data_pipeline_spark.sources.readers import (
         fold_consistent_read,
@@ -185,7 +189,15 @@ def image_hash_batch(
     from pyspark.sql import functions as F
 
     spark = batch_df.sparkSession
-    hashes = image_ahash(batch_df).localCheckpoint(eager=True)
+    if modality == "audio":
+        # the audio sibling (r14): the gain-invariant energy-envelope
+        # hash replaces the image hashes; everything downstream — the
+        # 8-byte/item sig store, the pigeonhole probe, the pair feed,
+        # the optional cluster fold — is signature-agnostic already
+        hasher, sig_col = audio_hash, "ehash"
+    else:
+        hasher = image_ahash
+    hashes = hasher(batch_df).localCheckpoint(eager=True)
     sigs = hashes.where(F.col(sig_col).isNotNull()).select(
         "media_id", F.col(sig_col).alias("sig")
     )
@@ -253,13 +265,16 @@ def stream_image_hash_index(
     max_files_per_trigger: int = 10,
     trigger_once: bool = True,
     cluster: bool = False,
+    modality: str = "image",
 ):
     """Tail a directory of media parquet drops and maintain the
     perceptual-hash store + continuous near-dup pair stream. Returns the
     started query; ``{store}/pairs`` is the policy-free match feed.
     ``cluster=True`` additionally folds each batch's pairs into the
-    persisted cluster table at ``{store}/clusters`` (see
-    :func:`image_hash_batch`)."""
+    persisted cluster table at ``{store}/clusters``;
+    ``modality="audio"`` (r14) swaps in the gain-invariant audio
+    energy-envelope hash — the store/probe/pair/cluster plumbing is
+    signature-agnostic (see :func:`image_hash_batch`)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -270,7 +285,7 @@ def stream_image_hash_index(
         image_hash_batch(
             batch_df, batch_id, store_dir,
             hamming_threshold=hamming_threshold, sig_col=sig_col,
-            max_bucket=max_bucket, cluster=cluster,
+            max_bucket=max_bucket, cluster=cluster, modality=modality,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

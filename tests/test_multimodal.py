@@ -1969,7 +1969,12 @@ def test_video_neardup_pairs_re_encode_and_containment(spark):
     excerpt pairs by CONTAINMENT (its own frac is 1.0 even though the
     full clip's is 0.5); an unrelated clip stays out; an undecodable
     payload is one tolerant err row; a still image rides along as a
-    1-frame clip."""
+    1-frame clip — and since this still IS a re-render of clip_a's
+    first frame (palette-mapped luma, within 4 gray levels), it
+    legitimately pairs with the clip family by containment. (The r14
+    _exact_frame fix surfaced this: the original expectation said the
+    still stays out, but that held only because the junk err row's
+    pandas None->float64 chunk coercion was corrupting the hashes.)"""
     from commercepulse_data_pipeline_spark.multimodal import (
         video_frame_hashes,
         video_neardup_pairs,
@@ -2015,7 +2020,11 @@ def test_video_neardup_pairs_re_encode_and_containment(spark):
     sub_pair = pairs[("clip_a", "clip_a_sub")]
     assert sub_pair.n_matched_b == 3 and sub_pair.frac_b == 1.0
     assert not any("clip_b" in k for k in pairs)
-    assert not any("junk" in k or "still" in k for k in pairs)
+    assert not any("junk" in k for k in pairs)
+    # the still = clip_a frame 0 re-rendered: containment pairs it with
+    # the family (its own frac is 1.0)
+    still_pair = pairs[("clip_a", "still")]
+    assert still_pair.n_frames_b == 1 and still_pair.frac_b == 1.0
 
 
 def test_stream_image_hash_cluster_table(spark, tmp_path):
@@ -2192,3 +2201,111 @@ def test_audio_hash_cross_format_gain_invariance_and_pairs(spark):
     family = {"wav", "flac", "gain2", "soft", "stereo"}
     assert pairs == {frozenset(p) for p in
                      __import__("itertools").combinations(sorted(family), 2)}
+
+
+def test_stream_audio_hash_index_cross_batch(spark, tmp_path):
+    """stream_image_hash_index(modality='audio') (r14): the continuous
+    hash store runs the audio energy-envelope hash through the SAME
+    signature-agnostic plumbing — a lossless FLAC re-encode arriving two
+    batches after its WAV original pairs against the indexed hash and
+    lands in the original's cluster."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+    )
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        stream_image_hash_index,
+    )
+
+    tone = _audio_test_samples("tone")
+    other = _audio_test_samples("other")
+    fr1 = _flac_frame_enc([tone[:2000]], 16, 0, ["verbatim"])
+    fr2 = _flac_frame_enc([tone[2000:]], 16, 1, ["verbatim"])
+    drops = [
+        [("orig", _wav_from_samples(tone)), ("junk", b"not audio")],
+        [("other", _wav_from_samples(other))],
+        [("reenc", _flac_full([tone], 16, 8000, [fr1, fr2]))],
+    ]
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "media_id string, content binary").coalesce(
+            1
+        ).write.parquet(f"{incoming}/d{i}")
+        for f in os.listdir(f"{incoming}/d{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{incoming}/d{i}/{f}", f"{incoming}/b{i}_{f}")
+        shutil.rmtree(f"{incoming}/d{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_image_hash_index(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True,
+        modality="audio", hamming_threshold=4, cluster=True,
+    )
+    q.awaitTermination()
+
+    pairs = {(r.id_a, r.id_b) for r in
+             spark.read.parquet(f"{store}/pairs").collect()}
+    assert pairs == {("orig", "reenc")}
+    hashes = spark.read.parquet(f"{store}/hashes")
+    assert hashes.where("media_id = 'junk'").head().ehash is None
+    table = sorted(
+        map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
+    )
+    assert table == [("orig", "orig", 2), ("reenc", "orig", 2)]
+
+
+def test_hash_exactness_in_mixed_null_chunks(spark):
+    """Regression pin (r14): an undecodable payload sharing ONE Arrow
+    chunk (coalesce(1)) with decodable ones must not perturb its
+    neighbors' hashes — pd.DataFrame's None -> float64 column coercion
+    silently ROUNDED 64-bit hashes past 2^53 until _exact_frame; the
+    corruption only manifested when a NULL row landed in the same
+    pandas chunk, which tiny multi-partition test frames never hit."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        ahash64,
+        audio_ehash64,
+        audio_hash,
+        image_ahash,
+        video_frame_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    pic = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("bmp", _bmp_from_gray(pic)), ("junk", b"no")],
+        "media_id string, content binary",
+    ).coalesce(1)
+    got = {r.media_id: r for r in image_ahash(media).collect()}
+    assert got["bmp"].ahash == ahash64(pic)  # exact, not float64-rounded
+
+    tone = _audio_test_samples("tone")
+    amedia = spark.createDataFrame(
+        [("wav", _wav_from_samples(tone)), ("junk", b"no")],
+        "media_id string, content binary",
+    ).coalesce(1)
+    agot = {r.media_id: r for r in audio_hash(amedia).collect()}
+    assert agot["wav"].ehash == audio_ehash64(tone)
+
+    vmedia = spark.createDataFrame(
+        [
+            ("clip", _clip_gif(_clip_frames("scroll_h", 2), bytes(
+                v for i in range(16) for v in (i * 16 + 4,) * 3), 32, 24)),
+            ("junk", b"no"),
+        ],
+        "media_id string, content binary",
+    ).coalesce(1)
+    vgot = video_frame_hashes(vmedia).where("err is null").collect()
+    from commercepulse_data_pipeline_spark.multimodal import (
+        gif_frame_rasters,
+    )
+
+    expect = [ahash64(g) for g in gif_frame_rasters(
+        _clip_gif(_clip_frames("scroll_h", 2), bytes(
+            v for i in range(16) for v in (i * 16 + 4,) * 3), 32, 24))]
+    assert sorted(r.ahash for r in vgot) == sorted(expect)
