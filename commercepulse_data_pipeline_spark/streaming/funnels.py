@@ -146,6 +146,9 @@ def streaming_funnel(
         }
         for i in range(1, len(step_list) + 1):
             row_out[f"t{i}_us"] = matches[i - 1] if len(matches) >= i else None
+        # None here coerces the t*_us columns to float64 (the pandas
+        # chunk pitfall fixed for 64-bit hashes via multimodal._exact_frame)
+        # — SAFE for epoch micros, which stay < 2^53 until year ~2255
         yield pd.DataFrame([row_out])
 
     return events.groupBy(user_col).applyInPandasWithState(

@@ -72,6 +72,9 @@ def _update_fn(
                 amount = None if amt is None or pd.isna(amt) else float(amt)
 
     state.update((ts_us, status, amount, n))
+    # a None ts coerces updated_at_us to float64 in this single-row frame
+    # (the pandas chunk pitfall fixed for 64-bit hashes via
+    # multimodal._exact_frame) — SAFE for epoch micros (< 2^53 until ~2255)
     yield pd.DataFrame(
         [
             {
