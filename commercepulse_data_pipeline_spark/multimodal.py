@@ -1651,6 +1651,7 @@ def image_gray_raster(content: bytes):
         pos, width, height = 8, None, None
         bit_depth = color_type = interlace = None
         idat = bytearray()
+        plte = b""
         while pos + 8 <= len(content):
             clen, ctype = struct.unpack_from(">I4s", content, pos)
             body = content[pos + 8 : pos + 8 + clen]
@@ -1658,6 +1659,8 @@ def image_gray_raster(content: bytes):
                 width, height, bit_depth, color_type, _c, _f, interlace = (
                     struct.unpack_from(">IIBBBBB", body, 0)
                 )
+            elif ctype == b"PLTE":
+                plte = bytes(body)
             elif ctype == b"IDAT":
                 idat += body
             elif ctype == b"IEND":
@@ -1665,7 +1668,12 @@ def image_gray_raster(content: bytes):
             pos += 12 + clen
         if width is None:
             raise ValueError("PNG without IHDR")
-        if interlace or bit_depth != 8 or color_type not in (0, 2):
+        # all five 8-bit color types decode (r14 adds palette 3 and the
+        # alpha types 4/6 — alpha is DROPPED: hashing wants the rendered
+        # luma, and near-dup pairing across a re-save that strips alpha
+        # should still land); Adam7 interlace and non-8-bit depths stay
+        # the documented codec boundary
+        if interlace or bit_depth != 8 or color_type not in _PNG_CHANNELS:
             raise ValueError(
                 "unsupported PNG for raster decode "
                 f"(depth={bit_depth}, color_type={color_type}, "
@@ -1678,7 +1686,19 @@ def image_gray_raster(content: bytes):
         arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
             height, width, ch
         )
-        return _luma(arr) if ch == 3 else arr.reshape(height, width).copy()
+        if color_type == 3:  # palette indices -> RGB via PLTE
+            if not plte or len(plte) % 3:
+                raise ValueError("palette PNG without a valid PLTE chunk")
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = arr.reshape(height, width)
+            if idx.max() >= len(pal):
+                raise ValueError("PNG palette index out of range")
+            return _luma(pal[idx])
+        if color_type == 0:
+            return arr.reshape(height, width).copy()
+        if color_type == 4:  # gray + alpha: keep the gray plane
+            return arr[..., 0].copy()
+        return _luma(arr[..., :3])  # 2 (RGB) and 6 (RGBA)
     raise ValueError("unsupported image container for raster decode")
 
 

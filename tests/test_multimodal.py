@@ -2309,3 +2309,59 @@ def test_hash_exactness_in_mixed_null_chunks(spark):
         _clip_gif(_clip_frames("scroll_h", 2), bytes(
             v for i in range(16) for v in (i * 16 + 4,) * 3), 32, 24))]
     assert sorted(r.ahash for r in vgot) == sorted(expect)
+
+
+def test_image_gray_raster_png_palette_and_alpha_types(spark):
+    """PNG color types 3 (palette), 4 (gray+alpha), 6 (RGBA) decode to
+    hashable rasters (r14) — palette indices map through PLTE, alpha is
+    dropped — so the web's palette/alpha PNG re-saves of one scene hash
+    identically to its BMP rendering; a palette PNG without PLTE stays a
+    tolerant err row."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        ahash64,
+        image_ahash,
+        image_gray_raster,
+    )
+
+    rng = np.random.default_rng(19)
+    h, w = 24, 30
+    idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    # grayscale palette: entry i = (i*16+7,)*3 -> luma == i*16+7 exactly
+    pal = bytes(v for i in range(16) for v in (i * 16 + 7,) * 3)
+    gray = (idx * 16 + 7).astype(np.uint8)
+
+    png3 = _png_bytes(w, h, idx.tobytes(), color_type=3)
+    # splice the PLTE chunk after IHDR (the test encoder emits none)
+    ihdr_end = png3.index(b"IHDR") + 4 + 13 + 4
+    png3 = png3[:ihdr_end] + _png_chunk(b"PLTE", pal) + png3[ihdr_end:]
+    assert (image_gray_raster(png3) == gray).all()
+
+    # RGBA (type 6): rgb = gray triples, alpha varies -> alpha dropped
+    rgba = np.dstack([gray, gray, gray,
+                      rng.integers(0, 256, size=(h, w), dtype=np.uint8)])
+    png6 = _png_bytes(w, h, rgba.tobytes(), color_type=6)
+    assert (image_gray_raster(png6) == gray).all()
+
+    # gray+alpha (type 4): keep the gray plane
+    ga = np.dstack([gray, rng.integers(0, 256, size=(h, w), dtype=np.uint8)])
+    png4 = _png_bytes(w, h, ga.tobytes(), color_type=4)
+    assert (image_gray_raster(png4) == gray).all()
+
+    # all three re-saves hash identically to the BMP rendering
+    media = spark.createDataFrame(
+        [
+            ("bmp", _bmp_from_gray(gray)),
+            ("png_pal", png3),
+            ("png_rgba", png6),
+            ("png_ga", png4),
+            ("pal_no_plte", _png_bytes(w, h, idx.tobytes(), color_type=3)),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r.media_id: r for r in image_ahash(media).collect()}
+    want = ahash64(gray)
+    assert (out["bmp"].ahash == out["png_pal"].ahash
+            == out["png_rgba"].ahash == out["png_ga"].ahash == want)
+    assert out["pal_no_plte"].ahash is None and "PLTE" in out["pal_no_plte"].err
