@@ -1699,7 +1699,88 @@ def image_gray_raster(content: bytes):
         if color_type == 4:  # gray + alpha: keep the gray plane
             return arr[..., 0].copy()
         return _luma(arr[..., :3])  # 2 (RGB) and 6 (RGBA)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_gray_raster(content)
     raise ValueError("unsupported image container for raster decode")
+
+
+def _tiff_gray_raster(content: bytes):
+    """Uncompressed baseline TIFF (6.0) raster decode for the hash tier
+    (r14): first IFD, strip-organized, chunky planar, 8 bits/sample,
+    photometric 0/1 (grayscale, WhiteIsZero inverted) or 2 (RGB ->
+    BT.601 luma). Compressed/tiled/planar variants raise ValueError (the
+    tolerant wrapper emits an err row — the same boundary policy as
+    every other format)."""
+    import struct
+
+    import numpy as np
+
+    bo = {"II": "<", "MM": ">"}.get(content[:2].decode("latin1", "replace"))
+    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
+        raise ValueError("not a TIFF header")
+    ifd = struct.unpack_from(bo + "I", content, 4)[0]
+    if not ifd or ifd + 2 > len(content):
+        raise ValueError("TIFF without a readable IFD")
+    n = struct.unpack_from(bo + "H", content, ifd)[0]
+    tags: dict[int, tuple[int, ...]] = {}
+    _SZ = {1: 1, 3: 2, 4: 4}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if off + 12 > len(content):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
+        if typ not in _SZ:
+            continue
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = _SZ[typ] * cnt
+        src = off + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", content, off + 8
+        )[0]
+        if src + total > len(content):
+            continue
+        tags[tag] = struct.unpack_from(bo + f"{cnt}{fmt}", content, src)
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = one(256), one(257)
+    if not width or not height:
+        raise ValueError("TIFF without ImageWidth/ImageLength")
+    if one(259, 1) != 1:
+        raise ValueError("compressed TIFF raster unsupported (hash tier)")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF raster unsupported (hash tier)")
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise ValueError(
+            f"unsupported TIFF layout (spp={spp}, bits={bits}) for raster decode"
+        )
+    photo = one(262, 1)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF without strip offsets/byte counts")
+    data = b"".join(
+        content[o : o + c] for o, c in zip(offsets, counts)
+    )
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("truncated TIFF strips")
+    arr = np.frombuffer(data[:need], dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    if spp == 3:
+        if photo != 2:
+            raise ValueError(f"unsupported TIFF photometric {photo} for RGB")
+        return _luma(arr)
+    gray = arr.reshape(height, width)
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        return (255 - gray).astype(np.uint8)
+    if photo != 1:
+        raise ValueError(f"unsupported TIFF photometric {photo} for grayscale")
+    return gray.copy()
 
 
 def _luma(rgb) -> "object":

@@ -2365,3 +2365,138 @@ def test_image_gray_raster_png_palette_and_alpha_types(spark):
     assert (out["bmp"].ahash == out["png_pal"].ahash
             == out["png_rgba"].ahash == out["png_ga"].ahash == want)
     assert out["pal_no_plte"].ahash is None and "PLTE" in out["pal_no_plte"].err
+
+
+def _tiff_raster_bytes(gray_or_rgb, bo: bytes = b"II", photometric=None,
+                       strips: int = 2) -> bytes:
+    """Independent uncompressed-TIFF encoder: first IFD with
+    width/height/bits/compression/photometric/strip tags, pixel data in
+    ``strips`` row-chunks, little- or big-endian."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(gray_or_rgb, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    e = "<" if bo == b"II" else ">"
+    rows_per = -(-h // strips)
+    chunks = [
+        arr[i * rows_per : (i + 1) * rows_per].tobytes()
+        for i in range(strips)
+    ]
+    chunks = [c for c in chunks if c]
+
+    entries = []  # (tag, type, count, packed-value-or-offset-placeholder)
+
+    def ent(tag, typ, cnt, values):
+        entries.append((tag, typ, cnt, values))
+
+    ent(256, 4, 1, [w])
+    ent(257, 4, 1, [h])
+    ent(258, 3, spp, [8] * spp)
+    ent(259, 3, 1, [1])
+    ent(262, 3, 1, [photometric])
+    ent(277, 3, 1, [spp])
+    ent(278, 4, 1, [rows_per])
+    ent(273, 4, len(chunks), None)  # offsets patched below
+    ent(279, 4, len(chunks), [len(c) for c in chunks])
+    entries.sort(key=lambda x: x[0])
+
+    sz = {3: ("H", 2), 4: ("I", 4)}
+    header = bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    ifd_len = 2 + 12 * len(entries) + 4
+    # layout: header(8) + IFD + overflow arrays + strip data
+    overflow_pos = 8 + ifd_len
+    overflow = bytearray()
+    packed = []
+    for tag, typ, cnt, values in entries:
+        fmt, unit = sz[typ]
+        if tag == 273:
+            # strip offsets come AFTER the overflow block — compute later
+            packed.append([tag, typ, cnt, None])
+            if cnt * unit > 4:
+                overflow_placeholder = overflow_pos + len(overflow)
+                overflow += b"\x00" * (cnt * unit)
+                packed[-1][3] = ("off", overflow_placeholder)
+            continue
+        raw = struct.pack(e + f"{cnt}{fmt}", *values)
+        if len(raw) <= 4:
+            packed.append([tag, typ, cnt, ("inline", raw.ljust(4, b"\x00"))])
+        else:
+            packed.append([tag, typ, cnt, ("off", overflow_pos + len(overflow))])
+            overflow += raw
+    data_pos = overflow_pos + len(overflow)
+    offsets = []
+    p = data_pos
+    for c in chunks:
+        offsets.append(p)
+        p += len(c)
+    # finalize strip-offset entry
+    for rec in packed:
+        if rec[0] == 273:
+            fmt, unit = sz[rec[1]]
+            raw = struct.pack(e + f"{rec[2]}{fmt}", *offsets)
+            if len(raw) <= 4:
+                rec[3] = ("inline", raw.ljust(4, b"\x00"))
+            else:
+                off = rec[3][1]
+                overflow[off - overflow_pos : off - overflow_pos + len(raw)] = raw
+                rec[3] = ("off", off)
+    ifd = struct.pack(e + "H", len(packed))
+    for tag, typ, cnt, val in packed:
+        kind, v = val
+        tail = v if kind == "inline" else struct.pack(e + "I", v)
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + tail
+    ifd += struct.pack(e + "I", 0)
+    return header + ifd + bytes(overflow) + b"".join(chunks)
+
+
+def test_image_gray_raster_uncompressed_tiff(spark):
+    """Uncompressed baseline TIFF decodes to hashable rasters (r14):
+    gray BlackIsZero, gray WhiteIsZero (inverted), RGB -> luma, both
+    byte orders, multi-strip — all hash identically to the BMP rendering
+    of the same scene; compressed TIFF stays a tolerant err row."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import (
+        ahash64,
+        image_ahash,
+        image_gray_raster,
+    )
+
+    rng = np.random.default_rng(23)
+    h, w = 21, 34
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    rgb = np.dstack([gray, gray, gray])
+
+    t_le = _tiff_raster_bytes(gray, b"II")
+    t_be = _tiff_raster_bytes(gray, b"MM", strips=3)
+    t_inv = _tiff_raster_bytes((255 - gray).astype(np.uint8), b"II",
+                               photometric=0)
+    t_rgb = _tiff_raster_bytes(rgb, b"MM")
+    assert (image_gray_raster(t_le) == gray).all()
+    assert (image_gray_raster(t_be) == gray).all()
+    assert (image_gray_raster(t_inv) == gray).all()
+    assert (image_gray_raster(t_rgb) == gray).all()
+
+    media = spark.createDataFrame(
+        [
+            ("bmp", _bmp_from_gray(gray)),
+            ("tiff_le", t_le),
+            ("tiff_be", t_be),
+            ("tiff_rgb", t_rgb),
+            # flip tag 259 (compression) from 1 to 5 (LZW) in the LE IFD
+            ("tiff_lzw", t_le.replace(
+                b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00\x00\x00",
+                b"\x03\x01\x03\x00\x01\x00\x00\x00\x05\x00\x00\x00", 1)),
+        ],
+        "media_id string, content binary",
+    )
+    out = {r.media_id: r for r in image_ahash(media).collect()}
+    want = ahash64(gray)
+    assert (out["bmp"].ahash == out["tiff_le"].ahash
+            == out["tiff_be"].ahash == out["tiff_rgb"].ahash == want)
+    assert out["tiff_lzw"].ahash is None and "compress" in out["tiff_lzw"].err
