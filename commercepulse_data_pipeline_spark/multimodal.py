@@ -2177,17 +2177,42 @@ def video_neardup_pairs(
         sig_hamming_pairs,
     )
 
-    sep = "\x01"
-    sigs = frames.where(F.col(sig_col).isNotNull()).select(
-        F.concat_ws(
-            sep, F.col("media_id"), F.col("frame_index").cast("string")
-        ).alias("fid"),
-        F.col(sig_col).alias("sig"),
-    )
+    sigs = _frame_sig_table(frames, sig_col)
     fpairs = sig_hamming_pairs(
         sigs, id_col="fid", sig_col="sig",
         hamming_threshold=hamming_threshold, max_bucket=max_bucket,
     )
+    counts = (
+        frames.where(F.col(sig_col).isNotNull())
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+    return _video_pair_agg(fpairs, counts, min_match_frac)
+
+
+_FRAME_KEY_SEP = "\x01"
+
+
+def _frame_sig_table(frames: DataFrame, sig_col: str) -> DataFrame:
+    """(fid, sig) rows with the composite video\\x01frame key — media ids
+    are contract-clean of the control byte (the composite-key rule every
+    operator here follows)."""
+    return frames.where(F.col(sig_col).isNotNull()).select(
+        F.concat_ws(
+            _FRAME_KEY_SEP, F.col("media_id"),
+            F.col("frame_index").cast("string"),
+        ).alias("fid"),
+        F.col(sig_col).alias("sig"),
+    )
+
+
+def _video_pair_agg(
+    fpairs: DataFrame, counts: DataFrame, min_match_frac: float
+) -> DataFrame:
+    """Shared tail of the video pair operators: split the composite
+    frame keys, orient each frame pair so the video key is (least,
+    greatest), ONE video-keyed aggregation, containment filter."""
+    sep = _FRAME_KEY_SEP
     # split the composite frame key back on the separator (ids are
     # contract-clean of \x01, so first == only occurrence)
     vid_a = F.substring_index(F.col("id_a"), sep, 1)
@@ -2214,11 +2239,6 @@ def video_neardup_pairs(
         F.countDistinct("f_b").cast("long").alias("n_matched_b"),
         F.min("hamming").cast("long").alias("min_hamming"),
     )
-    counts = (
-        frames.where(F.col(sig_col).isNotNull())
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
-    )
     out = (
         agg.join(counts.withColumnRenamed("media_id", "id_a"), "id_a")
         .withColumnRenamed("n_frames", "n_frames_a")
@@ -2234,6 +2254,52 @@ def video_neardup_pairs(
         F.round(frac_b, 6).alias("frac_b"),
         "min_hamming",
     ).where(F.greatest(frac_a, frac_b) >= F.lit(min_match_frac))
+
+
+def video_neardup_pairs_between(
+    new_frames: DataFrame,
+    index_frames: DataFrame,
+    *,
+    sig_col: str = "ahash",
+    hamming_threshold: int = 4,
+    min_match_frac: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Video near-dup pairs between a NEW batch's frame table and an
+    accumulated frame-signature index — the incremental sibling of
+    :func:`video_neardup_pairs` (the minhash_pairs_between /
+    sig_hamming_pairs_between shape): per-ingest work is O(new batch)
+    banding + a probed-key-restricted scan of the index, so a video
+    corpus's near-dup feed never re-pairs the whole history per arrival.
+    Same output columns and containment semantics; a video re-ingested
+    under its own id never pairs with itself (shared fids are excluded
+    by the underlying between-form, and same-video frame matches are
+    dropped by the video-key split)."""
+    from commercepulse_data_pipeline_spark.operators.dedup import (
+        sig_hamming_pairs_between,
+    )
+
+    new_sigs = _frame_sig_table(new_frames, sig_col)
+    idx_sigs = _frame_sig_table(index_frames, sig_col)
+    fpairs = sig_hamming_pairs_between(
+        new_sigs, idx_sigs, id_col="fid", sig_col="sig",
+        hamming_threshold=hamming_threshold, max_bucket=max_bucket,
+    )
+    # per-video frame counts from BOTH sides; a re-ingested video
+    # appears in both with identical frames — max() keeps one row
+    counts = (
+        new_frames.where(F.col(sig_col).isNotNull())
+        .select("media_id", "frame_index")
+        .unionByName(
+            index_frames.where(F.col(sig_col).isNotNull()).select(
+                "media_id", "frame_index"
+            )
+        )
+        .distinct()
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+    return _video_pair_agg(fpairs, counts, min_match_frac)
 
 
 # ---------------------------------------------------------------------------

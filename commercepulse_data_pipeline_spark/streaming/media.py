@@ -294,3 +294,131 @@ def stream_image_hash_index(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def video_hash_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    *,
+    hamming_threshold: int = 4,
+    min_match_frac: float = 0.5,
+    max_frames: int = 16,
+    max_bucket: int = 1000,
+    cluster: bool = False,
+) -> None:
+    """Continuous VIDEO near-dup detection (r14): per micro-batch of
+    (media_id, content) rows, per-frame perceptual signatures land under
+    ``{store}/frames/ingest_batch=N`` and the batch's video-level
+    near-dup pairs — within-batch AND against every earlier batch's
+    frame index, with containment semantics — under
+    ``{store}/pairs/ingest_batch=N``. The same replay discipline as the
+    image form: per-batch overwrites, own-partition exclusion on the
+    index probe, so a replayed batch reproduces its pair set
+    bit-identically; ``cluster=True`` folds the pairs into
+    ``{store}/clusters`` (idempotent fold). At scale: O(batch) frame
+    decode + a probed-key-restricted index scan — the frame index costs
+    ~8 bytes x max_frames per video."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        video_frame_hashes,
+        video_neardup_pairs,
+        video_neardup_pairs_between,
+    )
+    from commercepulse_data_pipeline_spark.sources.readers import (
+        fold_consistent_read,
+        is_missing_store_error,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    frames = video_frame_hashes(
+        batch_df, max_frames=max_frames
+    ).localCheckpoint(eager=True)
+    pairs = video_neardup_pairs(
+        frames, hamming_threshold=hamming_threshold,
+        min_match_frac=min_match_frac, max_bucket=max_bucket,
+    )
+    frames_root = f"{store_dir}/frames"
+    try:
+        idx = fold_consistent_read(spark, frames_root)
+        have_index = True
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not is_missing_store_error(exc, frames_root):
+            raise
+        have_index = False
+    if have_index:
+        idx = idx.where(F.col("ingest_batch") != F.lit(batch_id))
+        vs_index = video_neardup_pairs_between(
+            frames, idx, hamming_threshold=hamming_threshold,
+            min_match_frac=min_match_frac, max_bucket=max_bucket,
+        )
+        pairs = pairs.unionByName(vs_index).distinct()
+    pairs = pairs.localCheckpoint(eager=True)
+    if cluster:
+        import os
+
+        from commercepulse_data_pipeline_spark.operators import graph
+
+        table_rows = f"{store_dir}/clusters/clusters"
+        if os.path.exists(table_rows) or os.path.exists(table_rows + ".old"):
+            graph.update_cluster_table(
+                spark, f"{store_dir}/clusters", pairs.select("id_a", "id_b")
+            )
+        elif pairs.limit(1).count():
+            graph.write_cluster_table(
+                graph.dedup_clusters(pairs.select("id_a", "id_b")),
+                f"{store_dir}/clusters",
+                provenance={
+                    "blocker": "video_frame_hamming",
+                    "hamming_threshold": hamming_threshold,
+                    "min_match_frac": min_match_frac,
+                    "max_frames": max_frames,
+                },
+            )
+    pairs.write.mode("overwrite").parquet(
+        f"{store_dir}/pairs/ingest_batch={batch_id}"
+    )
+    frames.write.mode("overwrite").parquet(
+        f"{frames_root}/ingest_batch={batch_id}"
+    )
+
+
+def stream_video_hash_index(
+    spark: SparkSession,
+    media_path: str,
+    store_dir: str,
+    checkpoint: str,
+    *,
+    schema: str = "media_id string, content binary",
+    hamming_threshold: int = 4,
+    min_match_frac: float = 0.5,
+    max_frames: int = 16,
+    max_bucket: int = 1000,
+    max_files_per_trigger: int = 10,
+    trigger_once: bool = True,
+    cluster: bool = False,
+):
+    """Tail a directory of video parquet drops and maintain the
+    per-frame signature index + continuous containment-pair feed —
+    the video sibling of :func:`stream_image_hash_index`."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_path)
+    )
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        video_hash_batch(
+            batch_df, batch_id, store_dir,
+            hamming_threshold=hamming_threshold,
+            min_match_frac=min_match_frac, max_frames=max_frames,
+            max_bucket=max_bucket, cluster=cluster,
+        )
+
+    writer = stream.writeStream.foreachBatch(_batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2500,3 +2500,126 @@ def test_image_gray_raster_uncompressed_tiff(spark):
     assert (out["bmp"].ahash == out["tiff_le"].ahash
             == out["tiff_be"].ahash == out["tiff_rgb"].ahash == want)
     assert out["tiff_lzw"].ahash is None and "compress" in out["tiff_lzw"].err
+
+
+def test_video_neardup_pairs_between_incremental(spark):
+    """video_neardup_pairs_between (r14): a NEW clip probes an
+    accumulated frame-signature index at O(batch) — the re-encode of an
+    indexed clip pairs with full containment, an unrelated new clip
+    pairs with nothing, and a clip re-ingested under its own id never
+    self-pairs."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        video_frame_hashes,
+        video_neardup_pairs_between,
+    )
+
+    w, h, n = 32, 24, 6
+    pal_a = bytes(v for i in range(16) for v in (i * 16 + 4,) * 3)
+    pal_re = bytes(min(255, v + 6) for v in pal_a)
+    fa = _clip_frames("scroll_h", n, w, h)
+    fb = _clip_frames("bands_v", n, w, h)
+
+    index_media = spark.createDataFrame(
+        [("clip_a", _clip_gif(fa, pal_a, w, h)),
+         ("clip_b", _clip_gif(fb, pal_a, w, h))],
+        "media_id string, content binary",
+    )
+    # diagonal pattern: structurally unlike both indexed clips
+    fdiag = [
+        bytes(((x + 2 * y + 5 * t) * 16 // w) % 16
+              for y in range(h) for x in range(w))
+        for t in range(5)
+    ]
+    batch_media = spark.createDataFrame(
+        [("clip_a_re", _clip_gif(fa, pal_re, w, h)),
+         ("clip_a", _clip_gif(fa, pal_a, w, h)),       # re-ingest, same id
+         # excerpt + re-encode of the INDEXED clip_b: must pair by
+         # containment across the batch/index boundary
+         ("b_sub_re", _clip_gif(_clip_frames("bands_v", 4, w, h), pal_re, w, h)),
+         ("fresh", _clip_gif(fdiag, pal_a, w, h))],
+        "media_id string, content binary",
+    )
+    idx = video_frame_hashes(index_media)
+    new = video_frame_hashes(batch_media)
+    pairs = {(r.id_a, r.id_b): r for r in video_neardup_pairs_between(
+        new, idx, hamming_threshold=4, min_match_frac=0.5
+    ).collect()}
+    p = pairs[("clip_a", "clip_a_re")]
+    assert p.n_matched_a == n and p.frac_a == 1.0 and p.frac_b == 1.0
+    sub = pairs[("b_sub_re", "clip_b")]
+    assert sub.n_frames_a == 4 and sub.frac_a == 1.0
+    assert not any(a == b for a, b in pairs)          # no self-pair
+    assert not any("fresh" in k for k in pairs)
+
+
+def test_stream_video_hash_index_cross_batch_and_cluster(spark, tmp_path):
+    """stream_video_hash_index (r14): a re-encoded clip arriving two
+    batches after its original pairs against the frame index with full
+    containment and joins the original's cluster; a direct batch replay
+    reproduces the pair partition (own-partition exclusion) and leaves
+    the cluster table unchanged."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.operators.graph import (
+        read_cluster_table,
+    )
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        stream_video_hash_index,
+        video_hash_batch,
+    )
+
+    w, h, n = 32, 24, 6
+    pal_a = bytes(v for i in range(16) for v in (i * 16 + 4,) * 3)
+    pal_re = bytes(min(255, v + 6) for v in pal_a)
+    fa = _clip_frames("scroll_h", n, w, h)
+    fb = _clip_frames("bands_v", n, w, h)
+    drops = [
+        [("orig", _clip_gif(fa, pal_a, w, h)), ("junk", b"not media")],
+        [("other", _clip_gif(fb, pal_a, w, h))],
+        [("reenc", _clip_gif(fa, pal_re, w, h))],
+    ]
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "media_id string, content binary").coalesce(
+            1
+        ).write.parquet(f"{incoming}/d{i}")
+        for f in os.listdir(f"{incoming}/d{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{incoming}/d{i}/{f}", f"{incoming}/b{i}_{f}")
+        shutil.rmtree(f"{incoming}/d{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_video_hash_index(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True, cluster=True,
+    )
+    q.awaitTermination()
+
+    pairs = {(r.id_a, r.id_b): r for r in
+             spark.read.parquet(f"{store}/pairs").collect()}
+    assert set(pairs) == {("orig", "reenc")}
+    assert pairs[("orig", "reenc")].frac_a == 1.0
+    frames = spark.read.parquet(f"{store}/frames")
+    assert frames.where("media_id = 'junk'").count() == 1  # one err row
+    assert frames.where("err is null").count() == 3 * n
+
+    table = sorted(
+        map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
+    )
+    assert table == [("orig", "orig", 2), ("reenc", "orig", 2)]
+
+    # direct replay of the pairing batch: identical pair partition,
+    # unchanged cluster table
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{store}/pairs/ingest_batch=2").collect()))
+    last = spark.createDataFrame(drops[2], "media_id string, content binary")
+    video_hash_batch(last, 2, store, cluster=True)
+    after = sorted(map(tuple, spark.read.parquet(
+        f"{store}/pairs/ingest_batch=2").collect()))
+    assert after == before and len(after) == 1
+    again = sorted(
+        map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
+    )
+    assert again == table
