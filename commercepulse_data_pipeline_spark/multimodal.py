@@ -1503,18 +1503,57 @@ def sample_frames(
     happens inside the Arrow batch, so a 2-hour video yields max_frames
     rows without materializing the decode on the driver).
 
-    Frame extraction is STUBBED (no ffmpeg): frame bytes/timestamps are a
-    deterministic function of (content, index); duration comes from the
-    fake decoder. The real implementation swaps the inner loop for an
-    ffmpeg pipe — the Spark contract (schema, per-row fan-out, batch
-    sizing for big blobs) is what's under test."""
+    GIF payloads sample REAL frames (r14): the animation timeline from
+    the GCE delays is sampled at ``fps`` ticks, each tick emitting the
+    canvas displayed at that instant, re-encoded as a PPM P6 payload —
+    decodable by this module's own raster path, so sampled frames feed
+    straight back into ``image_ahash``/``resize_images``. Other
+    containers keep the deterministic STUB (no ffmpeg in this
+    environment): fake frame bytes, duration from the fake decoder —
+    the Spark contract (schema, per-row fan-out, batch sizing) is what
+    that path tests; swap the inner loop for an ffmpeg pipe on a
+    cluster image that has it."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _chunked(batches, batch_rows):
             out = []
             for _, row in pdf.iterrows():
-                content = row["content"] or b""
+                content = bytes(row["content"]) if row["content"] else b""
+                if content[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        rasters, delays = gif_frame_rasters(
+                            content, return_delays=True
+                        )
+                        duration = sum(delays) / 100.0
+                        n = min(max_frames, max(1, int(duration * fps)))
+                        # cumulative end-time of each frame, in seconds
+                        ends, acc = [], 0
+                        for d_cs in delays:
+                            acc += d_cs
+                            ends.append(acc / 100.0)
+                        for i in range(n):
+                            ts = i / fps
+                            fi = 0
+                            while fi < len(ends) - 1 and ts >= ends[fi]:
+                                fi += 1
+                            g = rasters[fi]
+                            hh, ww = g.shape
+                            ppm = (
+                                f"P6\n{ww} {hh}\n255\n".encode()
+                                + g.repeat(3).tobytes()
+                            )
+                            out.append(
+                                {
+                                    "media_id": row["media_id"],
+                                    "frame_index": i,
+                                    "frame_ts_sec": ts,
+                                    "frame": ppm,
+                                }
+                            )
+                        continue
+                    except ValueError:
+                        pass  # malformed GIF: fall through to the stub
                 d = DeterministicFakeDecoder.decode(content, "video")
                 duration = d["duration_sec"] or 0.0
                 n = min(max_frames, max(1, int(duration * fps)))
@@ -1962,7 +2001,9 @@ def image_ahash(
 # machinery, the sig_hamming_pairs contract extends along the frame axis.
 
 
-def gif_frame_rasters(content: bytes, max_frames: int | None = None):
+def gif_frame_rasters(
+    content: bytes, max_frames: int | None = None, return_delays: bool = False
+):
     """Decode EVERY frame of a GIF to (h, w) uint8 grayscale rasters on
     the logical-screen canvas — the all-frames extension of the
     first-frame path in :func:`image_gray_raster`. Real decode: per-frame
@@ -1972,7 +2013,9 @@ def gif_frame_rasters(content: bytes, max_frames: int | None = None):
     do-not-dispose — a documented simplification that only affects clips
     using those modes with transparency), GCE transparency honored
     (transparent pixels leave the canvas unchanged). Returns a list of
-    per-frame rasters, one snapshot of the canvas per image block."""
+    per-frame rasters, one snapshot of the canvas per image block — or
+    (rasters, per-frame GCE delays in centiseconds) with
+    ``return_delays`` (the timeline :func:`sample_frames` samples)."""
     import struct
 
     import numpy as np
@@ -1996,6 +2039,8 @@ def gif_frame_rasters(content: bytes, max_frames: int | None = None):
         np.frombuffer(bg_rgb, dtype=np.uint8), (height, width, 1)
     ).reshape(height, width, 3).copy()
     frames: list = []
+    delays_cs: list = []
+    pending_delay = 0
     transparent_idx: int | None = None
     while pos < len(content):
         block = content[pos]
@@ -2005,6 +2050,9 @@ def gif_frame_rasters(content: bytes, max_frames: int | None = None):
             label = content[pos + 1]
             if label == 0xF9 and pos + 2 < len(content) and content[pos + 2] >= 4:
                 gce_packed = content[pos + 3]
+                pending_delay = int.from_bytes(
+                    content[pos + 4 : pos + 6], "little"
+                )
                 transparent_idx = (
                     content[pos + 6] if gce_packed & 0x01 else None
                 )
@@ -2054,6 +2102,8 @@ def gif_frame_rasters(content: bytes, max_frames: int | None = None):
             else:
                 region[...] = rgb
             frames.append(_luma(canvas))
+            delays_cs.append(pending_delay)
+            pending_delay = 0
             transparent_idx = None  # GCE applies to ONE image block
             if max_frames is not None and len(frames) >= max_frames:
                 break
@@ -2061,6 +2111,8 @@ def gif_frame_rasters(content: bytes, max_frames: int | None = None):
             raise ValueError(f"unknown GIF block id 0x{block:02x}")
     if not frames:
         raise ValueError("GIF without an image frame")
+    if return_delays:
+        return frames, delays_cs
     return frames
 
 

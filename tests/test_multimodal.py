@@ -2623,3 +2623,39 @@ def test_stream_video_hash_index_cross_batch_and_cluster(spark, tmp_path):
         map(tuple, read_cluster_table(spark, f"{store}/clusters").collect())
     )
     assert again == table
+
+
+def test_sample_frames_real_gif_timeline(spark):
+    """sample_frames (r14): GIF payloads sample REAL frames — the GCE
+    delay timeline picks the canvas displayed at each fps tick, each
+    emitted as a PPM P6 payload that this module's own raster path
+    decodes back to the exact frame; non-GIF payloads keep the
+    deterministic stub contract."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        gif_frame_rasters,
+        image_gray_raster,
+        sample_frames,
+    )
+
+    w, h = 14, 9
+    palette = bytes([250, 10, 10, 10, 250, 10, 10, 10, 250, 128, 128, 128])
+    f1 = bytes((x // 3 + y) % 4 for y in range(h) for x in range(w))
+    f2 = f1[::-1]
+    gif = _gif_bytes(w, h, [f1, f2], palette, delays=[50, 100])  # 1.5s
+    rasters = gif_frame_rasters(gif)
+
+    media = spark.createDataFrame(
+        [("clip", "video", gif)],
+        "media_id string, modality string, content binary",
+    )
+    out = sorted(
+        sample_frames(media, fps=2.0, max_frames=16).collect(),
+        key=lambda r: r.frame_index,
+    )
+    # duration 1.5s at 2 fps -> 3 ticks: t=0 shows frame 0 (ends at
+    # 0.5s), t=0.5 and t=1.0 show frame 1
+    assert [r.frame_ts_sec for r in out] == [0.0, 0.5, 1.0]
+    want = [rasters[0], rasters[1], rasters[1]]
+    for r, exp in zip(out, want):
+        got = image_gray_raster(bytes(r.frame))
+        assert (got == exp).all()
