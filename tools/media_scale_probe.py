@@ -124,6 +124,32 @@ def time_video(spark, path: str) -> dict:
             "n_pairs": n_pairs}
 
 
+def time_video_between(spark, path: str, batch_n: int = 40) -> dict:
+    """Incremental probe: a FIXED-SIZE batch of fresh clips (+ planted
+    re-encodes of indexed ones) probes the corpus's frame index via
+    video_neardup_pairs_between — per-ingest cost must stay ~flat as the
+    INDEX grows 10x (the O(batch) claim)."""
+    from commercepulse_data_pipeline_spark import multimodal as mm
+
+    idx_frames = mm.video_frame_hashes(
+        spark.read.parquet(path), max_frames=16
+    ).localCheckpoint(eager=True)
+    rows = []
+    for i in range(batch_n):
+        rows.append((f"new{i}", _clip_bytes(10_000_000 + i, False)))
+        if i % 4 == 0:  # planted re-encode of an indexed clip
+            rows.append((f"v{i}_newre", _clip_bytes(i, True)))
+    batch = spark.createDataFrame(rows, "media_id string, content binary")
+    new_frames = mm.video_frame_hashes(batch, max_frames=16).localCheckpoint(
+        eager=True
+    )
+    t0 = time.monotonic()
+    n_pairs = mm.video_neardup_pairs_between(
+        new_frames, idx_frames, hamming_threshold=4, min_match_frac=0.5
+    ).count()
+    return {"between_sec": round(time.monotonic() - t0, 3), "n_pairs": n_pairs}
+
+
 def time_audio(spark, path: str) -> dict:
     from commercepulse_data_pipeline_spark import multimodal as mm
     from commercepulse_data_pipeline_spark.operators.dedup import (
@@ -170,6 +196,12 @@ def main() -> None:
             timer(spark, path)  # warm run (JIT)
             r = timer(spark, path)
             print(f"{kind} {label} (n={n}): {r}", flush=True)
+    # incremental: fixed batch vs 1x and 10x frame indexes
+    for label, n in (("base", base_n), (f"{factor}x", base_n * factor)):
+        path = f"{root}/video_{n}"
+        time_video_between(spark, path)  # warm
+        r = time_video_between(spark, path)
+        print(f"video between {label} (index n={n}): {r}", flush=True)
     spark.stop()
 
 
