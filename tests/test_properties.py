@@ -1111,3 +1111,47 @@ def test_merge_cluster_update_matches_from_scratch(spark, e1, e2):
     got = sorted(map(tuple, merge_cluster_update(dedup_clusters(d1), d2).collect()))
     want = sorted(map(tuple, dedup_clusters(d1.unionByName(d2)).collect()))
     assert got == want
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-30000, max_value=30000), min_size=1,
+        max_size=400,
+    ),
+    gain=st.integers(min_value=1, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_audio_ehash_gain_invariance_property(samples, gain):
+    """audio_ehash64 (r14) is EXACTLY invariant under positive constant
+    gain for arbitrary integer signals — including degenerate ones
+    shorter than the 65-window grid (boundary-guard coverage) — and
+    stable under sign flip of the whole signal (energy is |x|)."""
+    from commercepulse_data_pipeline_spark.multimodal import audio_ehash64
+
+    h = audio_ehash64(samples)
+    assert audio_ehash64([s * gain for s in samples]) == h
+    assert audio_ehash64([-s for s in samples]) == h
+
+
+@given(
+    pix=st.lists(
+        st.integers(min_value=0, max_value=249), min_size=4, max_size=120
+    ),
+    shift=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=2, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_dhash_brightness_shift_property(pix, shift, w):
+    """dhash64 (r13) is EXACTLY invariant under a global +shift
+    brightness change for arbitrary rasters (every gradient comparison
+    shifts both sides equally) — the property the fixed-pin test checks
+    at one point, hypothesis-checked across the input space."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.multimodal import dhash64
+
+    w = min(w, len(pix))
+    h = max(1, len(pix) // w)
+    arr = np.array(pix[: h * w], dtype=np.uint8).reshape(h, w)
+    shifted = (arr.astype(int) + shift).clip(0, 255).astype(np.uint8)
+    assert dhash64(shifted) == dhash64(arr)
