@@ -846,6 +846,7 @@ def cmd_media_dedup(args) -> int:
         pairs = mm.video_neardup_pairs(
             frames, sig_col=args.sig if args.sig != "ehash" else "ahash",
             hamming_threshold=args.hamming, min_match_frac=args.min_match_frac,
+            max_bucket=args.max_bucket,
         )
         pair_edges = pairs.select("id_a", "id_b")
     else:

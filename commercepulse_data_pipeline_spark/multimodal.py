@@ -1461,6 +1461,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_index", T.IntegerType()),
         T.StructField("frame_ts_sec", T.DoubleType()),
         T.StructField("frame", T.BinaryType()),
+        T.StructField("err", T.StringType()),
     ]
 )
 
@@ -1507,12 +1508,17 @@ def sample_frames(
     the GCE delays is sampled at ``fps`` ticks, each tick emitting the
     canvas displayed at that instant, re-encoded as a PPM P6 payload —
     decodable by this module's own raster path, so sampled frames feed
-    straight back into ``image_ahash``/``resize_images``. Other
-    containers keep the deterministic STUB (no ffmpeg in this
-    environment): fake frame bytes, duration from the fake decoder —
-    the Spark contract (schema, per-row fan-out, batch sizing) is what
-    that path tests; swap the inner loop for an ffmpeg pipe on a
-    cluster image that has it."""
+    straight back into ``image_ahash``/``resize_images``. A MALFORMED
+    GIF yields one tolerant err row (r15 — the err-row contract every
+    tolerant path here follows; stub frames are never emitted for a
+    payload that claims to be GIF). Memory is bounded (r15): delays are
+    read by a structure-only walk, then the streaming decoder retains
+    ONLY the canvases at sampled tick indices — a long animation never
+    holds all frames at once. Other containers keep the deterministic
+    STUB (no ffmpeg in this environment): fake frame bytes, duration
+    from the fake decoder — the Spark contract (schema, per-row
+    fan-out, batch sizing) is what that path tests; swap the inner loop
+    for an ffmpeg pipe on a cluster image that has it."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1522,9 +1528,7 @@ def sample_frames(
                 content = bytes(row["content"]) if row["content"] else b""
                 if content[:6] in (b"GIF87a", b"GIF89a"):
                     try:
-                        rasters, delays = gif_frame_rasters(
-                            content, return_delays=True
-                        )
+                        delays = _gif_frame_delays(content)
                         duration = sum(delays) / 100.0
                         n = min(max_frames, max(1, int(duration * fps)))
                         # cumulative end-time of each frame, in seconds
@@ -1532,12 +1536,29 @@ def sample_frames(
                         for d_cs in delays:
                             acc += d_cs
                             ends.append(acc / 100.0)
+                        # displayed frame at tick ts = first frame whose
+                        # interval END is past ts; a zero-duration
+                        # timeline (all delays 0) shows frame 0, as
+                        # renderers do at t=0 (r15 fix — the old walk
+                        # advanced past every zero-length interval and
+                        # sampled the LAST frame instead)
+                        ticks = []
                         for i in range(n):
                             ts = i / fps
-                            fi = 0
-                            while fi < len(ends) - 1 and ts >= ends[fi]:
-                                fi += 1
-                            g = rasters[fi]
+                            fi = next(
+                                (j for j, e in enumerate(ends) if e > ts),
+                                len(ends) - 1 if duration > 0 else 0,
+                            )
+                            ticks.append((i, ts, fi))
+                        needed = {fi for _, _, fi in ticks}
+                        kept = {}
+                        for j, (g, _d) in enumerate(_gif_raster_iter(content)):
+                            if j in needed:
+                                kept[j] = g
+                            if len(kept) == len(needed):
+                                break
+                        for i, ts, fi in ticks:
+                            g = kept[fi]
                             hh, ww = g.shape
                             ppm = (
                                 f"P6\n{ww} {hh}\n255\n".encode()
@@ -1549,11 +1570,20 @@ def sample_frames(
                                     "frame_index": i,
                                     "frame_ts_sec": ts,
                                     "frame": ppm,
+                                    "err": None,
                                 }
                             )
-                        continue
-                    except ValueError:
-                        pass  # malformed GIF: fall through to the stub
+                    except Exception as exc:  # noqa: BLE001 — tolerant
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_index": None,
+                                "frame_ts_sec": None,
+                                "frame": None,
+                                "err": f"{type(exc).__name__}: {exc}",
+                            }
+                        )
+                    continue
                 d = DeterministicFakeDecoder.decode(content, "video")
                 duration = d["duration_sec"] or 0.0
                 n = min(max_frames, max(1, int(duration * fps)))
@@ -1566,9 +1596,10 @@ def sample_frames(
                             "frame_ts_sec": ts,
                             # STUB: deterministic fake frame bytes
                             "frame": bytes([i % 256]) + content[:32],
+                            "err": None,
                         }
                     )
-            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+            yield _exact_frame(out, FRAME_SCHEMA)
 
     return (
         media.where(F.col("modality") == "video")
@@ -2015,7 +2046,33 @@ def gif_frame_rasters(
     (transparent pixels leave the canvas unchanged). Returns a list of
     per-frame rasters, one snapshot of the canvas per image block — or
     (rasters, per-frame GCE delays in centiseconds) with
-    ``return_delays`` (the timeline :func:`sample_frames` samples)."""
+    ``return_delays`` (the timeline :func:`sample_frames` samples).
+
+    Memory contract: this LIST form materializes every snapshot at once;
+    callers that need only a subset (frame sampling at tick indices)
+    should drive :func:`_gif_raster_iter` directly and retain only what
+    they keep — the iterator holds ONE canvas at a time (r15)."""
+    frames: list = []
+    delays_cs: list = []
+    for g, d_cs in _gif_raster_iter(content):
+        frames.append(g)
+        delays_cs.append(d_cs)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF without an image frame")
+    if return_delays:
+        return frames, delays_cs
+    return frames
+
+
+def _gif_raster_iter(content: bytes):
+    """Streaming core of :func:`gif_frame_rasters`: yield one
+    ``(luma_snapshot, delay_centiseconds)`` per image block, compositing
+    onto a single persisting canvas — peak memory is one canvas plus the
+    snapshot being yielded, regardless of frame count. Raises the same
+    ValueErrors as the list form for malformed payloads encountered up
+    to the last frame the consumer pulls."""
     import struct
 
     import numpy as np
@@ -2038,8 +2095,6 @@ def gif_frame_rasters(
     canvas = np.tile(
         np.frombuffer(bg_rgb, dtype=np.uint8), (height, width, 1)
     ).reshape(height, width, 3).copy()
-    frames: list = []
-    delays_cs: list = []
     pending_delay = 0
     transparent_idx: int | None = None
     while pos < len(content):
@@ -2101,19 +2156,56 @@ def gif_frame_rasters(
                 region[opaque] = rgb[opaque]
             else:
                 region[...] = rgb
-            frames.append(_luma(canvas))
-            delays_cs.append(pending_delay)
+            yield _luma(canvas), pending_delay
             pending_delay = 0
             transparent_idx = None  # GCE applies to ONE image block
-            if max_frames is not None and len(frames) >= max_frames:
-                break
         else:
             raise ValueError(f"unknown GIF block id 0x{block:02x}")
-    if not frames:
+
+
+def _gif_frame_delays(content: bytes) -> list:
+    """Per-frame GCE delays (centiseconds) via a structure-only walk —
+    image data sub-blocks are SKIPPED, not LZW-decoded, so reading the
+    timeline of a long animation costs O(bytes) with no canvas at all.
+    Raises ValueError for payloads whose block structure is broken
+    (same contract as the decode walk, minus raster-level errors)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        raise ValueError("not a GIF")
+    packed = content[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    delays_cs: list = []
+    pending_delay = 0
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 1 >= len(content):
+                raise ValueError("truncated GIF extension")
+            label = content[pos + 1]
+            if label == 0xF9 and pos + 2 < len(content) and content[pos + 2] >= 4:
+                pending_delay = int.from_bytes(content[pos + 4 : pos + 6], "little")
+            pos = _gif_skip_subblocks(content, pos + 2)
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError("truncated GIF image descriptor")
+            fpacked = content[pos + 9]
+            pos += 10
+            if fpacked & 0x80:
+                pos += 3 * (2 << (fpacked & 7))
+            pos += 1  # LZW min code size
+            while pos < len(content) and content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+            delays_cs.append(pending_delay)
+            pending_delay = 0
+        else:
+            raise ValueError(f"unknown GIF block id 0x{block:02x}")
+    if not delays_cs:
         raise ValueError("GIF without an image frame")
-    if return_delays:
-        return frames, delays_cs
-    return frames
+    return delays_cs
 
 
 FRAME_HASH_SCHEMA = T.StructType(

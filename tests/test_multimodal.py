@@ -2659,3 +2659,70 @@ def test_sample_frames_real_gif_timeline(spark):
     for r, exp in zip(out, want):
         got = image_gray_raster(bytes(r.frame))
         assert (got == exp).all()
+
+
+def test_sample_frames_malformed_gif_err_row(spark):
+    """r15: a payload that CLAIMS to be GIF but is corrupt yields one
+    tolerant err row — never stub frames, never a task failure. The two
+    payloads reproduce the crash shapes the r14 advice probe found: a
+    truncated image descriptor (struct.error in the old decode walk) and
+    a trailing bare extension byte (IndexError)."""
+    from commercepulse_data_pipeline_spark.multimodal import sample_frames
+
+    trunc_desc = b"GIF89a" + bytes([4, 0, 4, 0, 0, 0, 0]) + b"\x2c\x01"
+    trailing_ext = b"GIF89a" + bytes([4, 0, 4, 0, 0, 0, 0]) + b"\x21"
+    media = spark.createDataFrame(
+        [("bad-desc", "video", trunc_desc), ("bad-ext", "video", trailing_ext)],
+        "media_id string, modality string, content binary",
+    )
+    out = sample_frames(media, fps=1.0, max_frames=4).collect()
+    assert len(out) == 2
+    by_id = {r.media_id: r for r in out}
+    for mid in ("bad-desc", "bad-ext"):
+        r = by_id[mid]
+        assert r.err is not None
+        assert r.frame is None and r.frame_index is None
+
+
+def test_sample_frames_zero_delay_gif_shows_first_frame(spark):
+    """r15: a multi-frame GIF whose GCE delays are ALL zero samples
+    frame 0 (what a renderer displays at t=0), not the last frame the
+    old tick walk advanced to."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        gif_frame_rasters,
+        image_gray_raster,
+        sample_frames,
+    )
+
+    w, h = 8, 6
+    palette = bytes([250, 10, 10, 10, 250, 10, 10, 10, 250, 128, 128, 128])
+    f1 = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    f2 = bytes((x * y) % 4 for y in range(h) for x in range(w))
+    gif = _gif_bytes(w, h, [f1, f2], palette, delays=[0, 0])
+    rasters = gif_frame_rasters(gif)
+    assert not (rasters[0] == rasters[1]).all()
+
+    media = spark.createDataFrame(
+        [("z", "video", gif)], "media_id string, modality string, content binary"
+    )
+    out = sample_frames(media, fps=1.0, max_frames=8).collect()
+    assert len(out) == 1 and out[0].err is None
+    assert (image_gray_raster(bytes(out[0].frame)) == rasters[0]).all()
+
+
+def test_gif_frame_delays_matches_full_decode():
+    """r15: the structure-only delay walk (no LZW) reads the same
+    timeline as the full decode's return_delays form."""
+    from commercepulse_data_pipeline_spark.multimodal import (
+        _gif_frame_delays,
+        gif_frame_rasters,
+    )
+
+    palette = bytes([250, 10, 10, 10, 250, 10, 10, 10, 250, 128, 128, 128])
+    frames = [
+        bytes((x + y + k) % 4 for y in range(7) for x in range(11))
+        for k in range(4)
+    ]
+    gif = _gif_bytes(11, 7, frames, palette, delays=[25, 0, 100, 7])
+    _, delays = gif_frame_rasters(gif, return_delays=True)
+    assert _gif_frame_delays(gif) == delays == [25, 0, 100, 7]
