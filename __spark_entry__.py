@@ -4490,73 +4490,17 @@ def q_audio_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8-r13 recorded exactly 50). r14
-    # executes the rotation written in COVERAGE.md after r13: (a) the 37
-    # r11-green entries past r13's 50-row cap go FIRST (their last driver
-    # rows are r11 — the oldest stratum, strict-spot-verified by the r13
-    # judge 12/12); (b) queries NEW this round, plus image_ahash_check
-    # re-pinned because the JPEG wiring changes its decodable counts;
-    # (c) the r12-green block (next-oldest); (d) the r13-checked head
-    # closes the oracle-backed list. After r14 every oracle-backed entry
-    # again has a driver row within two rounds.
+    # the number of rows it records (~50; r8-r14 recorded exactly 50). r15
+    # executes the rotation written in COVERAGE.md after r14: (a) the 40
+    # r12-green entries past r14's 50-row cap go FIRST (their last driver
+    # rows are r12 — the oldest stratum); (b) queries NEW this round;
+    # (c) the 49-entry r13-checked block (next-oldest); (d) the 50-entry
+    # r14-checked head closes the oracle-backed list. After r15 every
+    # oracle-backed entry again has a driver row within two rounds.
     return {
-        # -- r11-verification debt: last driver rows r11 (operators
-        # --    untouched since, per git) — the r11-block tail past r13's
-        # --    50-row cap rotates in FIRST (COVERAGE.md r14 plan)
-        "funnel_steps": q_funnel_steps,
-        "bloom_range_members": q_bloom_range_members,
-        "docs_cluster_safe_split": q_docs_cluster_safe_split,
-        "embedding_label_outliers": q_embedding_label_outliers,
-        "docs_derepeated": q_docs_derepeated,
-        "corpus_novelty": q_corpus_novelty,
-        "simhash_incremental": q_simhash_incremental,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "docs_dedup_keep_best": q_docs_dedup_keep_best,
-        "split_leakage": q_split_leakage,
-        "docs_passage_dedup": q_docs_passage_dedup,
-        "media_features_check": q_media_features_check,
-        "docs_decontaminated": q_docs_decontaminated,
-        "ann_pq_topk": q_ann_pq_topk,
-        "docs_mixture_applied": q_docs_mixture_applied,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
-        "pricing_summary": q_pricing_summary,
-        "daily_revenue": q_daily_revenue,
-        "order_daily_rollup": q_order_daily_rollup,
-        "dedup_last_writer": q_dedup_last_writer,
-        "dedup_keep_first": q_dedup_keep_first,
-        "drift_coalesce": q_drift_coalesce,
-        "status_canonical": q_status_canonical,
-        "timestamp_multiformat": q_timestamp_multiformat,
-        "calendar_dim": q_calendar_dim,
-        "customer_first_order": q_customer_first_order,
-        "orphan_customers": q_orphan_customers,
-        "big_spender_segments": q_big_spender_segments,
-        "ship_latency": q_ship_latency,
-        "fact_shipments_rollup": q_fact_shipments_rollup,
-        "completeness": q_completeness,
-        "top_customers": q_top_customers,
-        "status_pivot": q_status_pivot,
-        "sql_regional_revenue": q_sql_regional_revenue,
-        "order_value_percentiles": q_order_value_percentiles,
-        "revenue_rollup": q_revenue_rollup,
-        # -- new in r14 (+ image_ahash_check re-pinned: the JPEG raster
-        # --    wiring flips its jpeg fixture row to decodable=1)
-        "image_ahash_check": q_image_ahash_check,
-        "video_neardup_check": q_video_neardup_check,
-        "audio_hash_check": q_audio_hash_check,
-        # -- r12-green block: every entry below has a green row in
-        # --    CORRECTNESS_r12.json
-        "revenue_cube": q_revenue_cube,
-        "month_over_month": q_month_over_month,
-        "docs_shared_passages": q_docs_shared_passages,
-        "token_budget": q_token_budget,
-        "running_total": q_running_total,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
-        "event_daily_stats": q_event_daily_stats,
-        "minhash_signature": q_minhash_signature,
-        "minhash_pairs": q_minhash_pairs,
+        # -- r12-verification debt: last driver rows r12 — the r12-block
+        # -- --    tail past r14's 50-row cap rotates in FIRST
+        # -- --    (COVERAGE.md r15 plan)
         "ngram_jaccard": q_ngram_jaccard,
         "approx_stats_check": q_approx_stats_check,
         "order_value_percentiles_check": q_order_value_percentiles_check,
@@ -4597,9 +4541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "docs_unigram_ce": q_docs_unigram_ce,
         "corpus_mixture_plan": q_corpus_mixture_plan,
-        # -- r13-checked head: every entry below has a green row in
-        # --    CORRECTNESS_r13.json (checked last round — the freshest
-        # --    stratum, so it closes the oracle-backed list)
+        # -- new in r15 (inserted by the r15 build as they land)
+        # -- r13-checked block: every entry below has a green row in
+        # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
         "salted_revenue": q_salted_revenue,
         "incident_impact": q_incident_impact,
@@ -4649,15 +4593,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anomalies": q_revenue_anomalies,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
+        # -- r14-checked head: every entry below has a green row in
+        # -- --    CORRECTNESS_r14.json (the freshest stratum, so it
+        # -- --    closes the oracle-backed list)
+        "funnel_steps": q_funnel_steps,
+        "bloom_range_members": q_bloom_range_members,
+        "docs_cluster_safe_split": q_docs_cluster_safe_split,
+        "embedding_label_outliers": q_embedding_label_outliers,
+        "docs_derepeated": q_docs_derepeated,
+        "corpus_novelty": q_corpus_novelty,
+        "simhash_incremental": q_simhash_incremental,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "split_leakage": q_split_leakage,
+        "docs_passage_dedup": q_docs_passage_dedup,
+        "media_features_check": q_media_features_check,
+        "docs_decontaminated": q_docs_decontaminated,
+        "ann_pq_topk": q_ann_pq_topk,
+        "docs_mixture_applied": q_docs_mixture_applied,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "cross_source_fuzzy_join": q_cross_source_fuzzy_join,
+        "pricing_summary": q_pricing_summary,
+        "daily_revenue": q_daily_revenue,
+        "order_daily_rollup": q_order_daily_rollup,
+        "dedup_last_writer": q_dedup_last_writer,
+        "dedup_keep_first": q_dedup_keep_first,
+        "drift_coalesce": q_drift_coalesce,
+        "status_canonical": q_status_canonical,
+        "timestamp_multiformat": q_timestamp_multiformat,
+        "calendar_dim": q_calendar_dim,
+        "customer_first_order": q_customer_first_order,
+        "orphan_customers": q_orphan_customers,
+        "big_spender_segments": q_big_spender_segments,
+        "ship_latency": q_ship_latency,
+        "fact_shipments_rollup": q_fact_shipments_rollup,
+        "completeness": q_completeness,
+        "top_customers": q_top_customers,
+        "status_pivot": q_status_pivot,
+        "sql_regional_revenue": q_sql_regional_revenue,
+        "order_value_percentiles": q_order_value_percentiles,
+        "revenue_rollup": q_revenue_rollup,
+        "image_ahash_check": q_image_ahash_check,
+        "video_neardup_check": q_video_neardup_check,
+        "audio_hash_check": q_audio_hash_check,
+        "revenue_cube": q_revenue_cube,
+        "month_over_month": q_month_over_month,
+        "docs_shared_passages": q_docs_shared_passages,
+        "token_budget": q_token_budget,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "event_daily_stats": q_event_daily_stats,
+        "minhash_signature": q_minhash_signature,
+        "minhash_pairs": q_minhash_pairs,
         # -- rows-only block rides at the very end (contract: never
-        # --    displaces an oracle-backed query from the driver's cap;
-        # --    each has an oracle-backed *_check companion above)
+        # -- --    displaces an oracle-backed query from the driver's cap;
+        # -- --    each has an oracle-backed *_check companion above)
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
     }
-
-
 # DuckDB shared text-tokenization fragment (kept identical across oracles).
 _TOKS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
