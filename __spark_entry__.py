@@ -2199,6 +2199,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dup_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-bucket occupancy under the simhash pairing keys (r15 —
+    operators/dedup.py::sig_block_occupancy): the observability
+    complement to the ``max_bucket`` cap's silent wholesale drop. The
+    max_bucket here (5) is deliberately small so the 'dropped' band is
+    NON-EMPTY on the test corpus — the oracle replays the identical
+    pigeonhole block arithmetic (unsigned shift via HUGEINT division)
+    and band CASE, so the hash check pins exactly what the cap would
+    throw away."""
+    d = _docs(spark, sf_dir)
+    sh = dd.simhash_table(d, "text", "doc_id").where(F.col("sig").isNotNull())
+    return dd.sig_block_occupancy(
+        sh, id_col="doc_id", sig_col="sig", hamming_threshold=6, max_bucket=5
+    )
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
     simhash_pairs_between, the simhash sibling of minhash_incremental):
@@ -4542,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_ce": q_docs_unigram_ce,
         "corpus_mixture_plan": q_corpus_mixture_plan,
         # -- new in r15 (inserted by the r15 build as they land)
+        "dup_bucket_occupancy": q_dup_bucket_occupancy,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5087,6 +5104,44 @@ def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
+    """
+
+
+def _bucket_occupancy_oracle_sql(max_bucket: int = 5) -> str:
+    """DuckDB twin of q_dup_bucket_occupancy: the same md5-derived
+    simhash signatures (_simhash_sigs_cte), the same 7-block/9-bit
+    pigeonhole keys — Spark's shiftrightunsigned replayed as HUGEINT
+    division on the two's-complement-unsigned value — and the same
+    three-band CASE rollup."""
+    two64 = 1 << 64
+    branches = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS block_id, "
+        f"CAST((us // {1 << (9 * i)}) % 512 AS BIGINT) AS block_val FROM u"
+        for i in range(7)
+    )
+    return f"""
+        WITH {_simhash_sigs_cte()},
+        u AS (
+            SELECT doc_id,
+                   CAST(sig AS HUGEINT)
+                   + CASE WHEN sig < 0 THEN CAST({two64} AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END AS us
+            FROM sigs
+        ),
+        blk AS (
+            {branches}
+        ),
+        bs AS (
+            SELECT block_id, block_val, count(*) AS n
+            FROM blk GROUP BY 1, 2
+        )
+        SELECT CASE WHEN n < 2 THEN 'singleton'
+                    WHEN n <= {max_bucket} THEN 'pairable'
+                    ELSE 'dropped' END AS status,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_items,
+               CAST(max(n) AS BIGINT) AS max_bucket_n
+        FROM bs GROUP BY 1
     """
 
 
@@ -7513,6 +7568,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ivfpq_topk_oracle_sql(),
         "ann_pq_knn_join": _pq_knn_join_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
+        "dup_bucket_occupancy": _bucket_occupancy_oracle_sql(max_bucket=5),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

@@ -838,13 +838,20 @@ def cmd_media_dedup(args) -> int:
 
     spark = _spark()
     media = spark.read.parquet(args.media)
+    keep_degenerate = getattr(args, "keep_degenerate", False)
     if args.modality == "video":
         frames = mm.video_frame_hashes(
             media, max_frames=args.max_frames
         ).localCheckpoint(eager=True)
         n_bad = frames.where(F.col("err").isNotNull()).count()
+        vsig = args.sig if args.sig != "ehash" else "ahash"
+        if not keep_degenerate:
+            frames = dd.drop_degenerate_sigs(frames, sig_col=vsig)
+        occ_sigs = mm._frame_sig_table(frames, vsig).withColumnRenamed(
+            "fid", "media_id"
+        )
         pairs = mm.video_neardup_pairs(
-            frames, sig_col=args.sig if args.sig != "ehash" else "ahash",
+            frames, sig_col=vsig,
             hamming_threshold=args.hamming, min_match_frac=args.min_match_frac,
             max_bucket=args.max_bucket,
         )
@@ -857,12 +864,34 @@ def cmd_media_dedup(args) -> int:
             hashes = mm.audio_hash(media).localCheckpoint(eager=True)
             sig = "ehash"
         n_bad = hashes.where(F.col("err").isNotNull()).count()
+        sigs = hashes.where(F.col(sig).isNotNull()).select("media_id", sig)
+        if not keep_degenerate:
+            sigs = dd.drop_degenerate_sigs(sigs, sig_col=sig)
+        occ_sigs = sigs.select("media_id", F.col(sig).alias("sig"))
         pairs = dd.sig_hamming_pairs(
-            hashes.where(F.col(sig).isNotNull()).select("media_id", sig),
-            id_col="media_id", sig_col=sig,
+            sigs, id_col="media_id", sig_col=sig,
             hamming_threshold=args.hamming, max_bucket=args.max_bucket,
         )
         pair_edges = pairs.select("id_a", "id_b")
+    # Occupancy under the EXACT pairing keys/cap (r15 guard): a bucket
+    # past --max-bucket drops WHOLESALE from the pair stage — surface it
+    # instead of letting "0 pairs" read as "no dups found".
+    occ = {
+        r["status"]: r
+        for r in dd.sig_block_occupancy(
+            occ_sigs, id_col="media_id", sig_col="sig",
+            hamming_threshold=args.hamming, max_bucket=args.max_bucket,
+        ).collect()
+    }
+    dropped = occ.get("dropped")
+    if dropped is not None:
+        print(
+            f"media-dedup[{args.modality}]: WARNING {dropped['n_buckets']} "
+            f"block bucket(s) past --max-bucket={args.max_bucket} were "
+            f"DROPPED ({dropped['n_items']} signature postings, widest "
+            f"{dropped['max_bucket_n']}) — pairs inside them are NOT in "
+            f"the output; raise --max-bucket or pre-filter the family"
+        )
     pairs = pairs.localCheckpoint(eager=True)
     pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
     n_pairs = pairs.count()
@@ -1306,6 +1335,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="video: containment fraction a pair must reach")
     md.add_argument("--max-frames", type=int, default=16)
     md.add_argument("--max-bucket", type=int, default=1000)
+    md.add_argument("--keep-degenerate", action="store_true",
+                    help="keep all-zero/all-one signatures (solid-color/"
+                         "silence families) instead of dropping them "
+                         "before pairing")
     md.add_argument("--cluster-table", action="store_true",
                     help="also persist a cluster-table artifact from the pairs")
     md.set_defaults(fn=cmd_media_dedup)

@@ -219,6 +219,85 @@ def capped_posting_lists(
     )
 
 
+def bucket_occupancy_report(
+    keyed: DataFrame, keys: list[str], *, max_bucket: int
+) -> DataFrame:
+    """Occupancy bands of a bucket-keyed table under the
+    ``capped_posting_lists`` cap — the observability complement to the
+    cap's SILENT drop (r15; the r14 scale probe measured total pair loss
+    when a degenerate signature family blew past ``max_bucket`` and its
+    bucket vanished without a trace). One COUNT aggregation per bucket
+    key, then a constant-arity band rollup — kilobytes out at any scale,
+    mirroring ``skew.skew_report`` for join keys.
+
+    Returns one row per occupied band:
+    ``(status ∈ {'singleton','pairable','dropped'}, n_buckets, n_items,
+    max_bucket_n)`` — ``dropped`` is the band the pair stage never sees;
+    a non-zero ``dropped`` row on a media corpus usually means a
+    solid-color / silence family (see :func:`drop_degenerate_sigs`)."""
+    return (
+        keyed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .select(
+            F.when(F.col("__bucket_n") < 2, F.lit("singleton"))
+            .when(F.col("__bucket_n") <= max_bucket, F.lit("pairable"))
+            .otherwise(F.lit("dropped"))
+            .alias("status"),
+            F.col("__bucket_n"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("__bucket_n").cast("long").alias("n_items"),
+            F.max("__bucket_n").cast("long").alias("max_bucket_n"),
+        )
+    )
+
+
+def sig_block_occupancy(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    hamming_threshold: int = 3,
+    blocks: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Block-bucket occupancy for a 64-bit signature table under EXACTLY
+    the keys :func:`sig_hamming_pairs` joins on (same pigeonhole blocks,
+    same cap) — run it alongside a pair job to see what the cap dropped
+    instead of reading "no dups found" (r15 guard). Output shape is
+    :func:`bucket_occupancy_report`'s three-band rollup."""
+    if blocks is None:
+        blocks = min(64, hamming_threshold + 1)
+    sh = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
+    width = max(1, 64 // blocks)
+    return bucket_occupancy_report(
+        _sig_blocks(sh, id_col, blocks, width),
+        ["block_id", "block_val"],
+        max_bucket=max_bucket,
+    )
+
+
+def drop_degenerate_sigs(
+    sigs: DataFrame, *, sig_col: str = "sig"
+) -> DataFrame:
+    """Remove DEGENERATE 64-bit signatures — all bits zero or all bits
+    one — before block-LSH pairing (r15). These are the media tier's
+    stop-shingles: every solid-color thumbnail hashes to the same
+    constant aHash, every silent clip to the same energy hash, so the
+    family forms one giant bucket that (a) would emit O(n²) junk pairs
+    below the cap and (b) silently LOSES all its pairs above it (the r14
+    media scale probe hit exactly this). Dropping the two constant
+    signatures mirrors the text tier's boilerplate caps: a pair between
+    two featureless items carries no near-dup evidence worth keeping.
+    NULL signatures (undecodable payloads) are dropped too. Opt-in at
+    the operator level; the media-dedup CLI applies it by default with
+    ``--keep-degenerate`` to opt out."""
+    c = F.col(sig_col)
+    return sigs.where(c.isNotNull() & (c != F.lit(0)) & (c != F.lit(-1)))
+
+
 def _pairs_in_group(ids: Column) -> Column:
     """All ordered pairs (id_a < id_b) from an array of ids, as
     array<struct<id_a,id_b>> — pure Catalyst (nested transform over the

@@ -883,3 +883,53 @@ def test_media_dedup_cli_image_and_audio(spark, tmp_path):
     apairs = {(r.id_a, r.id_b) for r in
               spark.read.parquet(f"{aud_out}/pairs").collect()}
     assert apairs == {("flac", "wav")}
+
+
+def test_media_dedup_cli_degenerate_guard(spark, tmp_path, capsys):
+    """r15 guard in the CLI: solid-color images (all-one aHash) are
+    dropped before pairing by default (no junk pair flood), kept with
+    --keep-degenerate, and a family past --max-bucket prints the
+    dropped-bucket WARNING instead of silently reading '0 pairs'."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import test_multimodal as tm
+
+    from commercepulse_data_pipeline_spark import cli
+
+    rng = np.random.default_rng(7)
+    pic = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    solid = np.full((16, 16), 200, dtype=np.uint8)  # aHash = all ones
+    rows = [("real", tm._ppm_from_gray(pic))]
+    rows += [(f"solid-{i}", tm._ppm_from_gray(solid)) for i in range(4)]
+    media = str(tmp_path / "m")
+    spark.createDataFrame(rows, "media_id string, content binary").write.parquet(media)
+
+    out1 = str(tmp_path / "o1")
+    assert cli.main([
+        "media-dedup", "--media", media, "--out", out1,
+        "--modality", "image", "--hamming", "2",
+    ]) == 0
+    assert spark.read.parquet(f"{out1}/pairs").count() == 0  # family dropped
+
+    out2 = str(tmp_path / "o2")
+    assert cli.main([
+        "media-dedup", "--media", media, "--out", out2,
+        "--modality", "image", "--hamming", "2", "--keep-degenerate",
+    ]) == 0
+    kept = {(r.id_a, r.id_b) for r in spark.read.parquet(f"{out2}/pairs").collect()}
+    assert kept == {(f"solid-{a}", f"solid-{b}")
+                    for a in range(4) for b in range(4) if a < b}
+
+    capsys.readouterr()
+    out3 = str(tmp_path / "o3")
+    assert cli.main([
+        "media-dedup", "--media", media, "--out", out3,
+        "--modality", "image", "--hamming", "2", "--keep-degenerate",
+        "--max-bucket", "3",
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "WARNING" in printed and "DROPPED" in printed
+    assert spark.read.parquet(f"{out3}/pairs").count() == 0

@@ -2185,3 +2185,66 @@ def test_winnow_match_pairs_evidence_and_caps(spark):
               for r in tx.winnow_match_pairs(df2, min_shared=2,
                                              max_posting=2).collect()}
     assert capped == {(1, 2)}
+
+
+def test_bucket_occupancy_reports_dropped_family(spark):
+    """r15 guard: a signature family past max_bucket vanishes WHOLESALE
+    from sig_hamming_pairs (capped_posting_lists contract) — the
+    occupancy report must count exactly what the pair stage dropped."""
+    # 6 identical sigs (the degenerate family; blocks 1-3 are zero, so
+    # the other sigs below keep every 16-bit block NONZERO and distinct
+    # to avoid cross-colliding with it), one near-dup pair within
+    # radius, one singleton far away
+    fam = [(f"fam-{i}", 7) for i in range(6)]
+    near = [("a", 0x1111222233334444), ("b", 0x1111222233334444 ^ 1)]
+    lone = [("z", 0x5555666677778888)]
+    sigs = spark.createDataFrame(fam + near + lone, "doc_id string, sig long")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.sig_hamming_pairs(
+            sigs, id_col="doc_id", hamming_threshold=3, max_bucket=5
+        ).collect()
+    }
+    # the family (15 true pairs) is silently gone; only (a, b) survives
+    assert pairs == {("a", "b")}
+
+    occ = {
+        r.status: r
+        for r in dd.sig_block_occupancy(
+            sigs, id_col="doc_id", hamming_threshold=3, max_bucket=5
+        ).collect()
+    }
+    # family sig=7: all 4 pigeonhole blocks collide -> 4 dropped buckets
+    # of 6 postings each
+    assert occ["dropped"].n_buckets == 4
+    assert occ["dropped"].n_items == 24
+    assert occ["dropped"].max_bucket_n == 6
+    # (a, b) share 3 of 4 blocks (they differ in bit 0 -> block 0
+    # differs); z collides with nothing
+    assert occ["pairable"].n_buckets == 3
+    assert occ["pairable"].n_items == 6
+    # singletons: a/b's block 0 (2 buckets) + z's 4 + near pair's
+    # non-colliding... count positively instead:
+    assert occ["singleton"].max_bucket_n == 1
+
+    # raising the cap recovers the family's pairs — the report's
+    # "raise max_bucket" advice is actionable
+    all_pairs = dd.sig_hamming_pairs(
+        sigs, id_col="doc_id", hamming_threshold=3, max_bucket=10
+    ).count()
+    assert all_pairs == 15 + 1
+
+
+def test_drop_degenerate_sigs_families(spark):
+    """r15: all-zero / all-one signatures (solid-color images, silence)
+    are the media tier's stop-shingles — dropped before pairing, NULLs
+    included; everything else passes through."""
+    sigs = spark.createDataFrame(
+        [("solid", 0), ("white", -1), ("bad", None), ("ok", 42),
+         ("neg", -42)],
+        "media_id string, ahash long",
+    )
+    kept = {r.media_id for r in dd.drop_degenerate_sigs(
+        sigs, sig_col="ahash").collect()}
+    assert kept == {"ok", "neg"}
