@@ -2215,6 +2215,32 @@ def q_dup_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hashed-feature NB classifier (r15 —
+    operators/classifier.py, the fastText-shape model-based quality
+    filter): train distributed on a deterministic md5 half-split of the
+    corpus labeled en-vs-rest, then score EVERY doc. The oracle replays
+    train AND score — same md5 feature buckets, same add-1 smoothed
+    log2 ratios quantized DECIMAL(30,4) before exact decimal sums, same
+    exact-total sign for the prediction — so the hash check pins the
+    whole train+score pipeline bit-for-bit."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold_for,
+    )
+
+    d = _docs(spark, sf_dir)
+    train = d.where(
+        hash_bucket(F.col("doc_id"), salt="nbtrain-v1:") < threshold_for(0.5)
+    )
+    labeled = train.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = clf.nb_train(labeled, n_buckets=256)
+    return clf.nb_score(d.select("doc_id", "text"), model, n_buckets=256)
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
     simhash_pairs_between, the simhash sibling of minhash_incremental):
@@ -4559,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_plan": q_corpus_mixture_plan,
         # -- new in r15 (inserted by the r15 build as they land)
         "dup_bucket_occupancy": q_dup_bucket_occupancy,
+        "docs_classifier_scores": q_docs_classifier_scores,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5104,6 +5131,83 @@ def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
+    """
+
+
+def _classifier_oracle_sql(B: int = 256) -> str:
+    """DuckDB twin of q_docs_classifier_scores: identical md5 half-split
+    (nbtrain-v1:), identical en-vs-rest labels, the same hashed
+    unigram+bigram feature buckets (nbq-v1:, the DSIR feature space),
+    add-1 smoothed per-bucket log2 ratios quantized DECIMAL(30,4), a
+    DENSE 0..B-1 weight table (unseen buckets carry the smoothed prior
+    ratio), exact decimal per-doc sums + the doc-prior bias, and the
+    prediction from the EXACT decimal total's sign."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    split = _sample_bucket_sql("doc_id", "nbtrain-v1:")
+    fbucket = f"({_sample_bucket_sql('f', 'nbq-v1:')} % {B})"
+    thr = threshold_for(0.5)
+    return f"""
+        WITH tr AS (
+            SELECT doc_id, text,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+            FROM documents WHERE {split} < {thr}
+        ),
+        trt AS (SELECT lab, {_TOKS} AS toks FROM tr),
+        trf AS (
+            SELECT lab, unnest(toks) AS f FROM trt
+            UNION ALL
+            SELECT lab, array_to_string(toks[i:i+1], ' ') AS f
+            FROM trt, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        trb AS (SELECT lab, {fbucket} AS b FROM trf),
+        bc AS (
+            SELECT b, CAST(sum(lab) AS BIGINT) AS cp,
+                   CAST(count(*) - sum(lab) AS BIGINT) AS cn
+            FROM trb GROUP BY b
+        ),
+        tots AS (
+            SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn
+            FROM bc
+        ),
+        w AS (
+            SELECT t.i AS b,
+                   CAST(log2((coalesce(bc.cp, 0) + 1)
+                             / CAST(tots.tp + {B} AS DOUBLE))
+                        - log2((coalesce(bc.cn, 0) + 1)
+                             / CAST(tots.tn + {B} AS DOUBLE))
+                        AS DECIMAL(30,4)) AS wt
+            FROM range(0, {B}) t(i)
+            LEFT JOIN bc ON bc.b = t.i CROSS JOIN tots
+        ),
+        prior AS (
+            SELECT CAST(log2((coalesce(sum(lab), 0) + 1)
+                             / CAST(count(*) - coalesce(sum(lab), 0) + 1
+                                    AS DOUBLE))
+                        AS DECIMAL(30,4)) AS bias
+            FROM tr
+        ),
+        at AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        af AS (
+            SELECT doc_id, unnest(toks) AS f FROM at
+            UNION ALL
+            SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS f
+            FROM at, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        ab AS (SELECT doc_id, {fbucket} AS b FROM af),
+        s AS (
+            SELECT ab.doc_id, count(*) AS n_feats, sum(w.wt) AS sw
+            FROM ab JOIN w ON ab.b = w.b GROUP BY ab.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+               round(CAST(coalesce(s.sw, CAST(0 AS DECIMAL(30,4)))
+                          + prior.bias AS DOUBLE), 4) AS nb_logodds,
+               CAST(CASE WHEN coalesce(s.sw, CAST(0 AS DECIMAL(30,4)))
+                              + prior.bias > 0
+                         THEN 1 ELSE 0 END AS INT) AS predicted
+        FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        CROSS JOIN prior
     """
 
 
@@ -7569,6 +7673,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_knn_join": _pq_knn_join_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "dup_bucket_occupancy": _bucket_occupancy_oracle_sql(max_bucket=5),
+        "docs_classifier_scores": _classifier_oracle_sql(B=256),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

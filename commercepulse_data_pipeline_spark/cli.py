@@ -212,6 +212,10 @@ def cmd_clean_corpus(args) -> int:
           CCNet perplexity bands — head,middle,tail over the corpus's own
           unigram LM, histogram two-pass; Wenzek et al. 2020 keep
           head+middle)
+        → optional model-based quality gate (--quality-model: keep docs
+          whose hashed-feature NB log-odds under a train-quality model
+          is >= --quality-threshold — the fastText-style supervised
+          filter, Joulin et al. 2016 / operators/classifier.py)
         → deterministic sample (md5-bucket, reproducible/incremental)
         → optional train/val/test split manifest (--splits; content-keyed,
           stable under incremental reruns)
@@ -226,7 +230,8 @@ def cmd_clean_corpus(args) -> int:
     with the FIRST stage that dropped it (stage order: repetitive →
     code → boilerplate_hollowed → repeat_hollowed → exact_dup → near_dup →
     passage_hollowed → not_dsir_selected → no_tokens → ce_band_dropped →
-    not_sampled; no_tokens = the doc tokenizes to zero tokens, so no CE
+    classifier_low_quality → not_sampled; no_tokens = the doc tokenizes
+    to zero tokens, so no CE
     score exists and --ce-bands drops it even when all three bands are
     requested) — the auditable
     exclusion table (the CLI-chain form of
@@ -555,6 +560,35 @@ def cmd_clean_corpus(args) -> int:
             )
         deduped = deduped.join(kept_ids, "doc_id", "left_semi")
 
+    if getattr(args, "quality_model", None):
+        # model-based quality gate (r15): score every survivor under the
+        # persisted NB model (train-quality artifact) and keep docs at or
+        # above the log-odds threshold. Runs AFTER dedup (scoring
+        # duplicates would just re-judge copies) and after the
+        # distribution selectors, BEFORE the rate sample — it is a
+        # quality judgment, not a rate decision. The model (a
+        # ~n_buckets-row table) broadcasts; scoring is one feature
+        # explode + one broadcast join per doc.
+        from commercepulse_data_pipeline_spark.operators import (
+            classifier as _clf,
+        )
+
+        model, meta = _clf.read_model(spark, args.quality_model)
+        scored = _clf.nb_score(
+            deduped.select("doc_id", "text"), model,
+            n_buckets=meta["n_buckets"], salt=meta["salt"],
+        )
+        keep_ids = scored.where(
+            F.col("nb_logodds") >= args.quality_threshold
+        ).select("doc_id")
+        if quarantine:
+            keep_ids = keep_ids.localCheckpoint(eager=True)
+            _reject(
+                deduped.join(keep_ids, "doc_id", "left_anti"),
+                "classifier_low_quality",
+            )
+        deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+
     sampled = deterministic_sample(deduped, "doc_id", args.sample_rate, salt=args.salt)
     if quarantine:
         _reject(
@@ -609,6 +643,43 @@ def cmd_clean_corpus(args) -> int:
     print(
         f"clean-corpus: {n_in} docs in -> {n_out} kept{quarantine_msg}, "
         f"windows written to {args.out}"
+    )
+    return 0
+
+
+def cmd_train_quality(args) -> int:
+    """Train the supervised quality classifier (r15 —
+    operators/classifier.py): a hashed-feature binary Naive Bayes over
+    labeled docs (the fastText-shape model-based filter DCLM/FineWeb
+    pipelines gate on), persisted as a parquet model artifact +
+    meta sidecar that ``clean-corpus --quality-model`` consumes. Train
+    is pure distributed aggregation — one feature explode, bucket
+    counts with map-side combine, two 1-row totals — and the model is
+    kilobytes at any corpus size."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    spark = _spark()
+    labeled = spark.read.parquet(args.docs)
+    if args.label_col not in labeled.columns:
+        raise SystemExit(
+            f"train-quality: --label-col {args.label_col!r} not in "
+            f"{sorted(labeled.columns)}"
+        )
+    model = clf.nb_train(
+        labeled, text_col=args.text_col, label_col=args.label_col,
+        n_buckets=args.n_buckets, salt=args.salt,
+    )
+    clf.write_model(
+        model, args.out, n_buckets=args.n_buckets, salt=args.salt,
+        provenance={"label_col": args.label_col, "docs": args.docs},
+    )
+    n_pos = labeled.where(
+        F.col(args.label_col).cast("boolean").eqNullSafe(F.lit(True))
+    ).count()
+    n = labeled.count()
+    print(
+        f"train-quality: model over {n} docs ({n_pos} positive) -> "
+        f"{args.out} (n_buckets={args.n_buckets})"
     )
     return 0
 
@@ -1164,6 +1235,15 @@ def main(argv: list[str] | None = None) -> int:
                         "from head,middle,tail; unigram-LM bits-per-token, "
                         "histogram two-pass) — e.g. 'head,middle' drops the "
                         "rare-word-soup tail")
+    c.add_argument("--quality-model", default=None, dest="quality_model",
+                   help="persisted train-quality model dir: keep only docs "
+                        "whose NB log-odds score >= --quality-threshold "
+                        "(the model-based filter; quarantine reason "
+                        "'classifier_low_quality')")
+    c.add_argument("--quality-threshold", type=float, default=0.0,
+                   dest="quality_threshold",
+                   help="log-odds keep threshold for --quality-model "
+                        "(0.0 = the NB decision boundary)")
     c.add_argument("--drop-code", action="store_true", dest="drop_code",
                    help="drop docs the code-vs-prose gate flags (2 of 3 "
                         "regex signals: punctuation density, indentation, "
@@ -1174,6 +1254,20 @@ def main(argv: list[str] | None = None) -> int:
                         "per dropped input doc, tagged with the FIRST stage "
                         "that dropped it (auditable/reversible exclusions)")
     c.set_defaults(fn=cmd_clean_corpus)
+
+    tq = sub.add_parser(
+        "train-quality",
+        help="train the hashed-feature NB quality classifier from labeled docs",
+    )
+    tq.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text, <label-col>) rows")
+    tq.add_argument("--out", required=True, help="model artifact dir")
+    tq.add_argument("--label-col", default="label", dest="label_col",
+                    help="boolean-castable column; truthy = high quality")
+    tq.add_argument("--text-col", default="text", dest="text_col")
+    tq.add_argument("--n-buckets", type=int, default=1024, dest="n_buckets")
+    tq.add_argument("--salt", default="nbq-v1:")
+    tq.set_defaults(fn=cmd_train_quality)
 
     g = sub.add_parser(
         "stream-gold",

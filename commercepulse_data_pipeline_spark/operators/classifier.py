@@ -1,0 +1,230 @@
+"""Supervised hashed-feature text classifier — the model-based quality
+gate DCLM/FineWeb-class curation pipelines run as their main filter.
+
+Shape: Joulin et al. 2016 ("Bag of Tricks for Efficient Text
+Classification" — the public fastText recipe: hashed unigram+bigram
+bag-of-features, a linear model over the buckets), trained here as a
+binary multinomial Naive Bayes so BOTH train and score are pure
+distributed aggregations with exact cross-engine replay — no SGD, no
+iteration, no nondeterminism:
+
+    feature(doc)  = word unigrams + adjacent bigrams (bag, not set —
+                    the DSIR feature space, operators/sampling.py)
+    bucket(f)     = md5-hash(f) mod n_buckets
+    weight(b)     = log2 p(b | pos) - log2 p(b | neg)   (add-1 smoothed)
+    bias          = log2 (n_pos_docs + 1) / (n_neg_docs + 1)
+    score(doc)    = bias + Σ_f weight(bucket(f))        (log-odds)
+
+Cross-engine determinism (the ``dsir_importance`` discipline): every
+per-bucket weight is an IEEE log2 of a ratio of exact integers,
+quantized to DECIMAL(30,4) BEFORE the per-doc sum, so scores replay
+bit-for-bit in any engine that sums decimals exactly; the predicted
+label compares the EXACT decimal total against zero (never the rounded
+double).
+
+Scale shape: train is ONE feature explode feeding bucket counts with
+map-side combine (uniform md5 keys) plus two 1-row total aggregates;
+the model is a DENSE ``n_buckets + 1``-row table (kilobytes — unseen
+buckets carry the smoothed prior ratio, so scoring needs no
+missing-key special case) that BROADCASTS to the scoring join
+regardless of corpus size. Score is one explode + one broadcast join +
+one per-doc aggregation. No driver collect of anything corpus-sized.
+
+Reference parity note: the reference pipeline has no model-based
+filter; this extends its quality gate (transformer.py quality rules)
+the way its heuristic twin ``operators/text.py::quality_score`` does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
+from commercepulse_data_pipeline_spark.operators.text import token_ngrams, tokens
+
+_MODEL_META = "_nb_model_meta.json"
+_BIAS_BUCKET = -1
+
+
+def hashed_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+    salt: str = "nbq-v1:",
+) -> DataFrame:
+    """Hashed unigram+bigram feature-bucket rows — the classifier's
+    (and DSIR's) feature space: one output row per feature OCCURRENCE
+    (bag semantics), columns ``id_cols + [__b]``. The token array is
+    let-bound so the bigram lambda never re-tokenizes (the repo-wide
+    array-staging rule)."""
+    fcol = let(
+        tokens(F.col(text_col)),
+        lambda t: F.concat(t, token_ngrams(t, 2)),
+    )
+    cols = [F.col(c) for c in (id_cols or [])]
+    return (
+        df.select(*cols, F.explode_outer(fcol).alias("__feat"))
+        .where(F.col("__feat").isNotNull())
+        .withColumn(
+            "__b",
+            F.pmod(hash_bucket(F.col("__feat"), salt=salt), F.lit(n_buckets))
+            .cast("int"),
+        )
+        .drop("__feat")
+    )
+
+
+def nb_train(
+    labeled: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "nbq-v1:",
+) -> DataFrame:
+    """Train the binary NB model distributed. ``labeled`` is
+    (id, text, label) rows — label truthy/1 = positive class (e.g.
+    curated/high-quality), falsy/0/NULL = negative. Returns the model
+    as a ``(bucket int, weight decimal(30,4))`` DataFrame: one dense
+    row per feature bucket plus the prior as ``bucket = -1`` —
+    kilobytes, persistable with :func:`write_model`, broadcast by
+    :func:`nb_score`."""
+    spark = labeled.sparkSession
+    lab = F.when(
+        F.col(label_col).cast("boolean").eqNullSafe(F.lit(True)), F.lit(1)
+    ).otherwise(F.lit(0))
+    docs = labeled.select(F.col(id_col), F.col(text_col), lab.alias("__lab"))
+
+    feats = hashed_features(
+        docs, text_col=text_col, id_cols=["__lab"],
+        n_buckets=n_buckets, salt=salt,
+    )
+    counts = feats.groupBy("__b").agg(
+        F.sum("__lab").cast("long").alias("__cp"),
+        (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
+    )
+    tots = counts.agg(
+        F.coalesce(F.sum("__cp"), F.lit(0)).alias("__tp"),
+        F.coalesce(F.sum("__cn"), F.lit(0)).alias("__tn"),
+    )
+    dense = (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(counts, F.col("bucket") == F.col("__b"), "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("__cp"), F.lit(0)) + 1)
+                    / (F.col("__tp") + n_buckets).cast("double")
+                )
+                - F.log2(
+                    (F.coalesce(F.col("__cn"), F.lit(0)) + 1)
+                    / (F.col("__tn") + n_buckets).cast("double")
+                )
+            )
+            .cast("decimal(30,4)")
+            .alias("weight"),
+        )
+    )
+    prior = docs.agg(
+        F.coalesce(F.sum("__lab"), F.lit(0)).alias("__np"),
+        F.coalesce(F.count(F.lit(1)) - F.sum("__lab"), F.lit(0)).alias("__nn"),
+    ).select(
+        F.lit(_BIAS_BUCKET).cast("int").alias("bucket"),
+        (F.log2((F.col("__np") + 1) / (F.col("__nn") + 1).cast("double")))
+        .cast("decimal(30,4)")
+        .alias("weight"),
+    )
+    return dense.unionByName(prior)
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "nbq-v1:",
+) -> DataFrame:
+    """Score every document under a trained model (``n_buckets``/``salt``
+    MUST match training — :func:`read_model` returns them). Returns one
+    row per input doc: (id_col, n_feats, nb_logodds double rounded 4dp,
+    predicted int 0/1). Zero-feature docs score the prior alone; the
+    prediction compares the EXACT decimal total with zero."""
+    feats = hashed_features(
+        df, text_col=text_col, id_cols=[id_col],
+        n_buckets=n_buckets, salt=salt,
+    )
+    w = model.where(F.col("bucket") >= 0)
+    bias = model.where(F.col("bucket") == _BIAS_BUCKET).select(
+        F.col("weight").alias("__bias")
+    )
+    sums = (
+        feats.join(F.broadcast(w), feats["__b"] == w["bucket"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nf"),
+            F.sum("weight").alias("__sw"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    total = F.coalesce(F.col("__sw"), zero) + F.col("__bias")
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__nf"), F.lit(0)).cast("long").alias("n_feats"),
+            F.round(total.cast("double"), 4).alias("nb_logodds"),
+            F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("predicted"),
+        )
+    )
+
+
+def write_model(
+    model: DataFrame,
+    path: str,
+    *,
+    n_buckets: int,
+    salt: str,
+    provenance: dict | None = None,
+) -> None:
+    """Persist the model parquet plus a JSON meta sidecar recording the
+    feature-space parameters scoring must reuse (the cluster-table
+    artifact discipline: the artifact carries its own contract)."""
+    model.write.mode("overwrite").parquet(path)
+    meta = {"n_buckets": int(n_buckets), "salt": salt, "kind": "nb-binary-v1"}
+    meta.update(provenance or {})
+    with open(os.path.join(path, _MODEL_META), "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+
+
+def read_model(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted model and its meta; raises if the sidecar is
+    missing or the schema isn't the pinned (bucket, weight) shape."""
+    meta_path = os.path.join(path, _MODEL_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"not an nb model artifact (missing {_MODEL_META}): {path}")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    model = spark.read.parquet(path)
+    want = {"bucket", "weight"}
+    if set(model.columns) != want:
+        raise ValueError(
+            f"nb model at {path} has columns {sorted(model.columns)}, want {sorted(want)}"
+        )
+    return model, meta

@@ -933,3 +933,50 @@ def test_media_dedup_cli_degenerate_guard(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "WARNING" in printed and "DROPPED" in printed
     assert spark.read.parquet(f"{out3}/pairs").count() == 0
+
+
+def test_train_quality_and_clean_corpus_gate(spark, tmp_path, capsys):
+    """r15 supervised quality gate end to end: train-quality persists an
+    NB model artifact from labeled docs; clean-corpus --quality-model
+    drops low-scoring docs with quarantine reason
+    'classifier_low_quality' while high-scoring docs survive."""
+    from commercepulse_data_pipeline_spark import cli
+
+    good_vocab = "thoughtful analysis of science history culture and ideas"
+    spam_vocab = "click here cheap pills casino bonus win free money now"
+    labeled = [(f"g{i}", good_vocab, 1) for i in range(6)] + [
+        (f"s{i}", spam_vocab, 0) for i in range(6)
+    ]
+    spark.createDataFrame(
+        labeled, "doc_id string, text string, label int"
+    ).write.parquet(str(tmp_path / "labeled"))
+
+    model_dir = str(tmp_path / "model")
+    assert cli.main([
+        "train-quality", "--docs", str(tmp_path / "labeled"),
+        "--out", model_dir, "--n-buckets", "128",
+    ]) == 0
+    assert "12 docs (6 positive)" in capsys.readouterr().out
+
+    rows = [
+        (1, "a thoughtful analysis of culture science and history today"),
+        (2, "win free money now cheap casino bonus click here pills"),
+        (3, "completely unrelated prose about gardening and weather patterns"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    assert cli.main([
+        "clean-corpus", "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"), "--capacity", "64",
+        "--quality-model", model_dir, "--quarantine",
+    ]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "out/corpus")).select("doc_id").collect()}
+    assert 1 in kept and 2 not in kept
+    q = {(r.doc_id, r.reason) for r in spark.read.parquet(
+        str(tmp_path / "out/quarantine")).collect()}
+    assert (2, "classifier_low_quality") in q
+    # quarantine ∪ kept still partitions the input exactly
+    assert kept | {d for d, _ in q} == {1, 2, 3}
+    assert not (kept & {d for d, _ in q})

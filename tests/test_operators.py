@@ -2248,3 +2248,59 @@ def test_drop_degenerate_sigs_families(spark):
     kept = {r.media_id for r in dd.drop_degenerate_sigs(
         sigs, sig_col="ahash").collect()}
     assert kept == {"ok", "neg"}
+
+
+def test_nb_classifier_train_score_and_artifact(spark, tmp_path):
+    """r15 supervised quality classifier: the hashed-feature NB
+    separates planted vocabularies on held-out docs, scores zero-feature
+    docs with the prior alone, replays deterministically under
+    repartitioning, and round-trips through the model artifact."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    good = [(f"g{i}", "thoughtful essay about science history and culture", 1)
+            for i in range(6)]
+    spam = [(f"s{i}", "click here cheap pills casino bonus win money", 0)
+            for i in range(6)]
+    labeled = spark.createDataFrame(
+        good + spam, "doc_id string, text string, label int"
+    )
+    model = clf.nb_train(labeled, n_buckets=128)
+    # dense model: every bucket + the bias row
+    assert model.count() == 129
+
+    test = spark.createDataFrame(
+        [("t-good", "a thoughtful essay on culture and science"),
+         ("t-spam", "win cheap casino money click bonus"),
+         ("t-empty", "")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in clf.nb_score(test, model, n_buckets=128).collect()}
+    assert out["t-good"].predicted == 1 and out["t-good"].nb_logodds > 0
+    assert out["t-spam"].predicted == 0 and out["t-spam"].nb_logodds < 0
+    # zero features -> prior only (balanced classes -> log-odds 0, not kept)
+    assert out["t-empty"].n_feats == 0
+    assert out["t-empty"].nb_logodds == 0.0 and out["t-empty"].predicted == 0
+
+    again = {
+        r.doc_id: r
+        for r in clf.nb_score(
+            test.repartition(5), model.repartition(3), n_buckets=128
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+    path = str(tmp_path / "model")
+    clf.write_model(model, path, n_buckets=128, salt="nbq-v1:")
+    loaded, meta = clf.read_model(spark, path)
+    assert meta["n_buckets"] == 128 and meta["salt"] == "nbq-v1:"
+    reloaded = {
+        r.doc_id: tuple(r)
+        for r in clf.nb_score(test, loaded, n_buckets=128).collect()
+    }
+    assert reloaded == {k: tuple(v) for k, v in out.items()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing"):
+        clf.read_model(spark, str(tmp_path / "nope"))
