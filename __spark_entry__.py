@@ -2215,6 +2215,46 @@ def q_dup_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic crawl-page template for docs_html_extracted (r15): the query
+# wraps every document's text in a REALISTIC page (nav/footer link bars,
+# script/style subtrees, entities, a short link list) and both engines
+# build the page from these SAME fragments, so the extraction — not the
+# synthesis — is what the hash check pins. No apostrophes (the fragments
+# embed in a single-quoted SQL literal verbatim).
+_HTML_TPL = (
+    "<html><head><title>Synthetic Crawl Page</title>"
+    "<style>p { color: red; }</style>"
+    "<script>if (1 < 2) { var nav = \"&amp;\"; }</script></head><body>"
+    "<!-- chrome --><div class=\"nav\"><a href=\"/\">home</a> "
+    "<a href=\"/about\">about</a> <a href=\"/faq\">faq</a></div><h1>Document ",
+    " under lang ",
+    "</h1><p>",
+    "</p><ul><li><a href=\"/t1\">tag one</a></li>"
+    "<li><a href=\"/t2\">tag two</a></li></ul>"
+    "<div class=\"footer\"><a href=\"/contact\">contact us now</a></div>"
+    "</body></html>",
+)
+
+
+def q_docs_html_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction (r15 — operators/text.py::html_extract,
+    the stage in FRONT of the curation funnel): every document's text is
+    wrapped in the shared synthetic page template (_HTML_TPL — nav and
+    footer link bars, script/style subtrees, entities, a link list),
+    then extracted back out. Pure RE2-compatible regex on both sides,
+    so the oracle replays segmentation, link-density block filtering
+    and entity decoding verbatim: kept text, n_blocks and n_kept_blocks
+    must all hash-match."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(_HTML_TPL[0]), F.col("doc_id").cast("string"),
+        F.lit(_HTML_TPL[1]), F.coalesce(F.col("lang"), F.lit("und")),
+        F.lit(_HTML_TPL[2]), F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_HTML_TPL[3]),
+    )
+    return tx.html_extract(d.select("doc_id", html.alias("html")))
+
+
 def q_docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised hashed-feature NB classifier (r15 —
     operators/classifier.py, the fastText-shape model-based quality
@@ -4586,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r15 (inserted by the r15 build as they land)
         "dup_bucket_occupancy": q_dup_bucket_occupancy,
         "docs_classifier_scores": q_docs_classifier_scores,
+        "docs_html_extracted": q_docs_html_extracted,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5131,6 +5172,98 @@ def _simhash_oracle_sql(hamming_threshold: int = 6) -> str:
                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_threshold}
+    """
+
+
+def _html_extracted_oracle_sql(
+    min_block_tokens: int = 3, max_link_pct: int = 50
+) -> str:
+    """DuckDB twin of q_docs_html_extracted: the SAME page synthesis
+    from _HTML_TPL, then the SAME RE2 regex chain html_extract runs —
+    comment/script/style removal, block-tag segmentation, per-block
+    tag-strip + entity decode + whitespace collapse, integer
+    link-density filter — rebuilt with list/ordinality SQL. DuckDB's
+    regexp_replace needs the explicit 'g' option to match Spark's
+    global-by-default semantics."""
+    from commercepulse_data_pipeline_spark.operators.text import (
+        _HTML_BLOCK_TAGS,
+        _HTML_ENTITIES,
+    )
+
+    def clean(expr: str) -> str:
+        c = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+        for ent, ch in _HTML_ENTITIES:
+            rep = ch.replace("'", "''")
+            c = f"replace({c}, '{ent}', '{rep}')"
+        return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+    seg = "coalesce(html, '')"
+    seg = f"regexp_replace({seg}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in ("script", "style", "noscript"):
+        seg = (
+            f"regexp_replace({seg}, "
+            f"'(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')"
+        )
+    seg = (
+        f"regexp_replace({seg}, "
+        f"'(?i)</?({_HTML_BLOCK_TAGS})\\b[^>]*>', chr(10), 'g')"
+    )
+    tpl = [t.replace("'", "''") for t in _HTML_TPL]
+    lc = (
+        "coalesce(list_sum(list_transform("
+        "regexp_extract_all(blk, '(?is)<a\\b[^>]*>(.*?)</a>', 1), "
+        f"x -> length({clean('x')}))), 0)"
+    )
+    keep = (
+        f"ntok >= {min_block_tokens} AND lc * 100 <= length(txt) * {max_link_pct}"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '{tpl[0]}' || CAST(doc_id AS VARCHAR)
+                   || '{tpl[1]}' || coalesce(lang, 'und')
+                   || '{tpl[2]}' || coalesce(text, '')
+                   || '{tpl[3]}' AS html
+            FROM documents
+        ),
+        seg AS (SELECT doc_id, {seg} AS segd FROM pages),
+        blocks AS (
+            SELECT doc_id, u.blk AS blk, u.i AS i FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           string_split(segd, chr(10)),
+                           (x, j) -> {{'blk': x, 'i': j}}
+                       )) AS u
+                FROM seg
+            )
+        ),
+        st AS (
+            SELECT doc_id, i, {clean('blk')} AS txt, {lc} AS lc
+            FROM blocks
+        ),
+        m AS (
+            SELECT doc_id, i, txt, lc,
+                   len(list_filter(string_split(txt, ' '), x -> x <> '')) AS ntok
+            FROM st
+        ),
+        kept AS (
+            SELECT doc_id, array_to_string(list(txt ORDER BY i), chr(10)) AS text
+            FROM m WHERE {keep}
+            GROUP BY doc_id
+        ),
+        counts AS (
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE length(txt) > 0) AS BIGINT) AS n_blocks,
+                   CAST(count(*) FILTER (WHERE {keep}) AS BIGINT) AS n_kept_blocks
+            FROM m GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(k.text, '') AS text,
+               coalesce(c.n_blocks, 0) AS n_blocks,
+               coalesce(c.n_kept_blocks, 0) AS n_kept_blocks
+        FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN counts c USING (doc_id)
     """
 
 
@@ -7674,6 +7807,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(hamming_threshold=6),
         "dup_bucket_occupancy": _bucket_occupancy_oracle_sql(max_bucket=5),
         "docs_classifier_scores": _classifier_oracle_sql(B=256),
+        "docs_html_extracted": _html_extracted_oracle_sql(),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

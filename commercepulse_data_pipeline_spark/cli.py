@@ -189,7 +189,10 @@ def cmd_dims(args) -> int:
 def cmd_clean_corpus(args) -> int:
     """Training-corpus cleaning pipeline (extension tier), end to end:
 
-        optional per-source boilerplate strip (--strip-boilerplate:
+        optional HTML-to-text extraction (--html-col: the crawl-funnel
+          front stage — tag/script/style strip + link-density block
+          filter, operators/text.py::html_extract)
+        → optional per-source boilerplate strip (--strip-boilerplate:
           within-source template windows spliced from every occurrence,
           BEFORE dedup so shared chrome can't fake near-dups)
         → scrub (line dedup + PII redaction)
@@ -293,6 +296,21 @@ def cmd_clean_corpus(args) -> int:
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
+
+    if getattr(args, "html_col", None):
+        # HTML-to-text extraction FIRST (r15): real crawls arrive as
+        # markup; every stage below assumes extracted text. Map-only
+        # regex projection (operators/text.py::html_extract), then one
+        # id-keyed join to keep the input's other columns (source,
+        # lang, ...) on the extracted rows.
+        if args.html_col not in docs.columns:
+            raise SystemExit(
+                f"--html-col {args.html_col!r} not in {sorted(docs.columns)}"
+            )
+        extracted = tx.html_extract(docs, args.html_col, "doc_id").select(
+            "doc_id", "text"
+        )
+        docs = docs.drop("text", args.html_col).join(extracted, "doc_id")
 
     quarantine = bool(getattr(args, "quarantine", False))
     rejects: list[DataFrame] = []
@@ -1235,6 +1253,11 @@ def main(argv: list[str] | None = None) -> int:
                         "from head,middle,tail; unigram-LM bits-per-token, "
                         "histogram two-pass) — e.g. 'head,middle' drops the "
                         "rare-word-soup tail")
+    c.add_argument("--html-col", default=None, dest="html_col",
+                   help="treat this input column as raw page HTML and run "
+                        "HTML-to-text extraction first (tag/script/style "
+                        "strip + link-density block filter); the extracted "
+                        "text replaces the 'text' column")
     c.add_argument("--quality-model", default=None, dest="quality_model",
                    help="persisted train-quality model dir: keep only docs "
                         "whose NB log-odds score >= --quality-threshold "

@@ -1595,3 +1595,119 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML-to-text extraction (r15): the first stage of the crawl funnel
+# ---------------------------------------------------------------------------
+
+# Tags whose open/close marks a BLOCK boundary (trafilatura-lite text
+# segmentation); inline tags (<a>, <b>, <span>, ...) stay inside their
+# block so link density can be measured before they are stripped.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6|section|article"
+    "|header|footer|nav|blockquote|pre|hr|dd|dt|dl"
+)
+_HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+# entity decode order: &amp; LAST, or '&amp;lt;' would double-decode
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def _html_clean(c: Column) -> Column:
+    """Strip remaining (inline) tags, decode the common entities, and
+    collapse whitespace — the per-block text normalizer."""
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _html_segmented(html: Column) -> Column:
+    """Whole-document pass: drop comments and script/style/noscript
+    subtrees (content included), then turn block-tag boundaries into
+    newlines. Pure RE2-compatible regex (no backreferences), so the
+    DuckDB oracle replays it verbatim. Unclosed script/style tags leak
+    their content into text — the documented malformed-HTML
+    simplification (a full parser belongs in a UDF-backed variant)."""
+    c = F.coalesce(html, F.lit(""))
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for tag in ("script", "style", "noscript"):
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
+    return F.regexp_replace(c, rf"(?i)</?({_HTML_BLOCK_TAGS})\b[^>]*>", "\n")
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    *,
+    min_block_tokens: int = 3,
+    max_link_pct: int = 50,
+) -> DataFrame:
+    """HTML → text extraction, the stage in FRONT of the whole curation
+    funnel (real crawls arrive as HTML; every operator downstream
+    assumes extracted text). Trafilatura-lite, pure codegen regex —
+    no UDF, no parser library:
+
+        1. strip comments + script/style/noscript subtrees
+        2. segment into blocks at block-level tag boundaries
+        3. per block: measure LINK DENSITY (chars of <a> inner text vs
+           total text chars — integer arithmetic, engine-exact) and
+           token count, then keep blocks with >= ``min_block_tokens``
+           tokens whose link share is <= ``max_link_pct`` percent —
+           the text-density heuristic that drops nav bars, footers and
+           link farms while keeping prose
+        4. join kept blocks with newlines
+
+    Returns (id_col, text, n_blocks, n_kept_blocks) — one row per input
+    row; a page with nothing worth keeping yields text = '' with its
+    block counts, so the no_tokens quarantine downstream catches it.
+
+    Scale shape: map-only projection (WholeStageCodegen end to end,
+    zero shuffles, zero UDFs); the per-block arrays are let-bound so
+    the segmentation/cleaning chain runs once per document, not once
+    per consumer expression (the repo-wide array-staging rule).
+    """
+    anchor_lit = F.lit(_HTML_ANCHOR_RE)
+
+    def block_stats(b: Column) -> Column:
+        lc = F.aggregate(
+            F.regexp_extract_all(b, anchor_lit, F.lit(1)),
+            F.lit(0),
+            lambda acc, a: acc + F.length(_html_clean(a)),
+        )
+        return F.struct(_html_clean(b).alias("txt"), lc.alias("lc"))
+
+    def n_tok(txt: Column) -> Column:
+        return F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+
+    out = let(
+        F.transform(
+            F.split(_html_segmented(F.col(html_col)), "\n"), block_stats
+        ),
+        lambda stats: let(
+            F.filter(
+                stats,
+                lambda s: (n_tok(s["txt"]) >= min_block_tokens)
+                & (s["lc"] * 100 <= F.length(s["txt"]) * max_link_pct),
+            ),
+            lambda kept: F.struct(
+                F.array_join(
+                    F.transform(kept, lambda s: s["txt"]), "\n"
+                ).alias("text"),
+                F.size(
+                    F.filter(stats, lambda s: F.length(s["txt"]) > 0)
+                ).cast("long").alias("n_blocks"),
+                F.size(kept).cast("long").alias("n_kept_blocks"),
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        out["text"].alias("text"),
+        out["n_blocks"].alias("n_blocks"),
+        out["n_kept_blocks"].alias("n_kept_blocks"),
+    )

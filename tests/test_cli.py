@@ -980,3 +980,35 @@ def test_train_quality_and_clean_corpus_gate(spark, tmp_path, capsys):
     # quarantine ∪ kept still partitions the input exactly
     assert kept | {d for d, _ in q} == {1, 2, 3}
     assert not (kept & {d for d, _ in q})
+
+
+def test_clean_corpus_html_front_stage(spark, tmp_path):
+    """r15: --html-col runs HTML-to-text extraction in front of the
+    funnel — two crawls of one article under different chrome collapse
+    to a single kept doc, and the extracted text (not markup) ships."""
+    from commercepulse_data_pipeline_spark import cli
+
+    art = "the identical article body with plenty of tokens to pass gates"
+    rows = [
+        (1, f'<html><body><div class="nav"><a href="/">siteA home</a></div>'
+            f"<p>{art}</p></body></html>", "a"),
+        (2, f'<html><body><div class="m"><a href="/b">siteB nav</a></div>'
+            f"<p>{art}</p></body></html>", "b"),
+        (3, "<html><body><p>a different article with its own vocabulary "
+            "and sufficient length</p></body></html>", "a"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "page", "source"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    assert cli.main([
+        "clean-corpus", "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "out"), "--capacity", "64",
+        "--html-col", "page", "--quarantine",
+    ]) == 0
+    corpus = spark.read.parquet(str(tmp_path / "out/corpus"))
+    kept = {r.doc_id: r.text for r in corpus.collect()}
+    assert set(kept) == {1, 3}
+    assert kept[1] == art and "<" not in kept[3]
+    q = {(r.doc_id, r.reason) for r in spark.read.parquet(
+        str(tmp_path / "out/quarantine")).collect()}
+    assert (2, "exact_dup") in q

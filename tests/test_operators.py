@@ -2304,3 +2304,67 @@ def test_nb_classifier_train_score_and_artifact(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="missing"):
         clf.read_model(spark, str(tmp_path / "nope"))
+
+
+def test_html_extract_blocks_and_density(spark):
+    """r15 HTML-to-text: script/style/comment subtrees vanish, block
+    tags segment, entities decode, and the link-density filter drops
+    nav/footer/link-list boilerplate while prose survives."""
+    html = (
+        "<html><head><title>Nine token title words pad pad pad pad pad"
+        "</title><style>p{a:1}</style><script>var x = 1 < 2;</script>"
+        "</head><body><!-- c -->"
+        '<div class="nav"><a href="/">home</a> <a href="/a">about</a></div>'
+        "<h1>A real heading with words</h1>"
+        "<p>First paragraph long enough to keep &amp; decode entities "
+        "like 1 &lt; 2 here.</p><p>Too short.</p>"
+        '<ul><li><a href="/x">link one</a></li><li><a href="/y">link two'
+        "</a></li></ul>"
+        "<p>Mixed block where <a href=\"/z\">a small link</a> sits inside "
+        "much longer surrounding prose that clearly dominates.</p>"
+        '<div class="footer"><a href="/c">contact us now</a></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "bare text with no markup anywhere")],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in tx.html_extract(df).collect()}
+    t1 = out[1].text.split("\n")
+    assert t1[0].startswith("Nine token title")
+    assert "A real heading with words" in t1
+    assert "First paragraph long enough to keep & decode entities like 1 < 2 here." in t1
+    # boilerplate out: nav, pure-link list items, footer, short block
+    joined = out[1].text
+    assert "home" not in joined and "contact" not in joined
+    assert "link one" not in joined and "Too short" not in joined
+    # inline link inside dominating prose survives, tag stripped
+    assert "a small link sits inside" in joined.replace("where a", "where a")
+    assert out[1].n_kept_blocks == 4 and out[1].n_blocks > 4
+    assert out[2].text == "" and out[2].n_blocks == 0
+    assert out[3].text == "bare text with no markup anywhere"
+
+
+def test_html_extract_feeds_the_funnel(spark):
+    """r15 funnel composition: two crawls of the SAME article under
+    different site chrome extract to identical text, so exact_dedup —
+    which would never match the raw HTML — collapses them; the distinct
+    article survives."""
+    art = "The identical article body with plenty of tokens to pass gates."
+    page_a = f'<html><body><div class="nav"><a href="/">siteA home</a></div><p>{art}</p></body></html>'
+    page_b = f'<html><body><div class="menu"><a href="/b">siteB menu</a></div><p>{art}</p><div class="footer"><a href="/l">legal page link</a></div></body></html>'
+    page_c = "<html><body><p>A different article entirely, with its own words and enough length.</p></body></html>"
+    pages = spark.createDataFrame(
+        [(1, page_a), (2, page_b), (3, page_c)], "doc_id long, html string"
+    )
+    extracted = tx.html_extract(pages)
+    assert dd.exact_dedup(
+        spark.createDataFrame(
+            [(r.doc_id, r.html) for r in pages.collect()],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id",
+    ).count() == 3  # raw HTML never matches
+    deduped = dd.exact_dedup(extracted.select("doc_id", "text"), "text", "doc_id")
+    kept = {r.doc_id for r in deduped.collect()}
+    assert kept == {1, 3}  # lowest-id canonical of the article pair + distinct
