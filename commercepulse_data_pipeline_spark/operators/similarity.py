@@ -242,6 +242,44 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _with_centroid_assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    vec_col: str,
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Constant-free nearest-centroid assignment (r15): the centroids
+    travel as DATA in a ONE-ROW broadcast frame and the argmin runs
+    over that array column, so the generated code is textually
+    IDENTICAL across Lloyd iterations and across train calls — the
+    literal-centroid form generated a unique codegen class per call,
+    and `bench.py --trains` measured repeated same-session trains
+    degrading ~2.5× as those classes accumulated (SCALE.md r14).
+    Same arithmetic as the literal form bit-for-bit: one left-to-right
+    _sq_dist fold per centroid, array_min over (d, cid) structs
+    (ties → lowest cid). The 1-row broadcast nested-loop join is
+    map-only — no shuffle enters the plan."""
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)],
+        "__cents array<array<double>>",
+    )
+    assign = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c, i: F.struct(
+                _sq_dist(F.col(vec_col), c).alias("d"), i.alias("cid")
+            ),
+        )
+    )["cid"]
+    return (
+        df.crossJoin(F.broadcast(cents_df))
+        .withColumn(out_col, assign)
+        .drop("__cents")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     *,
@@ -256,8 +294,10 @@ def ivf_assign(
     64-bit hash of the id (``_md5_long`` — a deterministic pseudo-random
     sample that is also ENGINE-REPRODUCIBLE, per the DECISIONS.md rule
     that oracle-checked hashes are md5/sha only; was xxhash64 in r2).
-    Each Lloyd iteration: broadcast centroids → per-row argmin (pure
-    Catalyst expression over the literal centroid arrays) → groupBy mean.
+    Each Lloyd iteration: broadcast centroids → per-row argmin
+    (constant-free Catalyst expression — the centroids ride as data in
+    a 1-row broadcast, ``_with_centroid_assign``, so iterations and
+    repeated trains share ONE generated class) → groupBy mean.
     Per-dimension means accumulate in DECIMAL (exact, commutative) so the
     centroid doubles never depend on partition/merge order — the same
     order-independence discipline as ``_dsum`` in the query layer.
@@ -278,18 +318,8 @@ def ivf_assign(
     )
     centroids = [list(map(float, r[1])) for r in sample]
 
-    def assign_expr(cents: list[list[float]]) -> Column:
-        dists = [
-            F.struct(
-                _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
-        return F.array_min(F.array(*dists))["cid"]
-
     for _ in range(iters):
-        assigned = corpus.withColumn("centroid_id", assign_expr(centroids))
+        assigned = _with_centroid_assign(corpus, centroids, vec_col=vec_col)
         dim = len(centroids[0])
         means = (
             assigned.groupBy("centroid_id")
@@ -313,7 +343,7 @@ def ivf_assign(
             new_cents[r["centroid_id"]] = [float(r[f"m{i}"]) for i in range(dim)]
         centroids = new_cents
 
-    assigned = corpus.withColumn("centroid_id", assign_expr(centroids))
+    assigned = _with_centroid_assign(corpus, centroids, vec_col=vec_col)
     return assigned, list(enumerate(centroids))
 
 
@@ -783,17 +813,46 @@ def project_embeddings(
 # distances themselves.
 
 
-def _argmin_code(sub: Column, book: list[list[float]]) -> Column:
+def _argmin_code(sub: Column, book: Column) -> Column:
     """Index of the nearest codebook entry (ties -> lowest code), same
-    array_min-over-structs shape as ivf_assign."""
-    structs = [
-        F.struct(
-            _sq_dist(sub, F.array(*[F.lit(v) for v in c])).alias("d"),
-            F.lit(i).alias("cid"),
+    array_min-over-structs shape as ivf_assign — ``book`` is an ARRAY
+    COLUMN (codebooks ride as data, r15: the literal form generated a
+    unique codegen class per train/encode call)."""
+    return F.array_min(
+        F.transform(
+            book,
+            lambda c, i: F.struct(_sq_dist(sub, c).alias("d"), i.alias("cid")),
         )
-        for i, c in enumerate(book)
-    ]
-    return F.array_min(F.array(*structs))["cid"]
+    )["cid"]
+
+
+def _with_pq_codes(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Append the m-code PQ assignment with CONSTANT-FREE codegen (r15,
+    the ``_with_centroid_assign`` discipline): the m×n_codes×d/m
+    codebooks ride as data in a 1-row broadcast frame; each subspace
+    slice zips with its codebook and argmins over it. Identical
+    arithmetic to the old literal form; textually identical generated
+    code across calls."""
+    m = len(books)
+    ds = len(books[0][0])
+    spark = df.sparkSession
+    books_df = spark.createDataFrame(
+        [([[list(map(float, c)) for c in bk] for bk in books],)],
+        "__books array<array<array<double>>>",
+    )
+    slices = F.array(*[F.slice(F.col(vec_col), j * ds + 1, ds) for j in range(m)])
+    codes = F.zip_with(slices, F.col("__books"), _argmin_code)
+    return (
+        df.crossJoin(F.broadcast(books_df))
+        .withColumn(out_col, codes)
+        .drop("__books")
+    )
 
 
 def pq_train(
@@ -831,17 +890,13 @@ def pq_train(
     ]
     for _ in range(iters):
         slices = F.array(*[F.slice(F.col(vec_col), j * ds + 1, ds) for j in range(m)])
-        codes = F.array(
-            *[
-                _argmin_code(F.slice(F.col(vec_col), j * ds + 1, ds), books[j])
-                for j in range(m)
-            ]
-        )
-        z = corpus.select(
+        z = _with_pq_codes(
+            corpus, books, vec_col=vec_col, out_col="__codes"
+        ).select(
             F.posexplode(
                 F.zip_with(
                     slices,
-                    codes,
+                    F.col("__codes"),
                     lambda s, c: F.struct(s.alias("sub"), c.alias("code")),
                 )
             )
@@ -885,15 +940,7 @@ def pq_encode(
     projection against the broadcast-literal codebooks; at 100 TB this
     runs at scan speed and the codes table is ~d/m·(d→1 byte) smaller
     than the raw vectors."""
-    m = len(books)
-    ds = len(books[0][0])
-    codes = F.array(
-        *[
-            _argmin_code(F.slice(F.col(vec_col), j * ds + 1, ds), books[j])
-            for j in range(m)
-        ]
-    )
-    return corpus.withColumn(code_col, codes)
+    return _with_pq_codes(corpus, books, vec_col=vec_col, out_col=code_col)
 
 
 def _pq_lut(books: list[list[list[float]]], query_vec: list[float]) -> list[list[float]]:
