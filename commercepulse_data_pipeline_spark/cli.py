@@ -734,10 +734,17 @@ def cmd_stream_clean_corpus(args) -> int:
     from commercepulse_data_pipeline_spark.streaming.corpus import stream_clean_corpus
 
     spark = _spark()
+    kwargs = {}
+    if getattr(args, "schema", None):
+        kwargs["schema"] = args.schema
     q = stream_clean_corpus(
         spark, args.docs, args.store, args.checkpoint,
         trigger_once=not args.follow,
         quarantine=bool(getattr(args, "quarantine", False)),
+        html_col=getattr(args, "html_col", None),
+        quality_model_dir=getattr(args, "quality_model", None),
+        quality_threshold=getattr(args, "quality_threshold", 0.0),
+        **kwargs,
     )
     q.awaitTermination()
     print(f"stream-clean-corpus: corpus maintained at {args.store}/corpus")
@@ -1315,6 +1322,19 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--quarantine", action="store_true",
                     help="also maintain <store>/quarantine: one (doc_id, "
                          "reason) row per dropped doc per batch")
+    sc.add_argument("--schema", default=None,
+                    help="stream source schema (default "
+                         "'doc_id long, text string'); required when "
+                         "--html-col names a non-default column")
+    sc.add_argument("--html-col", default=None, dest="html_col",
+                    help="streaming twin of clean-corpus --html-col: run "
+                         "HTML-to-text extraction on this column first")
+    sc.add_argument("--quality-model", default=None, dest="quality_model",
+                    help="streaming twin of clean-corpus --quality-model: "
+                         "gate each batch's survivors on the persisted NB "
+                         "model (quarantine reason classifier_low_quality)")
+    sc.add_argument("--quality-threshold", type=float, default=0.0,
+                    dest="quality_threshold")
     sc.set_defaults(fn=cmd_stream_clean_corpus)
 
     sct = sub.add_parser(

@@ -52,11 +52,23 @@ def clean_corpus_batch(
     min_repeats: int = 2,
     min_remaining_tokens: int = 1,
     quarantine: bool = False,
+    html_col: str | None = None,
+    quality_model_dir: str | None = None,
+    quality_threshold: float = 0.0,
 ) -> None:
     """Process one micro-batch of (doc_id, text, ...) rows: optional
-    within-doc repeated-span removal, scrub, exact-dedup, near-dup-filter
-    against the accumulated index, append survivors + their bands under
-    this batch's own directory.
+    HTML-to-text extraction, optional within-doc repeated-span removal,
+    scrub, exact-dedup, near-dup-filter against the accumulated index,
+    optional model-based quality gate, append survivors + their bands
+    under this batch's own directory.
+
+    ``html_col`` (r15) is the streaming twin of the CLI's ``--html-col``
+    and, like ``strip_repeats``, is EXACTLY batch-equivalent with no
+    cross-batch store: extraction is doc-local regex. ``quality_model_dir``
+    (r15) is the streaming twin of ``--quality-model``: every batch
+    scores against the SAME persisted NB model (a tiny broadcast table
+    read per batch), so the verdict is doc-local and replay-idempotent;
+    rejects quarantine as ``classifier_low_quality``.
 
     ``quarantine`` is the streaming twin of the CLI's ``--quarantine``:
     each batch also writes ``{store}/quarantine/ingest_batch=N`` with one
@@ -86,6 +98,11 @@ def clean_corpus_batch(
     def _reject(ids: DataFrame, reason: str) -> None:
         rejects.append(ids.select(F.col("doc_id"), F.lit(reason).alias("reason")))
 
+    if html_col:
+        extracted = tx.html_extract(batch_df, html_col, "doc_id").select(
+            "doc_id", "text"
+        )
+        batch_df = batch_df.drop("text", html_col).join(extracted, "doc_id")
     if strip_repeats:
         derep = tx.strip_intradoc_repeats(
             batch_df, window_tokens=repeat_window, min_repeats=min_repeats
@@ -182,6 +199,35 @@ def clean_corpus_batch(
         _reject(dropped, "near_dup")
     kept = batch.join(dropped, "doc_id", "left_anti")
 
+    if quality_model_dir:
+        # model-based quality gate (r15): same persisted model every
+        # batch -> doc-local verdict, replay-idempotent. Gate AFTER the
+        # dedup stages (scoring duplicates would just re-judge copies);
+        # the model table broadcasts inside nb_score.
+        from commercepulse_data_pipeline_spark.operators import (
+            classifier as clf,
+        )
+
+        # kept gains extra consumers under the gate (scorer + reject
+        # anti-join + semi-join, on top of the corpus/bands writes) and
+        # its lineage spans both pair joins — cut it once
+        kept = kept.localCheckpoint(eager=True)
+        model, meta = clf.read_model(spark, quality_model_dir)
+        scored = clf.nb_score(
+            kept.select("doc_id", "text"), model,
+            n_buckets=meta["n_buckets"], salt=meta["salt"],
+        )
+        keep_ids = scored.where(
+            F.col("nb_logodds") >= quality_threshold
+        ).select("doc_id")
+        if quarantine:
+            keep_ids = keep_ids.localCheckpoint(eager=True)
+            _reject(
+                kept.join(keep_ids, "doc_id", "left_anti"),
+                "classifier_low_quality",
+            )
+        kept = kept.join(keep_ids, "doc_id", "left_semi")
+
     # idempotent two-sink write: both land under this batch's directory
     kept.write.mode("overwrite").parquet(
         f"{store_dir}/corpus/ingest_batch={batch_id}"
@@ -225,12 +271,16 @@ def stream_clean_corpus(
     min_repeats: int = 2,
     min_remaining_tokens: int = 1,
     quarantine: bool = False,
+    html_col: str | None = None,
+    quality_model_dir: str | None = None,
+    quality_threshold: float = 0.0,
 ):
     """Tail a directory of document parquet drops and maintain a cleaned,
     near-dup-free corpus continuously. Returns the started query.
     ``quarantine`` also maintains ``{store}/quarantine`` — one
-    (doc_id, reason) row per dropped doc per batch (see
-    :func:`clean_corpus_batch`)."""
+    (doc_id, reason) row per dropped doc per batch; ``html_col`` /
+    ``quality_model_dir`` are the streaming twins of the CLI's
+    --html-col / --quality-model (see :func:`clean_corpus_batch`)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -242,7 +292,9 @@ def stream_clean_corpus(
             batch_df, batch_id, store_dir, params=params, max_bucket=max_bucket,
             strip_repeats=strip_repeats, repeat_window=repeat_window,
             min_repeats=min_repeats, min_remaining_tokens=min_remaining_tokens,
-            quarantine=quarantine,
+            quarantine=quarantine, html_col=html_col,
+            quality_model_dir=quality_model_dir,
+            quality_threshold=quality_threshold,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

@@ -1972,3 +1972,78 @@ def test_cluster_stream_crash_replay_from_checkpoint(spark, tmp_path):
     assert got == want
     # the torn bands partition healed on replay
     assert os.path.exists(f"{store}/index/bands/ingest_batch=1")
+
+
+def test_stream_clean_corpus_html_and_quality_gate(spark, tmp_path):
+    """r15 streaming twins of --html-col / --quality-model: pages
+    extract before curation (batch-equivalent: doc-local regex), the
+    persisted NB model gates every batch with the classifier_low_quality
+    quarantine reason, and a direct batch replay reproduces the same
+    partitions (doc-local verdicts are replay-idempotent)."""
+    import os
+
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+    from commercepulse_data_pipeline_spark.streaming.corpus import (
+        clean_corpus_batch,
+        stream_clean_corpus,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good_vocab = "thoughtful analysis of science history culture and ideas"
+    spam_vocab = "click here cheap pills casino bonus win free money now"
+    labeled = spark.createDataFrame(
+        [(f"g{i}", good_vocab, 1) for i in range(6)]
+        + [(f"s{i}", spam_vocab, 0) for i in range(6)],
+        "doc_id string, text string, label int",
+    )
+    model_dir = str(tmp_path / "model")
+    clf.write_model(
+        clf.nb_train(labeled, n_buckets=128), model_dir,
+        n_buckets=128, salt="nbq-v1:",
+    )
+
+    wrap = '<html><body><div class="nav"><a href="/">home</a> <a href="/b">about</a></div><p>{}</p></body></html>'
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "page": [
+                wrap.format("a thoughtful analysis of culture science and history"),
+                wrap.format("win free money now cheap casino bonus click here"),
+            ],
+        }),
+        str(drops / "b1.parquet"),
+    )
+    store = str(tmp_path / "store")
+    q = stream_clean_corpus(
+        spark, str(drops), store, str(tmp_path / "ckpt"),
+        schema="doc_id long, page string",
+        max_bucket=100000, quarantine=True,
+        html_col="page", quality_model_dir=model_dir,
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(f"{store}/corpus")
+    kept = {r.doc_id: r.text for r in corpus.collect()}
+    assert set(kept) == {1}
+    assert "<" not in kept[1] and "home" not in kept[1]  # extracted, chrome gone
+    quar = {(r.doc_id, r.reason) for r in
+            spark.read.parquet(f"{store}/quarantine").collect()}
+    assert quar == {(2, "classifier_low_quality")}
+
+    # direct replay of batch 0 reproduces identical partitions
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{store}/corpus/ingest_batch=0").collect()))
+    batch_df = spark.read.parquet(str(drops / "b1.parquet"))
+    clean_corpus_batch(
+        batch_df, 0, store, quarantine=True, max_bucket=100000,
+        html_col="page", quality_model_dir=model_dir,
+    )
+    after = sorted(map(tuple, spark.read.parquet(
+        f"{store}/corpus/ingest_batch=0").collect()))
+    assert after == before
+    assert {(r.doc_id, r.reason) for r in spark.read.parquet(
+        f"{store}/quarantine").collect()} == quar
