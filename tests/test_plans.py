@@ -604,3 +604,63 @@ def test_cdc_chunks_plan_single_tokenize_single_shuffle(spark):
     # one shuffle for the window cumsum; the final groupBy reuses its
     # doc-keyed partitioning (id is a prefix of the grouping key)
     assert plan.count("Exchange") <= 2
+
+
+def test_html_extract_plan_is_map_only(spark):
+    """html_extract (r15) must stay a pure projection: zero exchanges,
+    zero UDF nodes — the whole regex chain runs inside codegen, and the
+    read schema prunes to the two referenced columns."""
+    from pyspark.sql import functions as F
+
+    from commercepulse_data_pipeline_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html")
+    )
+    plan = _plan(tx.html_extract(pages))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_nb_score_model_broadcasts(spark):
+    """nb_score (r15) plan guarantees: the dense model reaches the
+    feature-scoring join as a BROADCAST (never shuffles with the
+    corpus), the per-doc sum partially aggregates map-side, and the two
+    1-row bias combines are the sanctioned broadcast-NLJ shape — no
+    cartesian product."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    labeled = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", i % 2) for i in range(20)],
+        ["doc_id", "text", "label"],
+    )
+    model = clf.nb_train(labeled, n_buckets=64)
+    plan = _plan(clf.nb_score(labeled.select("doc_id", "text"), model, n_buckets=64))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "CartesianProduct" not in final, plan
+    assert "partial_" in plan, plan
+
+
+def test_centroid_assign_is_constant_free_and_map_only(spark):
+    """_with_centroid_assign (r15): the per-row argmin plan carries NO
+    centroid literals (trains stop minting unique codegen classes) and
+    adds no shuffle — the 1-row centroid frame arrives via broadcast."""
+    from commercepulse_data_pipeline_spark.operators import similarity as sim
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[0.125, 0.25], [7.75, 8.875]]
+    assigned = sim._with_centroid_assign(vecs, cents, vec_col="embedding")
+    plan = _plan(assigned)
+    # no SHUFFLE exchange; the BroadcastExchange of the 1-row centroid
+    # frame is the intended shape
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the centroid VALUES must not appear as plan literals
+    assert "8.875" not in plan and "0.125" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
