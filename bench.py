@@ -103,6 +103,10 @@ EXTENDED = [
     "dup_savings_by_source",
     "docs_cdc_chunks",
     "dup_clusters_incremental",
+    # r15 additions — freeze into extended_probe at r16 (min of driver
+    # BENCH_r15 and the r15 clean-box probes, the r13/r14 discipline)
+    "docs_classifier_scores",
+    "docs_html_extracted",
 ]
 
 HEADLINE = [

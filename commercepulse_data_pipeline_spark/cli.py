@@ -1068,9 +1068,36 @@ def cmd_cluster_table(args) -> int:
             f"near-dup clusters at {args.out}"
         )
         return 0
+    bands_df = None
+    if getattr(args, "report_occupancy", False):
+        # occupancy under EXACTLY the banding keys + cap the pair stage
+        # uses (r15 guard): a band bucket past --max-bucket drops
+        # WHOLESALE — surface it instead of letting "few clusters" read
+        # as "few dups". Bands are built once and reused by the pairs.
+        bands_df = dd.minhash_bands(
+            docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+        ).localCheckpoint(eager=True)
+        occ = {
+            r["status"]: r
+            for r in dd.bucket_occupancy_report(
+                bands_df, ["band_id", "band_key"], max_bucket=args.max_bucket
+            ).collect()
+        }
+        dropped = occ.get("dropped")
+        if dropped is not None:
+            print(
+                f"cluster-table: WARNING {dropped['n_buckets']} band "
+                f"bucket(s) past --max-bucket={args.max_bucket} were "
+                f"DROPPED ({dropped['n_items']} postings, widest "
+                f"{dropped['max_bucket_n']}) — pairs inside them are "
+                f"NOT clustered; raise --max-bucket or pre-filter"
+            )
+        else:
+            print("cluster-table: occupancy clean (no dropped band buckets)")
     pairs = dd.minhash_candidate_pairs(
         docs, "text", "doc_id",
         num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
+        bands_df=bands_df,
     )
     if args.index:
         # persist the batch's bands as the probe index so later
@@ -1421,6 +1448,11 @@ def main(argv: list[str] | None = None) -> int:
                          "cluster table at --out: pairs vs --index + "
                          "within-batch, then merge_cluster_update — "
                          "batch-proportional, no corpus re-derivation")
+    ct.add_argument("--report-occupancy", action="store_true",
+                    dest="report_occupancy",
+                    help="print the band-bucket occupancy rollup and WARN "
+                         "when --max-bucket silently drops a bucket "
+                         "(fresh builds only)")
     ct.set_defaults(fn=cmd_cluster_table)
 
     dr = sub.add_parser(

@@ -1012,3 +1012,40 @@ def test_clean_corpus_html_front_stage(spark, tmp_path):
     q = {(r.doc_id, r.reason) for r in spark.read.parquet(
         str(tmp_path / "out/quarantine")).collect()}
     assert (2, "exact_dup") in q
+
+
+def test_cluster_table_report_occupancy_warns_on_dropped_bucket(
+    spark, tmp_path, capsys
+):
+    """r15: cluster-table --report-occupancy surfaces band buckets the
+    --max-bucket cap silently drops — a planted 5-doc exact family past
+    a cap of 4 clusters nothing, but the WARNING counts it."""
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators.graph import read_cluster_table
+
+    fam = [(i, "identical degenerate family text repeated across docs here")
+           for i in range(5)]
+    pairable = [(10, "two near identical docs about gardening and weather one"),
+                (11, "two near identical docs about gardening and weather two")]
+    spark.createDataFrame(fam + pairable, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    capsys.readouterr()
+    assert cli.main([
+        "cluster-table", "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "ct"), "--max-bucket", "4",
+        "--report-occupancy",
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "WARNING" in printed and "DROPPED" in printed
+    table = {r.doc_id for r in read_cluster_table(spark, str(tmp_path / "ct")).collect()}
+    assert not (table & {0, 1, 2, 3, 4})  # the capped family never clustered
+
+    # with an adequate cap the occupancy reads clean
+    capsys.readouterr()
+    assert cli.main([
+        "cluster-table", "--docs", str(tmp_path / "docs"),
+        "--out", str(tmp_path / "ct2"), "--max-bucket", "100",
+        "--report-occupancy",
+    ]) == 0
+    assert "occupancy clean" in capsys.readouterr().out
