@@ -110,7 +110,11 @@ def nb_train(
     counts = feats.groupBy("__b").agg(
         F.sum("__lab").cast("long").alias("__cp"),
         (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ counts (<= n_buckets rows) feeds BOTH the totals and the dense
+    # weight join; without the cut the corpus-wide feature explode in
+    # its lineage runs twice (no subplan sharing across DataFrame
+    # branches — the dsir_importance/unigram_cross_entropy finding)
     tots = counts.agg(
         F.coalesce(F.sum("__cp"), F.lit(0)).alias("__tp"),
         F.coalesce(F.sum("__cn"), F.lit(0)).alias("__tn"),
