@@ -2281,6 +2281,39 @@ def q_docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf.nb_score(d.select("doc_id", "text"), model, n_buckets=256)
 
 
+def q_docs_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the supervised classifier (r15): the
+    confusion matrix of NB predictions vs true en-vs-rest labels on the
+    md5 half the trainer NEVER saw — the eval harness a model-based
+    quality gate ships with. Exact integer counts; the oracle replays
+    train, score, the holdout split and the grouping."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold_for,
+    )
+
+    d = _docs(spark, sf_dir)
+    thr = threshold_for(0.5)
+    bucket = hash_bucket(F.col("doc_id"), salt="nbtrain-v1:")
+    labeled = d.where(bucket < thr).select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = clf.nb_train(labeled, n_buckets=256)
+    holdout = d.where(bucket >= thr)
+    scored = clf.nb_score(holdout.select("doc_id", "text"), model, n_buckets=256)
+    return (
+        scored.join(holdout.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            .cast("int").alias("actual"),
+            F.col("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
     simhash_pairs_between, the simhash sibling of minhash_incremental):
@@ -4627,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_bucket_occupancy": q_dup_bucket_occupancy,
         "docs_classifier_scores": q_docs_classifier_scores,
         "docs_html_extracted": q_docs_html_extracted,
+        "docs_classifier_eval": q_docs_classifier_eval,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5341,6 +5375,25 @@ def _classifier_oracle_sql(B: int = 256) -> str:
                          THEN 1 ELSE 0 END AS INT) AS predicted
         FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
         CROSS JOIN prior
+    """
+
+
+def _classifier_eval_oracle_sql(B: int = 256) -> str:
+    """DuckDB twin of q_docs_classifier_eval: the classifier oracle as a
+    derived table, joined back to documents, restricted to the held-out
+    half (same md5 split, complementary side), grouped into the exact
+    integer confusion matrix."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    split = _sample_bucket_sql("d.doc_id", "nbtrain-v1:")
+    return f"""
+        SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS actual,
+               s.predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ({_classifier_oracle_sql(B=B)}) s
+        JOIN documents d ON d.doc_id = s.doc_id
+        WHERE {split} >= {threshold_for(0.5)}
+        GROUP BY 1, 2
     """
 
 
@@ -7808,6 +7861,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_bucket_occupancy": _bucket_occupancy_oracle_sql(max_bucket=5),
         "docs_classifier_scores": _classifier_oracle_sql(B=256),
         "docs_html_extracted": _html_extracted_oracle_sql(),
+        "docs_classifier_eval": _classifier_eval_oracle_sql(B=256),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

@@ -149,6 +149,7 @@ def image_hash_batch(
     max_bucket: int = 1000,
     cluster: bool = False,
     modality: str = "image",
+    drop_degenerate: bool = True,
 ) -> None:
     """Continuous image near-dup detection (r13): per micro-batch of
     (media_id, content) rows, perceptual hashes land under
@@ -201,6 +202,14 @@ def image_hash_batch(
     sigs = hashes.where(F.col(sig_col).isNotNull()).select(
         "media_id", F.col(sig_col).alias("sig")
     )
+    if drop_degenerate:
+        # r15 guard: solid-color / silence families hash to the two
+        # constant signatures, form one giant bucket, and either flood
+        # junk pairs or (past max_bucket) silently lose ALL pairs — the
+        # media tier's stop-shingles. Filtered from pairing on BOTH the
+        # batch and index sides; the hash STORE keeps every row, so the
+        # decision is reversible downstream.
+        sigs = dd.drop_degenerate_sigs(sigs, sig_col="sig")
     pairs = dd.sig_hamming_pairs(
         sigs, id_col="media_id",
         hamming_threshold=hamming_threshold, max_bucket=max_bucket,
@@ -218,6 +227,8 @@ def image_hash_batch(
         idx_sigs = idx.where(F.col(sig_col).isNotNull()).select(
             "media_id", F.col(sig_col).alias("sig")
         )
+        if drop_degenerate:
+            idx_sigs = dd.drop_degenerate_sigs(idx_sigs, sig_col="sig")
         vs_index = dd.sig_hamming_pairs_between(
             sigs, idx_sigs, id_col="media_id",
             hamming_threshold=hamming_threshold, max_bucket=max_bucket,
@@ -266,6 +277,7 @@ def stream_image_hash_index(
     trigger_once: bool = True,
     cluster: bool = False,
     modality: str = "image",
+    drop_degenerate: bool = True,
 ):
     """Tail a directory of media parquet drops and maintain the
     perceptual-hash store + continuous near-dup pair stream. Returns the
@@ -286,6 +298,7 @@ def stream_image_hash_index(
             batch_df, batch_id, store_dir,
             hamming_threshold=hamming_threshold, sig_col=sig_col,
             max_bucket=max_bucket, cluster=cluster, modality=modality,
+            drop_degenerate=drop_degenerate,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(
@@ -306,6 +319,7 @@ def video_hash_batch(
     max_frames: int = 16,
     max_bucket: int = 1000,
     cluster: bool = False,
+    drop_degenerate: bool = True,
 ) -> None:
     """Continuous VIDEO near-dup detection (r14): per micro-batch of
     (media_id, content) rows, per-frame perceptual signatures land under
@@ -324,6 +338,7 @@ def video_hash_batch(
         video_neardup_pairs,
         video_neardup_pairs_between,
     )
+    from commercepulse_data_pipeline_spark.operators import dedup as dd
     from commercepulse_data_pipeline_spark.sources.readers import (
         fold_consistent_read,
         is_missing_store_error,
@@ -335,8 +350,15 @@ def video_hash_batch(
     frames = video_frame_hashes(
         batch_df, max_frames=max_frames
     ).localCheckpoint(eager=True)
+    pair_frames = frames
+    if drop_degenerate:
+        # r15 guard: solid-color frames (title cards, black leaders)
+        # hash to the constant signatures and form one giant frame
+        # bucket — drop them from PAIRING (containment denominators then
+        # count informative frames only); the frame STORE keeps all rows
+        pair_frames = dd.drop_degenerate_sigs(frames, sig_col="ahash")
     pairs = video_neardup_pairs(
-        frames, hamming_threshold=hamming_threshold,
+        pair_frames, hamming_threshold=hamming_threshold,
         min_match_frac=min_match_frac, max_bucket=max_bucket,
     )
     frames_root = f"{store_dir}/frames"
@@ -349,8 +371,10 @@ def video_hash_batch(
         have_index = False
     if have_index:
         idx = idx.where(F.col("ingest_batch") != F.lit(batch_id))
+        if drop_degenerate:
+            idx = dd.drop_degenerate_sigs(idx, sig_col="ahash")
         vs_index = video_neardup_pairs_between(
-            frames, idx, hamming_threshold=hamming_threshold,
+            pair_frames, idx, hamming_threshold=hamming_threshold,
             min_match_frac=min_match_frac, max_bucket=max_bucket,
         )
         pairs = pairs.unionByName(vs_index).distinct()
@@ -398,6 +422,7 @@ def stream_video_hash_index(
     max_files_per_trigger: int = 10,
     trigger_once: bool = True,
     cluster: bool = False,
+    drop_degenerate: bool = True,
 ):
     """Tail a directory of video parquet drops and maintain the
     per-frame signature index + continuous containment-pair feed —
@@ -414,6 +439,7 @@ def stream_video_hash_index(
             hamming_threshold=hamming_threshold,
             min_match_frac=min_match_frac, max_frames=max_frames,
             max_bucket=max_bucket, cluster=cluster,
+            drop_degenerate=drop_degenerate,
         )
 
     writer = stream.writeStream.foreachBatch(_batch_fn).option(

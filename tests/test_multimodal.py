@@ -2726,3 +2726,38 @@ def test_gif_frame_delays_matches_full_decode():
     gif = _gif_bytes(11, 7, frames, palette, delays=[25, 0, 100, 7])
     _, delays = gif_frame_rasters(gif, return_delays=True)
     assert _gif_frame_delays(gif) == delays == [25, 0, 100, 7]
+
+
+def test_image_hash_batch_drops_degenerate_family(spark, tmp_path):
+    """r15 streaming guard: a solid-color family (constant aHash) stops
+    flooding the pair feed by default — the hash STORE still records
+    every row — while drop_degenerate=False restores the old behavior."""
+    import numpy as np
+
+    from commercepulse_data_pipeline_spark.streaming.media import (
+        image_hash_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    pic = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    near = pic.copy()
+    near[::6, ::6] = np.clip(near[::6, ::6].astype(int) + 7, 0, 255)
+    solid = np.full((16, 16), 77, dtype=np.uint8)
+    rows = [("a", _ppm_from_gray(pic)), ("b", _ppm_from_gray(near))]
+    rows += [(f"solid-{i}", _ppm_from_gray(solid)) for i in range(4)]
+    batch = spark.createDataFrame(rows, "media_id string, content binary")
+
+    store1 = str(tmp_path / "s1")
+    image_hash_batch(batch, 0, store1, hamming_threshold=6)
+    pairs = {(r.id_a, r.id_b) for r in
+             spark.read.parquet(f"{store1}/pairs").collect()}
+    assert pairs == {("a", "b")}
+    # the store is policy-free: all six hash rows recorded
+    assert spark.read.parquet(f"{store1}/hashes").count() == 6
+
+    store2 = str(tmp_path / "s2")
+    image_hash_batch(batch, 0, store2, hamming_threshold=6,
+                     drop_degenerate=False)
+    flooded = {(r.id_a, r.id_b) for r in
+               spark.read.parquet(f"{store2}/pairs").collect()}
+    assert len(flooded) == 1 + 6  # the real pair + C(4,2) solid junk
