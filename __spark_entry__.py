@@ -2281,6 +2281,30 @@ def q_docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf.nb_score(d.select("doc_id", "text"), model, n_buckets=256)
 
 
+def q_docs_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass NB classifier (r15 —
+    operators/classifier.py::nb_train_multiclass/nb_score_multiclass,
+    the domain/language-routing shape): train one model per language on
+    the md5 half-split, score EVERY doc, argmax with the deterministic
+    (exact score, then lexicographically greatest label) tie-break. The
+    oracle replays the K x n_buckets dense weight table, the add-1
+    priors over K classes, exact decimal per-(doc,class) sums and the
+    identical argmax — predicted labels, scores and feature counts all
+    hash-match."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold_for,
+    )
+
+    d = _docs(spark, sf_dir)
+    labeled = d.where(
+        hash_bucket(F.col("doc_id"), salt="nbtrain-v1:") < threshold_for(0.5)
+    ).select("doc_id", "text", F.col("lang").alias("label"))
+    model = clf.nb_train_multiclass(labeled, n_buckets=256)
+    return clf.nb_score_multiclass(d.select("doc_id", "text"), model, n_buckets=256)
+
+
 def q_docs_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out evaluation of the supervised classifier (r15): the
     confusion matrix of NB predictions vs true en-vs-rest labels on the
@@ -4661,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_classifier_scores": q_docs_classifier_scores,
         "docs_html_extracted": q_docs_html_extracted,
         "docs_classifier_eval": q_docs_classifier_eval,
+        "docs_lang_classifier": q_docs_lang_classifier,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5375,6 +5400,87 @@ def _classifier_oracle_sql(B: int = 256) -> str:
                          THEN 1 ELSE 0 END AS INT) AS predicted
         FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
         CROSS JOIN prior
+    """
+
+
+def _lang_classifier_oracle_sql(B: int = 256) -> str:
+    """DuckDB twin of q_docs_lang_classifier: same md5 half-split and
+    hashed unigram+bigram buckets, per-class add-1 smoothed log2
+    weights over a DENSE labels x buckets grid (each DECIMAL(30,4)-
+    quantized), add-1 priors over the K observed classes, exact decimal
+    per-(doc,class) sums, and the argmax row_number with the identical
+    (score DESC, label DESC) tie-break."""
+    from commercepulse_data_pipeline_spark.operators.sampling import threshold_for
+
+    split = _sample_bucket_sql("doc_id", "nbtrain-v1:")
+    fbucket = f"({_sample_bucket_sql('f', 'nbq-v1:')} % {B})"
+    thr = threshold_for(0.5)
+    return f"""
+        WITH tr AS (
+            SELECT doc_id, text, lang AS lab FROM documents
+            WHERE {split} < {thr} AND lang IS NOT NULL
+        ),
+        labels AS (SELECT DISTINCT lab FROM tr),
+        trt AS (SELECT lab, {_TOKS} AS toks FROM tr),
+        trf AS (
+            SELECT lab, unnest(toks) AS f FROM trt
+            UNION ALL
+            SELECT lab, array_to_string(toks[i:i+1], ' ') AS f
+            FROM trt, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        trb AS (SELECT lab, {fbucket} AS b FROM trf),
+        bc AS (SELECT lab, b, count(*) AS c FROM trb GROUP BY 1, 2),
+        tots AS (SELECT lab, sum(c) AS t FROM bc GROUP BY 1),
+        w AS (
+            SELECT l.lab, g.i AS b,
+                   CAST(log2((coalesce(bc.c, 0) + 1)
+                             / CAST(coalesce(tots.t, 0) + {B} AS DOUBLE))
+                        AS DECIMAL(30,4)) AS wt
+            FROM labels l
+            CROSS JOIN range(0, {B}) g(i)
+            LEFT JOIN bc ON bc.lab = l.lab AND bc.b = g.i
+            LEFT JOIN tots ON tots.lab = l.lab
+        ),
+        nd AS (SELECT count(*) AS n, count(DISTINCT lab) AS k FROM tr),
+        prior AS (
+            SELECT lab,
+                   CAST(log2((count(*) + 1) / CAST(nd.n + nd.k AS DOUBLE))
+                        AS DECIMAL(30,4)) AS bias
+            FROM tr CROSS JOIN nd GROUP BY lab, nd.n, nd.k
+        ),
+        at AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        af AS (
+            SELECT doc_id, unnest(toks) AS f FROM at
+            UNION ALL
+            SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS f
+            FROM at, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+        ),
+        ab AS (SELECT doc_id, {fbucket} AS b FROM af),
+        per AS (
+            SELECT ab.doc_id, w.lab, count(*) AS nf, sum(w.wt) AS sw
+            FROM ab JOIN w ON ab.b = w.b GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT d.doc_id, p.lab, p.bias FROM documents d CROSS JOIN prior p
+        ),
+        tot AS (
+            SELECT b.doc_id, b.lab,
+                   coalesce(per.sw, CAST(0 AS DECIMAL(30,4))) + b.bias AS s,
+                   coalesce(per.nf, 0) AS nf
+            FROM base b
+            LEFT JOIN per ON per.doc_id = b.doc_id AND per.lab = b.lab
+        ),
+        best AS (
+            SELECT doc_id, lab, s, nf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, lab DESC
+                   ) AS rn
+            FROM tot
+        )
+        SELECT doc_id, lab AS predicted_label,
+               round(CAST(s AS DOUBLE), 4) AS score,
+               CAST(nf AS BIGINT) AS n_feats
+        FROM best WHERE rn = 1
     """
 
 
@@ -7862,6 +7968,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_classifier_scores": _classifier_oracle_sql(B=256),
         "docs_html_extracted": _html_extracted_oracle_sql(),
         "docs_classifier_eval": _classifier_eval_oracle_sql(B=256),
+        "docs_lang_classifier": _lang_classifier_oracle_sql(B=256),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

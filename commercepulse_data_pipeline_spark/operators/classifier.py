@@ -199,6 +199,141 @@ def nb_score(
     )
 
 
+def nb_train_multiclass(
+    labeled: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "nbq-v1:",
+) -> DataFrame:
+    """Multiclass sibling of :func:`nb_train` — the domain / language
+    classifier shape (route docs, balance corpus mixtures): one NB
+    model per class over the SAME hashed feature space, still pure
+    distributed aggregation. Rows with a NULL label are ignored.
+    Returns ``(label string, bucket int, weight decimal(30,4))`` —
+    a DENSE ``K x n_buckets`` weight table plus one ``bucket = -1``
+    prior row per class (prior = log2 (n_class + 1) / (n_docs + K),
+    add-1 over the K classes); K·n_buckets rows total — kilobytes,
+    broadcast by :func:`nb_score_multiclass`."""
+    spark = labeled.sparkSession
+    docs = labeled.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col),
+        F.col(label_col).cast("string").alias("__lab"),
+    )
+    feats = hashed_features(
+        docs, text_col=text_col, id_cols=["__lab"],
+        n_buckets=n_buckets, salt=salt,
+    )
+    counts = feats.groupBy("__lab", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint(eager=True)
+    # ^ feeds the per-class totals AND the dense join (the nb_train cut)
+    tots = counts.groupBy("__lab").agg(F.sum("__c").alias("__t"))
+    labels = docs.select(F.col("__lab").alias("label")).distinct()
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    grid = labels.crossJoin(buckets)
+    dense = (
+        grid.join(
+            counts,
+            (grid["label"] == counts["__lab"]) & (grid["bucket"] == counts["__b"]),
+            "left",
+        )
+        .drop("__lab", "__b")
+        .join(
+            F.broadcast(tots.select(F.col("__lab").alias("label"), "__t")),
+            "label",
+            "left",
+        )
+        .select(
+            "label",
+            "bucket",
+            F.log2(
+                (F.coalesce(F.col("__c"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("__t"), F.lit(0)) + n_buckets).cast("double")
+            )
+            .cast("decimal(30,4)")
+            .alias("weight"),
+        )
+    )
+    nd = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__lab").alias("__k"),
+    )
+    priors = (
+        docs.groupBy("__lab")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("__lab").alias("label"),
+            F.lit(_BIAS_BUCKET).cast("int").alias("bucket"),
+            F.log2((F.col("__nc") + 1) / (F.col("__n") + F.col("__k")).cast("double"))
+            .cast("decimal(30,4)")
+            .alias("weight"),
+        )
+    )
+    return dense.unionByName(priors)
+
+
+def nb_score_multiclass(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "nbq-v1:",
+) -> DataFrame:
+    """Score every doc under a multiclass model: per-class log score =
+    class prior + Σ_f weight(class, bucket(f)), argmax over classes
+    with the deterministic tie-break (greatest exact decimal score,
+    then LEXICOGRAPHICALLY GREATEST label — the ``detect_language``
+    argmax convention). Returns (id_col, predicted_label, score double
+    4dp, n_feats); zero-feature docs get the prior argmax. One feature
+    explode + one broadcast join (K rows per feature) + one (doc,
+    class)-keyed aggregation — no corpus-sized state anywhere."""
+    feats = hashed_features(
+        df, text_col=text_col, id_cols=[id_col],
+        n_buckets=n_buckets, salt=salt,
+    )
+    w = model.where(F.col("bucket") >= 0)
+    bias = model.where(F.col("bucket") == _BIAS_BUCKET).select(
+        "label", F.col("weight").alias("__bias")
+    )
+    per = (
+        feats.join(F.broadcast(w), feats["__b"] == w["bucket"])
+        .groupBy(id_col, "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nf"),
+            F.sum("weight").alias("__sw"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    total = F.coalesce(F.col("__sw"), zero) + F.col("__bias")
+    best = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(bias))
+        .join(per, [id_col, "label"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    total.alias("s"),
+                    F.col("label").alias("lab"),
+                    F.coalesce(F.col("__nf"), F.lit(0)).alias("nf"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.lab").alias("predicted_label"),
+        F.round(F.col("b.s").cast("double"), 4).alias("score"),
+        F.col("b.nf").cast("long").alias("n_feats"),
+    )
+
+
 def write_model(
     model: DataFrame,
     path: str,

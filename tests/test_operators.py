@@ -2368,3 +2368,43 @@ def test_html_extract_feeds_the_funnel(spark):
     deduped = dd.exact_dedup(extracted.select("doc_id", "text"), "text", "doc_id")
     kept = {r.doc_id for r in deduped.collect()}
     assert kept == {1, 3}  # lowest-id canonical of the article pair + distinct
+
+
+def test_nb_multiclass_routes_languages(spark):
+    """r15 multiclass NB (domain/language routing): per-class models
+    over the shared hashed feature space separate three planted
+    languages on held-out docs; the zero-feature doc gets the prior
+    argmax with the deterministic greatest-label tie-break; scores
+    replay under repartitioning."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    rows = (
+        [(f"e{i}", "the quick brown fox and the lazy dog walk", "en")
+         for i in range(6)]
+        + [(f"s{i}", "el zorro marron rapido y el perro perezoso", "es")
+           for i in range(6)]
+        + [(f"f{i}", "le renard brun rapide et le chien paresseux", "fr")
+           for i in range(6)]
+    )
+    labeled = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    model = clf.nb_train_multiclass(labeled, label_col="lang", n_buckets=128)
+    assert model.count() == 3 * 128 + 3  # dense grid + one prior per class
+
+    test = spark.createDataFrame(
+        [("t1", "the quick dog and the fox"),
+         ("t2", "el perro y el zorro rapido"),
+         ("t3", "le chien et le renard brun"),
+         ("t4", "")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           clf.nb_score_multiclass(test, model, n_buckets=128).collect()}
+    assert out["t1"].predicted_label == "en"
+    assert out["t2"].predicted_label == "es"
+    assert out["t3"].predicted_label == "fr"
+    # equal priors, no features -> tie breaks to the GREATEST label
+    assert out["t4"].predicted_label == "fr" and out["t4"].n_feats == 0
+
+    again = {r.doc_id: tuple(r) for r in clf.nb_score_multiclass(
+        test.repartition(5), model.repartition(3), n_buckets=128).collect()}
+    assert again == {k: tuple(v) for k, v in out.items()}
