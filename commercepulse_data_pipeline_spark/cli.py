@@ -592,6 +592,12 @@ def cmd_clean_corpus(args) -> int:
         )
 
         model, meta = _clf.read_model(spark, args.quality_model)
+        if meta.get("kind", "nb-binary-v1") != "nb-binary-v1":
+            raise SystemExit(
+                f"--quality-model: {args.quality_model} is a "
+                f"{meta.get('kind')!r} artifact; the quality gate needs a "
+                f"BINARY model (train-quality without --multiclass)"
+            )
         scored = _clf.nb_score(
             deduped.select("doc_id", "text"), model,
             n_buckets=meta["n_buckets"], salt=meta["salt"],
@@ -683,22 +689,39 @@ def cmd_train_quality(args) -> int:
             f"train-quality: --label-col {args.label_col!r} not in "
             f"{sorted(labeled.columns)}"
         )
-    model = clf.nb_train(
-        labeled, text_col=args.text_col, label_col=args.label_col,
-        n_buckets=args.n_buckets, salt=args.salt,
-    )
+    multiclass = bool(getattr(args, "multiclass", False))
+    if multiclass:
+        model = clf.nb_train_multiclass(
+            labeled, text_col=args.text_col, label_col=args.label_col,
+            n_buckets=args.n_buckets, salt=args.salt,
+        )
+    else:
+        model = clf.nb_train(
+            labeled, text_col=args.text_col, label_col=args.label_col,
+            n_buckets=args.n_buckets, salt=args.salt,
+        )
     clf.write_model(
         model, args.out, n_buckets=args.n_buckets, salt=args.salt,
+        kind="nb-multiclass-v1" if multiclass else "nb-binary-v1",
         provenance={"label_col": args.label_col, "docs": args.docs},
     )
-    n_pos = labeled.where(
-        F.col(args.label_col).cast("boolean").eqNullSafe(F.lit(True))
-    ).count()
     n = labeled.count()
-    print(
-        f"train-quality: model over {n} docs ({n_pos} positive) -> "
-        f"{args.out} (n_buckets={args.n_buckets})"
-    )
+    if multiclass:
+        k = labeled.where(F.col(args.label_col).isNotNull()).select(
+            args.label_col
+        ).distinct().count()
+        print(
+            f"train-quality: multiclass model over {n} docs ({k} classes) "
+            f"-> {args.out} (n_buckets={args.n_buckets})"
+        )
+    else:
+        n_pos = labeled.where(
+            F.col(args.label_col).cast("boolean").eqNullSafe(F.lit(True))
+        ).count()
+        print(
+            f"train-quality: model over {n} docs ({n_pos} positive) -> "
+            f"{args.out} (n_buckets={args.n_buckets})"
+        )
     return 0
 
 
@@ -1324,6 +1347,10 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--text-col", default="text", dest="text_col")
     tq.add_argument("--n-buckets", type=int, default=1024, dest="n_buckets")
     tq.add_argument("--salt", default="nbq-v1:")
+    tq.add_argument("--multiclass", action="store_true",
+                    help="train the multiclass router (one NB model per "
+                         "distinct label value — domain/language routing) "
+                         "instead of the binary quality gate")
     tq.set_defaults(fn=cmd_train_quality)
 
     g = sub.add_parser(

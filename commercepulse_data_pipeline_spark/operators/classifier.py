@@ -340,13 +340,17 @@ def write_model(
     *,
     n_buckets: int,
     salt: str,
+    kind: str = "nb-binary-v1",
     provenance: dict | None = None,
 ) -> None:
     """Persist the model parquet plus a JSON meta sidecar recording the
     feature-space parameters scoring must reuse (the cluster-table
-    artifact discipline: the artifact carries its own contract)."""
+    artifact discipline: the artifact carries its own contract).
+    ``kind`` distinguishes the binary quality gate ("nb-binary-v1")
+    from the multiclass router ("nb-multiclass-v1") so a consumer can
+    refuse the wrong shape instead of mis-scoring."""
     model.write.mode("overwrite").parquet(path)
-    meta = {"n_buckets": int(n_buckets), "salt": salt, "kind": "nb-binary-v1"}
+    meta = {"n_buckets": int(n_buckets), "salt": salt, "kind": kind}
     meta.update(provenance or {})
     with open(os.path.join(path, _MODEL_META), "w") as fh:
         json.dump(meta, fh, indent=2, sort_keys=True)
@@ -361,7 +365,10 @@ def read_model(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     with open(meta_path) as fh:
         meta = json.load(fh)
     model = spark.read.parquet(path)
-    want = {"bucket", "weight"}
+    want = {
+        "nb-binary-v1": {"bucket", "weight"},
+        "nb-multiclass-v1": {"label", "bucket", "weight"},
+    }.get(meta.get("kind"), {"bucket", "weight"})
     if set(model.columns) != want:
         raise ValueError(
             f"nb model at {path} has columns {sorted(model.columns)}, want {sorted(want)}"

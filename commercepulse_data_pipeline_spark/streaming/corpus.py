@@ -213,6 +213,12 @@ def clean_corpus_batch(
         # its lineage spans both pair joins — cut it once
         kept = kept.localCheckpoint(eager=True)
         model, meta = clf.read_model(spark, quality_model_dir)
+        if meta.get("kind", "nb-binary-v1") != "nb-binary-v1":
+            raise ValueError(
+                f"quality_model_dir {quality_model_dir} holds a "
+                f"{meta.get('kind')!r} artifact; the streaming quality "
+                f"gate needs a BINARY model"
+            )
         scored = clf.nb_score(
             kept.select("doc_id", "text"), model,
             n_buckets=meta["n_buckets"], salt=meta["salt"],

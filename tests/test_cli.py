@@ -1049,3 +1049,47 @@ def test_cluster_table_report_occupancy_warns_on_dropped_bucket(
         "--report-occupancy",
     ]) == 0
     assert "occupancy clean" in capsys.readouterr().out
+
+
+def test_train_quality_multiclass_artifact_and_gate_rejection(spark, tmp_path, capsys):
+    """r15 multiclass routing via the CLI: --multiclass trains the
+    per-class model and stamps the artifact kind; the binary quality
+    gate REFUSES a multiclass artifact instead of mis-scoring."""
+    from commercepulse_data_pipeline_spark import cli
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    rows = (
+        [(f"e{i}", "the quick brown fox and the lazy dog", "en") for i in range(4)]
+        + [(f"s{i}", "el zorro marron y el perro perezoso", "es") for i in range(4)]
+    )
+    spark.createDataFrame(rows, "doc_id string, text string, lang string").write.parquet(
+        str(tmp_path / "labeled")
+    )
+    model_dir = str(tmp_path / "model")
+    assert cli.main([
+        "train-quality", "--docs", str(tmp_path / "labeled"),
+        "--out", model_dir, "--label-col", "lang",
+        "--n-buckets", "64", "--multiclass",
+    ]) == 0
+    assert "2 classes" in capsys.readouterr().out
+
+    model, meta = clf.read_model(spark, model_dir)
+    assert meta["kind"] == "nb-multiclass-v1"
+    scored = {r.doc_id: r.predicted_label for r in clf.nb_score_multiclass(
+        spark.createDataFrame(
+            [("a", "the quick fox"), ("b", "el perro perezoso")],
+            "doc_id string, text string",
+        ),
+        model, n_buckets=64,
+    ).collect()}
+    assert scored == {"a": "en", "b": "es"}
+
+    spark.createDataFrame(
+        [(1, "anything at all")], ["doc_id", "text"]
+    ).write.parquet(str(tmp_path / "docs"))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="BINARY"):
+        cli.main([
+            "clean-corpus", "--docs", str(tmp_path / "docs"),
+            "--out", str(tmp_path / "out"), "--quality-model", model_dir,
+        ])
