@@ -310,7 +310,16 @@ def cmd_clean_corpus(args) -> int:
         extracted = tx.html_extract(docs, args.html_col, "doc_id").select(
             "doc_id", "text"
         )
-        docs = docs.drop("text", args.html_col).join(extracted, "doc_id")
+        # cut the regex lineage ONCE: every downstream stage (repetition
+        # gate, scrub, dedup pair source, quality, the quarantine
+        # complements) consumes docs, and without the checkpoint each
+        # re-runs the whole extraction chain + the id join — measured
+        # +5.6s on the 20k chain probe, 0 with the cut (r15)
+        docs = (
+            docs.drop("text", args.html_col)
+            .join(extracted, "doc_id")
+            .localCheckpoint(eager=True)
+        )
 
     quarantine = bool(getattr(args, "quarantine", False))
     rejects: list[DataFrame] = []

@@ -102,7 +102,13 @@ def clean_corpus_batch(
         extracted = tx.html_extract(batch_df, html_col, "doc_id").select(
             "doc_id", "text"
         )
-        batch_df = batch_df.drop("text", html_col).join(extracted, "doc_id")
+        # one extraction per batch: the scrub/dedup/band stages below
+        # each re-consume batch_df (the CLI chain-probe finding)
+        batch_df = (
+            batch_df.drop("text", html_col)
+            .join(extracted, "doc_id")
+            .localCheckpoint(eager=True)
+        )
     if strip_repeats:
         derep = tx.strip_intradoc_repeats(
             batch_df, window_tokens=repeat_window, min_repeats=min_repeats
