@@ -1155,3 +1155,143 @@ def test_dhash_brightness_shift_property(pix, shift, w):
     arr = np.array(pix[: h * w], dtype=np.uint8).reshape(h, w)
     shifted = (arr.astype(int) + shift).clip(0, 255).astype(np.uint8)
     assert dhash64(shifted) == dhash64(arr)
+
+
+_NB_WORD = st.sampled_from(["alpha", "beta", "Gamma", "DOG", "x", "42", ""])
+
+
+@given(
+    train=st.lists(
+        st.tuples(st.lists(_NB_WORD, max_size=6), st.booleans()),
+        min_size=1, max_size=12,
+    ),
+    test=st.lists(st.lists(_NB_WORD, max_size=6), min_size=1, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_nb_classifier_matches_python_model(spark, train, test):
+    """nb_train + nb_score ≡ a pure-Python Naive Bayes replica: same md5
+    feature buckets, same add-1 smoothing, same DECIMAL(30,4) weight
+    quantization, same exact decimal sums and HALF_UP final rounding —
+    on random tiny corpora including empty docs and mixed case."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+
+    B, SALT = 32, "nbq-v1:"
+
+    def feats(words):
+        toks = [w.lower() for w in words if w]
+        fs = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5((SALT + f).encode()).hexdigest()[:8], 16) % B
+            for f in fs
+        ]
+
+    def q4(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+
+    cp, cn = [0] * B, [0] * B
+    npos = nneg = 0
+    for words, lab in train:
+        if lab:
+            npos += 1
+        else:
+            nneg += 1
+        for b in feats(words):
+            (cp if lab else cn)[b] += 1
+    tp, tn = sum(cp), sum(cn)
+    w = [
+        q4(math.log2((cp[b] + 1) / float(tp + B))
+           - math.log2((cn[b] + 1) / float(tn + B)))
+        for b in range(B)
+    ]
+    bias = q4(math.log2((npos + 1) / float(nneg + 1)))
+
+    def model_score(words):
+        total = sum((w[b] for b in feats(words)), Decimal(0)) + bias
+        # Spark's F.round(double, 4): BigDecimal.valueOf(d) (shortest
+        # repr, like Python's repr) then HALF_UP
+        return (
+            float(Decimal(repr(float(total))).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP)),
+            1 if total > 0 else 0,
+            len(feats(words)),
+        )
+
+    labeled = spark.createDataFrame(
+        [(i, " ".join(ws), int(lab)) for i, (ws, lab) in enumerate(train)],
+        "doc_id long, text string, label int",
+    )
+    model = clf.nb_train(labeled, n_buckets=B)
+    tdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(test)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.nb_logodds, r.predicted, r.n_feats)
+        for r in clf.nb_score(tdf, model, n_buckets=B).collect()
+    }
+    want = {i: model_score(ws) for i, ws in enumerate(test)}
+    assert got == want
+
+
+_HTML_FRAG = st.sampled_from([
+    "plain words here",
+    "more prose of quality",
+    "<p>", "</p>", "<div class='nav'>", "</div>", "<br>",
+    "<a href='/x'>a link label</a>", "<a href='/y'>z</a>",
+    "<script>var x = 1 < 2;</script>", "<style>p{a:1}</style>",
+    "<!-- note -->", "&amp;", "&lt;tag&gt;", "&nbsp;",
+    "<b>bold</b>", "<span>inline</span>", "<", ">", "<unclosed",
+    "<li>", "<h1>", "</h1>", "  ", "UPPER Case",
+])
+
+
+@given(frags=st.lists(_HTML_FRAG, min_size=1, max_size=14))
+@settings(**_SETTINGS)
+def test_html_extract_matches_python_model(spark, frags):
+    """html_extract ≡ a pure-Python replica of the exact regex chain
+    (comment/script/style removal, block segmentation, tag strip +
+    entity decode + whitespace collapse, integer link-density filter) on
+    randomized fragment soups incl. malformed tags and entities."""
+    import re
+
+    from commercepulse_data_pipeline_spark.operators import text as tx
+    from commercepulse_data_pipeline_spark.operators.text import (
+        _HTML_BLOCK_TAGS,
+        _HTML_ENTITIES,
+    )
+
+    html = " ".join(frags)
+
+    def clean(s):
+        s = re.sub(r"<[^>]*>", " ", s)
+        for ent, ch in _HTML_ENTITIES:
+            s = s.replace(ent, ch)
+        return re.sub(r"\s+", " ", s).strip()
+
+    c = html
+    c = re.sub(r"(?s)<!--.*?-->", " ", c)
+    for tag in ("script", "style", "noscript"):
+        c = re.sub(rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ", c)
+    c = re.sub(rf"(?i)</?({_HTML_BLOCK_TAGS})\b[^>]*>", "\n", c)
+    kept, nb, nk = [], 0, 0
+    for blk in c.split("\n"):
+        txt = clean(blk)
+        lc = sum(
+            len(clean(m))
+            for m in re.findall(r"(?is)<a\b[^>]*>(.*?)</a>", blk)
+        )
+        ntok = len([t for t in txt.split(" ") if t])
+        if len(txt) > 0:
+            nb += 1
+        if ntok >= 3 and lc * 100 <= len(txt) * 50:
+            nk += 1
+            kept.append(txt)
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = tx.html_extract(df).head()
+    assert row.text == "\n".join(kept)
+    assert (row.n_blocks, row.n_kept_blocks) == (nb, nk)
