@@ -2305,6 +2305,51 @@ def q_docs_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf.nb_score_multiclass(d.select("doc_id", "text"), model, n_buckets=256)
 
 
+_QUALITY_SWEEP_TAUS = [-5.0, -2.0, 0.0, 2.0, 5.0]
+
+
+def q_docs_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--quality-threshold calibration (r15, the dup_threshold_sweep
+    discipline): ONE aggregation pass over the NB scores computes every
+    candidate threshold as a conditional sum, then a constant-size
+    unpivot — the score table is never exploded |taus|×. Output: one
+    row per tau with the surviving-doc count and keep rate."""
+    from commercepulse_data_pipeline_spark.operators import classifier as clf
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold_for,
+    )
+
+    d = _docs(spark, sf_dir)
+    labeled = d.where(
+        hash_bucket(F.col("doc_id"), salt="nbtrain-v1:") < threshold_for(0.5)
+    ).select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("label"))
+    model = clf.nb_train(labeled, n_buckets=256)
+    scored = clf.nb_score(d.select("doc_id", "text"), model, n_buckets=256)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col("nb_logodds") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__k{i}")
+            for i, t in enumerate(_QUALITY_SWEEP_TAUS)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tau"),
+                F.col(f"__k{i}").alias("n_kept"),
+                F.round(F.col(f"__k{i}") / F.col("__n"), 4).alias("keep_rate"),
+            )
+            for i, t in enumerate(_QUALITY_SWEEP_TAUS)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        F.col("r.tau"), F.col("r.n_kept"), F.col("r.keep_rate")
+    )
+
+
 def q_docs_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out evaluation of the supervised classifier (r15): the
     confusion matrix of NB predictions vs true en-vs-rest labels on the
@@ -4686,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_extracted": q_docs_html_extracted,
         "docs_classifier_eval": q_docs_classifier_eval,
         "docs_lang_classifier": q_docs_lang_classifier,
+        "docs_classifier_sweep": q_docs_classifier_sweep,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5481,6 +5527,27 @@ def _lang_classifier_oracle_sql(B: int = 256) -> str:
                round(CAST(s AS DOUBLE), 4) AS score,
                CAST(nf AS BIGINT) AS n_feats
         FROM best WHERE rn = 1
+    """
+
+
+def _classifier_sweep_oracle_sql(B: int = 256) -> str:
+    """DuckDB twin of q_docs_classifier_sweep: the classifier oracle as
+    a derived table, one aggregation of conditional sums (comparisons
+    run on the identically-rounded nb_logodds doubles), one literal row
+    per tau."""
+    ks = ", ".join(
+        f"sum(CASE WHEN nb_logodds >= {t!r} THEN 1 ELSE 0 END) AS k{i}"
+        for i, t in enumerate(_QUALITY_SWEEP_TAUS)
+    )
+    branches = "\n        UNION ALL ".join(
+        f"SELECT {t!r} AS tau, CAST(k{i} AS BIGINT) AS n_kept, "
+        f"round(k{i} / CAST(n AS DOUBLE), 4) AS keep_rate FROM a"
+        for i, t in enumerate(_QUALITY_SWEEP_TAUS)
+    )
+    return f"""
+        WITH s AS ({_classifier_oracle_sql(B=B)}),
+        a AS (SELECT count(*) AS n, {ks} FROM s)
+        {branches}
     """
 
 
@@ -7969,6 +8036,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_html_extracted": _html_extracted_oracle_sql(),
         "docs_classifier_eval": _classifier_eval_oracle_sql(B=256),
         "docs_lang_classifier": _lang_classifier_oracle_sql(B=256),
+        "docs_classifier_sweep": _classifier_sweep_oracle_sql(B=256),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,
