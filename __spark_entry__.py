@@ -2383,6 +2383,53 @@ def q_docs_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["dup", "spark", "merge", "window"]
+
+
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (r15 —
+    operators/retrieval.py::bm25_topk, the targeted subset-mining
+    primitive: pull the most query-relevant slice of a web-scale corpus
+    for domain probes / seed expansion). Query mixes the corpus's one
+    rare token ('dup', high idf) with common ones, so ranking exercises
+    both idf extremes. Shuffle shape: map-only tf/dl pass, a 1-row
+    broadcast stats aggregate, map-only scoring, TakeOrdered top-k — no
+    wide exchange anywhere. The oracle replays the identical arithmetic
+    (log2 idf quantized DECIMAL(30,6), fixed left-to-right term sum)."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    return ret.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+
+
+def q_docs_passage_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level BM25 retrieval (r15): the RAG-store composition —
+    chunk_documents (max_tokens=32, stride=16 sliding windows) in front
+    of bm25_topk, so the hit is the best-matching PASSAGE, not the
+    whole document. chunk_key = doc_id·1000 + chunk_idx gives the
+    deterministic single-column tiebreak both engines order by (chunk
+    counts are « 1000 at any doc length the tokenizer emits here). The
+    oracle replays chunking (the docs_chunked integer arithmetic) and
+    the BM25 chain end-to-end."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    chunks = tx.chunk_documents(
+        _docs(spark, sf_dir), max_tokens=32, stride=16
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_key"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+    )
+    return ret.bm25_topk(
+        chunks,
+        _BM25_TERMS,
+        text_col="chunk_text",
+        id_col="chunk_key",
+        k=20,
+        extra_cols=("doc_id", "chunk_idx"),
+    )
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
     simhash_pairs_between, the simhash sibling of minhash_incremental):
@@ -4732,6 +4779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_classifier_eval": q_docs_classifier_eval,
         "docs_lang_classifier": q_docs_lang_classifier,
         "docs_classifier_sweep": q_docs_classifier_sweep,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "docs_passage_hits": q_docs_passage_hits,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5567,6 +5616,63 @@ def _classifier_eval_oracle_sql(B: int = 256) -> str:
         JOIN documents d ON d.doc_id = s.doc_id
         WHERE {split} >= {threshold_for(0.5)}
         GROUP BY 1, 2
+    """
+
+
+def _bm25_oracle_sql(
+    toked_sql: str,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of operators/retrieval.py::bm25_topk over a relation
+    ``toked_sql`` exposing ``(id_col, *extra_cols, toks)``. Mirrors the
+    Spark arithmetic exactly: log2 idf quantized DECIMAL(30,6) then back
+    to double, every float constant crossing as its Python repr
+    (shortest-round-trip — both engines parse it to the same double),
+    the per-term sum in fixed left-to-right _BM25_TERMS order, round-6,
+    and the (score desc, id asc) total order."""
+    ids = ", ".join([id_col, *extra_cols])
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"CAST(CAST(log2({1.0!r} + (n_docs - df{i} + {0.5!r}) / (df{i} + {0.5!r}))"
+        f" AS DECIMAL(30,6)) AS DOUBLE)"
+        f" * ((CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH base AS (
+            SELECT {ids}, len(toks) AS dl, {tfs}
+            FROM ({toked_sql})
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {dfs} FROM base
+        ),
+        scored AS (
+            SELECT {ids}, dl,
+                   CAST({hits} AS INT) AS n_match,
+                   round({terms}, 6) AS score
+            FROM base CROSS JOIN stats
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS INT) AS rank,
+               {ids}, n_match, dl, score
+        FROM scored WHERE n_match > 0
+        ORDER BY score DESC, {id_col} LIMIT {k}
     """
 
 
@@ -8037,6 +8143,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_classifier_eval": _classifier_eval_oracle_sql(B=256),
         "docs_lang_classifier": _lang_classifier_oracle_sql(B=256),
         "docs_classifier_sweep": _classifier_sweep_oracle_sql(B=256),
+        "docs_bm25_topk": _bm25_oracle_sql(
+            f"SELECT doc_id, {_TOKS} AS toks FROM documents", "doc_id"
+        ),
+        "docs_passage_hits": _bm25_oracle_sql(
+            f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), c AS (
+                SELECT doc_id, t, len(t) AS n,
+                       (greatest(len(t) - 32, 0) + 15) // 16 + 1 AS n_chunks
+                FROM t WHERE len(t) > 0
+            ), u AS (
+                SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i FROM c
+            )
+            SELECT doc_id * 1000 + i AS chunk_key,
+                   doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   list_filter(string_split_regex(lower(array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ')), '\\s+'), x -> x <> '') AS toks
+            FROM u
+            """,
+            "chunk_key",
+            ("doc_id", "chunk_idx"),
+        ),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

@@ -107,6 +107,8 @@ EXTENDED = [
     # BENCH_r15 and the r15 clean-box probes, the r13/r14 discipline)
     "docs_classifier_scores",
     "docs_html_extracted",
+    "docs_bm25_topk",
+    "docs_passage_hits",
 ]
 
 HEADLINE = [

@@ -1,0 +1,188 @@
+"""BM25 full-text retrieval over a document corpus — the targeted
+subset-mining primitive a training-data pipeline uses to pull
+topic-relevant slices out of a web-scale corpus (seed-query expansion,
+domain probes, eval-set neighborhood audits) and the scoring core of a
+RAG passage store.
+
+The reference has no retrieval surface; this is extension tier, built
+Spark-first (Robertson et al. BM25, public knowledge).
+
+Scale shape: for a FIXED query of m terms the whole scorer is two
+corpus passes and zero wide shuffles —
+
+  pass 1 (map-only projection): one let-bound tokenization per doc
+      producing ``(dl, tf_0 … tf_{m-1})``; the token array is evaluated
+      exactly once per row regardless of m (``functions/expr.py::let``).
+  stats (1-row aggregate): ``N``, ``Σdl`` and per-term document
+      frequencies reduce with map-side combine to a single row, which
+      BROADCASTS back over the per-doc table.
+  pass 2 (map-only scoring): BM25 is then a pure projection; the top-k
+      is ``orderBy().limit(k)`` → ``TakeOrderedAndProject`` (per-partition
+      heaps + a k-row driver merge), never a global sort.
+
+The per-doc table is localCheckpoint'ed because it feeds both the stats
+aggregate and the scoring pass — without the pin Spark re-tokenizes the
+corpus per consumer (no subplan sharing across DataFrame branches).
+
+Cross-engine determinism (DECISIONS.md rule): the only transcendental,
+``log2`` in the idf, is QUANTIZED to DECIMAL(30,6) immediately — JVM
+StrictMath and libm log2 differ by 1 ulp on ~a third of inputs (the
+unigram-CE precedent, operators/text.py). Everything else is basic IEEE
+arithmetic on identical operands in a FIXED association order (the
+per-term sum is built left-to-right in query-term order on both
+engines), so scores replay bit-identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expr import let
+from .text import tokens
+
+
+def _validate_terms(query_terms: list[str]) -> list[str]:
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    lowered = [t.lower() for t in query_terms]
+    if len(set(lowered)) != len(lowered):
+        raise ValueError(f"query_terms must be distinct (got {query_terms!r})")
+    for t in lowered:
+        if not t or any(c.isspace() for c in t):
+            raise ValueError(f"query terms must be non-empty and whitespace-free, got {t!r}")
+    return lowered
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score every document containing ≥1 query term with BM25.
+
+    ``idf(t) = log2(1 + (N - df_t + 0.5) / (df_t + 0.5))`` — the
+    Lucene-style shifted idf (non-negative for any df; log base only
+    scales all scores, ranking is base-invariant), quantized to
+    DECIMAL(30,6) for cross-engine replay.
+
+    ``score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    summed left-to-right in ``query_terms`` order.
+
+    Output: one row per matching doc — ``id_col``, any ``extra_cols``
+    passed through, ``n_match`` (query terms present), ``dl`` (doc token
+    length), ``score`` (rounded to 6). Docs matching no term are dropped
+    (their score is exactly 0), so downstream top-k inputs are bounded
+    by the posting-list mass, not the corpus.
+    """
+    terms = _validate_terms(query_terms)
+    m = len(terms)
+
+    def _tf(t: Column, term: str) -> Column:
+        # single-arg lambda on purpose: a two-arg lambda would be called
+        # as (element, index) by the higher-order-function binder
+        return F.size(F.filter(t, lambda x: x == F.lit(term)))
+
+    def body(t: Column) -> Column:
+        fields = [F.size(t).cast("long").alias("dl")]
+        for i, term in enumerate(terms):
+            fields.append(_tf(t, term).cast("long").alias(f"tf{i}"))
+        return F.struct(*fields)
+
+    base = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            let(tokens(F.col(text_col)), body).alias("__s"),
+        )
+        .select(id_col, *extra_cols, "__s.*")
+        .localCheckpoint(eager=False)
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(m)
+        ],
+    )
+
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n_docs")
+    # Fixed left-to-right sum in query-term order; the oracle writes the
+    # same association. All float literals cross as Python-repr strings
+    # (shortest round-trip), parsing to identical doubles in both engines.
+    score: Column | None = None
+    n_match: Column | None = None
+    for i in range(m):
+        idf = (
+            F.log2(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col(f"__df{i}") + F.lit(0.5))
+                / (F.col(f"__df{i}") + F.lit(0.5))
+            )
+            .cast("decimal(30,6)")
+            .cast("double")
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        norm = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        )
+        term_score = idf * norm
+        hit = (F.col(f"tf{i}") > 0).cast("int")
+        score = term_score if score is None else score + term_score
+        n_match = hit if n_match is None else n_match + hit
+
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            n_match.cast("int").alias("n_match"),
+            F.col("dl"),
+            F.round(score, 6).alias("score"),
+        )
+        .where(F.col("n_match") > 0)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-k BM25 hits: ``rank`` (1-based), then the ``bm25_score``
+    columns. Deterministic total order — score desc, then ``id_col`` asc
+    as the tiebreak — so the cut is reproducible across engines and
+    retries. The limit runs as ``TakeOrderedAndProject`` (no global
+    sort); the rank window then orders only the k surviving rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    scored = bm25_score(
+        df, query_terms, text_col, id_col, k1=k1, b=b, extra_cols=extra_cols
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        id_col,
+        *extra_cols,
+        "n_match",
+        "dl",
+        "score",
+    )

@@ -2408,3 +2408,92 @@ def test_nb_multiclass_routes_languages(spark):
     again = {r.doc_id: tuple(r) for r in clf.nb_score_multiclass(
         test.repartition(5), model.repartition(3), n_buckets=128).collect()}
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+def _bm25_model(docs, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 twin mirroring bm25_score's exact arithmetic:
+    log2 idf quantized to a 1e-6 grid, left-to-right term sum."""
+    toked = {i: t.lower().split() for i, t in docs}
+    n = len(toked)
+    avgdl = sum(len(v) for v in toked.values()) / n
+    dfs = {t: sum(1 for v in toked.values() if t in v) for t in terms}
+    out = {}
+    for i, toks in toked.items():
+        score, match = 0.0, 0
+        for t in terms:
+            tf = toks.count(t)
+            idf = round(math.log2(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), 6)
+            score = score + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (len(toks) / avgdl))
+            )
+            match += 1 if tf > 0 else 0
+        if match:
+            out[i] = (match, len(toks), round(score, 6))
+    return out
+
+
+def test_bm25_score_matches_model_and_ranks_rare_term_first(spark):
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    docs = [
+        (1, "spark query engine spark spark"),
+        (2, "pasta recipe with basil and spark"),
+        (3, "unrelated prose about gardens"),
+        (4, "basil basil basil pesto"),
+        (5, "query planner beats hand tuning"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    terms = ["spark", "basil"]
+    got = {
+        r.doc_id: (r.n_match, r.dl, r.score)
+        for r in ret.bm25_score(df, terms).collect()
+    }
+    want = _bm25_model(docs, terms)
+    assert got == want
+    # doc 3 matches nothing -> dropped
+    assert 3 not in got
+    top = ret.bm25_topk(df, terms, k=3).collect()
+    assert [r.rank for r in top] == [1, 2, 3]
+    # rank order is the model's (score desc, doc_id asc)
+    model_order = sorted(want, key=lambda i: (-want[i][2], i))[:3]
+    assert [r.doc_id for r in top] == model_order
+
+
+def test_bm25_validates_terms_and_k(spark):
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ret.bm25_score(df, [])
+    with pytest.raises(ValueError):
+        ret.bm25_score(df, ["a", "A"])  # dup after lowering
+    with pytest.raises(ValueError):
+        ret.bm25_score(df, ["two words"])
+    with pytest.raises(ValueError):
+        ret.bm25_topk(df, ["a"], k=0)
+
+
+def test_bm25_empty_and_zero_length_docs(spark):
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    df = spark.createDataFrame(
+        [(1, "hit hit"), (2, ""), (3, "   "), (4, "miss")],
+        ["doc_id", "text"],
+    )
+    rows = ret.bm25_score(df, ["hit"]).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_match == 1 and rows[0].dl == 2
+
+
+def test_bm25_extra_cols_passthrough(spark):
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    df = spark.createDataFrame(
+        [(1, "x", "web"), (2, "x y", "book")], ["doc_id", "text", "source"]
+    )
+    rows = ret.bm25_topk(df, ["y"], k=5, extra_cols=("source",)).collect()
+    assert [(r.doc_id, r.source) for r in rows] == [(2, "book")]

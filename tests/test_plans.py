@@ -664,3 +664,24 @@ def test_centroid_assign_is_constant_free_and_map_only(spark):
     # the centroid VALUES must not appear as plan literals
     assert "8.875" not in plan and "0.125" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """bm25_topk (r15): the scoring pass joins the 1-row stats aggregate
+    by BROADCAST (never a wide stats shuffle), the top-k compiles to a
+    TakeOrderedAndProject heap (never a global Sort+Exchange), and no
+    Python UDF appears — tf/dl/score all run in codegen."""
+    plan = _plan(E.q_docs_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the only exchanges allowed are the 1-row stats combine + broadcast
+    # distribution — never a corpus-keyed hashpartitioning repartition
+    import re
+
+    corpus_wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "SinglePartition" not in ln
+    ]
+    assert corpus_wide == [], plan
