@@ -109,6 +109,7 @@ EXTENDED = [
     "docs_html_extracted",
     "docs_bm25_topk",
     "docs_passage_hits",
+    "bm25_indexed_topk",
 ]
 
 HEADLINE = [

@@ -186,3 +186,191 @@ def bm25_topk(
         "dl",
         "score",
     )
+
+
+def write_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's inverted index — the BM25 SERVING artifact
+    (mirroring ``write_minhash_index`` / ``similarity.write_ivf_index``):
+    ``postings/`` = one parquet row per (doc, distinct term) carrying
+    ``(id, term, tf, dl)``, hive-partitioned by
+    ``term_bucket = stable_bucket(term, n_buckets)`` so a query's probe
+    reads ONLY its terms' partitions (directory pruning, then a
+    term-isin row-group filter inside them); ``meta/`` = a 1-row JSON
+    sidecar pinning the layout params AND the corpus stats
+    ``(n_docs, sum_dl)`` BM25 needs at query time (zero-token docs hold
+    no postings but DO count here, matching the scan scorer).
+
+    Per-doc term counts come array-side (the ``rle_counts`` sorted-run
+    idiom — what explodes is distinct terms per doc, not occurrences),
+    so the build is one map pass + one partitioned write.
+
+    ``mode="append"`` is the incremental-ingest path: the sidecar's
+    layout params must match (appending under a different bucket count
+    would make old postings unreachable by pruning), the batch's rows
+    land in the same partition layout, and the stats roll forward to
+    old + batch. House caveat (the write_minhash_index contract): rows
+    land before the meta update, so a crash between the two leaves
+    stats one batch stale — re-run the append idempotently only if the
+    batch write itself is idempotent (e.g. a dedup'ed batch id).
+    """
+    import json
+
+    from ..functions.hashing import stable_bucket
+    from .text import rle_counts
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    spark = df.sparkSession
+    params = {"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}
+
+    existing = None
+    if mode == "append":
+        try:
+            existing = read_text_index_meta(spark, path)
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            from ..sources.readers import is_missing_store_error
+
+            if not is_missing_store_error(exc, f"{path}/meta"):
+                raise
+            existing = None  # first write to this path
+        if existing is not None and any(
+            str(existing[k]) != str(v) for k, v in params.items()
+        ):
+            raise ValueError(
+                f"append with params {params} != index meta "
+                f"{ {k: existing[k] for k in params} }; rebuilding the "
+                "index is the only safe migration"
+            )
+
+    staged = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__dl", F.size(F.col("__toks")).cast("long"))
+        .withColumn("__rle", rle_counts(F.array_sort(F.col("__toks"))))
+        .localCheckpoint(eager=False)  # feeds postings AND the stats agg
+    )
+    stats_row = staged.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")
+    ).head()
+    postings = (
+        staged.select(
+            F.col(id_col), F.col("__dl").alias("dl"), F.explode_outer("__rle").alias("__p")
+        )
+        .where(F.col("__p").isNotNull())
+        .select(
+            id_col,
+            F.col("__p.value").alias("term"),
+            F.col("__p.cnt").cast("long").alias("tf"),
+            "dl",
+        )
+        .withColumn("term_bucket", stable_bucket(F.col("term"), n_buckets))
+    )
+    postings.write.mode(mode).partitionBy("term_bucket").parquet(f"{path}/postings")
+
+    n_docs, sum_dl = int(stats_row["n"]), int(stats_row["s"])
+    if existing is not None:
+        n_docs += int(existing["n_docs"])
+        sum_dl += int(existing["sum_dl"])
+    meta = {**params, "n_docs": n_docs, "sum_dl": sum_dl}
+    spark.createDataFrame(
+        [(json.dumps(sorted(meta.items())),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def read_text_index_meta(spark, path: str) -> dict:
+    import json
+
+    row = spark.read.json(f"{path}/meta").head()
+    return dict(json.loads(row.meta))
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 from the PERSISTED inverted index — the serving path:
+    per-query cost is the probed terms' partitions, never a corpus
+    scan. Probe shape: the query terms' bucket ids (computed by the
+    same ``stable_bucket`` expression on a 1-row-per-term frame — a
+    bounded m-row collect) prune ``postings/`` directories; a
+    ``term IN (…)`` filter then pushes into the surviving row groups;
+    per-term document frequencies reduce from the probed postings (an
+    m-row aggregate, broadcast back); the per-doc sum is ONE shuffle
+    over candidate docs (posting mass of the query, not corpus size);
+    top-k is TakeOrderedAndProject.
+
+    Determinism: the per-doc sum is over a GROUP (shuffle order is not
+    fixed), so each term's contribution is quantized to DECIMAL(30,10)
+    and summed EXACTLY — order-independent — then rounded to 6, unlike
+    the scan scorer's fixed-order double sum; the two scorers therefore
+    agree to ~1e-6 (ranking-identical in practice) but are separately
+    oracle'd. Same output shape as ``bm25_topk``."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_bucket
+
+    terms = _validate_terms(query_terms)
+    meta = read_text_index_meta(spark, path)
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(stable_bucket(F.col("term"), n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    probed = spark.read.parquet(f"{path}/postings").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    dfs = probed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs)
+    idf = (
+        F.log2(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        .cast("decimal(30,6)")
+        .cast("double")
+    )
+    tf = F.col("tf").cast("double")
+    norm = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        probed.join(F.broadcast(dfs), "term")
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            (idf * norm).cast("decimal(30,10)").alias("__ts"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_match"),
+            F.max("dl").alias("dl"),
+            F.round(F.sum("__ts").cast("double"), 6).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), id_col, "n_match", "dl", "score"
+    )

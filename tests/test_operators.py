@@ -2497,3 +2497,49 @@ def test_bm25_extra_cols_passthrough(spark):
     )
     rows = ret.bm25_topk(df, ["y"], k=5, extra_cols=("source",)).collect()
     assert [(r.doc_id, r.source) for r in rows] == [(2, "book")]
+
+
+def test_text_index_build_query_and_append(spark, tmp_path):
+    """Inverted-index BM25 serving: the indexed top-k returns the same
+    docs/ranks/n_match/dl as the scan scorer (scores agree to 1e-6 —
+    exact-decimal group sum vs fixed-order double sum), zero-token docs
+    count in the stats sidecar, append rolls stats forward and finds
+    docs from both batches, and a param-mismatched append refuses."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    docs = [
+        (1, "spark query engine spark spark"),
+        (2, "pasta recipe with basil and spark"),
+        (3, ""),  # zero tokens: no postings, but counts in n_docs
+        (4, "basil basil basil pesto"),
+        (5, "query planner beats hand tuning"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path / "tix")
+    ret.write_text_index(df, path, n_buckets=8)
+
+    meta = ret.read_text_index_meta(spark, path)
+    assert int(meta["n_docs"]) == 5
+    assert int(meta["sum_dl"]) == sum(len(t.split()) for _, t in docs)
+
+    terms = ["spark", "basil"]
+    scan = ret.bm25_topk(df, terms, k=5).collect()
+    idx = ret.bm25_topk_indexed(spark, path, terms, k=5).collect()
+    assert [(r.rank, r.doc_id, r.n_match, r.dl) for r in idx] == [
+        (r.rank, r.doc_id, r.n_match, r.dl) for r in scan
+    ]
+    for a, b in zip(idx, scan):
+        assert abs(a.score - b.score) < 1e-6
+
+    # append a second batch: stats roll forward, new docs retrievable
+    batch2 = spark.createDataFrame([(6, "spark spark spark")], ["doc_id", "text"])
+    ret.write_text_index(batch2, path, n_buckets=8, mode="append")
+    meta2 = ret.read_text_index_meta(spark, path)
+    assert int(meta2["n_docs"]) == 6
+    assert int(meta2["sum_dl"]) == int(meta["sum_dl"]) + 3
+    hits = {r.doc_id for r in ret.bm25_topk_indexed(spark, path, ["spark"], k=10).collect()}
+    assert hits == {1, 2, 6}
+
+    # foreign-params append must refuse BEFORE corrupting the layout
+    with pytest.raises(ValueError, match="append with params"):
+        ret.write_text_index(batch2, path, n_buckets=16, mode="append")

@@ -685,3 +685,26 @@ def test_bm25_topk_plan_shape(spark):
         if "Exchange hashpartitioning" in ln and "SinglePartition" not in ln
     ]
     assert corpus_wide == [], plan
+
+
+def test_bm25_indexed_probe_prunes_partitions(spark, tmp_path):
+    """bm25_topk_indexed (r15): the probe's bucket filter must reach the
+    postings scan as a PARTITION filter (directory pruning — the reason
+    the index is hive-partitioned by term_bucket) with the term-isin
+    residual pushed into the surviving row groups; the df table joins
+    back by BROADCAST; top-k is a TakeOrderedAndProject heap."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    df = spark.createDataFrame(
+        [(i, f"alpha w{i} beta") for i in range(30)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "tix")
+    ret.write_text_index(df, path, n_buckets=8)
+    plan = _plan(ret.bm25_topk_indexed(spark, path, ["alpha", "w3"], k=5))
+    assert "PartitionFilters: [" in plan and "term_bucket" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+    assert "PushedFilters: [" in plan and "In(term" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "TakeOrderedAndProject" in plan, plan
