@@ -188,6 +188,41 @@ def bm25_topk(
     )
 
 
+def _staged_rle(df: DataFrame, text_col: str) -> DataFrame:
+    """Input rows + ``__dl`` (token count) and ``__rle`` (sorted-run
+    (value, cnt) pairs — distinct terms with within-doc counts,
+    array-side). Shared by the batch index writer and the streaming
+    ingest batch fn; callers localCheckpoint it (it always feeds both
+    the postings explode and the stats aggregate)."""
+    from .text import rle_counts
+
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__dl", F.size(F.col("__toks")).cast("long"))
+        .withColumn("__rle", rle_counts(F.array_sort(F.col("__toks"))))
+    )
+
+
+def _postings_from_staged(staged: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """(id, term, tf, dl, term_bucket) posting rows from ``_staged_rle``
+    output — what explodes is distinct terms per doc, not occurrences."""
+    from ..functions.hashing import stable_bucket
+
+    return (
+        staged.select(
+            F.col(id_col), F.col("__dl").alias("dl"), F.explode_outer("__rle").alias("__p")
+        )
+        .where(F.col("__p").isNotNull())
+        .select(
+            id_col,
+            F.col("__p.value").alias("term"),
+            F.col("__p.cnt").cast("long").alias("tf"),
+            "dl",
+        )
+        .withColumn("term_bucket", stable_bucket(F.col("term"), n_buckets))
+    )
+
+
 def write_text_index(
     df: DataFrame,
     path: str,
@@ -223,9 +258,6 @@ def write_text_index(
     """
     import json
 
-    from ..functions.hashing import stable_bucket
-    from .text import rle_counts
-
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
@@ -250,28 +282,13 @@ def write_text_index(
                 "index is the only safe migration"
             )
 
-    staged = (
-        df.withColumn("__toks", tokens(F.col(text_col)))
-        .withColumn("__dl", F.size(F.col("__toks")).cast("long"))
-        .withColumn("__rle", rle_counts(F.array_sort(F.col("__toks"))))
-        .localCheckpoint(eager=False)  # feeds postings AND the stats agg
+    staged = _staged_rle(df, text_col).localCheckpoint(
+        eager=False  # feeds postings AND the stats agg
     )
     stats_row = staged.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")
     ).head()
-    postings = (
-        staged.select(
-            F.col(id_col), F.col("__dl").alias("dl"), F.explode_outer("__rle").alias("__p")
-        )
-        .where(F.col("__p").isNotNull())
-        .select(
-            id_col,
-            F.col("__p.value").alias("term"),
-            F.col("__p.cnt").cast("long").alias("tf"),
-            "dl",
-        )
-        .withColumn("term_bucket", stable_bucket(F.col("term"), n_buckets))
-    )
+    postings = _postings_from_staged(staged, id_col, n_buckets)
     postings.write.mode(mode).partitionBy("term_bucket").parquet(f"{path}/postings")
 
     n_docs, sum_dl = int(stats_row["n"]), int(stats_row["s"])
@@ -324,7 +341,38 @@ def bm25_topk_indexed(
     from ..functions.hashing import stable_bucket
 
     terms = _validate_terms(query_terms)
-    meta = read_text_index_meta(spark, path)
+    try:
+        meta = read_text_index_meta(spark, path)
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        from ..sources.readers import is_missing_store_error
+
+        if not is_missing_store_error(exc, f"{path}/meta"):
+            raise
+        # streaming-store layout (streaming/retrieval.py): no mutable
+        # meta — per-batch 1-row stats partitions roll up here instead
+        # (replayed batches overwrite their own partition, so the sum
+        # never double-counts)
+        srow = (
+            spark.read.parquet(f"{path}/stats")
+            .agg(
+                F.sum("n").alias("n_docs"),
+                F.sum("s").alias("sum_dl"),
+                F.collect_set("n_buckets").alias("bks"),
+                F.collect_set("id_col").alias("ids"),
+            )
+            .head()
+        )
+        if len(srow.bks) != 1 or len(srow.ids) != 1:
+            raise ValueError(
+                f"inconsistent stream-store params at {path}: "
+                f"n_buckets={sorted(srow.bks)}, id_col={sorted(srow.ids)}"
+            )
+        meta = {
+            "n_docs": srow.n_docs,
+            "sum_dl": srow.sum_dl,
+            "n_buckets": srow.bks[0],
+            "id_col": srow.ids[0],
+        }
     n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
     n_buckets = int(meta["n_buckets"])
     id_col = str(meta["id_col"])

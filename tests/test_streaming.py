@@ -2047,3 +2047,83 @@ def test_stream_clean_corpus_html_and_quality_gate(spark, tmp_path):
     assert after == before
     assert {(r.doc_id, r.reason) for r in spark.read.parquet(
         f"{store}/quarantine").collect()} == quar
+
+
+def test_stream_text_index_serve_and_replay(spark, tmp_path):
+    """stream_text_index (r15): three document drops build a BM25
+    postings store whose indexed top-k equals the scan scorer over the
+    full corpus (ranks/docs/n_match/dl exact, scores to 1e-6); a direct
+    replay of the last batch reproduces its partitions bit-identically
+    and the stats roll-up does NOT double-count (per-batch overwrite)."""
+    import os
+    import shutil
+
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+    from commercepulse_data_pipeline_spark.streaming.retrieval import (
+        stream_text_index,
+        text_index_batch,
+    )
+
+    drops = [
+        [(1, "spark query engine spark spark"), (2, "pasta recipe basil spark")],
+        [(3, ""), (4, "basil basil basil pesto")],
+        [(5, "query planner beats hand tuning"), (6, "spark spark spark")],
+    ]
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(f"{incoming}/d{i}")
+        for f in os.listdir(f"{incoming}/d{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{incoming}/d{i}/{f}", f"{incoming}/b{i}_{f}")
+        shutil.rmtree(f"{incoming}/d{i}")
+
+    store = str(tmp_path / "store")
+    q = stream_text_index(
+        spark, incoming, store, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_once=True, n_buckets=8,
+    )
+    q.awaitTermination()
+
+    all_docs = spark.createDataFrame(
+        [r for rows in drops for r in rows], "doc_id bigint, text string"
+    )
+    terms = ["spark", "basil"]
+    scan = ret.bm25_topk(all_docs, terms, k=10).collect()
+    idx = ret.bm25_topk_indexed(spark, store, terms, k=10).collect()
+    assert [(r.rank, r.doc_id, r.n_match, r.dl) for r in idx] == [
+        (r.rank, r.doc_id, r.n_match, r.dl) for r in scan
+    ]
+    for a, b in zip(idx, scan):
+        assert abs(a.score - b.score) < 1e-6
+
+    # direct replay of the LAST batch: identical partitions, stats flat
+    stats_before = spark.read.parquet(f"{store}/stats").agg(
+        F.sum("n"), F.sum("s")
+    ).head()
+    part_before = sorted(
+        map(tuple, spark.read.parquet(
+            f"{store}/postings/ingest_batch=2").collect())
+    )
+    text_index_batch(
+        spark.createDataFrame(drops[2], "doc_id bigint, text string"),
+        2, store, n_buckets=8,
+    )
+    stats_after = spark.read.parquet(f"{store}/stats").agg(
+        F.sum("n"), F.sum("s")
+    ).head()
+    part_after = sorted(
+        map(tuple, spark.read.parquet(
+            f"{store}/postings/ingest_batch=2").collect())
+    )
+    assert stats_after == stats_before and part_after == part_before
+
+    # a foreign-params batch poisons the store visibly, not silently
+    text_index_batch(
+        spark.createDataFrame([(7, "x")], "doc_id bigint, text string"),
+        3, store, n_buckets=16,
+    )
+    with pytest.raises(ValueError, match="inconsistent stream-store"):
+        ret.bm25_topk_indexed(spark, store, ["x"], k=5)
