@@ -1210,6 +1210,86 @@ def cmd_dedup_report(args) -> int:
     return 0
 
 
+def cmd_text_index(args) -> int:
+    """Build (or incrementally append to) the BM25 inverted index from a
+    documents parquet — the serving artifact `search --index` probes.
+    Append mode pins the layout params via the meta sidecar and rolls
+    the corpus stats forward (operators/retrieval.py::write_text_index)."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    mode = "append" if args.append else "overwrite"
+    ret.write_text_index(
+        docs, args.out, text_col=args.text_col, id_col=args.id_col,
+        n_buckets=args.n_buckets, mode=mode,
+    )
+    meta = ret.read_text_index_meta(spark, args.out)
+    print(
+        f"text-index: {mode} -> {args.out} "
+        f"(n_docs={meta['n_docs']}, sum_dl={meta['sum_dl']}, "
+        f"n_buckets={meta['n_buckets']})"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    """BM25 top-k retrieval: `--index <dir>` probes a persisted inverted
+    index (partition-pruned — the serving path; accepts batch-built and
+    stream-built stores), `--docs <parquet>` scores by corpus scan (the
+    one-off path). Terms are comma-separated; prints the hits and
+    optionally lands them as parquet."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    terms = [t for t in (s.strip() for s in args.terms.split(",")) if t]
+    if not terms:
+        raise SystemExit("search: --terms must name at least one term")
+    spark = _spark()
+    if args.index:
+        hits = ret.bm25_topk_indexed(spark, args.index, terms, k=args.k)
+    else:
+        docs = spark.read.parquet(args.docs)
+        hits = ret.bm25_topk(
+            docs, terms, text_col=args.text_col, id_col=args.id_col, k=args.k
+        )
+    rows = hits.collect()
+    print(f"search: top {len(rows)} of k={args.k} for terms={terms}")
+    for r in rows:
+        print(
+            f"  #{r['rank']}: {hits.columns[1]}={r[1]} "
+            f"score={r['score']} n_match={r['n_match']} dl={r['dl']}"
+        )
+    if args.out:
+        hits.write.mode("overwrite").parquet(args.out)
+        print(f"search: hits written to {args.out}")
+    return 0
+
+
+def cmd_stream_text_index(args) -> int:
+    """Continuously maintain the BM25 postings store from a directory of
+    document parquet drops (streaming/retrieval.py::stream_text_index —
+    per-batch overwrite partitions, replay-idempotent; serve any time
+    with `search --index <store>`)."""
+    from commercepulse_data_pipeline_spark.streaming.retrieval import (
+        stream_text_index,
+    )
+
+    spark = _spark()
+    q = stream_text_index(
+        spark, args.docs_path, args.store, args.checkpoint,
+        schema=args.schema, text_col=args.text_col, id_col=args.id_col,
+        n_buckets=args.n_buckets, trigger_once=not args.continuous,
+    )
+    if args.continuous:
+        print(f"stream-text-index: running against {args.docs_path} "
+              f"(store {args.store}); Ctrl-C to stop")
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
+        print(f"stream-text-index: drained available drops -> {args.store}")
+    return 0
+
+
 def cmd_skew_report(args) -> int:
     """Key-distribution diagnostics for a parquet dataset: exact group
     quantiles, skew ratio, recommended salt width, heaviest keys — the
@@ -1361,6 +1441,52 @@ def main(argv: list[str] | None = None) -> int:
                          "distinct label value — domain/language routing) "
                          "instead of the binary quality gate")
     tq.set_defaults(fn=cmd_train_quality)
+
+    ti = sub.add_parser(
+        "text-index",
+        help="build/append the BM25 inverted index from a documents parquet",
+    )
+    ti.add_argument("--docs", required=True, help="documents parquet")
+    ti.add_argument("--out", required=True, help="index dir")
+    ti.add_argument("--text-col", default="text", dest="text_col")
+    ti.add_argument("--id-col", default="doc_id", dest="id_col")
+    ti.add_argument("--n-buckets", type=int, default=64, dest="n_buckets")
+    ti.add_argument("--append", action="store_true",
+                    help="incremental ingest: layout params must match the "
+                         "index meta; corpus stats roll forward")
+    ti.set_defaults(fn=cmd_text_index)
+
+    se = sub.add_parser(
+        "search",
+        help="BM25 top-k retrieval (persisted index probe or corpus scan)",
+    )
+    group = se.add_mutually_exclusive_group(required=True)
+    group.add_argument("--index", help="inverted-index dir (serving path)")
+    group.add_argument("--docs", help="documents parquet (scan path)")
+    se.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--text-col", default="text", dest="text_col")
+    se.add_argument("--id-col", default="doc_id", dest="id_col")
+    se.add_argument("--out", help="optionally land the hits as parquet")
+    se.set_defaults(fn=cmd_search)
+
+    sti = sub.add_parser(
+        "stream-text-index",
+        help="continuously maintain the BM25 postings store from document drops",
+    )
+    sti.add_argument("--docs-path", required=True, dest="docs_path",
+                     help="directory of document parquet drops")
+    sti.add_argument("--store", required=True, help="postings store dir")
+    sti.add_argument("--checkpoint", required=True)
+    sti.add_argument("--schema", default="doc_id bigint, text string",
+                     help="DDL schema of the incoming drops")
+    sti.add_argument("--text-col", default="text", dest="text_col")
+    sti.add_argument("--id-col", default="doc_id", dest="id_col")
+    sti.add_argument("--n-buckets", type=int, default=64, dest="n_buckets")
+    sti.add_argument("--continuous", action="store_true",
+                     help="keep running (default drains available drops once)")
+    sti.set_defaults(fn=cmd_stream_text_index)
 
     g = sub.add_parser(
         "stream-gold",

@@ -1093,3 +1093,81 @@ def test_train_quality_multiclass_artifact_and_gate_rejection(spark, tmp_path, c
             "clean-corpus", "--docs", str(tmp_path / "docs"),
             "--out", str(tmp_path / "out"), "--quality-model", model_dir,
         ])
+
+
+def test_text_index_and_search_cli(spark, tmp_path, capsys):
+    """r15 retrieval surface end to end: text-index builds the inverted
+    index, search probes it (and the scan path agrees), append rolls a
+    second batch in, and stream-text-index drains drops into a store
+    the same search command serves."""
+    docs = [
+        (1, "spark query engine spark spark"),
+        (2, "pasta recipe basil spark"),
+        (3, "query planner beats hand tuning"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    ix = str(tmp_path / "ix")
+    assert cli.main([
+        "text-index", "--docs", str(tmp_path / "docs"), "--out", ix,
+        "--n-buckets", "8",
+    ]) == 0
+    assert "n_docs=3" in capsys.readouterr().out
+
+    assert cli.main([
+        "search", "--index", ix, "--terms", "spark,basil", "--k", "3",
+        "--out", str(tmp_path / "hits"),
+    ]) == 0
+    out = capsys.readouterr().out
+    # doc 2 matches BOTH terms (rare 'basil' idf dominates) -> rank 1
+    assert "#1: doc_id=2" in out and "#2: doc_id=1" in out
+    hit_ids = [r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "hits")).orderBy("rank").collect()]
+
+    assert cli.main([
+        "search", "--docs", str(tmp_path / "docs"),
+        "--terms", "spark,basil", "--k", "3",
+    ]) == 0
+    scan_out = capsys.readouterr().out
+    assert "#1: doc_id=2" in scan_out
+
+    # append a batch, the new doc becomes retrievable
+    spark.createDataFrame(
+        [(4, "basil basil pesto")], ["doc_id", "text"]
+    ).write.parquet(str(tmp_path / "docs2"))
+    assert cli.main([
+        "text-index", "--docs", str(tmp_path / "docs2"), "--out", ix,
+        "--n-buckets", "8", "--append",
+    ]) == 0
+    assert "n_docs=4" in capsys.readouterr().out
+    assert cli.main([
+        "search", "--index", ix, "--terms", "basil", "--k", "5",
+    ]) == 0
+    assert "doc_id=4" in capsys.readouterr().out
+
+    # streaming store: drain one drop, serve with the same search cmd
+    import os
+    import shutil
+
+    incoming = str(tmp_path / "in")
+    os.makedirs(incoming)
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.parquet(
+        f"{incoming}/d0"
+    )
+    for f in os.listdir(f"{incoming}/d0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{incoming}/d0/{f}", f"{incoming}/b0_{f}")
+    shutil.rmtree(f"{incoming}/d0")
+    store = str(tmp_path / "store")
+    assert cli.main([
+        "stream-text-index", "--docs-path", incoming, "--store", store,
+        "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "8",
+    ]) == 0
+    assert "drained" in capsys.readouterr().out
+    assert cli.main([
+        "search", "--index", store, "--terms", "spark,basil", "--k", "3",
+    ]) == 0
+    stream_out = capsys.readouterr().out
+    for rank, did in enumerate(hit_ids, 1):
+        assert f"#{rank}: doc_id={did}" in stream_out
