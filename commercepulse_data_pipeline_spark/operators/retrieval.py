@@ -385,6 +385,11 @@ def bm25_topk_indexed(
             .collect()
         }
     )
+    # `probed` is consumed twice (df aggregate + scoring join) and NOT
+    # checkpointed on purpose: both consumers re-run the same
+    # partition-pruned scan, which is cheaper than materializing the
+    # posting mass of a common term — and pinning it would hide the
+    # PartitionFilters the plan regression asserts.
     probed = spark.read.parquet(f"{path}/postings").where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )

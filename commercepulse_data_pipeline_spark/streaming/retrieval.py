@@ -24,6 +24,11 @@ rewrite; the serving probe stays partition-pruned regardless of how many
 ingest_batch partitions accumulate (term_bucket prunes at its level).
 Compact with the same maintenance tooling as any hive-partitioned table
 when small-batch file counts grow.
+
+Append semantics: batches are treated as DISJOINT corpus slices — a doc
+re-ingested in a later batch contributes postings (and stats) again,
+exactly as a corpus containing both copies would. Dedup belongs upstream
+(the curation funnel / ``dedup_within_watermark``), not in the index.
 """
 
 from __future__ import annotations
