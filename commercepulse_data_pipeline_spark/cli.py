@@ -1246,12 +1246,19 @@ def cmd_search(args) -> int:
         raise SystemExit("search: --terms must name at least one term")
     spark = _spark()
     if args.index:
+        if args.text_col != "text" or args.id_col != "doc_id":
+            print(
+                "search: WARNING --text-col/--id-col are ignored with "
+                "--index (the index meta's columns win)"
+            )
         hits = ret.bm25_topk_indexed(spark, args.index, terms, k=args.k)
     else:
         docs = spark.read.parquet(args.docs)
         hits = ret.bm25_topk(
             docs, terms, text_col=args.text_col, id_col=args.id_col, k=args.k
         )
+    # collect once; the optional parquet lands from the collected rows so
+    # the probe/scan job never executes twice
     rows = hits.collect()
     print(f"search: top {len(rows)} of k={args.k} for terms={terms}")
     for r in rows:
@@ -1260,7 +1267,9 @@ def cmd_search(args) -> int:
             f"score={r['score']} n_match={r['n_match']} dl={r['dl']}"
         )
     if args.out:
-        hits.write.mode("overwrite").parquet(args.out)
+        spark.createDataFrame(rows, hits.schema).write.mode(
+            "overwrite"
+        ).parquet(args.out)
         print(f"search: hits written to {args.out}")
     return 0
 

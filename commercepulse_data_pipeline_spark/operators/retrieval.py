@@ -171,21 +171,10 @@ def bm25_topk(
     sort); the rank window then orders only the k surviving rows."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from pyspark.sql import Window
-
     scored = bm25_score(
         df, query_terms, text_col, id_col, k1=k1, b=b, extra_cols=extra_cols
     )
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        id_col,
-        *extra_cols,
-        "n_match",
-        "dl",
-        "score",
-    )
+    return _ranked_topk(scored, id_col, k, extra_cols)
 
 
 def _staged_rle(df: DataFrame, text_col: str) -> DataFrame:
@@ -200,6 +189,36 @@ def _staged_rle(df: DataFrame, text_col: str) -> DataFrame:
         df.withColumn("__toks", tokens(F.col(text_col)))
         .withColumn("__dl", F.size(F.col("__toks")).cast("long"))
         .withColumn("__rle", rle_counts(F.array_sort(F.col("__toks"))))
+    )
+
+
+def _corpus_stats(staged):
+    """(n, s) corpus-stats row from ``_staged_rle`` output — doc count
+    and total token mass. Zero-token docs hold no postings but DO count
+    here (the contract both the batch writer and the streaming batch fn
+    must share — this helper is the single source of it)."""
+    return staged.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")
+    ).head()
+
+
+def _ranked_topk(
+    scored: DataFrame, id_col: str, k: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Shared top-k + rank shape for both scorers: (score desc, id asc)
+    deterministic total order, TakeOrderedAndProject limit, then the
+    rank window over only the k survivors."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        id_col,
+        *extra_cols,
+        "n_match",
+        "dl",
+        "score",
     )
 
 
@@ -285,9 +304,7 @@ def write_text_index(
     staged = _staged_rle(df, text_col).localCheckpoint(
         eager=False  # feeds postings AND the stats agg
     )
-    stats_row = staged.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")
-    ).head()
+    stats_row = _corpus_stats(staged)
     postings = _postings_from_staged(staged, id_col, n_buckets)
     postings.write.mode(mode).partitionBy("term_bucket").parquet(f"{path}/postings")
 
@@ -336,8 +353,6 @@ def bm25_topk_indexed(
     oracle'd. Same output shape as ``bm25_topk``."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from pyspark.sql import Window
-
     from ..functions.hashing import stable_bucket
 
     terms = _validate_terms(query_terms)
@@ -422,8 +437,4 @@ def bm25_topk_indexed(
             F.round(F.sum("__ts").cast("double"), 6).alias("score"),
         )
     )
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return top.select(
-        F.row_number().over(w).alias("rank"), id_col, "n_match", "dl", "score"
-    )
+    return _ranked_topk(scored, id_col, k)

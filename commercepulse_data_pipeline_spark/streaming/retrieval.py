@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import _postings_from_staged, _staged_rle
+from ..operators.retrieval import _corpus_stats, _postings_from_staged, _staged_rle
 
 
 def text_index_batch(
@@ -50,22 +50,31 @@ def text_index_batch(
 ) -> None:
     """Fold one micro-batch of documents into the postings store.
     Zero-token docs hold no postings but count in the batch's stats row
-    (the write_text_index contract)."""
+    (the write_text_index contract, single-sourced in ``_corpus_stats``).
+
+    Write order is stats FIRST, postings second — deliberately: a serve
+    racing a half-committed batch (or reading after a crash between the
+    two writes) then sees stats that count docs whose postings are not
+    yet visible, which only UNDER-ranks (the docs are absent, idf/avgdl
+    slightly conservative) and converges on replay. The opposite order
+    would score visible postings against stats that undercount the
+    corpus — systematically inflated scores, which is the worse silent
+    failure. On the very first batch the window instead surfaces as a
+    missing-postings read error: honest, and gone once the batch
+    commits."""
     spark = batch_df.sparkSession
     staged = _staged_rle(batch_df, text_col).localCheckpoint(eager=True)
-    stats_row = staged.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")
-    ).head()
-    _postings_from_staged(staged, id_col, n_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(
-        f"{store_dir}/postings/ingest_batch={batch_id}"
-    )
+    stats_row = _corpus_stats(staged)
     spark.createDataFrame(
         [(int(stats_row["n"]), int(stats_row["s"]), n_buckets, id_col)],
         "n long, s long, n_buckets int, id_col string",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store_dir}/stats/ingest_batch={batch_id}"
+    )
+    _postings_from_staged(staged, id_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(
+        f"{store_dir}/postings/ingest_batch={batch_id}"
     )
 
 

@@ -677,8 +677,6 @@ def test_bm25_topk_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # the only exchanges allowed are the 1-row stats combine + broadcast
     # distribution — never a corpus-keyed hashpartitioning repartition
-    import re
-
     corpus_wide = [
         ln
         for ln in plan.splitlines()
