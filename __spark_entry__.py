@@ -2456,6 +2456,33 @@ def q_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.bm25_topk_indexed(spark, path, _BM25_TERMS, k=20)
 
 
+_PHRASE_TERMS = ["spark", "query"]
+
+
+def q_docs_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search from the POSITIONAL inverted index (r15 —
+    operators/retrieval.py::phrase_topk over write_text_index(...,
+    positions=True)): top docs by verbatim occurrences of the phrase —
+    the precision companion to bag-of-words BM25 (quoted-query
+    retrieval; contamination spot checks by exact string). Probe =
+    bucket-pruned read of the phrase's terms; phrase count = a pure
+    integer array fold over each doc's term->positions map, so the
+    oracle replays counts exactly (DuckDB's 1-based (x, i) lambda index
+    vs Spark's 0-based posexplode cancels out of ADJACENCY — only
+    c+offset relations cross, never absolute positions)."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    def _build(build_dir: str) -> None:
+        ret.write_text_index(
+            _docs(spark, sf_dir), build_dir, n_buckets=64, positions=True
+        )
+
+    path = _ann_index_cache(
+        sf_dir, "textix", "b64pos", _build, src_table="documents"
+    )
+    return ret.phrase_topk(spark, path, _PHRASE_TERMS, k=20)
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SimHash near-dup detection (r11 — operators/dedup.py::
     simhash_pairs_between, the simhash sibling of minhash_incremental):
@@ -4808,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": q_docs_bm25_topk,
         "docs_passage_hits": q_docs_passage_hits,
         "bm25_indexed_topk": q_bm25_indexed_topk,
+        "docs_phrase_hits": q_docs_phrase_hits,
         # -- r13-checked block: every entry below has a green row in
         # -- --    CORRECTNESS_r13.json (next-oldest stratum)
         "merge_upsert_state": q_merge_upsert_state,
@@ -5746,6 +5774,40 @@ def _bm25_indexed_oracle_sql(*, k: int = 20, k1: float = 1.2, b: float = 0.75) -
         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
                doc_id, n_match, dl, score
         FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _phrase_oracle_sql(*, k: int = 20) -> str:
+    """DuckDB twin of q_docs_phrase_hits: per-term position lists via the
+    indexed (x, i) lambda, the identical adjacency fold (start positions
+    of term 0 with term i at +i), integer counts only."""
+    terms = _PHRASE_TERMS
+    pos_cols = ", ".join(
+        f"list_filter(list_transform(toks, (x, i) -> CASE WHEN x = '{t}' THEN i END),"
+        f" p -> p IS NOT NULL) AS p{j}"
+        for j, t in enumerate(dict.fromkeys(terms))
+    )
+    slot = {t: j for j, t in enumerate(dict.fromkeys(terms))}
+    conds = " AND ".join(
+        f"list_contains(p{slot[t]}, c + {i})" for i, t in enumerate(terms[1:], 1)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        p AS (
+            SELECT doc_id, len(toks) AS dl, {pos_cols} FROM t
+        ),
+        scored AS (
+            SELECT doc_id, dl,
+                   CAST(len(list_filter(p{slot[terms[0]]}, c -> {conds})) AS INT)
+                       AS n_phrase
+            FROM p
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS INT) AS rank,
+               doc_id, n_phrase, dl
+        FROM scored WHERE n_phrase > 0
+        ORDER BY n_phrase DESC, doc_id LIMIT {k}
     """
 
 
@@ -8240,6 +8302,7 @@ def oracle_sql() -> dict[str, str]:
             ("doc_id", "chunk_idx"),
         ),
         "bm25_indexed_topk": _bm25_indexed_oracle_sql(),
+        "docs_phrase_hits": _phrase_oracle_sql(),
         "docs_lang_detect": _lang_detect_oracle_sql(),
         "embedding_norms_by_label": """
             SELECT label,

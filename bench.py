@@ -110,6 +110,7 @@ EXTENDED = [
     "docs_bm25_topk",
     "docs_passage_hits",
     "bm25_indexed_topk",
+    "docs_phrase_hits",
 ]
 
 HEADLINE = [

@@ -242,6 +242,28 @@ def _postings_from_staged(staged: DataFrame, id_col: str, n_buckets: int) -> Dat
     )
 
 
+def _positional_postings(toked: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    """(id, term, tf, dl, pos, term_bucket) postings with sorted 0-based
+    occurrence offsets — one occurrence explode + one (doc, term)-keyed
+    combine (the extra shuffle the positional layout pays)."""
+    from ..functions.hashing import stable_bucket
+
+    ex = toked.select(
+        F.col(id_col),
+        F.col("__dl"),
+        F.posexplode_outer("__toks").alias("__pos", "term"),
+    ).where(F.col("term").isNotNull())
+    return (
+        ex.groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("__dl").alias("dl"),
+            F.sort_array(F.collect_list("__pos")).alias("pos"),
+        )
+        .withColumn("term_bucket", stable_bucket(F.col("term"), n_buckets))
+    )
+
+
 def write_text_index(
     df: DataFrame,
     path: str,
@@ -250,6 +272,7 @@ def write_text_index(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     mode: str = "overwrite",
+    positions: bool = False,
 ) -> None:
     """Persist the corpus's inverted index — the BM25 SERVING artifact
     (mirroring ``write_minhash_index`` / ``similarity.write_ivf_index``):
@@ -274,13 +297,26 @@ def write_text_index(
     land before the meta update, so a crash between the two leaves
     stats one batch stale — re-run the append idempotently only if the
     batch write itself is idempotent (e.g. a dedup'ed batch id).
+
+    ``positions=True`` builds a POSITIONAL index: postings gain a
+    ``pos`` column (sorted 0-based token offsets of every occurrence),
+    enabling exact phrase search (``phrase_topk``) at the cost of one
+    extra shuffle at build time (occurrence explode + per-(doc, term)
+    collect, instead of the array-side distinct-term pass) and the
+    position mass on disk. The flag is a LAYOUT param — pinned by the
+    meta sidecar, so appends can't mix positional and plain postings.
     """
     import json
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
-    params = {"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}
+    params = {
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+        "positions": positions,
+    }
 
     existing = None
     if mode == "append":
@@ -293,19 +329,30 @@ def write_text_index(
                 raise
             existing = None  # first write to this path
         if existing is not None and any(
-            str(existing[k]) != str(v) for k, v in params.items()
+            # .get with the positions default: meta written before the
+            # positional layout existed means a plain (False) index
+            str(existing.get(k, False)) != str(v) for k, v in params.items()
         ):
             raise ValueError(
                 f"append with params {params} != index meta "
-                f"{ {k: existing[k] for k in params} }; rebuilding the "
-                "index is the only safe migration"
+                f"{ {k: existing.get(k, False) for k in params} }; "
+                "rebuilding the index is the only safe migration"
             )
 
-    staged = _staged_rle(df, text_col).localCheckpoint(
-        eager=False  # feeds postings AND the stats agg
-    )
-    stats_row = _corpus_stats(staged)
-    postings = _postings_from_staged(staged, id_col, n_buckets)
+    if positions:
+        toked = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        ).withColumn("__dl", F.size("__toks").cast("long")).localCheckpoint(
+            eager=False  # feeds postings AND the stats agg
+        )
+        stats_row = _corpus_stats(toked)
+        postings = _positional_postings(toked, id_col, n_buckets)
+    else:
+        staged = _staged_rle(df, text_col).localCheckpoint(
+            eager=False  # feeds postings AND the stats agg
+        )
+        stats_row = _corpus_stats(staged)
+        postings = _postings_from_staged(staged, id_col, n_buckets)
     postings.write.mode(mode).partitionBy("term_bucket").parquet(f"{path}/postings")
 
     n_docs, sum_dl = int(stats_row["n"]), int(stats_row["s"])
@@ -438,3 +485,92 @@ def bm25_topk_indexed(
         )
     )
     return _ranked_topk(scored, id_col, k)
+
+
+def phrase_topk(
+    spark,
+    path: str,
+    phrase_terms: list[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search from a POSITIONAL index
+    (``write_text_index(..., positions=True)``): top-k docs by how many
+    times the phrase occurs verbatim — the precision companion to the
+    bag-of-words BM25 scorers (quoted-query retrieval, boilerplate/
+    attribution lookup, contamination spot checks by exact string).
+
+    Probe shape matches ``bm25_topk_indexed`` (bucket-pruned read of the
+    phrase's DISTINCT terms, one candidate-sized shuffle): docs holding
+    all terms collect a term→positions map, then the phrase count is a
+    pure array fold — occurrences are start positions ``c`` of term 0
+    with term *i* present at ``c+i`` for every following slot. Repeated
+    terms in the phrase are fine (both slots read the same map entry).
+    All arithmetic is integer, so the DuckDB oracle replays counts
+    exactly. Output: ``(rank, id, n_phrase, dl)`` ordered by
+    (n_phrase desc, id asc); docs without the full phrase are dropped.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if len(phrase_terms) < 2:
+        raise ValueError("phrase_terms must have at least 2 terms")
+    lowered = [t.lower() for t in phrase_terms]
+    for t in lowered:
+        if not t or any(c.isspace() for c in t):
+            raise ValueError(
+                f"phrase terms must be non-empty and whitespace-free, got {t!r}"
+            )
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_bucket
+
+    meta = read_text_index_meta(spark, path)
+    if not str(meta.get("positions", False)) == "True":
+        raise ValueError(
+            f"index at {path} was built without positions=True; "
+            "phrase search needs the positional layout"
+        )
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+
+    distinct_terms = sorted(set(lowered))
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(t,) for t in distinct_terms], "term string")
+            .select(stable_bucket(F.col("term"), n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    probed = spark.read.parquet(f"{path}/postings").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(distinct_terms)
+    )
+    per_doc = (
+        probed.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("term"), F.col("pos")))
+            ).alias("__pm"),
+            F.max("dl").alias("dl"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        .where(F.col("__nt") == len(distinct_terms))
+    )
+    def _adjacent(prev: Column, term: str, offset: int) -> Column:
+        # single-arg lambda built by a closure factory: extra defaulted
+        # lambda params would change the HOF arity and bind the INDEX
+        # (the bm25_score tf-counter pitfall, verify SKILL.md r15)
+        pos_i = F.element_at(F.col("__pm"), F.lit(term))
+        return F.filter(prev, lambda c: F.array_contains(pos_i, c + F.lit(offset)))
+
+    cand = F.element_at(F.col("__pm"), F.lit(lowered[0]))
+    for i, term in enumerate(lowered[1:], start=1):
+        cand = _adjacent(cand, term, i)
+    scored = per_doc.select(
+        F.col(id_col), F.size(cand).cast("int").alias("n_phrase"), F.col("dl")
+    ).where(F.col("n_phrase") > 0)
+    top = scored.orderBy(F.col("n_phrase").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), id_col, "n_phrase", "dl"
+    )

@@ -2543,3 +2543,69 @@ def test_text_index_build_query_and_append(spark, tmp_path):
     # foreign-params append must refuse BEFORE corrupting the layout
     with pytest.raises(ValueError, match="append with params"):
         ret.write_text_index(batch2, path, n_buckets=16, mode="append")
+
+
+def test_phrase_topk_positional_index(spark, tmp_path):
+    """Positional index + exact phrase search: occurrence counts match a
+    pure-Python sliding-window model (incl. a REPEATED-term phrase and
+    overlapping occurrences), docs lacking the full phrase drop, plain
+    indexes refuse phrase queries, and a positions-mismatched append
+    refuses."""
+    from commercepulse_data_pipeline_spark.operators import retrieval as ret
+
+    docs = [
+        (1, "big data beats big data beats big data"),  # 'big data' x3
+        (2, "data big data"),                            # x1
+        (3, "big big data"),                             # x1 (and 'big big' x1)
+        (4, "data big"),                                 # reversed: 0
+        (5, "big mound of rocks"),                       # term 'data' absent
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path / "pix")
+    ret.write_text_index(df, path, n_buckets=8, positions=True)
+
+    def model(phrase):
+        out = {}
+        for did, text in docs:
+            toks = text.split()
+            n = sum(
+                1
+                for s in range(len(toks) - len(phrase) + 1)
+                if toks[s : s + len(phrase)] == phrase
+            )
+            if n:
+                out[did] = (n, len(toks))
+        return out
+
+    got = {
+        r.doc_id: (r.n_phrase, r.dl)
+        for r in ret.phrase_topk(spark, path, ["big", "data"], k=10).collect()
+    }
+    assert got == model(["big", "data"])
+    ranks = [r.doc_id for r in ret.phrase_topk(spark, path, ["big", "data"], k=10).collect()]
+    assert ranks[0] == 1  # 3 occurrences wins; ties then by doc_id
+
+    # repeated-term phrase reads the same map entry at both offsets
+    got2 = {
+        r.doc_id: (r.n_phrase, r.dl)
+        for r in ret.phrase_topk(spark, path, ["big", "big"], k=10).collect()
+    }
+    assert got2 == model(["big", "big"])
+
+    # three-term phrase
+    got3 = {
+        r.doc_id: (r.n_phrase, r.dl)
+        for r in ret.phrase_topk(spark, path, ["big", "data", "beats"], k=10).collect()
+    }
+    assert got3 == model(["big", "data", "beats"])
+
+    # a plain index refuses phrase search
+    plain = str(tmp_path / "plain")
+    ret.write_text_index(df, plain, n_buckets=8)
+    with pytest.raises(ValueError, match="without positions"):
+        ret.phrase_topk(spark, plain, ["big", "data"])
+    # and appending plain rows into a positional index refuses
+    with pytest.raises(ValueError, match="append with params"):
+        ret.write_text_index(df, path, n_buckets=8, mode="append")
+    with pytest.raises(ValueError):
+        ret.phrase_topk(spark, path, ["big"])  # 1-term phrase
