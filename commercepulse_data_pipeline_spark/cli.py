@@ -1222,13 +1222,14 @@ def cmd_text_index(args) -> int:
     mode = "append" if args.append else "overwrite"
     ret.write_text_index(
         docs, args.out, text_col=args.text_col, id_col=args.id_col,
-        n_buckets=args.n_buckets, mode=mode,
+        n_buckets=args.n_buckets, mode=mode, positions=args.positions,
     )
     meta = ret.read_text_index_meta(spark, args.out)
     print(
         f"text-index: {mode} -> {args.out} "
         f"(n_docs={meta['n_docs']}, sum_dl={meta['sum_dl']}, "
-        f"n_buckets={meta['n_buckets']})"
+        f"n_buckets={meta['n_buckets']}, "
+        f"positions={meta.get('positions', False)})"
     )
     return 0
 
@@ -1245,13 +1246,21 @@ def cmd_search(args) -> int:
     if not terms:
         raise SystemExit("search: --terms must name at least one term")
     spark = _spark()
+    if args.phrase and not args.index:
+        raise SystemExit(
+            "search: --phrase needs --index (a positional one — "
+            "text-index --positions)"
+        )
     if args.index:
         if args.text_col != "text" or args.id_col != "doc_id":
             print(
                 "search: WARNING --text-col/--id-col are ignored with "
                 "--index (the index meta's columns win)"
             )
-        hits = ret.bm25_topk_indexed(spark, args.index, terms, k=args.k)
+        if args.phrase:
+            hits = ret.phrase_topk(spark, args.index, terms, k=args.k)
+        else:
+            hits = ret.bm25_topk_indexed(spark, args.index, terms, k=args.k)
     else:
         docs = spark.read.parquet(args.docs)
         hits = ret.bm25_topk(
@@ -1260,12 +1269,15 @@ def cmd_search(args) -> int:
     # collect once; the optional parquet lands from the collected rows so
     # the probe/scan job never executes twice
     rows = hits.collect()
-    print(f"search: top {len(rows)} of k={args.k} for terms={terms}")
+    what = "phrase" if args.phrase else "terms"
+    print(f"search: top {len(rows)} of k={args.k} for {what}={terms}")
     for r in rows:
-        print(
-            f"  #{r['rank']}: {hits.columns[1]}={r[1]} "
-            f"score={r['score']} n_match={r['n_match']} dl={r['dl']}"
+        detail = (
+            f"n_phrase={r['n_phrase']}"
+            if args.phrase
+            else f"score={r['score']} n_match={r['n_match']}"
         )
+        print(f"  #{r['rank']}: {hits.columns[1]}={r[1]} {detail} dl={r['dl']}")
     if args.out:
         spark.createDataFrame(rows, hits.schema).write.mode(
             "overwrite"
@@ -1463,6 +1475,9 @@ def main(argv: list[str] | None = None) -> int:
     ti.add_argument("--append", action="store_true",
                     help="incremental ingest: layout params must match the "
                          "index meta; corpus stats roll forward")
+    ti.add_argument("--positions", action="store_true",
+                    help="positional layout (occurrence offsets in every "
+                         "posting) — enables `search --phrase`")
     ti.set_defaults(fn=cmd_text_index)
 
     se = sub.add_parser(
@@ -1475,6 +1490,9 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--terms", required=True,
                     help="comma-separated query terms")
     se.add_argument("--k", type=int, default=10)
+    se.add_argument("--phrase", action="store_true",
+                    help="treat --terms as an exact phrase (in order, "
+                         "adjacent); needs a positional --index")
     se.add_argument("--text-col", default="text", dest="text_col")
     se.add_argument("--id-col", default="doc_id", dest="id_col")
     se.add_argument("--out", help="optionally land the hits as parquet")

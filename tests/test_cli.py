@@ -1171,3 +1171,47 @@ def test_text_index_and_search_cli(spark, tmp_path, capsys):
     stream_out = capsys.readouterr().out
     for rank, did in enumerate(hit_ids, 1):
         assert f"#{rank}: doc_id={did}" in stream_out
+
+
+def test_search_phrase_cli(spark, tmp_path, capsys):
+    """r15 phrase surface: text-index --positions builds the positional
+    layout, search --phrase serves exact-phrase counts from it, and the
+    guard rails err clearly (--phrase without --index; phrase against a
+    plain index)."""
+    docs = [
+        (1, "big data beats big data"),
+        (2, "data big"),
+        (3, "big data"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs")
+    )
+    pix = str(tmp_path / "pix")
+    assert cli.main([
+        "text-index", "--docs", str(tmp_path / "docs"), "--out", pix,
+        "--n-buckets", "8", "--positions",
+    ]) == 0
+    assert "positions=True" in capsys.readouterr().out
+
+    assert cli.main([
+        "search", "--index", pix, "--terms", "big,data", "--phrase", "--k", "5",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "#1: doc_id=1 n_phrase=2" in out
+    assert "doc_id=2" not in out  # reversed order is not the phrase
+
+    with pytest.raises(SystemExit, match="--phrase needs --index"):
+        cli.main([
+            "search", "--docs", str(tmp_path / "docs"),
+            "--terms", "big,data", "--phrase",
+        ])
+    plain = str(tmp_path / "plain")
+    assert cli.main([
+        "text-index", "--docs", str(tmp_path / "docs"), "--out", plain,
+        "--n-buckets", "8",
+    ]) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="without positions"):
+        cli.main([
+            "search", "--index", plain, "--terms", "big,data", "--phrase",
+        ])
