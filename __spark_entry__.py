@@ -3697,11 +3697,17 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
+    # scored feeds BOTH the top-k branch and the final join; without a
+    # lineage cut the whole two-model scoring pipeline (two explodes +
+    # model join + per-doc sum) executes twice — Spark shares no subplans
+    # across DataFrame branches (r15 optimization pass: 3.0s -> ~2.1s at
+    # sf0.1). Lazy checkpoint: the top-k job materializes it, the join
+    # then reads the cached rows.
     scored = dsir_importance(
         d.select("doc_id", "text"),
         d.where(F.col("lang") == "en").select("text"),
         n_buckets=256,
-    )
+    ).localCheckpoint(eager=False)
     topk = (
         scored.orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
         .limit(100)

@@ -83,6 +83,20 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _ckpt_lazy(df: DataFrame) -> DataFrame:
+        # Lazy variant for the loop body: the fixpoint test's aggregation
+        # is the FIRST action over each round's labels, so it both
+        # materializes the checkpoint and reads the changed count in ONE
+        # job — the eager form paid a separate materialization job per
+        # round (measured ~0.1-0.2s/round of pure scheduling at sf0.1,
+        # r15 optimization pass). Reliable checkpoints stay EAGER: a lazy
+        # RDD.checkpoint() recomputes the whole round a second time when
+        # the checkpoint file is saved after the first job — the
+        # one-extra-job cost is the cheaper side of that trade.
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=False)
+
     if algorithm == "star":
         return _star_components(edges, src, dst, max_iter=max_iter, ckpt=_ckpt)
 
@@ -91,10 +105,18 @@ def connected_components(
     )
     sym = _ckpt(sym)
 
+    # Round 0 fused into initialization (r15 optimization pass): the first
+    # hash-to-min round over identity labels computes exactly
+    # label(u) = min(u, min(N(u))), which needs no label join at all —
+    # one groupBy over the symmetric edge list replaces the old
+    # distinct-nodes init PLUS the whole first loop round (one fewer
+    # join+groupBy+join round trip; min-label propagation is monotone, so
+    # starting from this partially-propagated state reaches the identical
+    # unique fixpoint: label(v) = min id reachable from v).
     labels = _ckpt(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
     )
 
     for _ in range(max_iter):
@@ -113,7 +135,7 @@ def connected_components(
                 .alias("__changed"),
             )
         )
-        merged = _ckpt(merged)
+        merged = _ckpt_lazy(merged)
         changed = merged.agg(F.sum("__changed")).head()[0] or 0
         labels = merged.drop("__changed")
         if changed == 0:
