@@ -1080,7 +1080,7 @@ def _append_bands(spark, bands_df: DataFrame, path: str, mode: str) -> None:
 def read_minhash_index_meta(spark, path: str) -> dict:
     import json
 
-    row = spark.read.json(f"{path}/meta").head()
+    row = spark.read.schema("meta string").json(f"{path}/meta").head()
     return dict(json.loads(row.meta))
 
 

@@ -412,7 +412,7 @@ def read_cluster_table(spark, path: str) -> DataFrame:
     expected one (a foreign parquet directory is not a cluster table)."""
     import json
 
-    row = spark.read.json(f"{path}/meta").head()
+    row = spark.read.schema("meta string").json(f"{path}/meta").head()
     meta = json.loads(row.meta)
     if list(meta.get("schema", [])) != list(_CLUSTER_TABLE_COLS):
         raise ValueError(
@@ -426,7 +426,7 @@ def read_cluster_table_meta(spark, path: str) -> dict:
     """The artifact's provenance dict (empty if the writer passed none)."""
     import json
 
-    row = spark.read.json(f"{path}/meta").head()
+    row = spark.read.schema("meta string").json(f"{path}/meta").head()
     return dict(json.loads(row.meta).get("provenance", {}))
 
 

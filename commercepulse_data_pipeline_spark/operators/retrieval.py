@@ -368,8 +368,59 @@ def write_text_index(
 def read_text_index_meta(spark, path: str) -> dict:
     import json
 
-    row = spark.read.json(f"{path}/meta").head()
+    # The meta sidecar is a one-row JSON written coalesce(1); a serving
+    # path (bm25_topk_indexed / phrase_topk) re-reads it on EVERY query,
+    # so its cost is pure fixed latency (r15 optimization pass). For a
+    # plain local path, read it with the driver's filesystem directly —
+    # the Delta-log discipline: sidecar metadata never needs a cluster.
+    # Non-local URIs (object stores) and a MISSING meta dir fall through
+    # to the Spark reader, keeping the error type callers match on for
+    # the streaming-store layout; the explicit one-column schema there
+    # skips the schema-inference job the bare reader would launch.
+    import glob
+    import os
+
+    meta_dir = f"{path}/meta"
+    if "://" not in path and os.path.isdir(meta_dir):
+        parts = sorted(glob.glob(os.path.join(meta_dir, "part-*.json")))
+        if parts:
+            with open(parts[0]) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        return dict(json.loads(json.loads(line)["meta"]))
+    row = spark.read.schema("meta string").json(meta_dir).head()
     return dict(json.loads(row.meta))
+
+
+def _probe_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
+    """Bucket ids for a query's terms under EXACTLY the index's
+    ``stable_bucket`` expression, evaluated WITHOUT launching a Spark job
+    (r15 optimization pass): the terms enter as literals over a 1-row
+    LocalRelation, so Catalyst's ConvertToLocalRelation constant-folds
+    the deterministic pmod(xxhash64(...)) projection at optimization
+    time and ``head()`` is a driver-local read — the same JVM arithmetic
+    the postings were bucketed with (never a Python reimplementation,
+    which could drift), at plan cost instead of job cost. Returns the
+    sorted distinct bucket list for partition pruning."""
+    from ..functions.hashing import stable_bucket
+
+    # spark.sql("SELECT 1") is a OneRowRelation — unlike
+    # spark.createDataFrame, which parallelizes an RDD and therefore
+    # cannot constant-fold — so the projection below collapses to a
+    # LocalRelation during optimization and head() never leaves the
+    # driver (verified: zero jobs).
+    row = (
+        spark.sql("SELECT 1")
+        .select(
+            *[
+                stable_bucket(F.lit(t), n_buckets).alias(f"b{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .head()
+    )
+    return sorted({int(v) for v in row})
 
 
 def bm25_topk_indexed(
@@ -400,7 +451,6 @@ def bm25_topk_indexed(
     oracle'd. Same output shape as ``bm25_topk``."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from ..functions.hashing import stable_bucket
 
     terms = _validate_terms(query_terms)
     try:
@@ -439,14 +489,7 @@ def bm25_topk_indexed(
     n_buckets = int(meta["n_buckets"])
     id_col = str(meta["id_col"])
 
-    buckets = sorted(
-        {
-            r.b
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(stable_bucket(F.col("term"), n_buckets).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _probe_buckets(spark, terms, n_buckets)
     # `probed` is consumed twice (df aggregate + scoring join) and NOT
     # checkpointed on purpose: both consumers re-run the same
     # partition-pruned scan, which is cheaper than materializing the
@@ -522,8 +565,6 @@ def phrase_topk(
             )
     from pyspark.sql import Window
 
-    from ..functions.hashing import stable_bucket
-
     meta = read_text_index_meta(spark, path)
     if not str(meta.get("positions", False)) == "True":
         raise ValueError(
@@ -534,14 +575,7 @@ def phrase_topk(
     id_col = str(meta["id_col"])
 
     distinct_terms = sorted(set(lowered))
-    buckets = sorted(
-        {
-            r.b
-            for r in spark.createDataFrame([(t,) for t in distinct_terms], "term string")
-            .select(stable_bucket(F.col("term"), n_buckets).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _probe_buckets(spark, distinct_terms, n_buckets)
     probed = spark.read.parquet(f"{path}/postings").where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(distinct_terms)
     )
