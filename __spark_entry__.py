@@ -4573,7 +4573,7 @@ def q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below, and its lineage is the full banding build
     pairs_all = dd.minhash_candidate_pairs(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # banding is per-doc, so the full pair set splits EXACTLY into
     # old-old pairs (the established table's inputs) and pairs touching
     # the batch (what ingest hands the fold); batch membership is a pure
