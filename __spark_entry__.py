@@ -4239,7 +4239,11 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_pairs_between(
         new, idx_bands, "text", "doc_id",
         num_hashes=8, bands=4, shingle_n=3, max_bucket=100000,
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pairs feeds both union branches of dup_ids INSIDE one job, so a
+    # lazy cut would still compute the banding+probe lineage twice on the
+    # only run; eager materializes once (r15 optimization pass — the
+    # uncut plan scanned documents 9×).
     dup_ids = (
         pairs.selectExpr("id_a AS doc_id")
         .union(pairs.selectExpr("id_b AS doc_id"))

@@ -1295,7 +1295,12 @@ def pair_group_matrix(
     )
     cells = j.groupBy("group_a", "group_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ cells ((#groups)²-bounded) feeds the output AND the share
+    # denominator; without the cut the whole candidate-banding + two-join
+    # lineage executes twice (r15 optimization pass — the plan read the
+    # corpus 6× for a 2-join matrix). Lazy: the denominator's broadcast
+    # build is the first action and materializes the cache.
     tot = cells.agg(F.sum("n_pairs").alias("__tot"))
     return (
         cells.crossJoin(F.broadcast(tot))
@@ -1348,15 +1353,21 @@ def blocker_recall_report(
     )
 
     sample = deterministic_sample(df, id_col, sample_rate, salt=salt)
+    # truth and blocked each feed TWO consumers (the hit semi-join and
+    # their own count aggregates); without a lineage cut the exact
+    # posting-list Jaccard and the full banding build execute twice each
+    # (r15 optimization pass — the uncut plan scanned the corpus 9×).
+    # Eager, not lazy: the count aggregates run as CONCURRENT broadcast
+    # jobs, so a lazy checkpoint could still race both lineages once.
     truth = ngram_jaccard_pairs(
         sample, text_col, id_col,
         shingle_n=shingle_n, threshold=tau, max_shingle_freq=max_shingle_freq,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     blocked = minhash_candidate_pairs(
         sample, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         max_bucket=max_bucket,
-    )
+    ).localCheckpoint(eager=True)
     hit = truth.join(blocked, ["id_a", "id_b"], "left_semi")
     n_docs = sample.agg(F.count(F.lit(1)).alias("n")).select(
         F.col("n").alias("n_sampled_docs")

@@ -444,7 +444,15 @@ def temperature_mixture(
     the docs_mixture_applied shape with derived instead of given
     weights. Rows with a NULL group drop (no rate is defined for them);
     filter or fill upstream if they must survive."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    # counts (#groups rows) feeds the weight-sum total AND the per-group
+    # plan; uncut, the corpus-wide group count ran twice (r15
+    # optimization pass). Lazy pin — the total's broadcast build
+    # materializes it.
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__ng"))
+        .localCheckpoint(eager=False)
+    )
     tot = counts.agg(
         F.sum("__ng").alias("__ntot"),
         F.sum(

@@ -1869,7 +1869,12 @@ def margin_knn_join(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("tgt_id"),
         "cosine_sim",
-    )
+    ).localCheckpoint(eager=False)
+    # ^ fwd feeds its own neighborhood average AND the scored join;
+    # uncut, the forward brute-force knn pass over the corpus executed
+    # twice (r15 optimization pass). k·|src| rows — bounded by
+    # max_queries·k — so the lazy pin is tiny; the average's broadcast
+    # build materializes it.
     bwd = knn_join(
         src, tgt, k=k, id_col=id_col, vec_col=vec_col,
         exclude_self=False, max_queries=max_queries,

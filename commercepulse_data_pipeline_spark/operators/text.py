@@ -1095,8 +1095,14 @@ def collocations(
     heap with a deterministic (lift, n_ab, gram) order."""
     bi = ngram_doc_counts(df, text_col, id_col, ngram_n=2)
     uni = ngram_doc_counts(df, text_col, id_col, ngram_n=1)
-    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab"))
-    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w"))
+    # ab feeds the totals and the candidate filter; w feeds the totals
+    # and BOTH unigram joins — uncut, each consumer re-ran the full
+    # corpus n-gram explode (5 scans for one report, r15 optimization
+    # pass). Both tables are vocabulary-sized (distinct grams), so the
+    # lazy pin costs far less than one corpus re-pass; the totals'
+    # broadcast builds are the first actions and materialize the caches.
+    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab")).localCheckpoint(eager=False)
+    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w")).localCheckpoint(eager=False)
     totals = ab.agg(F.sum("n_ab").cast("long").alias("m_bigrams")).crossJoin(
         w.agg(F.sum("n_w").cast("long").alias("n_tokens"))
     )

@@ -149,6 +149,13 @@ def robust_anomalies(
     thousand rows, after the upstream aggregate did the data-sized work.
     For per-group series at scale, pre-partition by group and apply per
     group."""
+    # The series feeds three branches (median rank, deviation rank, the
+    # flag projection); without a lineage cut the caller's upstream
+    # per-day aggregate re-executes per branch — q_revenue_anomalies
+    # scanned orders 4× (r15 optimization pass). The series is
+    # calendar-bounded by contract, so the pin costs kilobytes; lazy —
+    # the median's broadcast build is the first action over it.
+    df = df.localCheckpoint(eager=False)
     v = F.col(value_col).cast("long")
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
