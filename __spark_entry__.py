@@ -4110,6 +4110,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("fp").isNotNull())
         .dropDuplicates(["doc_id", "fp"])
+        # fps feeds the train-side distinct AND the eval-side probe;
+        # uncut, the fingerprint explode + dedup shuffle executed twice
+        # (r15 optimization pass). Eager: both consumers meet in the one
+        # semi-join job, so a lazy pin could still race the lineage.
+        .localCheckpoint(eager=True)
     )
     train_fps = fps.where(F.col("split") == "train").select("fp").distinct()
     leaks = fps.where(F.col("split") != "train").join(train_fps, "fp", "left_semi")

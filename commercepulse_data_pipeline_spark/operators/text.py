@@ -1192,6 +1192,12 @@ def hashed_doc_vectors(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     if weighting == "tfidf":
+        # counts feeds the bucket-df table, the doc-count total AND the
+        # weighted projection; uncut, the token explode + (doc, bucket)
+        # aggregate executed three times (r15 optimization pass). Rows
+        # are ≤ dim per doc, so the lazy pin is corpus-linear and tiny;
+        # the df table's broadcast build materializes it.
+        counts = counts.localCheckpoint(eager=False)
         dfreq = counts.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__df")
         )
