@@ -110,14 +110,16 @@ def nb_train(
     counts = feats.groupBy("__b").agg(
         F.sum("__lab").cast("long").alias("__cp"),
         (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # ^ counts (<= n_buckets rows) feeds BOTH the totals and the dense
     # weight join; without the cut the corpus-wide feature explode in
     # its lineage runs twice (no subplan sharing across DataFrame
     # branches — the dsir_importance/unigram_cross_entropy finding).
-    # Lazy: the totals' broadcast-build job is the first action over it
-    # and materializes the cache — an eager pin paid one extra job per
-    # train for the same guarantee (r15 optimization pass).
+    # EAGER deliberately: the model fans out into multiple independent
+    # broadcast builds (weights + bias in nb_score), which Spark submits
+    # concurrently — a lazy pin could race them into computing the
+    # explode twice anyway (r15 optimization pass rule: lazy only when
+    # ONE sequential consumer materializes first).
     tots = counts.agg(
         F.coalesce(F.sum("__cp"), F.lit(0)).alias("__tp"),
         F.coalesce(F.sum("__cn"), F.lit(0)).alias("__tn"),
@@ -231,9 +233,9 @@ def nb_train_multiclass(
     )
     counts = feats.groupBy("__lab", "__b").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # ^ feeds the per-class totals AND the dense join (the nb_train cut;
-    # lazy for the same one-job saving)
+    # eager for the same concurrent-broadcast-race reason)
     tots = counts.groupBy("__lab").agg(F.sum("__c").alias("__t"))
     labels = docs.select(F.col("__lab").alias("label")).distinct()
     buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))

@@ -1099,10 +1099,11 @@ def collocations(
     # and BOTH unigram joins — uncut, each consumer re-ran the full
     # corpus n-gram explode (5 scans for one report, r15 optimization
     # pass). Both tables are vocabulary-sized (distinct grams), so the
-    # lazy pin costs far less than one corpus re-pass; the totals'
-    # broadcast builds are the first actions and materialize the caches.
-    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab")).localCheckpoint(eager=False)
-    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w")).localCheckpoint(eager=False)
+    # pin costs far less than one corpus re-pass. EAGER: w's consumers
+    # include independent broadcast builds Spark submits concurrently —
+    # a lazy pin could race them into re-running the explode anyway.
+    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab")).localCheckpoint(eager=True)
+    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w")).localCheckpoint(eager=True)
     totals = ab.agg(F.sum("n_ab").cast("long").alias("m_bigrams")).crossJoin(
         w.agg(F.sum("n_w").cast("long").alias("n_tokens"))
     )
@@ -1195,9 +1196,11 @@ def hashed_doc_vectors(
         # counts feeds the bucket-df table, the doc-count total AND the
         # weighted projection; uncut, the token explode + (doc, bucket)
         # aggregate executed three times (r15 optimization pass). Rows
-        # are ≤ dim per doc, so the lazy pin is corpus-linear and tiny;
-        # the df table's broadcast build materializes it.
-        counts = counts.localCheckpoint(eager=False)
+        # are ≤ dim per doc, so the pin is corpus-linear and bounded.
+        # EAGER: the df table and the doc-count total are two INDEPENDENT
+        # broadcast builds, which Spark submits concurrently — lazy could
+        # race them into computing the explode twice.
+        counts = counts.localCheckpoint(eager=True)
         dfreq = counts.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__df")
         )
