@@ -492,19 +492,23 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the MinHash pair graph (operators/graph.py):
-    hash-to-min connected components turn candidate pairs into
+    """Near-dup CLUSTERS from the MinHash band graph (operators/graph.py):
+    hash-to-min connected components turn banding output into
     (doc, canonical min-id representative, cluster size) — the "keep one
-    per cluster" dedup decision table a training pipeline acts on. The
-    oracle replays the same md5 MinHash banding and closes the transitive
-    hull with a recursive CTE."""
+    per cluster" dedup decision table a training pipeline acts on. CC
+    consumes STAR edges (member→bucket-min, dd.minhash_star_edges — r16:
+    linear in bucket occupancy) rather than the |bucket|²/2 pair
+    explosion; a star has the same components as the clique, so the
+    output is row-identical. The oracle replays the same md5 MinHash
+    banding and closes the transitive hull with a recursive CTE over the
+    PAIR graph — hash equality IS the star≡clique equivalence check."""
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(
+    edges = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
-    return graph.dedup_clusters(pairs)
+    return graph.dedup_clusters(edges)
 
 
 def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,14 +518,16 @@ def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     by operators/text.py::quality_score, ties → lowest id). This is the
     decision table a training pipeline acts on. The oracle composes the
     same three fragments in SQL (recursive CTE + quality twin +
-    rank-1 window)."""
+    rank-1 window). CC input is the star-edge form (see
+    q_docs_dup_clusters — components identical, linear in bucket
+    occupancy)."""
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(
+    edges = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
-    clusters = graph.dedup_clusters(pairs)
+    clusters = graph.dedup_clusters(edges)
     quality = tx.quality_score(d, "text").select("doc_id", "quality_score")
     return graph.keep_best_per_cluster(clusters, quality)
 
@@ -877,15 +883,17 @@ def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums to the corpus — the table that quantifies what "keep one per
     cluster" buys before anyone runs it. Kilobytes out at any corpus
     size (clusters reduce per-cluster first, then a size-keyed agg; the
-    singleton row is one left-anti count). The oracle replays the
-    recursive-CTE hull and the same histogram + anti-join."""
+    singleton row is one left-anti count). CC input is the star-edge
+    form (see q_docs_dup_clusters — components identical, linear in
+    bucket occupancy). The oracle replays the recursive-CTE hull and the
+    same histogram + anti-join."""
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(
+    edges = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
-    clusters = graph.dedup_clusters(pairs)
+    clusters = graph.dedup_clusters(edges)
     return graph.cluster_size_histogram(clusters, corpus=d).select(
         "cluster_size",
         F.col("n_clusters").cast("long").alias("n_clusters"),
@@ -4167,17 +4175,19 @@ def q_docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     close (Lee et al. 2022). Docs outside any cluster are singleton
     groups keyed on their own id; the partition stays disjoint and
     exhaustive. The oracle replays the banding + recursive-CTE hull +
-    the identical hex-digit bucket arithmetic on the coalesced key."""
+    the identical hex-digit bucket arithmetic on the coalesced key.
+    CC input is the star-edge form (see q_docs_dup_clusters —
+    components identical, linear in bucket occupancy)."""
     from commercepulse_data_pipeline_spark.operators import graph
     from commercepulse_data_pipeline_spark.operators.sampling import (
         assign_splits_grouped,
     )
 
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(
+    edges = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
-    clusters = graph.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    clusters = graph.dedup_clusters(edges).select("doc_id", "cluster_id")
     return assign_splits_grouped(
         d.select("doc_id"),
         "doc_id",
@@ -4446,15 +4456,16 @@ def q_dup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors. Consumes the same cluster table the histogram does (and, in
     production, the write_cluster_table artifact — ONE materialized CC
     run fans out to every report); here self-contained by driver
-    contract. The oracle replays the recursive-CTE hull + the same
-    left-join aggregate."""
+    contract. CC input is the star-edge form (see q_docs_dup_clusters —
+    components identical, linear in bucket occupancy). The oracle
+    replays the recursive-CTE hull + the same left-join aggregate."""
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
-    pairs = dd.minhash_candidate_pairs(
+    edges = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     )
-    clusters = graph.dedup_clusters(pairs)
+    clusters = graph.dedup_clusters(edges)
     return graph.dedup_savings_by_source(clusters, d, "source").select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
@@ -4578,21 +4589,27 @@ def q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commercepulse_data_pipeline_spark.operators import graph
 
     d = _docs(spark, sf_dir)
-    # one materialization: the pair table feeds BOTH sides of the split
-    # below, and its lineage is the full banding build
-    pairs_all = dd.minhash_candidate_pairs(
+    # one materialization: the edge table feeds BOTH sides of the split
+    # below, and its lineage is the full banding build. CC consumes STAR
+    # edges (member→bucket-min, r16) instead of the |bucket|²/2 pair
+    # explosion; equivalence of the FOLD under any old/new edge split:
+    # merge_cluster_update(CC(old_edges), new_edges) = CC(old ∪ new) for
+    # ANY partition of an edge set (untouched clusters share no endpoint
+    # with new_edges, so they are exact in CC(old ∪ new); affected ones
+    # re-run over connectivity-preserving star replacements ∪ new), and
+    # CC(all star edges) = CC(all pairs) because a bucket's star spans
+    # exactly its clique's vertex set — so the fold's output is
+    # row-identical to the pair form's, which the from-scratch oracle
+    # hash-confirms. Batch membership stays a pure predicate, so the
+    # split is two map-only filters — no joins, no exceptAll shuffle.
+    edges_all = dd.minhash_star_edges(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket=100000
     ).localCheckpoint(eager=False)
-    # banding is per-doc, so the full pair set splits EXACTLY into
-    # old-old pairs (the established table's inputs) and pairs touching
-    # the batch (what ingest hands the fold); batch membership is a pure
-    # predicate here, so the split is two map-only filters — no joins,
-    # no exceptAll shuffle
     is_new_a, is_new_b = F.col("id_a") % 10 == 0, F.col("id_b") % 10 == 0
-    old_pairs = pairs_all.where(~is_new_a & ~is_new_b)
-    new_pairs = pairs_all.where(is_new_a | is_new_b)
-    established = graph.dedup_clusters(old_pairs)
-    return graph.merge_cluster_update(established, new_pairs).select(
+    old_edges = edges_all.where(~is_new_a & ~is_new_b)
+    new_edges = edges_all.where(is_new_a | is_new_b)
+    established = graph.dedup_clusters(old_edges)
+    return graph.merge_cluster_update(established, new_edges).select(
         "doc_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),

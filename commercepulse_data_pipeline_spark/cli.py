@@ -457,8 +457,12 @@ def cmd_clean_corpus(args) -> int:
         ).select(
             F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
         )
-    else:
+    elif args.confirm_embeddings:
         pairs = dd.minhash_candidate_pairs(exact, "text", "doc_id")
+    else:
+        # cluster-only consumer: STAR edges (r16) — identical components,
+        # CC input linear (not quadratic) in band-bucket occupancy
+        pairs = dd.minhash_star_edges(exact, "text", "doc_id")
     if args.confirm_embeddings:
         # two-signal dedup (precision mode): the lexical blocker's
         # candidate pairs must ALSO agree semantically before any doc is
@@ -1126,11 +1130,24 @@ def cmd_cluster_table(args) -> int:
             )
         else:
             print("cluster-table: occupancy clean (no dropped band buckets)")
-    pairs = dd.minhash_candidate_pairs(
-        docs, "text", "doc_id",
-        num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
-        bands_df=bands_df,
-    )
+    if args.confirm_embeddings:
+        # the semantic confirm gate scores REAL candidate pairs — star
+        # edges would only score member-vs-bucket-min, a different gate
+        pairs = dd.minhash_candidate_pairs(
+            docs, "text", "doc_id",
+            num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
+            bands_df=bands_df,
+        )
+    else:
+        # cluster-only consumer: STAR edges (r16) — same connected
+        # components as the pair explosion (a bucket's star spans its
+        # clique), CC input linear in bucket occupancy instead of
+        # quadratic; see dd.minhash_star_edges
+        pairs = dd.minhash_star_edges(
+            docs, "text", "doc_id",
+            num_hashes=8, bands=4, shingle_n=3, max_bucket=args.max_bucket,
+            bands_df=bands_df,
+        )
     if args.index:
         # persist the batch's bands as the probe index so later
         # --update calls dedup against everything seen so far

@@ -470,6 +470,73 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """STAR edges per LSH bucket — the connected-components input for the
+    CLUSTER-TABLE path (r16 optimization pass, VERDICT r15 item 1):
+    instead of exploding every band bucket into its |bucket|²/2 candidate
+    pairs (:func:`minhash_candidate_pairs`) and handing CC a quadratic
+    edge list, emit |bucket|-1 edges member→bucket-min per bucket. A star
+    over a bucket's members has exactly the same connected components as
+    the bucket's clique — every member reaches every other through the
+    bucket minimum — and the union over buckets therefore has the same
+    components as the union of cliques, so ``dedup_clusters`` over these
+    edges is ROW-IDENTICAL to ``dedup_clusters`` over the pair list
+    (property-tested; the oracle's recursive hull confirms it at parity).
+
+    At 100 TB this is the difference between CC input LINEAR in bucket
+    occupancy and quadratic in it (guide §2.3 — shuffle fewer bytes): a
+    1000-member bucket feeds CC 999 edge rows instead of ~500k, and no
+    O(k²) pair array ever materializes (no collect_list either — the
+    bucket minimum is a window aggregate, so even the capped posting-list
+    buffer disappears). The price is graph diameter: a chain of buckets
+    overlapping only in non-min members doubles the hop count vs cliques,
+    costing hash-to-min at most one extra round on chain-y graphs
+    (near-dup banding graphs are clique-ish; measured round count at
+    bench SF is unchanged).
+
+    Pair-stage CONSUMERS (confirm joins, threshold sweeps, source
+    matrices) still need real pairs — keep feeding them
+    ``minhash_candidate_pairs``; this is only for consumers of the
+    cluster table. Cap semantics match the pair path exactly: buckets
+    with fewer than 2 or more than ``max_bucket`` members emit nothing.
+
+    Output: distinct (id_a, id_b) with id_a = the bucket minimum (so
+    id_a < id_b), ready for ``dedup_clusters``/``connected_components``.
+    """
+    b = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+    )
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        b.select(
+            F.col(id_col),
+            F.count(F.lit(1)).over(w).alias("__bucket_n"),
+            F.min(id_col).over(w).alias("__mn"),
+        )
+        .where(
+            (F.col("__bucket_n") >= 2)
+            & (F.col("__bucket_n") <= max_bucket)
+            & (F.col(id_col) != F.col("__mn"))
+        )
+        .select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact similarity on shingle sets)
 # ---------------------------------------------------------------------------

@@ -47,6 +47,11 @@ def connected_components(
     """(node, component) for every node in ``edges``; ``component`` is the
     minimum node id reachable from the node. Raises if the fixpoint is not
     reached within ``max_iter`` rounds (raise it for high-diameter graphs).
+    Note (ADVICE r15): the fused round-0 init performs one propagation
+    round BEFORE the loop, so the effective budget is ``max_iter + 1``
+    hash-to-min rounds — the non-convergence error fires one diameter
+    step later than a pre-r15 caller tuning ``max_iter`` against graph
+    diameter would expect.
 
     ``algorithm``: ``"hash_to_min"`` (default) converges in O(diameter)
     rounds — fastest for the dense clique-ish clusters near-dup banding

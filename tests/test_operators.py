@@ -74,6 +74,59 @@ def test_minhash_identical_docs_same_signature(spark):
     assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_minhash_star_edges_same_clusters_as_pairs(spark):
+    """Star edges (r16, the CC input for the cluster-table path) must
+    yield ROW-IDENTICAL dedup_clusters output to the pair explosion — a
+    bucket's star spans exactly its clique's vertex set — including on
+    CHAINED buckets (components merging through a non-min shared member,
+    where the star graph's diameter is twice the clique graph's) and
+    under the max_bucket cap (over-cap buckets drop in BOTH forms)."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    bands = spark.createDataFrame(
+        [
+            (1, 0, "k1"), (2, 0, "k1"), (3, 0, "k1"),  # clique bucket
+            (3, 1, "k2"), (4, 1, "k2"),  # chains {1,2,3} to 4 via member 3
+            (5, 0, "k3"),  # singleton bucket → no edges
+            # over-cap bucket (max_bucket=3 below) → dropped wholesale
+            (6, 0, "k4"), (7, 0, "k4"), (8, 0, "k4"), (9, 0, "k4"),
+        ],
+        ["doc_id", "band_id", "band_key"],
+    )
+    star = dd.minhash_star_edges(None, bands_df=bands, max_bucket=3)
+    edges = {(r.id_a, r.id_b) for r in star.collect()}
+    # member→bucket-min only: k-1 edges per bucket, id_a is the minimum
+    assert edges == {(1, 2), (1, 3), (3, 4)}
+    pairs = dd.minhash_candidate_pairs(None, bands_df=bands, max_bucket=3)
+    c_star = graph.dedup_clusters(star)
+    c_pairs = graph.dedup_clusters(pairs)
+    assert c_star.exceptAll(c_pairs).count() == 0
+    assert c_pairs.exceptAll(c_star).count() == 0
+    got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in c_star.collect()}
+    assert got == {(1, 1, 4), (2, 1, 4), (3, 1, 4), (4, 1, 4)}
+
+
+def test_minhash_star_edges_end_to_end_matches_pairs(spark):
+    """End-to-end over real banding: clusters from star edges equal
+    clusters from candidate pairs on a corpus with duplicate groups."""
+    from commercepulse_data_pipeline_spark.operators import graph
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        "sphinx of black quartz judge my vow tonight ok",
+    ]
+    rows = [(i, texts[i % 3] + ("" if i < 6 else f" tail{i}")) for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(num_hashes=8, bands=4, shingle_n=3, max_bucket=1000)
+    c_star = graph.dedup_clusters(dd.minhash_star_edges(df, "text", "doc_id", **kw))
+    c_pairs = graph.dedup_clusters(
+        dd.minhash_candidate_pairs(df, "text", "doc_id", **kw)
+    )
+    assert c_star.exceptAll(c_pairs).count() == 0
+    assert c_pairs.exceptAll(c_star).count() == 0
+
+
 def test_ngram_jaccard_pairs_threshold(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
