@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.functions.pins import pin
 from commercepulse_data_pipeline_spark.operators.text import (
     token_ngrams,
     tokens as _tokens,
@@ -1360,9 +1361,10 @@ def pair_group_matrix(
             F.greatest("__ga", "__gb").alias("group_b"),
         )
     )
-    cells = j.groupBy("group_a", "group_b").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    ).localCheckpoint(eager=False)
+    cells = pin(
+        j.groupBy("group_a", "group_b").agg(F.count(F.lit(1)).alias("n_pairs")),
+        eager=False,
+    )
     # ^ cells ((#groups)²-bounded) feeds the output AND the share
     # denominator; without the cut the whole candidate-banding + two-join
     # lineage executes twice (r15 optimization pass — the plan read the
@@ -1426,15 +1428,21 @@ def blocker_recall_report(
     # (r15 optimization pass — the uncut plan scanned the corpus 9×).
     # Eager, not lazy: the count aggregates run as CONCURRENT broadcast
     # jobs, so a lazy checkpoint could still race both lineages once.
-    truth = ngram_jaccard_pairs(
-        sample, text_col, id_col,
-        shingle_n=shingle_n, threshold=tau, max_shingle_freq=max_shingle_freq,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    blocked = minhash_candidate_pairs(
-        sample, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        max_bucket=max_bucket,
-    ).localCheckpoint(eager=True)
+    truth = pin(
+        ngram_jaccard_pairs(
+            sample, text_col, id_col,
+            shingle_n=shingle_n, threshold=tau, max_shingle_freq=max_shingle_freq,
+        ).select("id_a", "id_b"),
+        eager=True,
+    )
+    blocked = pin(
+        minhash_candidate_pairs(
+            sample, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        ),
+        eager=True,
+    )
     hit = truth.join(blocked, ["id_a", "id_b"], "left_semi")
     n_docs = sample.agg(F.count(F.lit(1)).alias("n")).select(
         F.col("n").alias("n_sampled_docs")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from commercepulse_data_pipeline_spark.functions.pins import pin
 
 # Buckets are the first 32 bits of md5(salt || key) — uniform on [0, 2^32).
 BUCKET_SPACE = 1 << 32
@@ -448,10 +449,9 @@ def temperature_mixture(
     # plan; uncut, the corpus-wide group count ran twice (r15
     # optimization pass). Lazy pin — the total's broadcast build
     # materializes it.
-    counts = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__ng"))
-        .localCheckpoint(eager=False)
+    counts = pin(
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng")),
+        eager=False,
     )
     tot = counts.agg(
         F.sum("__ng").alias("__ntot"),

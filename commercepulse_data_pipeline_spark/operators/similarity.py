@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from commercepulse_data_pipeline_spark.functions.pins import pin
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1862,14 +1863,17 @@ def margin_knn_join(
     ``knn_join_self`` shape instead of broadcasting. Output: src_id,
     tgt_id, cosine_sim, margin, margin_rank (per src: margin desc,
     tgt_id tiebreak)."""
-    fwd = knn_join(
-        tgt, src, k=k, id_col=id_col, vec_col=vec_col,
-        exclude_self=False, max_queries=max_queries,
-    ).select(
-        F.col("query_id").alias("src_id"),
-        F.col("neighbor_id").alias("tgt_id"),
-        "cosine_sim",
-    ).localCheckpoint(eager=False)
+    fwd = pin(
+        knn_join(
+            tgt, src, k=k, id_col=id_col, vec_col=vec_col,
+            exclude_self=False, max_queries=max_queries,
+        ).select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cosine_sim",
+        ),
+        eager=False,
+    )
     # ^ fwd feeds its own neighborhood average AND the scored join;
     # uncut, the forward brute-force knn pass over the corpus executed
     # twice (r15 optimization pass). k·|src| rows — bounded by

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.functions.pins import pin
 
 # Tiny in-expression stopword lists per language — enough for a language-ID
 # heuristic without external models (none are available in this container).
@@ -1102,8 +1103,8 @@ def collocations(
     # pin costs far less than one corpus re-pass. EAGER: w's consumers
     # include independent broadcast builds Spark submits concurrently —
     # a lazy pin could race them into re-running the explode anyway.
-    ab = bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab")).localCheckpoint(eager=True)
-    w = uni.groupBy("gram").agg(F.sum("cnt").alias("n_w")).localCheckpoint(eager=True)
+    ab = pin(bi.groupBy("gram").agg(F.sum("cnt").alias("n_ab")), eager=True)
+    w = pin(uni.groupBy("gram").agg(F.sum("cnt").alias("n_w")), eager=True)
     totals = ab.agg(F.sum("n_ab").cast("long").alias("m_bigrams")).crossJoin(
         w.agg(F.sum("n_w").cast("long").alias("n_tokens"))
     )
@@ -1200,7 +1201,7 @@ def hashed_doc_vectors(
         # EAGER: the df table and the doc-count total are two INDEPENDENT
         # broadcast builds, which Spark submits concurrently — lazy could
         # race them into computing the explode twice.
-        counts = counts.localCheckpoint(eager=True)
+        counts = pin(counts, eager=True)
         dfreq = counts.groupBy("__b").agg(
             F.count(F.lit(1)).alias("__df")
         )

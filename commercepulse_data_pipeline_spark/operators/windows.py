@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from commercepulse_data_pipeline_spark.functions.pins import pin
 
 
 def running_total(
@@ -132,6 +133,7 @@ def robust_anomalies(
     order_col: str,
     *,
     k_mad: int = 3,
+    pin_input: bool = True,
 ) -> DataFrame:
     """Median/MAD outlier flags over an INTEGER-valued series — the
     robust anomaly gate (a 10× revenue day, a collapsed-volume day) that
@@ -148,14 +150,25 @@ def robust_anomalies(
     (years × 365), not data-volume-bounded — a single task sorting a few
     thousand rows, after the upstream aggregate did the data-sized work.
     For per-group series at scale, pre-partition by group and apply per
-    group."""
+    group.
+
+    ``pin_input`` (default True) lineage-cuts the input series so the
+    three branches below don't re-execute the caller's upstream
+    aggregate. The pin MATERIALIZES the series in executor storage, so
+    it is only safe under the operator's bounded-series CONTRACT
+    (calendar-grain rows, not data-volume rows — the same bound the
+    single-task rank windows already require). A caller feeding an
+    unbounded or streaming frame must pass ``pin_input=False`` (and
+    accept the re-scan) or pre-aggregate to a bounded grain first
+    (ADVICE r15: the unconditional pin was a misuse trap)."""
     # The series feeds three branches (median rank, deviation rank, the
     # flag projection); without a lineage cut the caller's upstream
     # per-day aggregate re-executes per branch — q_revenue_anomalies
     # scanned orders 4× (r15 optimization pass). The series is
     # calendar-bounded by contract, so the pin costs kilobytes; lazy —
     # the median's broadcast build is the first action over it.
-    df = df.localCheckpoint(eager=False)
+    if pin_input:
+        df = pin(df, eager=False)
     v = F.col(value_col).cast("long")
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -1071,6 +1071,66 @@ def test_robust_anomalies_median_mad_flags(spark):
     )
 
 
+def test_robust_anomalies_pin_opt_out_same_output(spark):
+    """pin_input=False (the unbounded-caller escape hatch, ADVICE r15)
+    must not change the flags — only the lineage-cut behaviour."""
+    rows = [(f"d{i:02d}", 100) for i in range(20)]
+    rows[5] = ("d05", 1000)
+    df = spark.createDataFrame(rows, "day string, v long")
+    a = win.robust_anomalies(df, "v", "day", k_mad=3)
+    b = win.robust_anomalies(df, "v", "day", k_mad=3, pin_input=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pin_policy_reliable_checkpoint_same_output(spark, tmp_path):
+    """The module-level pin policy (r16, VERDICT r15 item 5): with a
+    reliable checkpoint_dir set, every operator pin site switches from
+    localCheckpoint to fault-tolerant DataFrame.checkpoint — outputs
+    must be identical and checkpoint files must actually land in the
+    directory."""
+    import os
+
+    from commercepulse_data_pipeline_spark.functions.pins import (
+        get_pin_policy,
+        set_pin_policy,
+    )
+    from commercepulse_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, ["en", "en", "en", "de"][i % 4]) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    base = sorted(
+        (r.doc_id, r.lang)
+        for r in temperature_mixture(df, "lang", "doc_id", target_frac=0.5).collect()
+    )
+    ckpt = str(tmp_path / "reliable_pins")
+    set_pin_policy(checkpoint_dir=ckpt)
+    try:
+        assert get_pin_policy() == ckpt
+        reliable = sorted(
+            (r.doc_id, r.lang)
+            for r in temperature_mixture(
+                df, "lang", "doc_id", target_frac=0.5
+            ).collect()
+        )
+        anomalies = win.robust_anomalies(
+            spark.createDataFrame(
+                [(f"d{i}", 100 if i != 3 else 900) for i in range(9)],
+                "day string, v long",
+            ),
+            "v",
+            "day",
+        ).collect()
+    finally:
+        set_pin_policy(checkpoint_dir=None)
+    assert reliable == base
+    assert {r["day"] for r in anomalies if r["is_anomaly"] == 1} == {"d3"}
+    # the reliable path really wrote checkpoint files
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt))
+    assert get_pin_policy() is None
+
+
 def test_pq_train_encode_topk_and_index(spark, tmp_path):
     """Product quantization: codebooks train deterministically (decimal
     Lloyd, md5 init), codes reconstruct cluster membership on a planted
