@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.functions.pins import pin
 from commercepulse_data_pipeline_spark.operators.sampling import hash_bucket
 from commercepulse_data_pipeline_spark.operators.text import token_ngrams, tokens
 
@@ -107,10 +108,13 @@ def nb_train(
         docs, text_col=text_col, id_cols=["__lab"],
         n_buckets=n_buckets, salt=salt,
     )
-    counts = feats.groupBy("__b").agg(
-        F.sum("__lab").cast("long").alias("__cp"),
-        (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
-    ).localCheckpoint(eager=True)
+    counts = pin(
+        feats.groupBy("__b").agg(
+            F.sum("__lab").cast("long").alias("__cp"),
+            (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
+        ),
+        eager=True,
+    )
     # ^ counts (<= n_buckets rows) feeds BOTH the totals and the dense
     # weight join; without the cut the corpus-wide feature explode in
     # its lineage runs twice (no subplan sharing across DataFrame
@@ -120,6 +124,18 @@ def nb_train(
     # concurrently — a lazy pin could race them into computing the
     # explode twice anyway (r15 optimization pass rule: lazy only when
     # ONE sequential consumer materializes first).
+    return _binary_model_from_counts(spark, counts, docs, n_buckets)
+
+
+def _binary_model_from_counts(
+    spark: SparkSession, counts: DataFrame, docs: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Shared model assembly for :func:`nb_train` /
+    :func:`nb_train_on_features`: dense smoothed log2-ratio weights from
+    the pinned per-bucket (pos, neg) counts plus the ``bucket = -1``
+    prior row from the DOC-level label frame (``docs`` needs a ``__lab``
+    0/1 column; the prior is never derivable from feature rows — a
+    zero-token doc counts toward it but emits no features)."""
     tots = counts.agg(
         F.coalesce(F.sum("__cp"), F.lit(0)).alias("__tp"),
         F.coalesce(F.sum("__cn"), F.lit(0)).alias("__tn"),
@@ -157,6 +173,53 @@ def nb_train(
     return dense.unionByName(prior)
 
 
+def nb_train_on_features(
+    feats: DataFrame,
+    labeled_docs: DataFrame,
+    *,
+    label_col: str = "label",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Train the binary NB model from a PRE-BUILT hashed-feature frame —
+    the shared-explode form (r16, VERDICT r15 item 7). Use it when the
+    training rows are a SUBSET of a corpus that will also be scored:
+    build :func:`hashed_features` ONCE over the corpus (id + label among
+    ``id_cols``), lineage-cut it (functions/pins.py::pin), filter the
+    training slice down for this function and hand the same frame to
+    ``nb_score(feats=)`` — the corpus text is tokenized + md5-hashed
+    exactly once instead of 1.5× (train half + full-corpus score).
+
+    ``feats``: hashed_features output restricted to the TRAINING rows,
+    carrying ``label_col`` (truthy/1 = positive) and ``__b``.
+    ``labeled_docs``: the doc-LEVEL (…, label_col) frame the prior
+    counts come from. ``n_buckets`` must match the feats build (it also
+    enters the smoothing denominator). Output and arithmetic are
+    bit-identical to :func:`nb_train` on the same training rows.
+
+    Scale note: the shared form trades executor STORAGE (the pinned
+    feature frame, two ints per feature occurrence) for the saved
+    tokenize+hash pass; when executor storage is the binding constraint
+    prefer the reliable pin policy or the plain per-stage
+    :func:`nb_train`/:func:`nb_score` composition."""
+    spark = feats.sparkSession
+    lab = F.when(
+        F.col(label_col).cast("boolean").eqNullSafe(F.lit(True)), F.lit(1)
+    ).otherwise(F.lit(0))
+    f = feats.select(lab.alias("__lab"), F.col("__b"))
+    docs = labeled_docs.select(lab.alias("__lab"))
+    counts = pin(
+        f.groupBy("__b").agg(
+            F.sum("__lab").cast("long").alias("__cp"),
+            (F.count(F.lit(1)) - F.sum("__lab")).cast("long").alias("__cn"),
+        ),
+        eager=True,
+    )
+    # eager for the nb_train reason: the model fans into concurrent
+    # broadcast builds (and this materialization is also what realizes a
+    # caller's lazy-pinned shared feature frame)
+    return _binary_model_from_counts(spark, counts, docs, n_buckets)
+
+
 def nb_score(
     df: DataFrame,
     model: DataFrame,
@@ -165,16 +228,24 @@ def nb_score(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     salt: str = "nbq-v1:",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under a trained model (``n_buckets``/``salt``
     MUST match training — :func:`read_model` returns them). Returns one
     row per input doc: (id_col, n_feats, nb_logodds double rounded 4dp,
     predicted int 0/1). Zero-feature docs score the prior alone; the
-    prediction compares the EXACT decimal total with zero."""
-    feats = hashed_features(
-        df, text_col=text_col, id_cols=[id_col],
-        n_buckets=n_buckets, salt=salt,
-    )
+    prediction compares the EXACT decimal total with zero.
+
+    ``feats``: a PRE-BUILT hashed-feature frame for ``df``'s rows
+    (columns ``id_col``, ``__b`` — see :func:`nb_train_on_features` for
+    the shared-explode pattern); when given, ``text_col``/``salt`` are
+    unused and ``df`` only supplies the id list (so zero-feature docs
+    still score the prior)."""
+    if feats is None:
+        feats = hashed_features(
+            df, text_col=text_col, id_cols=[id_col],
+            n_buckets=n_buckets, salt=salt,
+        )
     w = model.where(F.col("bucket") >= 0)
     bias = model.where(F.col("bucket") == _BIAS_BUCKET).select(
         F.col("weight").alias("__bias")
@@ -231,13 +302,29 @@ def nb_train_multiclass(
         docs, text_col=text_col, id_cols=["__lab"],
         n_buckets=n_buckets, salt=salt,
     )
-    counts = feats.groupBy("__lab", "__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    ).localCheckpoint(eager=True)
+    counts = pin(
+        feats.groupBy("__lab", "__b").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        ),
+        eager=True,
+    )
     # ^ feeds the per-class totals AND the dense join (the nb_train cut;
     # eager for the same concurrent-broadcast-race reason)
     tots = counts.groupBy("__lab").agg(F.sum("__c").alias("__t"))
-    labels = docs.select(F.col("__lab").alias("label")).distinct()
+    # Per-class DOC counts, pinned: the label set, the class count K and
+    # the priors all derive from this ONE K-row table instead of three
+    # separate corpus scans (labels distinct + nd aggregate + priors
+    # groupBy — r16 optimization pass, VERDICT r15 item 4). Deriving
+    # labels from DOC counts (not the feature-bucket `counts` table) is
+    # exact even for a class whose every doc has zero tokens: such a
+    # class has doc rows but no feature rows. EAGER for the same
+    # concurrent-broadcast reason as `counts` (the grid build and the
+    # priors are independent consumers).
+    cls = pin(
+        docs.groupBy("__lab").agg(F.count(F.lit(1)).alias("__nc")),
+        eager=True,
+    )
+    labels = cls.select(F.col("__lab").alias("label"))
     buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     grid = labels.crossJoin(buckets)
     dense = (
@@ -263,13 +350,12 @@ def nb_train_multiclass(
             .alias("weight"),
         )
     )
-    nd = docs.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.countDistinct("__lab").alias("__k"),
+    nd = cls.agg(
+        F.sum("__nc").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
     )
     priors = (
-        docs.groupBy("__lab")
-        .agg(F.count(F.lit(1)).alias("__nc"))
+        cls
         .crossJoin(F.broadcast(nd))
         .select(
             F.col("__lab").alias("label"),
