@@ -2635,6 +2635,40 @@ def test_text_index_build_query_and_append(spark, tmp_path):
     assert int(meta["n_docs"]) == 5
     assert int(meta["sum_dl"]) == sum(len(t.split()) for _, t in docs)
 
+    # defaultFS gating (ADVICE r15): an explicit file: URI reads the meta
+    # through the driver filesystem WITHOUT touching the Spark session at
+    # all, while a bare path under a NON-local default filesystem must
+    # fall through to the cluster reader (a same-named local dir must not
+    # shadow the cluster copy).
+    class _NoSpark:
+        def __getattr__(self, name):  # noqa: D105
+            raise AssertionError(f"touched Spark ({name}) for a file: path")
+
+    assert ret.read_text_index_meta(_NoSpark(), f"file://{path}") == meta
+
+    class _Sentinel(Exception):
+        pass
+
+    class _HConf:
+        def get(self, key, default=None):
+            return "hdfs://namenode:8020"
+
+    class _JSC:
+        def hadoopConfiguration(self):
+            return _HConf()
+
+    class _ClusterSpark:
+        _jsc = _JSC()
+
+        @property
+        def read(self):
+            raise _Sentinel()
+
+    import pytest as _pytest
+
+    with _pytest.raises(_Sentinel):
+        ret.read_text_index_meta(_ClusterSpark(), path)
+
     terms = ["spark", "basil"]
     scan = ret.bm25_topk(df, terms, k=5).collect()
     idx = ret.bm25_topk_indexed(spark, path, terms, k=5).collect()

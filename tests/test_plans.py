@@ -698,11 +698,21 @@ def test_bm25_indexed_probe_prunes_partitions(spark, tmp_path):
     )
     path = str(tmp_path / "tix")
     ret.write_text_index(df, path, n_buckets=8)
-    plan = _plan(ret.bm25_topk_indexed(spark, path, ["alpha", "w3"], k=5))
-    assert "PartitionFilters: [" in plan and "term_bucket" in plan.split(
+    # r16: the serving path PINS the probed postings (the df aggregate
+    # materializes the pruned scan once; the scoring join reads cache),
+    # so the pruning evidence lives on the probe subplan — assert it
+    # there, on exactly the expression bm25_topk_indexed executes.
+    meta = ret.read_text_index_meta(spark, path)
+    buckets = ret._probe_buckets(spark, ["alpha", "w3"], int(meta["n_buckets"]))
+    probe_plan = _plan(ret._probed_postings(spark, path, ["alpha", "w3"], buckets))
+    assert "PartitionFilters: [" in probe_plan and "term_bucket" in probe_plan.split(
         "PartitionFilters: ["
-    )[1].split("]")[0], plan
-    assert "PushedFilters: [" in plan and "In(term" in plan, plan
+    )[1].split("]")[0], probe_plan
+    assert "PushedFilters: [" in probe_plan and "In(term" in probe_plan, probe_plan
+    plan = _plan(ret.bm25_topk_indexed(spark, path, ["alpha", "w3"], k=5))
+    # the final plan must read the PINNED probe (no second parquet scan
+    # of the postings) and keep the serving shape
+    assert "Scan parquet" not in plan, plan
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, plan
     assert "TakeOrderedAndProject" in plan, plan
