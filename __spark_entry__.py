@@ -4849,70 +4849,17 @@ def q_audio_hash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver checks queries in dict order and may cap
-    # the number of rows it records (~50; r8-r14 recorded exactly 50). r15
-    # executes the rotation written in COVERAGE.md after r14: (a) the 40
-    # r12-green entries past r14's 50-row cap go FIRST (their last driver
-    # rows are r12 — the oldest stratum); (b) queries NEW this round;
-    # (c) the 49-entry r13-checked block (next-oldest); (d) the 50-entry
-    # r14-checked head closes the oracle-backed list. After r15 every
-    # oracle-backed entry again has a driver row within two rounds.
+    # the number of rows it records (~50; r8-r15 recorded exactly 50). r16
+    # executes the rotation VERDICT r15 item 10 asks for: (a) the 49-entry
+    # r13-checked block (the oldest oracle-backed stratum — its last driver
+    # rows are r13) goes FIRST, (b) the r14-checked block follows (its head
+    # entry fills the 50th window slot), (c) the r15-checked head closes the
+    # oracle-backed list, (d) the 3 rows-only entries stay last. After r16
+    # every oracle-backed entry again has a driver row within three rounds.
     return {
-        # -- r12-verification debt: last driver rows r12 — the r12-block
-        # -- --    tail past r14's 50-row cap rotates in FIRST
-        # -- --    (COVERAGE.md r15 plan)
-        "ngram_jaccard": q_ngram_jaccard,
-        "approx_stats_check": q_approx_stats_check,
-        "order_value_percentiles_check": q_order_value_percentiles_check,
-        "purge_audit": q_purge_audit,
-        "sketch_range_users": q_sketch_range_users,
-        "token_heavy_hitters": q_token_heavy_hitters,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "docs_length_deciles": q_docs_length_deciles,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_quarantine": q_docs_quarantine,
-        "dup_cluster_size_hist": q_dup_cluster_size_hist,
-        "dup_pairs_confirmed": q_dup_pairs_confirmed,
-        "docs_ce_bands": q_docs_ce_bands,
-        "docs_ce_bands_global": q_docs_ce_bands_global,
-        "bitext_margin_pairs": q_bitext_margin_pairs,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang_breakdown": q_docs_lang_breakdown,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_knn": q_embedding_knn,
-        "embedding_norms_by_label": q_embedding_norms_by_label,
-        "union_actors": q_union_actors,
-        "set_ops": q_set_ops,
-        "unpivot_daily": q_unpivot_daily,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "docs_boilerplate_strip": q_docs_boilerplate_strip,
-        "docs_dsir_sample": q_docs_dsir_sample,
-        "embedding_hard_negatives": q_embedding_hard_negatives,
-        "ann_pq_knn_join": q_ann_pq_knn_join,
-        "docs_bigram_ce": q_docs_bigram_ce,
-        "docs_temperature_mixture": q_docs_temperature_mixture,
-        "docs_hashed_vectors": q_docs_hashed_vectors,
-        "docs_tfidf_vectors": q_docs_tfidf_vectors,
-        "fx_normalized_revenue": q_fx_normalized_revenue,
-        "last_touch_asof": q_last_touch_asof,
-        "scd2_asof": q_scd2_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "docs_unigram_ce": q_docs_unigram_ce,
-        "corpus_mixture_plan": q_corpus_mixture_plan,
-        # -- new in r15 (inserted by the r15 build as they land)
-        "dup_bucket_occupancy": q_dup_bucket_occupancy,
-        "docs_classifier_scores": q_docs_classifier_scores,
-        "docs_html_extracted": q_docs_html_extracted,
-        "docs_classifier_eval": q_docs_classifier_eval,
-        "docs_lang_classifier": q_docs_lang_classifier,
-        "docs_classifier_sweep": q_docs_classifier_sweep,
-        "docs_bm25_topk": q_docs_bm25_topk,
-        "docs_passage_hits": q_docs_passage_hits,
-        "bm25_indexed_topk": q_bm25_indexed_topk,
-        "docs_phrase_hits": q_docs_phrase_hits,
-        # -- r13-checked block: every entry below has a green row in
-        # -- --    CORRECTNESS_r13.json (next-oldest stratum)
+        # -- r13-verification debt: last driver rows r13 — the oldest
+        # -- --    oracle-backed stratum (49 entries) leads the r16
+        # -- --    window (VERDICT r15 item 10)
         "merge_upsert_state": q_merge_upsert_state,
         "salted_revenue": q_salted_revenue,
         "incident_impact": q_incident_impact,
@@ -4962,9 +4909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anomalies": q_revenue_anomalies,
         "bpe_pair_counts": q_bpe_pair_counts,
         "order_value_hist_quantiles": q_order_value_hist_quantiles,
-        # -- r14-checked head: every entry below has a green row in
-        # -- --    CORRECTNESS_r14.json (the freshest stratum, so it
-        # -- --    closes the oracle-backed list)
+        # -- r14-checked block: next-oldest stratum; its head entry
+        # -- --    fills the 50th window slot this round
         "funnel_steps": q_funnel_steps,
         "bloom_range_members": q_bloom_range_members,
         "docs_cluster_safe_split": q_docs_cluster_safe_split,
@@ -5015,9 +4961,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_daily_stats": q_event_daily_stats,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
-        # -- rows-only block rides at the very end (contract: never
-        # -- --    displaces an oracle-backed query from the driver's cap;
-        # -- --    each has an oracle-backed *_check companion above)
+        # -- r15-checked block (the r15 driver window, freshest rows)
+        "ngram_jaccard": q_ngram_jaccard,
+        "approx_stats_check": q_approx_stats_check,
+        "order_value_percentiles_check": q_order_value_percentiles_check,
+        "purge_audit": q_purge_audit,
+        "sketch_range_users": q_sketch_range_users,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_length_deciles": q_docs_length_deciles,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_quarantine": q_docs_quarantine,
+        "dup_cluster_size_hist": q_dup_cluster_size_hist,
+        "dup_pairs_confirmed": q_dup_pairs_confirmed,
+        "docs_ce_bands": q_docs_ce_bands,
+        "docs_ce_bands_global": q_docs_ce_bands_global,
+        "bitext_margin_pairs": q_bitext_margin_pairs,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_breakdown": q_docs_lang_breakdown,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_knn": q_embedding_knn,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "union_actors": q_union_actors,
+        "set_ops": q_set_ops,
+        "unpivot_daily": q_unpivot_daily,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "docs_boilerplate_strip": q_docs_boilerplate_strip,
+        "docs_dsir_sample": q_docs_dsir_sample,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        "ann_pq_knn_join": q_ann_pq_knn_join,
+        "docs_bigram_ce": q_docs_bigram_ce,
+        "docs_temperature_mixture": q_docs_temperature_mixture,
+        "docs_hashed_vectors": q_docs_hashed_vectors,
+        "docs_tfidf_vectors": q_docs_tfidf_vectors,
+        "fx_normalized_revenue": q_fx_normalized_revenue,
+        "last_touch_asof": q_last_touch_asof,
+        "scd2_asof": q_scd2_asof,
+        "semantic_dedup": q_semantic_dedup,
+        "docs_unigram_ce": q_docs_unigram_ce,
+        "corpus_mixture_plan": q_corpus_mixture_plan,
+        "dup_bucket_occupancy": q_dup_bucket_occupancy,
+        "docs_classifier_scores": q_docs_classifier_scores,
+        "docs_html_extracted": q_docs_html_extracted,
+        "docs_classifier_eval": q_docs_classifier_eval,
+        "docs_lang_classifier": q_docs_lang_classifier,
+        "docs_classifier_sweep": q_docs_classifier_sweep,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "docs_passage_hits": q_docs_passage_hits,
+        "bm25_indexed_topk": q_bm25_indexed_topk,
+        "docs_phrase_hits": q_docs_phrase_hits,
+        # -- rows-only entries (no DuckDB oracle; each has an
+        # -- --    oracle-backed *_check companion) stay last so the
+        # -- --    driver window holds hash-checked rows only
         "media_features": q_media_features,
         "approx_stats": q_approx_stats,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
