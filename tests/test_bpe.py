@@ -144,6 +144,7 @@ def test_encode_roundtrip(docs_df):
         assert rebuilt == [w for w in text.lower().split() if w]
 
 
+@pytest.mark.slow
 def test_train_batched_equals_sequential(docs_df):
     """Batched rounds emit EXACTLY the sequential merge sequence on a
     corpus dense with overlapping candidate pairs and count ties ('aaaa

@@ -39,6 +39,7 @@ def test_generator_deterministic(tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_cli_full_lifecycle(spark, landing, tmp_path):
     bronze = str(tmp_path / "bronze")
     warehouse = str(tmp_path / "warehouse")
@@ -84,6 +85,7 @@ def test_cli_incremental_days_and_reload(spark, landing, tmp_path):
     assert deduped.count() == both.count()  # no new logical events
 
 
+@pytest.mark.slow
 def test_clean_corpus_pipeline(spark, tmp_path):
     """End-to-end corpus cleaning: planted exact dups, near-dups, and PII
     flow through scrub → dedup → cluster-keep-best → sample → pack."""
@@ -249,6 +251,7 @@ def test_clean_corpus_sample_then_split_independent_salts(spark, tmp_path):
     assert counts.get("train", 0) > counts.get("test", 0), counts
 
 
+@pytest.mark.slow
 def test_cli_stream_gold(spark, landing, tmp_path):
     """stream-gold drains the landing dir and leaves a gold parquet that
     matches the batch transform's fact_order_daily over the same events."""
@@ -418,6 +421,7 @@ def test_clean_corpus_boilerplate_and_dsir_stages(spark, tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_clean_corpus_semantic_pair_source(spark, tmp_path):
     """--pair-source semantic: paraphrase near-dups (same content words,
     different order — invisible to 3-token-shingle MinHash) cluster via

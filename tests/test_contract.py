@@ -4,6 +4,8 @@ or an oracle for a renamed query) before the driver does."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as E
 
 # The declared rows-only set: engine-specific outputs with no DuckDB twin.
@@ -72,6 +74,7 @@ def test_coverage_doc_counts_match_reality():
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_query_cache_rebuilds_on_corpus_change(spark, tmp_path):
     """q_ann_ivfpq_topk's /tmp index cache is keyed by a content
     signature of the source files: rewriting the corpus in place (same

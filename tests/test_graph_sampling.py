@@ -33,6 +33,7 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_converges(spark):
     """A 40-node path needs ~diameter rounds under hash-to-min; max_iter
     must cover it (and the fixpoint must be exact, not approximate)."""
@@ -41,6 +42,7 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 41
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir= switches per-round lineage truncation from
     localCheckpoint (executor-local, lost on executor failure) to a
@@ -1033,6 +1035,7 @@ def test_update_cluster_table_artifact_roundtrip(spark, tmp_path):
     assert read_cluster_table_meta(spark, path) == {"gen": 2}
 
 
+@pytest.mark.slow
 def test_update_cluster_table_crash_between_swap_renames(spark, tmp_path):
     """update_cluster_table's rename-aside swap (r13): simulate a crash
     between the two renames (rows stranded at clusters.old) — the next

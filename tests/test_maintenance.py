@@ -228,6 +228,7 @@ def _corpus_store(spark, tmp_path, n_batches=4):
     return store
 
 
+@pytest.mark.slow
 def test_compact_streaming_index_corpus_stays_live(spark, tmp_path):
     import os
 
@@ -318,6 +319,7 @@ def test_compact_streaming_index_embeddings_sub_partitions(spark, tmp_path):
     assert 10 not in kept and kept == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_compact_streaming_index_crash_rolls_forward(spark, tmp_path, monkeypatch):
     """Kill the fold at its commit point (marker written, consolidated
     partition not yet renamed in): the next call must roll FORWARD —
@@ -362,6 +364,7 @@ def test_compact_streaming_index_crash_rolls_forward(spark, tmp_path, monkeypatc
     assert (1, 100) in pairs
 
 
+@pytest.mark.slow
 def test_cli_compact_index_subcommand(spark, tmp_path, capsys):
     from commercepulse_data_pipeline_spark.cli import main
 
@@ -476,6 +479,7 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     assert hit_y == n_l  # every file's y-range spans the domain
 
 
+@pytest.mark.slow
 def test_compact_streaming_index_refold_crash_keeps_new_consolidated(
     spark, tmp_path, monkeypatch
 ):

@@ -2552,6 +2552,7 @@ def test_video_neardup_pairs_between_incremental(spark):
     assert not any("fresh" in k for k in pairs)
 
 
+@pytest.mark.slow
 def test_stream_video_hash_index_cross_batch_and_cluster(spark, tmp_path):
     """stream_video_hash_index (r14): a re-encoded clip arriving two
     batches after its original pairs against the frame index with full

@@ -247,6 +247,7 @@ def test_simhash_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.slow
 def test_simhash_table_non64_bits(spark):
     """Lane packing generalizes over bits/2 lanes: simhash_table at any
     even width matches the single-expression simhash column form (same
@@ -357,6 +358,7 @@ def test_knn_join_self(spark):
     assert all(abs(mine[q].neighbor_id - q) == 1 for q in mine)
 
 
+@pytest.mark.slow
 def test_knn_join_self_blocked_finds_planted_neardups(spark):
     """Scale-safe self-kNN (VERDICT r1 #4): LSH-blocked candidate
     generation must (a) recover planted near-duplicates as the rank-1
@@ -1802,6 +1804,7 @@ def _clustered_embeddings(spark, n_clusters=4, per=10, dim=16, noise=0.02):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_ivfpq_recommend_knob_frontier(spark, tmp_path):
     """ivfpq_recommend encodes the SCALE.md knob order (VERDICT r10 item
     6). On a CLUSTERED corpus whose true neighbors are cluster-mates,

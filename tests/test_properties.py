@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -95,6 +97,7 @@ def test_last_writer_wins_properties(spark, events):
         max_size=8,
     )
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_ngram_jaccard_matches_bruteforce(spark, corpus):
     """Distributed posting-list Jaccard ≡ brute-force set Jaccard on the
@@ -133,6 +136,7 @@ def test_ngram_jaccard_matches_bruteforce(spark, corpus):
     ),
     threshold=st.integers(1, 8),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_simhash_recall_guarantee(spark, corpus, threshold):
     """Pigeonhole recall: every pair whose true signature Hamming distance
@@ -425,6 +429,7 @@ def test_dedup_lines_sorted_form_matches_naive(spark, docs):
         st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=40
     )
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_connected_components_star_matches_hash_to_min(spark, edges):
     """Both CC algorithms produce identical (node, component) labelings on
@@ -686,6 +691,7 @@ def test_ordered_funnel_matches_greedy_model(spark, events):
     ),
     threshold=st.sampled_from([0.2, 0.5, 0.9]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_containment_matches_bruteforce(spark, corpus, threshold):
     """Distributed directed containment ≡ brute-force |src∩dst|/|src| on
@@ -724,6 +730,7 @@ def test_containment_matches_bruteforce(spark, corpus, threshold):
     ),
     k=st.sampled_from([4, 16, 64]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_kmv_overlap_matches_python_model(spark, tmp_path_factory, sets, k):
     """kmv_set_overlap ≡ a pure-Python KMV model (same md5 hashes, same
@@ -777,6 +784,7 @@ def test_kmv_overlap_matches_python_model(spark, tmp_path_factory, sets, k):
     ),
     w=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_dedup_passages_matches_python_model(spark, docs, w):
     """dedup_passages ≡ a pure-Python splice model on random tiny-vocab
@@ -833,6 +841,7 @@ def test_dedup_passages_matches_python_model(spark, docs, w):
     ),
     w=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_scrub_contamination_matches_python_model(spark, docs, probes, w):
     """scrub_contamination ≡ a pure-Python splice model on random
@@ -886,6 +895,7 @@ def test_scrub_contamination_matches_python_model(spark, docs, probes, w):
     ),
     w=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_strip_boilerplate_matches_python_model(spark, docs, w):
     """strip_boilerplate ≡ a pure-Python splice model on random
@@ -991,6 +1001,7 @@ def test_score_pairs_matches_python_cosine_model(spark, vecs, pair_ids):
     ),
     n_corpus=st.integers(15, 25),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_cluster_size_histogram_matches_python_model(spark, edges, n_corpus):
     """cluster_size_histogram (r12) ≡ a pure-Python union-find model:
@@ -1093,6 +1104,7 @@ def test_cdc_chunks_matches_python_model(spark, docs, divisor):
         st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=12
     ),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_merge_cluster_update_matches_from_scratch(spark, e1, e2):
     """Incremental CC fold (r13) vs from-scratch CC over the pair union,
@@ -1167,6 +1179,7 @@ _NB_WORD = st.sampled_from(["alpha", "beta", "Gamma", "DOG", "x", "42", ""])
     ),
     test=st.lists(st.lists(_NB_WORD, max_size=6), min_size=1, max_size=6),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_nb_classifier_matches_python_model(spark, train, test):
     """nb_train + nb_score ≡ a pure-Python Naive Bayes replica: same md5
@@ -1249,6 +1262,7 @@ _HTML_FRAG = st.sampled_from([
 ])
 
 
+@pytest.mark.slow
 @given(frags=st.lists(_HTML_FRAG, min_size=1, max_size=14))
 @settings(**_SETTINGS)
 def test_html_extract_matches_python_model(spark, frags):

@@ -248,6 +248,7 @@ def test_dedup_state_bounded_with_rocksdb_eviction(spark, tmp_path):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_payments_to_orders(spark, landing_dir):
     """Stream-stream inner join with an event-time range bound: payments
     match their order iff within 1 day of the order creation. The orphan
@@ -269,6 +270,7 @@ def test_stream_stream_join_payments_to_orders(spark, landing_dir):
     # the 1-day range) are excluded by the join itself
 
 
+@pytest.mark.slow
 def test_streaming_gold_upsert_converges_to_batch(spark, landing_dir, tmp_path):
     """foreachBatch IVM of fact_order_daily (SURVEY §3.1 restated as
     streaming; the reference names this as its limitation,
@@ -358,6 +360,7 @@ def test_stream_stream_join_replayed_order_no_fanout(spark, tmp_path):
     assert rows[0].payment_event_id == "pay-r-1" and rows[0].amount == 70.0
 
 
+@pytest.mark.slow
 def test_streaming_gold_upsert_incremental_continuation(spark, tmp_path):
     """Production cadence: drain, then NEW landing days arrive, drain again
     with the SAME checkpoint — only new files are processed (checkpoint
@@ -770,6 +773,7 @@ def test_embeddings_stream_crash_replay_from_checkpoint(spark, tmp_path):
     assert kept == {1, 2, 11}, kept
 
 
+@pytest.mark.slow
 def test_gold_stream_crash_replay_from_checkpoint(spark, landing_dir, tmp_path):
     """Kill the gold IVM stream after batch 1's store swap (all four
     directories updated, checkpoint commit missing), restart from the
@@ -829,6 +833,7 @@ def test_gold_stream_crash_replay_from_checkpoint(spark, landing_dir, tmp_path):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("crash_at", [2, 3])
 def test_gold_upsert_mid_swap_crash_then_replay_converges(
     spark, landing_dir, tmp_path, monkeypatch, crash_at
@@ -896,6 +901,7 @@ def test_gold_upsert_mid_swap_crash_then_replay_converges(
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
 
 
+@pytest.mark.slow
 def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path):
     """The stateful streaming funnel (streaming/funnels.py) equals the
     batch ordered_funnel after the stream drains — INCLUDING a
@@ -991,6 +997,7 @@ def test_streaming_funnel_converges_to_batch_under_late_arrival(spark, tmp_path)
     assert latest[1]["t1_us"] == int(pd.Timestamp(ts(96)).value // 1000)
 
 
+@pytest.mark.slow
 def test_streaming_funnel_string_keyed_custom_column(spark, tmp_path):
     """The output key column derives its name AND type from the input
     stream's user_col — a string-keyed stream named something other than
@@ -1769,6 +1776,7 @@ def test_stream_clean_corpus_strip_repeats(spark, tmp_path):
     assert corpus[1] == twin["text_derepeated"]
 
 
+@pytest.mark.slow
 def test_stream_clean_corpus_quarantine_reasons(spark, tmp_path):
     """Streaming --quarantine twin (r12): each batch's quarantine
     partition carries the FIRST failing stage per dropped doc
@@ -1831,6 +1839,7 @@ def test_stream_clean_corpus_quarantine_reasons(spark, tmp_path):
     assert not os.path.exists(f"{store}/quarantine/ingest_batch=2")
 
 
+@pytest.mark.slow
 def test_stream_cluster_table_cross_batch_and_replay(spark, tmp_path):
     """stream_cluster_table (r13): three drops with a near-dup spanning
     batches converge to the SAME cluster table a from-scratch batch
@@ -1902,6 +1911,7 @@ def test_stream_cluster_table_cross_batch_and_replay(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 def test_cluster_stream_crash_replay_from_checkpoint(spark, tmp_path):
     """Kill the cluster-table stream AFTER batch 1 folded the table but
     with its bands partition torn away and the table rows STRANDED at
