@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for queries into plans/r15/<name>_<tag>.txt.
+"""Dump .explain("formatted") for queries into plans/$SPARK_GRAFT_PLANS_ROUND/
+<name>_<tag>.txt (default round dir: r16).
 
 Usage: python tools/dump_plans.py before [name1 name2 ...]
 Defaults to the bench surface (HEADLINE + EXTENDED) when no names given.
@@ -31,7 +32,11 @@ def main() -> None:
     qs = entry.queries()
     if not names:
         names = HEADLINE + EXTENDED
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, bench_dir)
