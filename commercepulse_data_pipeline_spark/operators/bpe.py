@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from .text import tokens
 
 END = "</w>"
@@ -364,9 +366,9 @@ def save_bpe_model(
         a, b = m[0], m[1]
         n = int(m[2]) if len(m) > 2 else None
         rows.append((rank, a, b, n))
-    spark.createDataFrame(
-        rows, "rank int, a string, b string, n bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    one_slice_df(
+        spark, rows, "rank int, a string, b string, n bigint"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_bpe_model(spark: SparkSession, path: str) -> list[tuple[str, str, int]]:

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.expr import let
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
 from commercepulse_data_pipeline_spark.functions.pins import pin
 from commercepulse_data_pipeline_spark.operators.text import (
     token_ngrams,
@@ -1107,8 +1108,8 @@ def write_minhash_index(
     _append_bands(spark, bands_df, path, mode)
     if existing is not None:
         return  # meta already pinned and verified equal — leave it
-    spark.createDataFrame([(json.dumps(sorted(meta.items())),)], "meta string").coalesce(
-        1
+    one_slice_df(
+        spark, [(json.dumps(sorted(meta.items())),)], "meta string"
     ).write.mode("overwrite").json(f"{path}/meta")
 
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 
 def connected_components(
     edges: DataFrame,
@@ -403,9 +405,9 @@ def write_cluster_table(
         .parquet(f"{path}/clusters")
     )
     meta = {"schema": list(_CLUSTER_TABLE_COLS), "provenance": provenance or {}}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/meta")
+    one_slice_df(spark, [(json.dumps(meta),)], "meta string").write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
 
 
 def read_cluster_table(spark, path: str) -> DataFrame:
@@ -611,7 +613,7 @@ def update_cluster_table(
         import json
 
         meta = {"schema": list(_CLUSTER_TABLE_COLS), "provenance": provenance}
-        spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-            1
-        ).write.mode("overwrite").json(f"{path}/meta")
+        one_slice_df(spark, [(json.dumps(meta),)], "meta string").write.mode(
+            "overwrite"
+        ).json(f"{path}/meta")
     return upd

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
 from commercepulse_data_pipeline_spark.functions.pins import pin
 
 from ..functions.expr import let
@@ -361,9 +362,9 @@ def write_text_index(
         n_docs += int(existing["n_docs"])
         sum_dl += int(existing["sum_dl"])
     meta = {**params, "n_docs": n_docs, "sum_dl": sum_dl}
-    spark.createDataFrame(
-        [(json.dumps(sorted(meta.items())),)], "meta string"
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    one_slice_df(
+        spark, [(json.dumps(sorted(meta.items())),)], "meta string"
+    ).write.mode("overwrite").json(f"{path}/meta")
 
 
 def read_text_index_meta(spark, path: str) -> dict:

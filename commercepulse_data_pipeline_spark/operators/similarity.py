@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
 from commercepulse_data_pipeline_spark.functions.pins import pin
 
 
@@ -203,10 +204,11 @@ def write_lsh_index(
     )
     bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(f"{path}/lists")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    one_slice_df(
+        spark,
         [(i, [float(v) for v in p]) for i, p in enumerate(planes)],
         "plane_id int, plane array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/planes")
+    ).write.mode("overwrite").parquet(f"{path}/planes")
 
 
 def lsh_topk_indexed(
@@ -262,7 +264,10 @@ def _with_centroid_assign(
     (ties → lowest cid). The 1-row broadcast nested-loop join is
     map-only — no shuffle enters the plan."""
     spark = df.sparkSession
-    cents_df = spark.createDataFrame(
+    # one_slice_df: a defaultParallelism-sliced 1-row frame makes the
+    # broadcast build run one (trivial) task per core — one slice, one task
+    cents_df = one_slice_df(
+        spark,
         [([list(map(float, c)) for c in cents],)],
         "__cents array<array<double>>",
     )
@@ -382,10 +387,11 @@ def write_ivf_index(
     the build path, this is the query path."""
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
     spark = assigned.sparkSession
-    spark.createDataFrame(
+    one_slice_df(
+        spark,
         [(cid, [float(v) for v in c]) for cid, c in centroids],
         "centroid_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_topk_indexed(
@@ -843,7 +849,8 @@ def _with_pq_codes(
     m = len(books)
     ds = len(books[0][0])
     spark = df.sparkSession
-    books_df = spark.createDataFrame(
+    books_df = one_slice_df(
+        spark,
         [([[list(map(float, c)) for c in bk] for bk in books],)],
         "__books array<array<array<double>>>",
     )
@@ -853,6 +860,40 @@ def _with_pq_codes(
         df.crossJoin(F.broadcast(books_df))
         .withColumn(out_col, codes)
         .drop("__books")
+    )
+
+
+def _with_residual(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    vec_col: str,
+    out_col: str = "__resid",
+) -> DataFrame:
+    """Append the residual to the assigned centroid with CONSTANT-FREE
+    codegen (r16, the ``_with_centroid_assign`` discipline): the
+    centroid matrix rides as DATA in a 1-row broadcast frame instead of
+    a literal array, so the generated code is textually identical across
+    train calls. Arithmetic identical to the literal form —
+    ``element_at`` by ``centroid_id + 1`` then ``zip_with`` subtract —
+    which requires (exactly as the literal form did) that ``cents[i]``
+    is centroid id ``i``'s vector, i.e. contiguous 0..n-1 ids in order
+    (``ivf_assign`` produces exactly that)."""
+    spark = df.sparkSession
+    cents_df = one_slice_df(
+        spark,
+        [([list(map(float, c)) for c in cents],)],
+        "__rcents array<array<double>>",
+    )
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(F.col("__rcents"), F.col("centroid_id") + 1),
+        lambda x, c: x - c,
+    )
+    return (
+        df.crossJoin(F.broadcast(cents_df))
+        .withColumn(out_col, resid)
+        .drop("__rcents")
     )
 
 
@@ -872,19 +913,41 @@ def pq_train(
     all m subspaces in one projection, then one (j, code)-keyed
     aggregate with DECIMAL per-dimension means (partition-order-free,
     the ivf_assign discipline). The collected means are m·n_codes·d/m =
-    n_codes·d doubles — bounded by the codebook, not the corpus."""
+    n_codes·d doubles — bounded by the codebook, not the corpus.
+
+    Init is TWO cheap jobs, not one expensive pass (r16): the old
+    single-pass form (``orderBy(md5(id)).limit(n_codes)`` carrying
+    ``vec_col``) evaluated the vector column — for the IVF+PQ train path
+    that column is the residual projection, i.e. a full-corpus
+    argmin+subtract — for EVERY row just to keep ``n_codes`` of them.
+    Now job 1 ranks ids only (column pruning drops the vector subtree
+    entirely), job 2 fetches the sampled rows through a pushed-down
+    ``isin`` filter, so the expensive projection runs on ``n_codes``
+    rows. Same rows, same floats, same books (A/B: outputs
+    bit-identical; the full-pass init cost scales with the corpus, this
+    one with ``n_codes``)."""
     from commercepulse_data_pipeline_spark.operators.dedup import _md5_long
 
-    dim = len(corpus.select(vec_col).head()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    ds = dim // m
-    sample = (
-        corpus.select(id_col, vec_col)
+    key_rows = (
+        corpus.select(id_col)
         .orderBy(_md5_long(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
         .limit(n_codes)
         .collect()
     )
+    keys = [r[0] for r in key_rows]
+    if not keys:
+        raise ValueError("pq_train: empty corpus")
+    fetched = {
+        r[0]: r[1]
+        for r in corpus.select(id_col, vec_col)
+        .where(F.col(id_col).isin(keys))
+        .collect()
+    }
+    sample = [(k, fetched[k]) for k in keys]
+    dim = len(sample[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
     books = [
         [list(map(float, r[1][j * ds : (j + 1) * ds])) for r in sample]
         for j in range(m)
@@ -1067,9 +1130,9 @@ def write_pq_index(
         for j, book in enumerate(books)
         for c, vec in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "j int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    one_slice_df(
+        spark, rows, "j int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/books")
 
 
 def read_pq_books(spark: SparkSession, path: str) -> list[list[list[float]]]:
@@ -1268,16 +1331,8 @@ def write_ivfpq_index(
         corpus, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, iters=iters,
     )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for _, c in sorted(cents)]
-    )
-    resid = assigned.withColumn(
-        "__resid",
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(cent_lit, F.col("centroid_id") + 1),
-            lambda x, c: x - c,
-        ),
+    resid = _with_residual(
+        assigned, [c for _, c in sorted(cents)], vec_col=vec_col
     )
     books = pq_train(
         resid, id_col=id_col, vec_col="__resid", m=m, n_codes=n_codes,
@@ -1288,18 +1343,19 @@ def write_ivfpq_index(
         "overwrite"
     ).partitionBy("centroid_id").parquet(f"{path}/codes")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    one_slice_df(
+        spark,
         [(cid, [float(v) for v in c]) for cid, c in cents],
         "centroid_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     rows = [
         (j, c, [float(v) for v in vec])
         for j, book in enumerate(books)
         for c, vec in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "j int, code int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    one_slice_df(
+        spark, rows, "j int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/books")
 
 
 def ivfpq_topk(
@@ -1411,27 +1467,13 @@ def ivfpq_encode_frozen(
     )
     books = read_pq_books(spark, path)
     mm = len(books)
-    dists = [
-        F.struct(
-            _sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("d"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, c in cents
-    ]
-    assigned = new_vectors.withColumn(
-        "centroid_id", F.array_min(F.array(*dists))["cid"]
-    )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for _, c in cents]
-    )
-    resid = assigned.withColumn(
-        "__resid",
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(cent_lit, F.col("centroid_id") + 1),
-            lambda x, c: x - c,
-        ),
-    )
+    # _with_centroid_assign/_with_residual index by POSITION, which must
+    # equal the centroid id — true for every index this engine writes
+    # (ivf_assign enumerates 0..n-1) and already assumed by the prior
+    # literal form's element_at(cent_lit, centroid_id + 1)
+    cvecs = [c for _, c in cents]
+    assigned = _with_centroid_assign(new_vectors, cvecs, vec_col=vec_col)
+    resid = _with_residual(assigned, cvecs, vec_col=vec_col)
     return pq_encode(resid, books, vec_col="__resid").select(
         id_col, "centroid_id", "pq_code"
     )
@@ -1547,7 +1589,8 @@ def ivfpq_recommend(
     )
 
     qid_type = queries.select(F.col(id_col)).schema[0].dataType
-    lut_df = spark.createDataFrame(
+    lut_df = one_slice_df(
+        spark,
         lut_rows,
         StructType(
             [

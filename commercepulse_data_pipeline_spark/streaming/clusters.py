@@ -43,6 +43,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from commercepulse_data_pipeline_spark.operators import dedup as dd
 from commercepulse_data_pipeline_spark.operators import graph
 from commercepulse_data_pipeline_spark.streaming.corpus import DEFAULT_PARAMS
@@ -115,9 +117,9 @@ def cluster_table_batch(
     )
     # same sidecar as write_minhash_index: {store}/index is a full index
     meta = dict(p, id_col="doc_id", text_col="text")
-    spark.createDataFrame(
-        [(json.dumps(sorted(meta.items())),)], "meta string"
-    ).coalesce(1).write.mode("overwrite").json(f"{store_dir}/index/meta")
+    one_slice_df(
+        spark, [(json.dumps(sorted(meta.items())),)], "meta string"
+    ).write.mode("overwrite").json(f"{store_dir}/index/meta")
 
 
 def stream_cluster_table(

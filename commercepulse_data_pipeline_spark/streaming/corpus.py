@@ -34,6 +34,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from commercepulse_data_pipeline_spark.operators import dedup as dd
 from commercepulse_data_pipeline_spark.operators import text as tx
 
@@ -262,9 +264,9 @@ def clean_corpus_batch(
     # Written unconditionally — params are constant for a query, so the
     # overwrite is idempotent and needs no driver-local existence check.
     meta = dict(p, id_col="doc_id", text_col="text")
-    spark.createDataFrame(
-        [(json.dumps(sorted(meta.items())),)], "meta string"
-    ).coalesce(1).write.mode("overwrite").json(f"{store_dir}/index/meta")
+    one_slice_df(
+        spark, [(json.dumps(sorted(meta.items())),)], "meta string"
+    ).write.mode("overwrite").json(f"{store_dir}/index/meta")
 
 
 def stream_clean_corpus(

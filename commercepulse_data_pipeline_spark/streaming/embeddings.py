@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from commercepulse_data_pipeline_spark.operators.dedup import (
     _pairs_in_group,
     capped_posting_lists,
@@ -72,10 +74,11 @@ def _read_or_create_planes(
             # this batch under a DIFFERENT hash family than the store
             raise
         planes = random_hyperplanes(dim, n_planes, seed)
-        spark.createDataFrame(
+        one_slice_df(
+            spark,
             [(i, [float(v) for v in p]) for i, p in enumerate(planes)],
             "plane_id int, plane array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/index/planes")
+        ).write.mode("overwrite").parquet(f"{store_dir}/index/planes")
         return planes
 
 

@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from commercepulse_data_pipeline_spark.operators.sketches import (
     build_mg_summary,
     merge_mg_summaries,
@@ -211,11 +213,11 @@ def compact_mg_rollup(
         (True, None, None, int(folded_meta["c_off"] or 0) + int(new_off),
          int(folded_meta["n_items"] or 0))
     ]
-    cons = spark.createDataFrame(
-        rows, f"is_meta boolean, item {item_t}, est long, c_off long, n_items long"
+    cons = one_slice_df(
+        spark, rows, f"is_meta boolean, item {item_t}, est long, c_off long, n_items long"
     )
     cons_name = f"{prefix}-1"
-    cons.coalesce(1).write.mode("overwrite").parquet(
+    cons.write.mode("overwrite").parquet(
         os.path.join(p + "._fold_tmp", cons_name)
     )
     _fold_commit(p, cons_name, fold_names, -1 in parts)

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
 from ..operators.retrieval import _corpus_stats, _postings_from_staged, _staged_rle
 
 
@@ -65,10 +67,11 @@ def text_index_batch(
     spark = batch_df.sparkSession
     staged = _staged_rle(batch_df, text_col).localCheckpoint(eager=True)
     stats_row = _corpus_stats(staged)
-    spark.createDataFrame(
+    one_slice_df(
+        spark,
         [(int(stats_row["n"]), int(stats_row["s"]), n_buckets, id_col)],
         "n long, s long, n_buckets int, id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         f"{store_dir}/stats/ingest_batch={batch_id}"
     )
     _postings_from_staged(staged, id_col, n_buckets).write.mode(

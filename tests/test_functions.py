@@ -191,3 +191,31 @@ def test_ddl_create_if_not_exists(spark, tmp_path):
         assert spark.table("fact_ddl_test").count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS fact_ddl_test")
+
+
+def test_one_slice_df_single_partition_same_rows(spark, tmp_path):
+    """one_slice_df (r16): same rows/schema as createDataFrame but in ONE
+    partition, so sidecar writes land in one file without the
+    slice-per-core coalesce(1) evaluation cost; empty rows and None
+    fields keep working (explicit schema, no inference)."""
+    from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df
+
+    rows = [(i, [float(i), 2.0], None if i % 2 else f"s{i}") for i in range(8)]
+    schema = "a int, b array<double>, c string"
+    df = one_slice_df(spark, rows, schema)
+    assert df.rdd.getNumPartitions() == 1
+    ref = spark.createDataFrame(rows, schema)
+    assert df.schema == ref.schema
+    assert df.collect() == ref.collect()
+
+    # single output file, rows round-trip in order
+    out = str(tmp_path / "sidecar")
+    df.write.parquet(out)
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*")) == 1
+    assert sorted(spark.read.parquet(out).collect()) == sorted(ref.collect())
+
+    # empty rows with explicit schema
+    empty = one_slice_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == ref.schema
