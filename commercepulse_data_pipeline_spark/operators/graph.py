@@ -217,7 +217,9 @@ def _star_components(
     for _ in range(max_iter):
         cur = ckpt(small_star(large_star(prev)))
         sig = signature(cur)
-        if sig == prev_sig and cur.exceptAll(prev).limit(1).count() == 0:
+        # isEmpty (take-1 probe), not limit(1).count(): a limit+count plan
+        # janino-compiles fresh classes on every execution (r16)
+        if sig == prev_sig and cur.exceptAll(prev).isEmpty():
             labels = cur.groupBy("u").agg(F.min("v").alias("component")).select(
                 F.col("u").alias("node"), "component"
             )

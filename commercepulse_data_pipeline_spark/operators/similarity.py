@@ -592,14 +592,22 @@ def _check_query_side(queries: DataFrame, max_queries: int | None, op: str) -> N
     cluster sized for it).
 
     Note the probe EVALUATES the query-side plan once more than the
-    operator alone would (the limit+count job here, then the broadcast
+    operator alone would (the bounded take here, then the broadcast
     re-executes the same lineage): for a query side derived through
     expensive lineage, cache()/localCheckpoint() it before calling — or
     pass ``max_queries=None`` — to avoid paying that lineage twice
-    (ADVICE r11)."""
+    (ADVICE r11).
+
+    The bound is ``take(max+1)`` over a ``lit(1)`` projection, NOT
+    ``limit(max+1).count()`` (r16): a limit+count plan janino-compiles
+    two fresh classes on EVERY execution (measured — the only remaining
+    per-run compile in the whole bench suite traced here), while
+    ``executeTake`` reuses cached projections; it is also ~40% faster
+    and equally bounded (incremental partition scan, never past max+1
+    rows; the collected rows are max+1 constant ints)."""
     if max_queries is None:
         return
-    n = queries.limit(max_queries + 1).count()
+    n = len(queries.select(F.lit(1).alias("one")).take(max_queries + 1))
     if n > max_queries:
         raise ValueError(
             f"{op}: query side has >{max_queries} rows; it is BROADCAST, "

@@ -245,7 +245,7 @@ def image_hash_batch(
         table_rows = f"{store_dir}/clusters/clusters"
         if os.path.exists(table_rows) or os.path.exists(table_rows + ".old"):
             graph.update_cluster_table(spark, f"{store_dir}/clusters", pairs)
-        elif pairs.limit(1).count():
+        elif not pairs.isEmpty():  # take(1) probe — limit(1).count() recompiles codegen per batch (r16)
             graph.write_cluster_table(
                 graph.dedup_clusters(pairs),
                 f"{store_dir}/clusters",
@@ -389,7 +389,7 @@ def video_hash_batch(
             graph.update_cluster_table(
                 spark, f"{store_dir}/clusters", pairs.select("id_a", "id_b")
             )
-        elif pairs.limit(1).count():
+        elif not pairs.isEmpty():  # take(1) probe — see note above
             graph.write_cluster_table(
                 graph.dedup_clusters(pairs.select("id_a", "id_b")),
                 f"{store_dir}/clusters",
