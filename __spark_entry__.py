@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from commercepulse_data_pipeline_spark.functions.drift import canonical_status, safe_divide
+from commercepulse_data_pipeline_spark.functions.localdf import one_slice_df as _one_slice_df
 from commercepulse_data_pipeline_spark.functions.pins import pin as _pin
 from commercepulse_data_pipeline_spark.functions.temporal import calendar_columns, days_between
 from commercepulse_data_pipeline_spark.operators import dedup as dd
@@ -656,7 +657,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("step3_purchase", n3, bps(n3)),
         ("completed_7d", n4, bps(n4)),
     ]
-    return spark.createDataFrame(rows, "step string, n_users long, pct_bps long")
+    return _one_slice_df(spark, rows, "step string, n_users long, pct_bps long")
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,7 +2982,10 @@ def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rows_removed", F.lit(audit["rows_removed"]).cast("long"))
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -3034,7 +3038,10 @@ def q_sketch_range_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_ok"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -3097,7 +3104,10 @@ def q_bloom_range_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("no_false_neg"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -3191,7 +3201,10 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inter_ok"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -3247,7 +3260,10 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("exact_n"), "token")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -3346,7 +3362,10 @@ def q_order_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # one_slice_df (r16): a defaultParallelism-sliced local frame costs
+        # one Python-runner round trip per slice to evaluate; one slice
+        # suffices for a bounded collected result
+        return _one_slice_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
