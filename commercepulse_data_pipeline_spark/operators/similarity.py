@@ -264,8 +264,9 @@ def _with_centroid_assign(
     (ties → lowest cid). The 1-row broadcast nested-loop join is
     map-only — no shuffle enters the plan."""
     spark = df.sparkSession
-    # one_slice_df: a defaultParallelism-sliced 1-row frame makes the
-    # broadcast build run one (trivial) task per core — one slice, one task
+    # one_slice_df: plain createDataFrame would slice this 1-row frame
+    # defaultParallelism ways, so every broadcast build runs one trivial
+    # task per core; one slice means one task
     cents_df = one_slice_df(
         spark,
         [([list(map(float, c)) for c in cents],)],
