@@ -355,7 +355,11 @@ def write_text_index(
         )
         stats_row = _corpus_stats(staged)
         postings = _postings_from_staged(staged, id_col, n_buckets)
-    postings.write.mode(mode).partitionBy("term_bucket").parquet(f"{path}/postings")
+    # rebalance-before-partitionBy (guide §6): without it the write emits
+    # (input partitions × term buckets) files per build/append
+    postings.hint("rebalance", "term_bucket").write.mode(mode).partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
 
     n_docs, sum_dl = int(stats_row["n"]), int(stats_row["s"])
     if existing is not None:
